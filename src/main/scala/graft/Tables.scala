@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Loaders for the driver-generated test tables (TESTDATA.md).
+  *
+  * Every declared query receives `sfDir` (e.g. /root/testdata/sf0.01) and
+  * reads one parquet per table. Reads are plain `spark.read.parquet` so
+  * Catalyst keeps predicate pushdown / column pruning / row-group skipping
+  * — at 100 TB these same loaders would point at a partitioned table root
+  * and partition pruning composes for free.
+  */
+object Tables {
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    // Deterministic oracle parity (set per-read so a driver-owned session
+    // works too): UTC session, and read the driver's TIMESTAMP(NANOS)
+    // events.ts as a long — Spark has no nanosecond timestamp type.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$sfDir/$name.parquet")
+  }
+
+  /** events with ts normalized from epoch-nanos long to TIMESTAMP_NTZ at
+    * microsecond precision — the same floor(ns/1000) truncation DuckDB
+    * applies when it reads nanos parquet, so oracle values align exactly.
+    * NTZ (not LTZ) so round-tripped parquet reads back as naive TIMESTAMP.
+    */
+  def events(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    table(spark, sfDir, "events")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
+  }
+  def orders(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "orders")
+  def lineitem(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "lineitem")
+  def customer(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "customer")
+  def supplier(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "supplier")
+  def part(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "part")
+  def nation(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "nation")
+  def region(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "region")
+  def documents(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "documents")
+  def embeddings(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "embeddings")
+}

@@ -1,0 +1,226 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** The goose console/API query surface (SURVEY.md §2.2-2.4), re-expressed
+  * as declarative Spark plans over the driver test tables.
+  *
+  * Every query here mirrors one operator of the reference
+  * (nilenso/goose, cited per-query) and has a DuckDB oracle in
+  * [[oracles]] with identically-named output columns. All plans are
+  * scan→filter→agg/sort shapes that Catalyst fully pushes down
+  * (PushedFilters + pruned ReadSchema at the parquet scan); none
+  * collects to the driver, so each would run unchanged on a
+  * 1000-executor cluster over a partitioned 100 TB table.
+  */
+object QueueQueries {
+
+  private def events(s: SparkSession, d: String) = Tables.events(s, d)
+  private def orders(s: SparkSession, d: String) = Tables.orders(s, d)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // A1 queue `size` — commands.clj:170-171 (LLEN/ZCOUNT per collection).
+    "q01_size_by_queue" -> ((s, d) =>
+      events(s, d).groupBy("event_type").agg(count(lit(1)).as("n"))
+        .orderBy("event_type")),
+
+    // F1 find-by-id — redis/api/enqueued_jobs.clj:22-27 (scan + equality, limit 1).
+    "q02_find_by_id" -> ((s, d) =>
+      events(s, d).filter(col("event_id") === 421)
+        .select("event_id", "user_id", "event_type").limit(1)),
+
+    // F3 console filter by execute-fn-sym — console/data.clj:33-38.
+    "q03_find_by_fn_sym" -> ((s, d) =>
+      events(s, d).filter(col("event_type") === "click")
+        .select("event_id", "event_type").orderBy("event_id").limit(10)),
+
+    // F7 scheduler due-scan — commands.clj:219-228 (ZRANGEBYSCORE -inf..now LIMIT 50).
+    "q04_due_scan" -> ((s, d) =>
+      orders(s, d).filter(col("o_orderdate") <= lit("1996-01-01").cast("timestamp_ntz"))
+        .select("o_orderkey", "o_orderdate")
+        .orderBy("o_orderdate", "o_orderkey").limit(50)),
+
+    // F4 console filter type=failed — console/data.clj:39-47 via job.clj:18-19.
+    "q05_filter_failed" -> ((s, d) =>
+      orders(s, d).filter(col("o_orderstatus") === "F")
+        .select("o_orderkey").orderBy("o_orderkey").limit(25)),
+
+    // O4/S9 dead-jobs pop/peek oldest — commands.clj:253-262 (ZPOPMIN).
+    "q06_dead_peek_oldest" -> ((s, d) =>
+      events(s, d).select("event_id", "ts").orderBy("ts", "event_id").limit(1)),
+
+    // O1 enqueued page — commands.clj:198-203 (LRANGE window), page size 10.
+    "q07_page_asc_offset" -> ((s, d) =>
+      events(s, d).select("event_id", "ts")
+        .orderBy("ts", "event_id").offset(20).limit(10)),
+
+    // O3 dead page — commands.clj:264-266 (ZREVRANGE by died-at desc).
+    "q08_page_desc" -> ((s, d) =>
+      events(s, d).select("event_id", "ts")
+        .orderBy(col("ts").desc, col("event_id").desc).limit(10)),
+
+    // A2 home-page jobs-size totals — console/data.clj:18-28.
+    "q09_home_stats" -> ((s, d) =>
+      orders(s, d).groupBy(col("o_orderstatus").as("state"))
+        .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+        .orderBy("state")),
+
+    // F8 list-all-queues — commands.clj:173-181 (SCAN keys, distinct).
+    "q10_list_queues" -> ((s, d) =>
+      events(s, d).select("event_type").distinct().orderBy("event_type")),
+
+    // A3 batch status derivation — batch.clj:40-46 (conditional over 4 set sizes).
+    "q11_batch_status" -> ((s, d) =>
+      events(s, d).filter(col("user_id") === 7).groupBy("user_id")
+        .agg(
+          when(sum(when(col("event_type").isin("view", "click"), 1).otherwise(0)) > 0, "in-progress")
+            .when(sum(when(col("event_type") === "error", 1).otherwise(0)) === 0, "success")
+            .otherwise("partial-success").as("status"),
+          count(lit(1)).as("n"))
+        .select("status", "n").orderBy("status")),
+
+    // A4 broker metrics gauges — redis/metrics.clj:14-58.
+    "q12_metrics_gauges" -> ((s, d) =>
+      events(s, d).groupBy("event_type")
+        .agg(count(lit(1)).as("n"), round(avg("value"), 4).as("avg_v"), max("value").as("max_v"))
+        .orderBy("event_type")),
+
+    // F9 heartbeat liveness probe — the anti-join shape of redis/heartbeat.clj:10-11
+    // + orphan_checker.clj:13-20 (processes without live heartbeats).
+    "q13_worker_liveness" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+      val o = orders(s, d).filter(col("o_orderstatus") === "P")
+        .select("o_custkey").distinct()
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select("c_custkey").orderBy("c_custkey")
+    }),
+
+    // A6 latency source selection — job.clj:45-61 (cond over retry-at |
+    // schedule-run-at | cron-run-at | enqueued-at) ⇒ COALESCE.
+    "q14_latency_source" -> ((s, d) =>
+      orders(s, d)
+        .select(coalesce(nullif(col("o_orderstatus"), lit("O")), col("o_orderpriority")).as("src"))
+        .groupBy("src").agg(count(lit(1)).as("n")).orderBy("src")),
+
+    // O5 prioritise-execution — commands.clj:145-164; consume order is
+    // (priority DESC, enqueued_at ASC) replacing Redis list-front moves.
+    "q15_prioritised_order" -> ((s, d) =>
+      events(s, d)
+        .withColumn("priority", when(col("event_type") === "error", 1).otherwise(0))
+        .select("event_id", "priority")
+        .orderBy(col("priority").desc, col("event_id").asc).limit(15)),
+
+    // D12 delete-by-ids — anti-join rewrite of LREM/ZREM
+    // (redis/api/enqueued_jobs.clj:42-48).
+    "q16_delete_jobs" -> ((s, d) => {
+      val e = events(s, d)
+      val victims = e
+        .filter(col("event_type") === "error" &&
+          col("ts") < lit("2024-01-02").cast("timestamp_ntz"))
+        .select(col("user_id").as("vu")).distinct()
+      e.join(victims, e("user_id") === victims("vu"), "left_anti")
+        .select("event_id").orderBy("event_id").limit(20)
+    }),
+
+    // D5 scheduler promote: due jobs grouped by ready-queue —
+    // redis/scheduler.clj:22-48 + group-by job.clj:21-25.
+    "q17_promote_due_grouped" -> ((s, d) =>
+      events(s, d).filter(col("ts") <= lit("2024-01-05").cast("timestamp_ntz"))
+        .groupBy(col("event_type").as("ready_queue"))
+        .agg(count(lit(1)).as("n"), min("ts").as("oldest"))
+        .orderBy("ready_queue")),
+
+    // D3 retry backoff — goose.retry default `20 + rand(20)*(n+1) + n^4`
+    // (retry.clj:22-27); deterministic part (the rand term is seeded
+    // per-process in goose, so the oracle checks the n^4 curve).
+    "q18_retry_backoff" -> ((s, d) =>
+      events(s, d)
+        .select(col("event_id"),
+          (lit(20) + pow((col("event_id") % 28).cast("double"), 4)).cast("long").as("backoff_sec"))
+        .orderBy("event_id").limit(30)),
+
+    // D11 replay-n-dead-jobs: n oldest dead — redis/api/dead_jobs.clj:42-47.
+    "q20_replay_dead" -> ((s, d) =>
+      events(s, d).filter(col("event_type") === "error")
+        .select("event_id", "ts").orderBy("ts", "event_id").limit(5)),
+
+    // S10 purge — size after purging one queue (redis/api/enqueued_jobs.clj:50-54).
+    "q21_purge_count" -> ((s, d) =>
+      events(s, d).filter(col("event_type") =!= "view")
+        .agg(count(lit(1)).as("n"))),
+
+    // Broadcast-join rollup (console would show per-tenant totals; the tiny
+    // nation dim is broadcast — `.explain` shows BroadcastHashJoin).
+    "q22_revenue_by_nation" -> ((s, d) => {
+      val c = Tables.customer(s, d).select("c_custkey", "c_nationkey")
+      val n = Tables.nation(s, d).select("n_nationkey", "n_name")
+      orders(s, d).select("o_custkey", "o_totalprice")
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(count(lit(1)).as("n_orders"), round(sum("o_totalprice"), 2).as("revenue"))
+        .orderBy("n_name")
+    }),
+
+    // Top-k per group (console "latest per queue" view) — window row_number.
+    "q23_topk_per_status" -> ((s, d) => {
+      val w = Window.partitionBy("o_orderstatus")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      orders(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select("o_orderstatus", "o_orderkey", "o_totalprice", "rn")
+        .orderBy("o_orderstatus", "rn")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q01_size_by_queue" ->
+      "SELECT event_type, COUNT(*) AS n FROM events GROUP BY event_type ORDER BY event_type",
+    "q02_find_by_id" ->
+      "SELECT event_id, user_id, event_type FROM events WHERE event_id = 421 LIMIT 1",
+    "q03_find_by_fn_sym" ->
+      "SELECT event_id, event_type FROM events WHERE event_type = 'click' ORDER BY event_id LIMIT 10",
+    "q04_due_scan" ->
+      "SELECT o_orderkey, o_orderdate FROM orders WHERE o_orderdate <= TIMESTAMP '1996-01-01 00:00:00' ORDER BY o_orderdate, o_orderkey LIMIT 50",
+    "q05_filter_failed" ->
+      "SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F' ORDER BY o_orderkey LIMIT 25",
+    "q06_dead_peek_oldest" ->
+      "SELECT event_id, ts FROM events ORDER BY ts, event_id LIMIT 1",
+    "q07_page_asc_offset" ->
+      "SELECT event_id, ts FROM events ORDER BY ts, event_id LIMIT 10 OFFSET 20",
+    "q08_page_desc" ->
+      "SELECT event_id, ts FROM events ORDER BY ts DESC, event_id DESC LIMIT 10",
+    "q09_home_stats" ->
+      "SELECT o_orderstatus AS state, COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS total FROM orders GROUP BY o_orderstatus ORDER BY state",
+    "q10_list_queues" ->
+      "SELECT DISTINCT event_type FROM events ORDER BY event_type",
+    "q11_batch_status" ->
+      "SELECT CASE WHEN SUM(CASE WHEN event_type IN ('view','click') THEN 1 ELSE 0 END) > 0 THEN 'in-progress' WHEN SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) = 0 THEN 'success' ELSE 'partial-success' END AS status, COUNT(*) AS n FROM events WHERE user_id = 7 GROUP BY user_id ORDER BY status",
+    "q12_metrics_gauges" ->
+      "SELECT event_type, COUNT(*) AS n, ROUND(AVG(value), 4) AS avg_v, MAX(value) AS max_v FROM events GROUP BY event_type ORDER BY event_type",
+    "q13_worker_liveness" ->
+      "SELECT c_custkey FROM customer WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'P') ORDER BY c_custkey",
+    "q14_latency_source" ->
+      "SELECT COALESCE(NULLIF(o_orderstatus, 'O'), o_orderpriority) AS src, COUNT(*) AS n FROM orders GROUP BY src ORDER BY src",
+    "q15_prioritised_order" ->
+      "SELECT event_id, CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS priority FROM events ORDER BY priority DESC, event_id ASC LIMIT 15",
+    "q16_delete_jobs" ->
+      "SELECT event_id FROM events WHERE user_id NOT IN (SELECT DISTINCT user_id FROM events WHERE event_type = 'error' AND ts < TIMESTAMP '2024-01-02 00:00:00') ORDER BY event_id LIMIT 20",
+    "q17_promote_due_grouped" ->
+      "SELECT event_type AS ready_queue, COUNT(*) AS n, MIN(ts) AS oldest FROM events WHERE ts <= TIMESTAMP '2024-01-05 00:00:00' GROUP BY event_type ORDER BY ready_queue",
+    "q18_retry_backoff" ->
+      "SELECT event_id, CAST(20 + POW(CAST(event_id % 28 AS DOUBLE), 4) AS BIGINT) AS backoff_sec FROM events ORDER BY event_id LIMIT 30",
+    "q20_replay_dead" ->
+      "SELECT event_id, ts FROM events WHERE event_type = 'error' ORDER BY ts, event_id LIMIT 5",
+    "q21_purge_count" ->
+      "SELECT COUNT(*) AS n FROM events WHERE event_type <> 'view'",
+    "q22_revenue_by_nation" ->
+      "SELECT n_name, COUNT(*) AS n_orders, ROUND(SUM(o_totalprice), 2) AS revenue FROM orders JOIN customer ON o_custkey = c_custkey JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name ORDER BY n_name",
+    "q23_topk_per_status" ->
+      "SELECT o_orderstatus, o_orderkey, o_totalprice, rn FROM (SELECT o_orderstatus, o_orderkey, o_totalprice, ROW_NUMBER() OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn FROM orders) WHERE rn <= 3 ORDER BY o_orderstatus, rn"
+  )
+}

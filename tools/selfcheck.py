@@ -1,0 +1,75 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's t2 DuckDB-oracle check.
+
+Usage: python3 tools/selfcheck.py <sfDir> <verifyOutDir>
+
+Reads each <name>/ parquet dir written by graft.Verify, runs the oracle
+SQL from oracle_sql.json in DuckDB over views named after the sfDir
+tables, and compares: row count, column names (sorted), and values
+(sorted by all columns after sorting columns by name).
+"""
+import sys, json, glob, os
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def norm(v):
+    if isinstance(v, float):
+        return round(v, 9)
+    return v
+
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    with open(os.path.join(out_dir, "oracle_sql.json")) as f:
+        oracles = json.load(f)
+    names = sorted(d for d in os.listdir(out_dir)
+                   if os.path.isdir(os.path.join(out_dir, d)))
+    n_pass = n_fail = n_rowsonly = 0
+    for name in names:
+        files = glob.glob(os.path.join(out_dir, name, "*.parquet"))
+        if not files:
+            print(f"FAIL  {name}: no output parquet")
+            n_fail += 1
+            continue
+        got = con.execute(
+            f"SELECT * FROM read_parquet({files!r})").fetch_arrow_table()
+        got_cols = sorted(got.column_names)
+        got_rows = sorted(
+            tuple(norm(r[c]) for c in got_cols) for r in got.to_pylist())
+        if name not in oracles:
+            status = "ROWS " if len(got_rows) > 0 else "FAIL "
+            print(f"{status} {name}: rows={len(got_rows)} (no oracle)")
+            n_rowsonly += 1 if got_rows else 0
+            n_fail += 0 if got_rows else 1
+            continue
+        try:
+            exp = con.execute(oracles[name]).fetch_arrow_table()
+        except Exception as e:
+            print(f"FAIL  {name}: oracle error: {e}")
+            n_fail += 1
+            continue
+        exp_cols = sorted(exp.column_names)
+        exp_rows = sorted(
+            tuple(norm(r[c]) for c in exp_cols) for r in exp.to_pylist())
+        if got_cols != exp_cols:
+            print(f"FAIL  {name}: cols {got_cols} != {exp_cols}")
+            n_fail += 1
+        elif got_rows != exp_rows:
+            diff = [(g, e) for g, e in zip(got_rows, exp_rows) if g != e][:3]
+            print(f"FAIL  {name}: rows {len(got_rows)} vs {len(exp_rows)}; first diffs: {diff}")
+            n_fail += 1
+        else:
+            print(f"PASS  {name}: {len(got_rows)} rows")
+            n_pass += 1
+    print(f"\n{n_pass} pass, {n_rowsonly} rows-only, {n_fail} fail")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
