@@ -8,7 +8,8 @@ object SparkEntry {
 
   private val modules: Seq[(Map[String, (SparkSession, String) => DataFrame], Map[String, String])] =
     Seq(
-      (operators.QueueQueries.queries, operators.QueueQueries.oracles)
+      (operators.QueueQueries.queries, operators.QueueQueries.oracles),
+      (operators.EngineE2E.queries, operators.EngineE2E.oracles)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,208 @@
+package graft.api
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.backend.QueueBackend
+import graft.model._
+
+/** Management/console query surface over live engine tables — the data
+  * behind goose's console and per-collection APIs (SURVEY.md §2.2-2.4;
+  * reference redis/api/enqueued_jobs.clj, scheduled_jobs.clj,
+  * dead_jobs.clj, cron.clj, console/data.clj).
+  *
+  * goose's finds are lazy full scans with client-side predicates + LIMIT
+  * (commands.clj:24-47,205-210); here every find is a Catalyst plan, so
+  * predicate pushdown + TakeOrderedAndProject replace the hand-rolled
+  * cursor loop, and the same call scales from 10 rows to 10^11.
+  */
+final class ManagementApi(backend: QueueBackend, spark: SparkSession) {
+  import spark.implicits._
+
+  val pageSize = 10 // reference defaults.clj:82-84
+
+  // ---------- enqueued (reference redis/api/enqueued_jobs.clj) ----------
+
+  /** F8 list-all-queues (enqueued_jobs.clj:7-10). */
+  def listQueues(): Seq[String] =
+    backend.readyJobs.select($"queue").distinct().orderBy($"queue")
+      .as[String].collect().toSeq
+
+  /** A1 size (enqueued_jobs.clj:12-14). */
+  def enqueuedSize(queue: String): Long =
+    backend.readyJobs.filter($"queue" === queue).count()
+
+  /** F1 find-by-id (enqueued_jobs.clj:22-27). */
+  def enqueuedFindById(queue: String, id: String): Option[Job] =
+    backend.readyJobs.filter($"queue" === queue && $"id" === id)
+      .limit(1).collect().headOption
+
+  /** F2 find-by-pattern (enqueued_jobs.clj:26-28): arbitrary typed
+    * predicate, default limit 10. */
+  def enqueuedFindByPattern(queue: String, pred: Job => Boolean, limit: Int = 10): Seq[Job] =
+    backend.readyJobs.filter($"queue" === queue).filter(pred)
+      .limit(limit).collect().toSeq
+
+  /** O1 page from the consume-order front (enqueued_jobs.clj:56-59):
+    * (priority DESC, enqueuedAt ASC) replaces Redis list order. */
+  def enqueuedPage(queue: String, page: Int): Seq[Job] =
+    backend.readyJobs.filter($"queue" === queue)
+      .orderBy($"priority".desc, $"enqueuedAt".asc, $"id".asc)
+      .offset(page * pageSize).limit(pageSize).collect().toSeq
+
+  /** O5 prioritise-execution (enqueued_jobs.clj:29-40): verify existence,
+    * then move to front — a tombstone + re-append with priority=1. */
+  def enqueuedPrioritise(queue: String, ids: Seq[String]): Int = {
+    val present = backend.readyJobs
+      .filter($"queue" === queue && $"id".isin(ids: _*)).collect()
+    if (present.isEmpty) return 0
+    val now = System.currentTimeMillis()
+    backend.tombstone("ready", present.map(j => (j.id, j.seq)).toSeq, "prioritise")
+    backend.enqueue(present.map(j =>
+      j.copy(priority = 1, enqueuedAt = now, seq = Job.nextSeq())).toSeq.toDS())
+    present.length
+  }
+
+  /** D12 delete (enqueued_jobs.clj:42-48) — validity-checked. */
+  def enqueuedDelete(queue: String, ids: Seq[String]): Int = {
+    val present = backend.readyJobs
+      .filter($"queue" === queue && $"id".isin(ids: _*))
+      .select($"id", $"seq").as[(String, Long)].collect()
+    if (present.nonEmpty) backend.tombstone("ready", present.toSeq, "delete")
+    present.length
+  }
+
+  /** S10 purge (enqueued_jobs.clj:50-54). */
+  def enqueuedPurge(queue: String): Unit = backend.purge("ready", queue)
+
+  // ---------- scheduled (reference redis/api/scheduled_jobs.clj) ----------
+
+  private def runAtCol = coalesce($"state.retryAt", $"scheduleRunAt")
+
+  def scheduledSize(): Long = backend.scheduledJobs.count()
+
+  def scheduledFindById(id: String): Option[Job] =
+    backend.scheduledJobs.filter($"id" === id).limit(1).collect().headOption
+
+  def scheduledFindByPattern(pred: Job => Boolean, limit: Int = 10): Seq[Job] =
+    backend.scheduledJobs.filter(pred).limit(limit).collect().toSeq
+
+  /** O2 page ascending by run-at (scheduled_jobs.clj:42-45). */
+  def scheduledPage(page: Int): Seq[Job] =
+    backend.scheduledJobs.orderBy(runAtCol.asc, $"id".asc)
+      .offset(page * pageSize).limit(pageSize).collect().toSeq
+
+  /** Scheduled prioritise = execute now (scheduled_jobs.clj:18-34): move
+    * to front of its ready queue immediately. */
+  def scheduledPrioritise(ids: Seq[String]): Int = {
+    val present = backend.scheduledJobs.filter($"id".isin(ids: _*)).collect()
+    if (present.isEmpty) return 0
+    val now = System.currentTimeMillis()
+    backend.tombstone("scheduled", present.map(j => (j.id, j.seq)).toSeq, "prioritise")
+    backend.enqueue(present.map { j =>
+      j.copy(queue = j.readyOrRetryQueue, readyQueue = j.readyOrRetryQueue,
+        priority = 1, enqueuedAt = now, seq = Job.nextSeq())
+    }.toSeq.toDS())
+    present.length
+  }
+
+  def scheduledDelete(ids: Seq[String]): Int = {
+    val present = backend.scheduledJobs.filter($"id".isin(ids: _*))
+      .select($"id", $"seq").as[(String, Long)].collect()
+    if (present.nonEmpty) backend.tombstone("scheduled", present.toSeq, "delete")
+    present.length
+  }
+
+  def scheduledPurge(): Unit = backend.purge("scheduled", "*")
+
+  // ---------- dead (reference redis/api/dead_jobs.clj) ----------
+
+  def deadSize(): Long = backend.deadJobs.count()
+
+  def deadFindById(id: String): Option[Job] =
+    backend.deadJobs.filter($"id" === id).limit(1).collect().headOption
+
+  def deadFindByPattern(pred: Job => Boolean, limit: Int = 10): Seq[Job] =
+    backend.deadJobs.filter(pred).limit(limit).collect().toSeq
+
+  /** O3 page descending by died-at (dead_jobs.clj:59-61). */
+  def deadPage(page: Int): Seq[Job] =
+    backend.deadJobs.orderBy($"state.diedAt".desc, $"id".asc)
+      .offset(page * pageSize).limit(pageSize).collect().toSeq
+
+  /** S9 pop the oldest dead job (dead_jobs.clj:11-14, ZPOPMIN). */
+  def deadPop(): Option[Job] = {
+    val oldest = backend.deadJobs.orderBy($"state.diedAt".asc, $"id".asc)
+      .limit(1).collect().headOption
+    oldest.foreach(j => backend.tombstone("dead", Seq((j.id, j.seq)), "pop"))
+    oldest
+  }
+
+  /** D11 replay n oldest dead jobs (dead_jobs.clj:42-47): back to the
+    * front of their ready queues, with the attempt counter advanced so
+    * the replayed row is visible past its death completion. A replayed
+    * job whose retries were exhausted dies again on next failure — same
+    * as goose. */
+  def deadReplayN(n: Int): Seq[Job] = {
+    val oldest = backend.deadJobs.orderBy($"state.diedAt".asc, $"id".asc)
+      .limit(n).collect().toSeq
+    replayJobs(oldest)
+  }
+
+  def deadReplayIds(ids: Seq[String]): Seq[Job] =
+    replayJobs(backend.deadJobs.filter($"id".isin(ids: _*)).collect().toSeq)
+
+  private def replayJobs(jobs: Seq[Job]): Seq[Job] = {
+    if (jobs.isEmpty) return Nil
+    val now = System.currentTimeMillis()
+    val replayed = jobs.map { j =>
+      val st = j.state.map(s => s.copy(retryCount = s.retryCount + 1, diedAt = None))
+      j.copy(priority = 1, enqueuedAt = now, seq = Job.nextSeq(),
+        queue = j.readyOrRetryQueue, readyQueue = j.readyOrRetryQueue, state = st)
+    }
+    backend.tombstone("dead", jobs.map(j => (j.id, j.seq)), "replay")
+    backend.enqueue(replayed.toDS())
+    replayed
+  }
+
+  def deadDelete(ids: Seq[String]): Int = {
+    val present = backend.deadJobs.filter($"id".isin(ids: _*))
+      .select($"id", $"seq").as[(String, Long)].collect()
+    if (present.nonEmpty) backend.tombstone("dead", present.toSeq, "delete")
+    present.length
+  }
+
+  def deadPurge(): Unit = backend.purge("dead", "*")
+
+  // ---------- cron (reference redis/api/cron.clj) ----------
+
+  def cronList(): Seq[CronEntry] = backend.cronEntries.collect().toSeq
+  def cronFind(name: String): Option[CronEntry] =
+    backend.cronEntries.filter($"cronName" === name).collect().headOption
+  def cronDelete(names: Seq[String]): Unit = backend.deleteCron(names)
+  def cronPurge(): Unit = backend.purgeCron()
+
+  // ---------- aggregates (console/data.clj, redis/metrics.clj) ----------
+
+  /** A2 home-page jobs-size (console/data.clj:18-28). */
+  def homeStats(): Map[String, Long] = Map(
+    "enqueued" -> backend.readyJobs.count(),
+    "scheduled" -> scheduledSize(),
+    "dead" -> deadSize(),
+    "cron" -> backend.cronEntries.count())
+
+  /** A4 per-queue gauges (redis/metrics.clj:14-58) in one grouped scan. */
+  def queueGauges(): Map[String, Long] =
+    backend.readyJobs.groupBy($"queue").agg(count(lit(1)).as("n"))
+      .as[(String, Long)].collect().toMap
+
+  /** D13 delete a whole batch's pending jobs (redis/api/batch.clj:11-38;
+    * "documented-expensive" in goose, one anti-join per table here). */
+  def batchDelete(batchId: String): Unit = {
+    val readyIds = backend.readyJobs.filter($"batchId" === batchId)
+      .select($"id", $"seq").as[(String, Long)].collect()
+    if (readyIds.nonEmpty) backend.tombstone("ready", readyIds.toSeq, "batch-delete")
+    val schedIds = backend.scheduledJobs.filter($"batchId" === batchId)
+      .select($"id", $"seq").as[(String, Long)].collect()
+    if (schedIds.nonEmpty) backend.tombstone("scheduled", schedIds.toSeq, "batch-delete")
+  }
+}

@@ -1,0 +1,68 @@
+package graft.backend
+
+import org.apache.spark.sql.Dataset
+import graft.model._
+
+/** Tombstone: hides one physical row version (id, seq) of one log table —
+  * the log-structured rewrite of LREM/ZREM (reference
+  * commands.clj:166-168,245-251). Keyed by (id, seq) so re-appending the
+  * same job id (prioritise, replay) creates a fresh version the tombstone
+  * does not cover. */
+final case class Tombstone(tbl: String, id: String, seq: Long, reason: String, at: Long)
+
+/** Queue-wide purge marker — the log-structured rewrite of DEL (reference
+  * redis/api/enqueued_jobs.clj:50-54): hides rows with seq <= seqAt. */
+final case class PurgeMarker(tbl: String, queue: String, seqAt: Long, at: Long)
+
+/** Batch status transition event (terminal statuses appended once,
+  * reference redis/batch.clj:73-90). */
+final case class BatchStatusEvent(batchId: String, status: String, at: Long)
+
+/** Storage seam of the engine — the Spark analog of goose's 30-method
+  * `Broker` protocol (reference broker.clj:4-67). One implementation here
+  * ([[ParquetBackend]], an append-only parquet log); the trait keeps the
+  * seam for Delta/Iceberg/Kafka-backed implementations exactly as goose
+  * keeps Redis vs RabbitMQ behind one protocol.
+  *
+  * Design (SURVEY.md §7): every mutation is an APPEND — jobs, completion
+  * events, tombstones, purge markers. Visible sets are computed by
+  * anti-joining the logs; `compact()` folds a log to its visible set.
+  * This is the only queue design that scales on object storage: O(1)
+  * Redis list surgery does not exist at 100 TB, but append + anti-join +
+  * compaction is embarrassingly parallel.
+  */
+trait QueueBackend {
+  // ---- appends (client / worker side) ----
+  def enqueue(jobs: Dataset[Job]): Unit
+  def schedule(jobs: Dataset[Job]): Unit
+  def bury(jobs: Dataset[Job]): Unit
+  def recordCompletions(events: Dataset[CompletionEvent]): Unit
+  def tombstone(tbl: String, victims: Seq[(String, Long)], reason: String): Unit
+  def purge(tbl: String, queue: String): Unit
+
+  // ---- visible sets (console / worker read side) ----
+  def readyJobs: Dataset[Job]
+
+  /** Apply the ready-visibility subtraction (completions at this attempt,
+    * tombstones, queue purges) to an arbitrary slice of the ready log —
+    * used by the streaming worker on each micro-batch. */
+  def filterReadyVisible(slice: Dataset[Job]): Dataset[Job]
+  def scheduledJobs: Dataset[Job]
+  def deadJobs: Dataset[Job]
+  def completions: Dataset[CompletionEvent]
+
+  // ---- cron registry (reference redis/cron.clj) ----
+  def upsertCron(entries: Seq[CronEntry]): Unit
+  def cronEntries: Dataset[CronEntry]
+  def deleteCron(names: Seq[String]): Unit
+  def purgeCron(): Unit
+
+  // ---- batches (reference redis/batch.clj) ----
+  def putBatch(meta: BatchMeta): Unit
+  def batches: Dataset[BatchMeta]
+  def recordBatchStatus(events: Seq[BatchStatusEvent]): Unit
+  def batchStatusEvents: Dataset[BatchStatusEvent]
+
+  // ---- maintenance ----
+  def compact(tbl: String): Unit
+}

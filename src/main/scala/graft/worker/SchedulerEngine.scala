@@ -1,0 +1,85 @@
+package graft.worker
+
+import java.time.{Instant, ZoneId}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.backend.QueueBackend
+import graft.cron.CronSchedule
+import graft.model._
+
+/** The scheduler + cron maintenance passes (SURVEY.md §2.5 D5/D6).
+  *
+  * goose runs these as polling threads doing 50-job Redis transactions
+  * (redis/scheduler.clj:22-48, redis/cron.clj:57-103); the batch cap
+  * exists only because Redis txns must stay small. Spark's unit of
+  * atomicity is the whole pass, so `promoteDue` moves ALL due rows in one
+  * distributed job: filter(runAt <= now) → re-enqueue (front-of-queue via
+  * priority=1, per ADR scheduled-jobs.md "front of queue") → tombstone.
+  * The per-queue grouping goose does before RPUSH (commands.clj:230-237)
+  * is the write partitioning here.
+  */
+final class SchedulerEngine(
+    backend: QueueBackend,
+    spark: SparkSession,
+    nowFn: () => Long = () => System.currentTimeMillis()) {
+
+  import spark.implicits._
+
+  /** Effective run-at of a scheduled row: retry time for retried jobs,
+    * else the scheduled time (reference redis/retry.clj:20 vs
+    * redis/scheduler.clj:19 — both land in the same sorted set). */
+  private def runAtCol = coalesce($"state.retryAt", $"scheduleRunAt")
+
+  /** Promote all due scheduled/retry jobs to their ready queues.
+    * Returns the number promoted. */
+  def promoteDue(): Long = {
+    val now = nowFn()
+    // localCheckpoint: the appends below touch dirs this plan reads (see
+    // WorkerEngine.executeBatch for the invalidation mechanics).
+    val due = backend.scheduledJobs.filter(runAtCol <= now).localCheckpoint(true)
+    try {
+      val n = due.count()
+      if (n == 0) return 0
+      // Route retried jobs to their retry queue (job.clj:21-25), bump to
+      // front, and stamp the promotion time as the new enqueue time; the
+      // ready row is a fresh version (new seq).
+      val promoted = due.map { j =>
+        j.copy(queue = j.readyOrRetryQueue, readyQueue = j.readyOrRetryQueue,
+          priority = 1, enqueuedAt = now, seq = Job.nextSeq())
+      }
+      backend.enqueue(promoted)
+      backend.tombstone("scheduled",
+        due.select($"id", $"seq").as[(String, Long)].collect().toSeq, "promote")
+      n
+    } finally due.unpersist()
+  }
+
+  /** Materialize every due cron entry into a job and advance its
+    * next-run time (reference redis/cron.clj:57-103). The registry is a
+    * small keyed table (goose keeps it in one Redis HASH), so the
+    * driver-side collect here is bounded by the number of *schedules*,
+    * never by job volume. */
+  def fireCron(): Int = {
+    val now = nowFn()
+    val due = backend.cronEntries.filter($"nextRunAt" <= now).collect()
+    if (due.isEmpty) return 0
+    val jobs = due.map { e =>
+      // cron-run-at = the fire time being honored (redis/cron.clj:83-87)
+      e.description.instantiate(cronRunAt = Some(e.nextRunAt))
+        // due cron jobs go to the front (redis/cron.clj:52-55)
+        .copy(priority = 1, enqueuedAt = now)
+    }
+    backend.enqueue(spark.createDataset(jobs.toIndexedSeq))
+    val advanced = due.map { e =>
+      val sched = CronSchedule.parse(e.cronSchedule)
+      val next = sched.nextFire(Instant.ofEpochMilli(now), ZoneId.of(e.timezone)).toEpochMilli
+      e.copy(nextRunAt = next)
+    }
+    backend.upsertCron(advanced.toIndexedSeq)
+    due.length
+  }
+
+  /** One maintenance tick = scheduler + cron, goose's internal pool
+    * (redis/worker.clj:81-84) collapsed into a single call. */
+  def tick(): (Long, Int) = (promoteDue(), fireCron())
+}

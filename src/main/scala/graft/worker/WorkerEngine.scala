@@ -1,0 +1,177 @@
+package graft.worker
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import graft.backend.QueueBackend
+import graft.model._
+
+/** One executed job with its decided next action — computed ON THE
+  * EXECUTOR so retry/death handling is distributed (no driver loop). */
+final case class ExecutionResult(
+    job: Job, // state already updated for retry/death destinations
+    action: String, // success | retry | dead
+    attempt: Int,
+    error: Option[String],
+    startedAt: Long,
+    finishedAt: Long)
+
+object WorkerCore extends Serializable {
+  type Middleware = (Job => Any) => (Job => Any)
+
+  /** Execute one job and decide its fate — the composed semantics of
+    * goose's middleware chain (redis/worker.clj:46-55), execute-job
+    * (consumer.clj:5-7), retry (retry.clj:79-95) and bury
+    * (redis/retry.clj:22-34). Pure except for the user fn + handlers.
+    */
+  def runJob(job: Job, middlewares: Seq[Middleware], now: () => Long): ExecutionResult = {
+    val attempt = JobAttempt.of(job)
+    val base: Job => Any = j => JobRegistry.resolve(j.executeFnSym)(ArgsCodec.decode(j.argsJson))
+    val chain = middlewares.foldRight(base)((mw, next) => mw(next))
+    val startedAt = now()
+    try {
+      chain(job)
+      ExecutionResult(job, "success", attempt, None, startedAt, now())
+    } catch {
+      case e: Throwable =>
+        val t = now()
+        val err = s"${e.getClass.getName}: ${e.getMessage}"
+        // reference retry.clj:79-91 set-failed-state
+        val fs = job.state match {
+          case None => FailureState(err, 0, t, None, None, None)
+          case Some(s) => s.copy(error = err, retryCount = s.retryCount + 1,
+            lastRetriedAt = Some(t))
+        }
+        val opts = job.retryOpts
+        if (fs.retryCount < opts.maxRetries) {
+          // schedule retry with backoff (retry.clj:22-27,93-95)
+          JobRegistry.resolveHandler(opts.errorHandler)(job, e)
+          val delaySec = JobRegistry.resolveBackoff(opts.retryDelaySecFn)(fs.retryCount)
+          val retryAt = t + delaySec * 1000L
+          val updated = job.copy(state = Some(fs.copy(retryAt = Some(retryAt))))
+          ExecutionResult(updated, "retry", attempt, Some(err), startedAt, t)
+        } else {
+          // bury (redis/retry.clj:22-34)
+          JobRegistry.resolveHandler(opts.deathHandler)(job, e)
+          val updated = job.copy(state = Some(fs.copy(diedAt = Some(t))))
+          ExecutionResult(updated, "dead", attempt, Some(err), startedAt, t)
+        }
+    }
+  }
+
+  def toCompletion(r: ExecutionResult): CompletionEvent =
+    CompletionEvent(
+      jobId = r.job.id,
+      attempt = r.attempt,
+      batchId = r.job.batchId,
+      queue = r.job.queue,
+      terminalState = r.action match {
+        case "success" => "success"
+        case "retry" => "retrying"
+        case "dead" => "dead"
+      },
+      wasRetried = r.job.retried,
+      error = r.error,
+      executionTimeMs = r.finishedAt - r.startedAt,
+      finishedAt = r.finishedAt)
+}
+
+/** The worker — goose's consumer threads + retry/death dataflow
+  * (SURVEY.md §2.5 D1-D4, D14-D15), re-expressed as one Spark pipeline:
+  *
+  *   ready (visible) → map(runJob) on executors
+  *     → completions append            (S6: the LREM-equivalent commit)
+  *     → retries → scheduled append    (D3)
+  *     → deaths → dead append          (D4, honoring skipDeadQueue)
+  *     → batch terminal transitions    (fed to BatchTracker)
+  *
+  * goose's three reliability subsystems (in-progress queues, heartbeats,
+  * orphan checker — redis/consumer.clj:12-21, redis/heartbeat.clj,
+  * redis/orphan_checker.clj) collapse into replayable passes: consumption
+  * is keyed by (id, attempt) in the completions log, so a crashed pass
+  * re-executes only unconsumed rows on restart — at-least-once execution
+  * with idempotent commit, same guarantee goose provides.
+  */
+final class WorkerEngine(
+    backend: QueueBackend,
+    spark: SparkSession,
+    middlewares: Seq[WorkerCore.Middleware] = Nil,
+    nowFn: () => Long = () => System.currentTimeMillis()) extends Serializable {
+
+  import spark.implicits._
+
+  final case class PassStats(executed: Long, succeeded: Long, retried: Long, died: Long)
+
+  /** Drain-and-execute every currently visible ready job (the batch-mode
+    * twin of the streaming query; also the foreachBatch body). */
+  def runPass(): PassStats = executeBatch(backend.readyJobs)
+
+  private[graft] def executeBatch(jobs: Dataset[Job]): PassStats = {
+    val mws = middlewares
+    val now = nowFn
+    // localCheckpoint (eager) cuts lineage to the live log directories:
+    // the commits below append to paths this plan reads, which would
+    // otherwise auto-refresh the cache and recompute an EMPTY result
+    // (every executed row is consumed by its own completion record). It
+    // also pins each job to exactly one execution within the pass.
+    val results = jobs
+      .map(j => WorkerCore.runJob(j, mws, now))
+      .localCheckpoint(true)
+    try {
+      val executed = results.count()
+      if (executed == 0) return PassStats(0, 0, 0, 0)
+
+      backend.recordCompletions(results.map(r => WorkerCore.toCompletion(r)))
+
+      val retries = results.filter(_.action == "retry").map(_.job)
+      val retried = retries.count()
+      if (retried > 0) backend.schedule(retries)
+
+      val deaths = results
+        .filter(r => r.action == "dead" && !r.job.retryOpts.skipDeadQueue)
+        .map(_.job)
+      val diedKept = deaths.count()
+      if (diedKept > 0) backend.bury(deaths)
+
+      val died = results.filter(_.action == "dead").count()
+      PassStats(executed, executed - retried - died, retried, died)
+    } finally results.unpersist()
+  }
+
+  /** Convenience: keep running passes until the queue drains (retries may
+    * re-arm via the scheduler between passes). */
+  def drain(maxPasses: Int = 100): Long = {
+    var total = 0L
+    var i = 0
+    var last = -1L
+    while (i < maxPasses && last != 0) {
+      last = runPass().executed
+      total += last
+      i += 1
+    }
+    total
+  }
+
+  /** Streaming worker (D15/S5): Structured Streaming file source over the
+    * append-only ready log; each micro-batch filters to still-visible rows
+    * and commits through the same idempotent path as runPass. Checkpointed
+    * under the backend root — kill/restart resumes without re-execution.
+    */
+  def startStream(
+      root: String,
+      trigger: Trigger = Trigger.ProcessingTime("1 second"),
+      queryName: String = "graft-worker"): StreamingQuery = {
+    val jobSchema = implicitly[org.apache.spark.sql.Encoder[Job]].schema
+    spark.readStream
+      .schema(jobSchema)
+      .parquet(s"$root/ready")
+      .writeStream
+      .queryName(queryName)
+      .trigger(trigger)
+      .option("checkpointLocation", s"$root/checkpoints/$queryName")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        executeBatch(backend.filterReadyVisible(batch.as[Job]))
+        ()
+      }
+      .start()
+  }
+}

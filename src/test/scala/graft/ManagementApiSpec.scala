@@ -1,0 +1,138 @@
+package graft
+
+import graft.api.ManagementApi
+import graft.backend.ParquetBackend
+import graft.client.GraftClient
+import graft.model._
+import graft.worker.{SchedulerEngine, WorkerEngine}
+
+/** Console/API surface specs, mirroring the reference API tests
+  * (test/goose/brokers/redis/api_test.clj — enqueued/scheduled/dead CRUD,
+  * prioritise-valid-only, replay, page ordering, purge). */
+class ManagementApiSpec extends SparkSpec {
+
+  private def fixture() = {
+    TestFns.reset()
+    val clock = new java.util.concurrent.atomic.AtomicLong(1700000000000L)
+    val nowFn = () => clock.get()
+    val backend = new ParquetBackend(spark, tmpDir("graft-api"))
+    val retry = RetryOpts(maxRetries = 0, retryDelaySecFn = "instant")
+    val client = new GraftClient(backend, spark, "test", retry, nowFn)
+    val worker = new WorkerEngine(backend, spark, Nil, nowFn)
+    val sched = new SchedulerEngine(backend, spark, nowFn)
+    val api = new ManagementApi(backend, spark)
+    (backend, client, worker, sched, api, clock)
+  }
+
+  test("find-by-id / find-by-pattern / list-queues") {
+    val (_, client, _, _, api, _) = fixture()
+    val id1 = client.performAsync("ok", "alpha")
+    client.performAsync("ok", "beta")
+    assert(api.listQueues() == Seq("test"))
+    assert(api.enqueuedFindById("test", id1).get.argsJson.contains("alpha"))
+    assert(api.enqueuedFindById("test", "nope").isEmpty)
+    val hits = api.enqueuedFindByPattern("test", _.argsJson.contains("beta"))
+    assert(hits.length == 1 && hits.head.argsJson.contains("beta"))
+  }
+
+  test("page order: priority desc then FIFO, offset pagination") {
+    val (_, client, _, _, api, clock) = fixture()
+    val ids = (1 to 25).map { i =>
+      clock.addAndGet(1000)
+      client.performAsync("ok", s"j$i")
+    }
+    api.enqueuedPrioritise("test", Seq(ids(20)))
+    val p0 = api.enqueuedPage("test", 0)
+    assert(p0.head.id == ids(20)) // prioritised row first
+    assert(p0.length == 10)
+    val p1 = api.enqueuedPage("test", 1)
+    assert(p1.length == 10 && p1.toSet.intersect(p0.toSet).isEmpty)
+    // FIFO within same priority: first enqueued right after the bumped one
+    assert(p0(1).argsJson.contains("j1"))
+  }
+
+  test("prioritise only touches existing ids (api_test prioritise-valid-only)") {
+    val (_, client, _, _, api, _) = fixture()
+    client.performAsync("ok")
+    assert(api.enqueuedPrioritise("test", Seq("missing-id")) == 0)
+  }
+
+  test("delete and purge on enqueued") {
+    val (_, client, _, _, api, _) = fixture()
+    val a = client.performAsync("ok")
+    val b = client.performAsync("ok")
+    assert(api.enqueuedDelete("test", Seq(a, "ghost")) == 1)
+    assert(api.enqueuedSize("test") == 1)
+    api.enqueuedPurge("test")
+    assert(api.enqueuedSize("test") == 0)
+    // rows enqueued after the purge marker survive
+    client.performAsync("ok")
+    assert(api.enqueuedSize("test") == 1)
+  }
+
+  test("scheduled: page asc by run-at, prioritise promotes now, delete, purge") {
+    val (_, client, _, _, api, clock) = fixture()
+    val far = client.performInSec(300, "ok", "far")
+    val near = client.performInSec(60, "ok", "near")
+    val page = api.scheduledPage(0)
+    assert(page.map(_.id) == Seq(near, far)) // ascending run-at
+    assert(api.scheduledPrioritise(Seq(far)) == 1)
+    assert(api.enqueuedSize("test") == 1 && api.scheduledSize() == 1)
+    assert(api.scheduledDelete(Seq(near)) == 1)
+    assert(api.scheduledSize() == 0)
+    client.performInSec(60, "ok")
+    api.scheduledPurge()
+    assert(api.scheduledSize() == 0)
+  }
+
+  test("dead: page desc, pop oldest, replay, purge (api_test dead CRUD)") {
+    val (backend, client, worker, sched, api, clock) = fixture()
+    client.performAsync("boom") // dies at t0 (maxRetries=0)
+    worker.runPass()
+    clock.addAndGet(60000)
+    client.performAsync("boom") // dies at t1
+    worker.runPass()
+    assert(api.deadSize() == 2)
+
+    val page = api.deadPage(0)
+    assert(page.head.state.get.diedAt.get > page(1).state.get.diedAt.get) // desc
+
+    val popped = api.deadPop()
+    assert(popped.get.state.get.diedAt.get < page.head.state.get.diedAt.get) // oldest
+    assert(api.deadSize() == 1)
+
+    // replay: back to front of ready, executes again, dies again
+    val replayed = api.deadReplayN(1)
+    assert(replayed.length == 1 && api.deadSize() == 0)
+    assert(api.enqueuedSize("test") == 1)
+    assert(worker.runPass().died == 1)
+    assert(api.deadSize() == 1)
+
+    api.deadPurge()
+    assert(api.deadSize() == 0)
+  }
+
+  test("home stats aggregate all collections (console/data.clj:18-28)") {
+    val (_, client, worker, _, api, _) = fixture()
+    client.performAsync("ok")
+    client.performInSec(600, "ok")
+    client.performEveryTz("c1", "0 * * * *", "UTC", "ok")
+    val stats = api.homeStats()
+    assert(stats == Map("enqueued" -> 1L, "scheduled" -> 1L, "dead" -> 0L, "cron" -> 1L))
+    assert(api.queueGauges() == Map("test" -> 1L))
+  }
+
+  test("compaction preserves the visible set") {
+    val (backend, client, _, _, api, _) = fixture()
+    val a = client.performAsync("ok", "keep-1")
+    val b = client.performAsync("ok", "drop")
+    val c = client.performAsync("ok", "keep-2")
+    api.enqueuedDelete("test", Seq(b))
+    backend.compact("ready")
+    assert(api.enqueuedSize("test") == 2)
+    assert(api.enqueuedFindById("test", a).isDefined)
+    assert(api.enqueuedFindById("test", b).isEmpty)
+    // tombstone log for ready was folded away
+    assert(spark.read.parquet(backend.root + "/tombstones").count() == 0)
+  }
+}
