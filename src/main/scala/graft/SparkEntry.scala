@@ -9,7 +9,11 @@ object SparkEntry {
   private val modules: Seq[(Map[String, (SparkSession, String) => DataFrame], Map[String, String])] =
     Seq(
       (operators.QueueQueries.queries, operators.QueueQueries.oracles),
-      (operators.EngineE2E.queries, operators.EngineE2E.oracles)
+      (operators.EngineE2E.queries, operators.EngineE2E.oracles),
+      (operators.DedupOps.queries, operators.DedupOps.oracles),
+      (operators.SimilarityOps.queries, operators.SimilarityOps.oracles),
+      (operators.TextOps.queries, operators.TextOps.oracles),
+      (operators.MultimodalOps.queries, operators.MultimodalOps.oracles)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,180 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Deduplication operators for large-scale training-data pipelines, over
+  * the `documents` table. All are pure DataFrame plans: shingling is an
+  * explode (no driver state), signatures are grouped aggregations, and
+  * candidate generation is an equi-join on (band, hash) — the standard
+  * shuffle-parallel MinHash-LSH layout that scales horizontally
+  * (cf. Broder '97 resemblance sketches; PAPERS.md).
+  *
+  * Signature hashes are salted md5 minima, chosen (over murmur) because
+  * md5 is bit-identical in Spark and DuckDB, so the oracle can verify
+  * signatures exactly rather than rows-only.
+  */
+object DedupOps {
+
+  private val ShingleLen = 8
+  private val NumHashes = 4
+
+  /** Character shingles of length 8: one row per (doc, offset). */
+  private def shingled(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("g", explode(sequence(lit(1), greatest(length(col("text")) - (ShingleLen - 1), lit(1)))))
+      .withColumn("sh", col("text").substr(col("g"), lit(ShingleLen)))
+
+  /** Salted-min signature columns h1..h4. */
+  private def signatures(docs: DataFrame): DataFrame = {
+    val hs = (1 to NumHashes).map(i => min(md5(concat(lit(i.toString), col("sh")))).as(s"h$i"))
+    shingled(docs).groupBy("doc_id").agg(hs.head, hs.tail: _*)
+  }
+
+  private val sigSqlCte =
+    s"""sh AS (
+       |  SELECT doc_id, substr(text, CAST(g AS INT), $ShingleLen) AS s
+       |  FROM (SELECT doc_id, text,
+       |          unnest(generate_series(1, greatest(length(text) - ${ShingleLen - 1}, 1))) AS g
+       |        FROM documents)),
+       |sig AS (
+       |  SELECT doc_id, ${(1 to NumHashes).map(i => s"min(md5('$i' || s)) AS h$i").mkString(", ")}
+       |  FROM sh GROUP BY doc_id)""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Exact dedup: content-hash distinct count (the hash-groupBy shape
+    // used before any fuzzy pass).
+    "d01_dedup_exact" -> ((s, d) =>
+      Tables.documents(s, d).agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(md5(col("text"))).as("n_unique"))),
+
+    // Exact dedup keeping the first doc per content hash (row_number over
+    // the hash — the canonical distributed keep-first).
+    "d02_dedup_keep_first" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(md5(col("text"))).orderBy(col("doc_id").asc)
+      Tables.documents(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select("doc_id").orderBy("doc_id").limit(100)
+    }),
+
+    // Normalized dedup: case/punctuation-insensitive content hash.
+    "d03_dedup_normalized" -> ((s, d) =>
+      Tables.documents(s, d).agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(regexp_replace(lower(col("text")), "[^a-z0-9 ]+", ""))
+          .as("n_norm_unique"))),
+
+    // MinHash signatures (verifiable): per-doc salted-min sketch.
+    "d04_minhash_signatures" -> ((s, d) =>
+      signatures(Tables.documents(s, d))
+        .orderBy("doc_id").limit(100)),
+
+    // LSH candidate pairs: each signature column is a band; docs sharing
+    // any band value become a candidate pair. Equi-join per band (a
+    // shuffle join on the band hash), never an O(n²) cross join.
+    "d05_lsh_candidate_pairs" -> ((s, d) => {
+      val sig = signatures(Tables.documents(s, d))
+      val bands = sig.select(col("doc_id"),
+        explode(array((1 to NumHashes).map(i =>
+          struct(lit(i).as("band"), col(s"h$i").as("h"))): _*)).as("b"))
+        .select(col("doc_id"), col("b.band"), col("b.h"))
+      val l = bands.select(col("doc_id").as("d1"), col("band"), col("h"))
+      val r = bands.select(col("doc_id").as("d2"), col("band"), col("h"))
+      l.join(r, Seq("band", "h")).filter(col("d1") < col("d2"))
+        .select("d1", "d2").distinct()
+        .orderBy("d1", "d2").limit(200)
+    }),
+
+    // n-gram Jaccard near-dup scores for same-source pairs: the verify
+    // step that follows LSH candidate generation.
+    "d06_ngram_jaccard" -> ((s, d) => {
+      val sets = shingled(Tables.documents(s, d))
+        .groupBy(col("doc_id"), col("source"))
+        .agg(collect_set(col("sh")).as("shs"))
+      val l = sets.select(col("source"), col("doc_id").as("d1"), col("shs").as("s1"))
+      val r = sets.select(col("source"), col("doc_id").as("d2"), col("shs").as("s2"))
+      l.join(r, "source").filter(col("d1") < col("d2"))
+        .withColumn("inter", size(array_intersect(col("s1"), col("s2"))).cast("double"))
+        .withColumn("jac", round(col("inter") /
+          (size(col("s1")) + size(col("s2")) - col("inter")), 4))
+        .filter(col("jac") >= 0.2)
+        .select("d1", "d2", "jac")
+        .orderBy("d1", "d2").limit(200)
+    }),
+
+    // SimHash (16-bit, token-level): bit-majority sketch; identical md5
+    // arithmetic on both sides makes the signature oracle-checkable.
+    "d07_simhash" -> ((s, d) => {
+      val toks = Tables.documents(s, d)
+        .withColumn("tok", explode(split(col("text"), "\\s+")))
+        .withColumn("hv4", expr(
+          "transform(sequence(0,3), c -> instr('0123456789abcdef', substring(md5(tok), c+1, 1)) - 1)"))
+      val bitSums: Seq[Column] = (0 until 16).map { b =>
+        val c = b / 4; val k = b % 4
+        sum(when(((col("hv4").getItem(c) / math.pow(2, k).toInt).cast("int") % 2) === 1, 1)
+          .otherwise(-1)).as(s"s$b")
+      }
+      toks.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+        .withColumn("simhash",
+          (0 until 16).map(b => when(col(s"s$b") >= 0, 1L << b).otherwise(0L))
+            .reduce(_ + _))
+        .select("doc_id", "simhash")
+        .orderBy("doc_id").limit(100)
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "d01_dedup_exact" ->
+      "SELECT COUNT(*) AS n_docs, COUNT(DISTINCT md5(text)) AS n_unique FROM documents",
+    "d02_dedup_keep_first" ->
+      """SELECT doc_id FROM (
+        |  SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        |  FROM documents) WHERE rn = 1 ORDER BY doc_id LIMIT 100""".stripMargin,
+    "d03_dedup_normalized" ->
+      "SELECT COUNT(*) AS n_docs, COUNT(DISTINCT regexp_replace(lower(text), '[^a-z0-9 ]+', '', 'g')) AS n_norm_unique FROM documents",
+    "d04_minhash_signatures" ->
+      s"WITH $sigSqlCte SELECT doc_id, h1, h2, h3, h4 FROM sig ORDER BY doc_id LIMIT 100",
+    "d05_lsh_candidate_pairs" ->
+      s"""WITH $sigSqlCte,
+         |bands AS (
+         |  ${(1 to NumHashes).map(i => s"SELECT doc_id, $i AS band, h$i AS h FROM sig")
+              .mkString("\n  UNION ALL\n  ")})
+         |SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+         |FROM bands a JOIN bands b ON a.band = b.band AND a.h = b.h
+         |WHERE a.doc_id < b.doc_id
+         |ORDER BY d1, d2 LIMIT 200""".stripMargin,
+    "d06_ngram_jaccard" ->
+      s"""WITH sh AS (
+         |  SELECT doc_id, source, substr(text, CAST(g AS INT), $ShingleLen) AS s
+         |  FROM (SELECT doc_id, source, text,
+         |          unnest(generate_series(1, greatest(length(text) - ${ShingleLen - 1}, 1))) AS g
+         |        FROM documents)),
+         |sets AS (SELECT doc_id, source, list_distinct(list(s)) AS shs FROM sh GROUP BY doc_id, source)
+         |SELECT a.doc_id AS d1, b.doc_id AS d2,
+         |  ROUND(CAST(len(list_intersect(a.shs, b.shs)) AS DOUBLE)
+         |    / (len(a.shs) + len(b.shs) - len(list_intersect(a.shs, b.shs))), 4) AS jac
+         |FROM sets a JOIN sets b ON a.source = b.source AND a.doc_id < b.doc_id
+         |WHERE ROUND(CAST(len(list_intersect(a.shs, b.shs)) AS DOUBLE)
+         |    / (len(a.shs) + len(b.shs) - len(list_intersect(a.shs, b.shs))), 4) >= 0.2
+         |ORDER BY d1, d2 LIMIT 200""".stripMargin,
+    "d07_simhash" -> {
+      val bitSumSql = (0 until 16).map { b =>
+        val c = b / 4; val k = 1 << (b % 4)
+        s"SUM(CASE WHEN CAST(FLOOR((strpos('0123456789abcdef', substr(md5(tok), ${c + 1}, 1)) - 1) / $k) AS INT) % 2 = 1 THEN 1 ELSE -1 END) AS s$b"
+      }.mkString(",\n    ")
+      val shSql = (0 until 16).map(b => s"(CASE WHEN s$b >= 0 THEN ${1L << b} ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(regexp_split_to_array(text, '\\s+')) AS tok FROM documents),
+         |sums AS (
+         |  SELECT doc_id,
+         |    $bitSumSql
+         |  FROM toks GROUP BY doc_id)
+         |SELECT doc_id, $shSql AS simhash FROM sums ORDER BY doc_id LIMIT 100""".stripMargin
+    }
+  )
+}

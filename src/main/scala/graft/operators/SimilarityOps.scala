@@ -1,0 +1,160 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Approximate-nearest-neighbor search over the `embeddings` table
+  * (`embedding: array<float>`, 64-dim, pre-normalized).
+  *
+  * Three tiers, mirroring how a 100 TB vector pipeline escalates:
+  *  - s01: brute-force cosine top-k — the exact baseline; a broadcast of
+  *    the query vector + one codegen'd `aggregate(zip_with(...))` pass,
+  *    embarrassingly parallel over the corpus.
+  *  - s02: sign-bit LSH — bucket by the sign pattern of leading
+  *    dimensions; search only the query's bucket (candidate set shrinks
+  *    ~2^bits; an equi-join on the bucket key, shuffle-friendly).
+  *  - s03: IVF — coarse quantization by the `label` cluster column:
+  *    pick the nearest centroid (computed as per-dimension means via
+  *    posexplode + groupBy, all distributed), then scan only that list.
+  *
+  * Dot products fold left-to-right in DOUBLE on both engines, and results
+  * order by (rounded cosine, vec_id) so ties break identically under the
+  * oracle.
+  */
+object SimilarityOps {
+
+  private val QueryId = 0
+
+  /** dot(a, b) folded in double — codegen-friendly, no UDF. */
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  private def norm(a: Column): Column = sqrt(dot(a, a))
+
+  private def withQuery(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val q = emb.filter(col("vec_id") === QueryId)
+      .select(col("embedding").as("qv"))
+    emb.crossJoin(broadcast(q))
+  }
+
+  private def cosCol: Column =
+    round(dot(col("embedding"), col("qv")) /
+      (norm(col("embedding")) * norm(col("qv"))), 6)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Brute-force cosine top-k (exact baseline).
+    "s01_cosine_topk" -> ((s, d) =>
+      withQuery(s, d)
+        .filter(col("vec_id") =!= QueryId)
+        .withColumn("cos", cosCol)
+        .select("vec_id", "cos")
+        .orderBy(col("cos").desc, col("vec_id").asc)
+        .limit(10)),
+
+    // Sign-bit LSH: 6 leading-dimension sign bits → bucket; candidates =
+    // query's bucket only, then exact cosine within.
+    "s02_ann_signlsh" -> ((s, d) => {
+      def bucketOf(e: Column): Column =
+        concat((0 until 6).map(i =>
+          when(element_at(e, i + 1) >= 0, lit("1")).otherwise(lit("0"))): _*)
+      withQuery(s, d)
+        .filter(col("vec_id") =!= QueryId)
+        .filter(bucketOf(col("embedding")) === bucketOf(col("qv")))
+        .withColumn("cos", cosCol)
+        .select("vec_id", "cos")
+        .orderBy(col("cos").desc, col("vec_id").asc)
+        .limit(5)
+    }),
+
+    // IVF: nearest label-centroid (per-dimension means), then scan only
+    // that inverted list.
+    "s03_ann_ivf" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val elems = emb.select(col("vec_id"), col("label"),
+        posexplode(col("embedding")).as(Seq("pos", "v")))
+        .withColumn("v", col("v").cast("double"))
+      val centroids = elems.groupBy("label", "pos").agg(avg(col("v")).as("cv"))
+      val qElems = elems.filter(col("vec_id") === QueryId)
+        .select(col("pos").as("qpos"), col("v").as("qv"))
+      val bestLabel = centroids
+        .join(broadcast(qElems), col("pos") === col("qpos"))
+        .groupBy("label")
+        .agg(round((sum(col("cv") * col("qv")) /
+          (sqrt(sum(col("cv") * col("cv"))) * sqrt(sum(col("qv") * col("qv"))))), 6)
+          .as("ccos"))
+        .orderBy(col("ccos").desc, col("label").asc)
+        .limit(1)
+        .select(col("label").as("best_label"))
+      withQuery(s, d)
+        .join(broadcast(bestLabel), col("label") === col("best_label"))
+        .filter(col("vec_id") =!= QueryId)
+        .withColumn("cos", cosCol)
+        .select("vec_id", "label", "cos")
+        .orderBy(col("cos").desc, col("vec_id").asc)
+        .limit(5)
+    }),
+
+    // Embedding-cosine near-dup pairs within one cluster (the pairwise
+    // verify step of embedding dedup; label-partitioned to stay subquadratic).
+    "d08_embedding_neardup" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d).filter(col("label") === 0)
+      val l = emb.select(col("vec_id").as("v1"), col("embedding").as("e1"))
+      val r = emb.select(col("vec_id").as("v2"), col("embedding").as("e2"))
+      l.crossJoin(r).filter(col("v1") < col("v2"))
+        .withColumn("cos", round(dot(col("e1"), col("e2")) /
+          (norm(col("e1")) * norm(col("e2"))), 4))
+        .filter(col("cos") >= 0.2)
+        .select("v1", "v2", "cos")
+        .orderBy("v1", "v2").limit(200)
+    })
+  )
+
+  private val dotSql = "list_dot_product(CAST(%s AS DOUBLE[]), CAST(%s AS DOUBLE[]))"
+  private def cosSql(a: String, b: String, r: Int) =
+    s"ROUND(${dotSql.format(a, b)} / (sqrt(${dotSql.format(a, a)}) * sqrt(${dotSql.format(b, b)})), $r)"
+
+  val oracles: Map[String, String] = Map(
+    "s01_cosine_topk" ->
+      s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = $QueryId)
+         |SELECT vec_id, ${cosSql("embedding", "qv", 6)} AS cos
+         |FROM embeddings, q WHERE vec_id <> $QueryId
+         |ORDER BY cos DESC, vec_id ASC LIMIT 10""".stripMargin,
+    "s02_ann_signlsh" -> {
+      def b(e: String) = (0 until 6)
+        .map(i => s"(CASE WHEN $e[${i + 1}] >= 0 THEN '1' ELSE '0' END)")
+        .mkString("concat(", ", ", ")")
+      s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = $QueryId)
+         |SELECT vec_id, ${cosSql("embedding", "qv", 6)} AS cos
+         |FROM embeddings, q
+         |WHERE vec_id <> $QueryId AND ${b("embedding")} = ${b("qv")}
+         |ORDER BY cos DESC, vec_id ASC LIMIT 5""".stripMargin
+    },
+    "s03_ann_ivf" ->
+      s"""WITH elems AS (
+         |  SELECT vec_id, label, generate_subscripts(embedding, 1) AS pos,
+         |         CAST(unnest(embedding) AS DOUBLE) AS v
+         |  FROM embeddings),
+         |centroids AS (SELECT label, pos, avg(v) AS cv FROM elems GROUP BY label, pos),
+         |qe AS (SELECT pos AS qpos, v AS qv FROM elems WHERE vec_id = $QueryId),
+         |best AS (
+         |  SELECT label AS best_label FROM centroids JOIN qe ON pos = qpos
+         |  GROUP BY label
+         |  ORDER BY ROUND(sum(cv * qv) / (sqrt(sum(cv * cv)) * sqrt(sum(qv * qv))), 6) DESC,
+         |           label ASC LIMIT 1),
+         |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = $QueryId)
+         |SELECT vec_id, label, ${cosSql("embedding", "qv", 6)} AS cos
+         |FROM embeddings, q, best
+         |WHERE label = best_label AND vec_id <> $QueryId
+         |ORDER BY cos DESC, vec_id ASC LIMIT 5""".stripMargin,
+    "d08_embedding_neardup" ->
+      s"""SELECT a.vec_id AS v1, b.vec_id AS v2,
+         |  ${cosSql("a.embedding", "b.embedding", 4)} AS cos
+         |FROM embeddings a JOIN embeddings b
+         |  ON a.label = 0 AND b.label = 0 AND a.vec_id < b.vec_id
+         |WHERE ${cosSql("a.embedding", "b.embedding", 4)} >= 0.2
+         |ORDER BY v1, v2 LIMIT 200""".stripMargin
+  )
+}

@@ -1,0 +1,126 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Text-analysis operators over `documents`: language-ID (stopword n-gram
+  * heuristic), quality scoring, token counting (whitespace + BPE-ish
+  * regex classes), and content fingerprinting. Everything is built from
+  * codegen'd regexp/string built-ins — one scan per query, no UDFs — so
+  * each runs unchanged over a partitioned 100 TB corpus.
+  */
+object TextOps {
+
+  /** Tiny per-language stopword regexes (word-boundary alternations).
+    * The heuristic is intentionally simple and fully SQL-expressible so
+    * the DuckDB oracle verifies the operator exactly. */
+  private val langPatterns: Seq[(String, String)] = Seq(
+    "en" -> "\\b(the|and|of|to|in|is|a)\\b",
+    "de" -> "\\b(der|die|das|und|ist|ein)\\b",
+    "es" -> "\\b(el|la|los|de|que|es|un)\\b",
+    "fr" -> "\\b(le|la|les|des|est|une|et)\\b")
+
+  private def scoreCol(pat: String): Column =
+    size(regexp_extract_all(lower(col("text")), lit(pat), lit(1)))
+
+  private def scoreSql(pat: String): String =
+    s"len(regexp_extract_all(lower(text), '$pat', 1))"
+
+  private val WsTok = "\\S+"
+  // BPE-ish pre-tokenization classes: letter runs | digit runs | single
+  // non-space symbol (the GPT-2 pre-tokenizer shape, simplified).
+  private val BpeTok = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Language-ID: argmax of stopword-hit counts; 'und' (undetermined)
+    // when nothing matches. Reported as a confusion summary vs the lang
+    // column.
+    "t01_lang_id" -> ((s, d) => {
+      val scored = langPatterns.foldLeft(Tables.documents(s, d)) {
+        case (df, (l, p)) => df.withColumn(s"sc_$l", scoreCol(p))
+      }
+      val best = greatest(langPatterns.map(lp => col(s"sc_${lp._1}")): _*)
+      val pred = when(best === 0, "und")
+        .otherwise(langPatterns.foldRight(lit("und"): Column) {
+          case ((l, _), acc) => when(col(s"sc_$l") === best, l).otherwise(acc)
+        })
+      scored.withColumn("predicted", pred)
+        .groupBy(col("lang"), col("predicted"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("lang", "predicted")
+    }),
+
+    // Quality score: length, punctuation-density and stopword-ratio
+    // heuristics combined; the shape of a C4/Gopher-style quality filter.
+    "t02_quality_score" -> ((s, d) => {
+      val nTok = size(regexp_extract_all(col("text"), lit(WsTok), lit(0))).cast("double")
+      val nPunct = size(regexp_extract_all(col("text"), lit("[^a-zA-Z0-9\\s]"), lit(0))).cast("double")
+      val nStop = scoreCol(langPatterns.head._2).cast("double")
+      // score in basis points via FLOOR: decimal ROUND at an exact .5
+      // boundary differs between Spark (BigDecimal HALF_UP) and DuckDB
+      // (binary-double rounding); floor of the bit-identical double is
+      // engine-independent.
+      Tables.documents(s, d)
+        .withColumn("score_bp", floor(
+          (least(col("n_chars") / 500.0, lit(1.0)) * 0.4
+            + (lit(1.0) - least(nPunct / greatest(nTok, lit(1.0)), lit(1.0))) * 0.3
+            + least(nStop / greatest(nTok, lit(1.0)) * 5.0, lit(1.0)) * 0.3) * 10000).cast("long"))
+        .select("doc_id", "score_bp")
+        .orderBy("doc_id").limit(200)
+    }),
+
+    // Token counting: whitespace tokens and BPE-ish pre-tokens, rolled up
+    // per source — the budget accounting pass of a training pipeline.
+    "t03_token_count" -> ((s, d) =>
+      Tables.documents(s, d)
+        .withColumn("ws_tokens", size(regexp_extract_all(col("text"), lit(WsTok), lit(0))))
+        .withColumn("bpe_tokens", size(regexp_extract_all(col("text"), lit(BpeTok), lit(0))))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("ws_tokens").as("ws_total"),
+          sum("bpe_tokens").as("bpe_total"))
+        .orderBy("source")),
+
+    // Document fingerprint: md5 of the normalized text (the cheap
+    // content-address used for cross-shard exact dedup and lineage).
+    "t04_fingerprint" -> ((s, d) =>
+      Tables.documents(s, d)
+        .withColumn("fp",
+          substring(md5(regexp_replace(lower(col("text")), "\\s+", " ")), 1, 16))
+        .select("doc_id", "fp")
+        .orderBy("doc_id").limit(200))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "t01_lang_id" -> {
+      val scores = langPatterns.map { case (l, p) => s"${scoreSql(p)} AS sc_$l" }.mkString(", ")
+      val best = langPatterns.map(lp => s"sc_${lp._1}").mkString("greatest(", ", ", ")")
+      val pred = langPatterns.foldRight("'und'") {
+        case ((l, _), acc) => s"CASE WHEN sc_$l = best THEN '$l' ELSE $acc END"
+      }
+      s"""WITH scored AS (SELECT lang, $scores FROM documents),
+         |b AS (SELECT lang, $best AS best, * FROM scored)
+         |SELECT lang, CASE WHEN best = 0 THEN 'und' ELSE $pred END AS predicted,
+         |       COUNT(*) AS n
+         |FROM b GROUP BY 1, 2 ORDER BY lang, predicted""".stripMargin
+    },
+    "t02_quality_score" ->
+      s"""SELECT doc_id, CAST(FLOOR((
+         |  least(n_chars / 500.0, 1.0) * 0.4
+         |  + (1.0 - least(CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]', 0)) AS DOUBLE)
+         |      / greatest(CAST(len(regexp_extract_all(text, '$WsTok', 0)) AS DOUBLE), 1.0), 1.0)) * 0.3
+         |  + least(CAST(${scoreSql(langPatterns.head._2)} AS DOUBLE)
+         |      / greatest(CAST(len(regexp_extract_all(text, '$WsTok', 0)) AS DOUBLE), 1.0) * 5.0, 1.0) * 0.3
+         |  ) * 10000) AS BIGINT) AS score_bp
+         |FROM documents ORDER BY doc_id LIMIT 200""".stripMargin,
+    "t03_token_count" ->
+      s"""SELECT source, COUNT(*) AS n_docs,
+         |  SUM(len(regexp_extract_all(text, '$WsTok', 0))) AS ws_total,
+         |  SUM(len(regexp_extract_all(text, '$BpeTok', 0))) AS bpe_total
+         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    "t04_fingerprint" ->
+      """SELECT doc_id, substr(md5(regexp_replace(lower(text), '\s+', ' ', 'g')), 1, 16) AS fp
+        |FROM documents ORDER BY doc_id LIMIT 200""".stripMargin
+  )
+}
