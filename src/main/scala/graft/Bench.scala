@@ -1,24 +1,94 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.backend.ParquetBackend
+import graft.model._
+import graft.worker.{SchedulerEngine, WorkerEngine}
+
+/** Per-round benchmark (driver-run): every declared query at the target
+  * scale factor, plus the end-to-end job-pipeline throughput measurement
+  * mirroring the reference perf workload — 100k no-op jobs, 1% failing
+  * once and retried (reference perf/goose/core.clj:10-24; BASELINE.md:
+  * 8,300 jobs/sec, 12 s for 100k).
+  *
+  * Queries are warmed once at sf0.001 (plan compilation + JIT; the
+  * reference bench also measures after criterium warm-up,
+  * perf/goose/core.clj:39-53) and then timed at the target SF.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    spark.sparkContext.setLogLevel("ERROR")
+
+    // Warm-up pass at the smallest SF: compiles every plan, loads parquet
+    // footers, JITs codegen — measures engine speed, not JVM cold start.
+    SparkEntry.queries.foreach { case (_, fn) =>
+      try fn(spark, "/root/testdata/sf0.001").count()
+      catch { case _: Throwable => }
+    }
+
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    val pipeline = benchJobPipeline(spark)
+
+    val all = results :+ ("pipeline_noop_100k" -> pipeline._1)
+    val qs = all.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
+    val total = all.map(_._2).sum
+    println(
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"jobs_per_sec":${pipeline._2}%.0f,"sf":"$sfDir"}""")
     spark.stop()
+  }
+
+  /** 100k no-op jobs, 1% throwing once then retried (maxRetries=1):
+    * bulk enqueue → worker pass → promote retries → second pass.
+    * Returns (seconds, jobs/sec over first-pass executions). */
+  def benchJobPipeline(spark: SparkSession): (Double, Double) = {
+    import spark.implicits._
+    JobRegistry.register("bench_noop", _ => "ok")
+    JobRegistry.register("bench_flaky", _ => throw new RuntimeException("bench"))
+    JobRegistry.registerBackoff("bench_instant", _ => 0)
+
+    val n = 100000
+    val root = java.nio.file.Files.createTempDirectory("graft-bench").toString
+    val backend = new ParquetBackend(spark, root)
+    val clock = new java.util.concurrent.atomic.AtomicLong(1700000000000L)
+    val worker = new WorkerEngine(backend, spark, Nil, () => clock.get())
+    val sched = new SchedulerEngine(backend, spark, () => clock.get())
+    val retry = RetryOpts(maxRetries = 1, retryDelaySecFn = "bench_instant")
+
+    // Partition count follows data volume (12.5k jobs/slice), not core
+    // count: 32 tasks over 20 MB is scheduling overhead, not parallelism.
+    // A 100 TB backfill would arrive in thousands of such slices.
+    val jobs = spark.range(0, n, 1, 8).map { i =>
+      Job(
+        id = i.toString,
+        executeFnSym = if (i % 100 == 0) "bench_flaky" else "bench_noop",
+        argsJson = "[]", queue = "bench", readyQueue = "bench", priority = 0,
+        enqueuedAt = 1700000000000L, scheduleRunAt = None, cronRunAt = None,
+        batchId = None, retryOpts = retry, state = None, seq = Job.nextSeq())
+    }
+
+    val t0 = System.nanoTime()
+    backend.enqueue(jobs)
+    worker.runPass() // 100k executions; 1k failures → scheduled
+    clock.addAndGet(1000)
+    sched.promoteDue() // 1k retries to the front
+    worker.runPass() // retries fail again → dead (skip via maxRetries=1? they die)
+    val sec = (System.nanoTime() - t0) / 1e9
+    (sec, n / sec)
   }
 }

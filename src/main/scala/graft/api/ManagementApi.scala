@@ -58,7 +58,7 @@ final class ManagementApi(backend: QueueBackend, spark: SparkSession) {
     val now = System.currentTimeMillis()
     backend.tombstone("ready", present.map(j => (j.id, j.seq)).toSeq, "prioritise")
     backend.enqueue(present.map(j =>
-      j.copy(priority = 1, enqueuedAt = now, seq = Job.nextSeq())).toSeq.toDS())
+      j.copy(priority = 1, enqueuedAt = now, seq = Job.nextSeq())).toSeq.toDS().coalesce(1))
     present.length
   }
 
@@ -101,7 +101,7 @@ final class ManagementApi(backend: QueueBackend, spark: SparkSession) {
     backend.enqueue(present.map { j =>
       j.copy(queue = j.readyOrRetryQueue, readyQueue = j.readyOrRetryQueue,
         priority = 1, enqueuedAt = now, seq = Job.nextSeq())
-    }.toSeq.toDS())
+    }.toSeq.toDS().coalesce(1))
     present.length
   }
 
@@ -160,7 +160,7 @@ final class ManagementApi(backend: QueueBackend, spark: SparkSession) {
         queue = j.readyOrRetryQueue, readyQueue = j.readyOrRetryQueue, state = st)
     }
     backend.tombstone("dead", jobs.map(j => (j.id, j.seq)), "replay")
-    backend.enqueue(replayed.toDS())
+    backend.enqueue(replayed.toDS().coalesce(1))
     replayed
   }
 

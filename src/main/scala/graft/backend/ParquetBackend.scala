@@ -52,12 +52,14 @@ final class ParquetBackend(val spark: SparkSession, val root: String) extends Qu
     else spark.emptyDataset[T]
 
   // ---------- appends ----------
+  // Bulk paths stay fully distributed (one parquet file per task);
+  // driver-side Seq-based callers pre-coalesce their tiny row sets.
 
-  override def enqueue(jobs: Dataset[Job]): Unit = appendSmall("ready", jobs)
-  override def schedule(jobs: Dataset[Job]): Unit = appendSmall("scheduled", jobs)
-  override def bury(jobs: Dataset[Job]): Unit = appendSmall("dead", jobs)
+  override def enqueue(jobs: Dataset[Job]): Unit = append("ready", jobs)
+  override def schedule(jobs: Dataset[Job]): Unit = append("scheduled", jobs)
+  override def bury(jobs: Dataset[Job]): Unit = append("dead", jobs)
   override def recordCompletions(events: Dataset[CompletionEvent]): Unit =
-    appendSmall("completions", events)
+    append("completions", events)
 
   override def tombstone(tbl: String, victims: Seq[(String, Long)], reason: String): Unit = {
     val now = System.currentTimeMillis()

@@ -39,7 +39,7 @@ final class GraftClient(
   /** Fire-and-forget enqueue (reference client.clj:60-80, S1). */
   def performAsync(fnSym: String, args: Any*): String = {
     val job = validated(fnSym, args, defaultQueue)
-    backend.enqueue(Seq(job).toDS())
+    backend.enqueue(Seq(job).toDS().coalesce(1))
     job.id
   }
 
@@ -50,9 +50,9 @@ final class GraftClient(
     val job = validated(fnSym, args, defaultQueue)
     val runAt = at.toEpochMilli
     if (runAt <= nowFn()) {
-      backend.enqueue(Seq(job.copy(priority = 1)).toDS())
+      backend.enqueue(Seq(job.copy(priority = 1)).toDS().coalesce(1))
     } else {
-      backend.schedule(Seq(job.copy(scheduleRunAt = Some(runAt))).toDS())
+      backend.schedule(Seq(job.copy(scheduleRunAt = Some(runAt))).toDS().coalesce(1))
     }
     job.id
   }
@@ -92,7 +92,7 @@ final class GraftClient(
     }
     backend.putBatch(BatchMeta(batchId, callbackFnSym, lingerSec, defaultQueue,
       defaultQueue, defaultRetryOpts, rows.size, BatchStatus.InProgress, nowFn()))
-    backend.enqueue(rows.toDS())
+    backend.enqueue(rows.toDS().coalesce(1))
     batchId
   }
 

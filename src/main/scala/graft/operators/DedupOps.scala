@@ -29,7 +29,10 @@ object DedupOps {
   /** Salted-min signature columns h1..h4. */
   private def signatures(docs: DataFrame): DataFrame = {
     val hs = (1 to NumHashes).map(i => min(md5(concat(lit(i.toString), col("sh")))).as(s"h$i"))
-    shingled(docs).groupBy("doc_id").agg(hs.head, hs.tail: _*)
+    // distinct before hashing: min over the shingle SET equals min over
+    // the multiset, and repeated shingles (~40% here) skip 4 md5 calls.
+    shingled(docs).select("doc_id", "sh").distinct()
+      .groupBy("doc_id").agg(hs.head, hs.tail: _*)
   }
 
   private val sigSqlCte =
@@ -76,8 +79,10 @@ object DedupOps {
     // LSH candidate pairs: each signature column is a band; docs sharing
     // any band value become a candidate pair. Equi-join per band (a
     // shuffle join on the band hash), never an O(n²) cross join.
+    // Signatures are localCheckpoint'ed: both join sides reuse the one
+    // materialization instead of re-shingling+re-hashing the corpus.
     "d05_lsh_candidate_pairs" -> ((s, d) => {
-      val sig = signatures(Tables.documents(s, d))
+      val sig = signatures(Tables.documents(s, d)).localCheckpoint(true)
       val bands = sig.select(col("doc_id"),
         explode(array((1 to NumHashes).map(i =>
           struct(lit(i).as("band"), col(s"h$i").as("h"))): _*)).as("b"))
@@ -90,11 +95,16 @@ object DedupOps {
     }),
 
     // n-gram Jaccard near-dup scores for same-source pairs: the verify
-    // step that follows LSH candidate generation.
+    // step that follows LSH candidate generation. Shingles are reduced to
+    // sorted 64-bit hashes before the pairwise intersect: set sizes (and
+    // thus Jaccard) are unchanged short of an xxhash64 collision
+    // (~n²/2⁶⁴), and long-array intersection is ~10× cheaper than
+    // string-array intersection. Checkpointed once, joined twice.
     "d06_ngram_jaccard" -> ((s, d) => {
       val sets = shingled(Tables.documents(s, d))
         .groupBy(col("doc_id"), col("source"))
-        .agg(collect_set(col("sh")).as("shs"))
+        .agg(array_sort(collect_set(xxhash64(col("sh")))).as("shs"))
+        .localCheckpoint(true)
       val l = sets.select(col("source"), col("doc_id").as("d1"), col("shs").as("s1"))
       val r = sets.select(col("source"), col("doc_id").as("d2"), col("shs").as("s2"))
       l.join(r, "source").filter(col("d1") < col("d2"))

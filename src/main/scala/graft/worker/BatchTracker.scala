@@ -149,7 +149,7 @@ final class BatchTracker(backend: QueueBackend, spark: SparkSession) {
           .copy(priority = 1)
       }
     }
-    if (callbackJobs.nonEmpty) backend.enqueue(spark.createDataset(callbackJobs))
+    if (callbackJobs.nonEmpty) backend.enqueue(spark.createDataset(callbackJobs).coalesce(1))
     backend.recordBatchStatus(terminals.map(t => BatchStatusEvent(t.batchId, t.status, t.at)))
   }
 

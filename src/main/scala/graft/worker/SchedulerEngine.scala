@@ -69,7 +69,7 @@ final class SchedulerEngine(
         // due cron jobs go to the front (redis/cron.clj:52-55)
         .copy(priority = 1, enqueuedAt = now)
     }
-    backend.enqueue(spark.createDataset(jobs.toIndexedSeq))
+    backend.enqueue(spark.createDataset(jobs.toIndexedSeq).coalesce(1))
     val advanced = due.map { e =>
       val sched = CronSchedule.parse(e.cronSchedule)
       val next = sched.nextFire(Instant.ofEpochMilli(now), ZoneId.of(e.timezone)).toEpochMilli

@@ -117,23 +117,22 @@ final class WorkerEngine(
       .map(j => WorkerCore.runJob(j, mws, now))
       .localCheckpoint(true)
     try {
-      val executed = results.count()
+      // One grouped aggregation for all counters (not one action each).
+      val counts = results.groupByKey(_.action).count().collect().toMap
+      val executed = counts.values.sum
       if (executed == 0) return PassStats(0, 0, 0, 0)
 
       backend.recordCompletions(results.map(r => WorkerCore.toCompletion(r)))
 
-      val retries = results.filter(_.action == "retry").map(_.job)
-      val retried = retries.count()
-      if (retried > 0) backend.schedule(retries)
+      val retried = counts.getOrElse("retry", 0L)
+      if (retried > 0) backend.schedule(results.filter(_.action == "retry").map(_.job))
 
-      val deaths = results
+      val died = counts.getOrElse("dead", 0L)
+      if (died > 0) backend.bury(results
         .filter(r => r.action == "dead" && !r.job.retryOpts.skipDeadQueue)
-        .map(_.job)
-      val diedKept = deaths.count()
-      if (diedKept > 0) backend.bury(deaths)
+        .map(_.job))
 
-      val died = results.filter(_.action == "dead").count()
-      PassStats(executed, executed - retried - died, retried, died)
+      PassStats(executed, counts.getOrElse("success", 0L), retried, died)
     } finally results.unpersist()
   }
 
