@@ -82,6 +82,22 @@ object EngineE2E {
         .orderBy("terminal_state")
     }),
 
+    // S5/D15: the same pass through the STREAMING worker — a Structured
+    // Streaming file-source query over the ready log, drained with
+    // processAllAvailable; completions must equal the batch-mode pass.
+    "e2e_streaming_worker" -> ((s, d) => {
+      val (backend, worker, _, _) = fixture(s)
+      val root = backend.root
+      backend.enqueue(seedJobs(s, d))
+      val q = worker.startStream(root,
+        org.apache.spark.sql.streaming.Trigger.ProcessingTime("100 milliseconds"))
+      try q.processAllAvailable() finally q.stop()
+      backend.completions.toDF()
+        .select(col("jobId").cast("long").as("job_id"),
+          col("terminalState").as("terminal_state"))
+        .orderBy("job_id")
+    }),
+
     // D7/D8: batch over the seed jobs → tracker folds completions → one
     // terminal status (partial-success when some jobs died).
     "e2e_batch_status" -> ((s, d) => {
@@ -105,6 +121,11 @@ object EngineE2E {
 
   val oracles: Map[String, String] = Map(
     "e2e_worker_pass" ->
+      s"""SELECT event_id AS job_id,
+         |  CASE WHEN event_type = 'error' THEN 'retrying' ELSE 'success' END AS terminal_state
+         |FROM (SELECT * FROM events ORDER BY event_id LIMIT $SeedCount)
+         |ORDER BY job_id""".stripMargin,
+    "e2e_streaming_worker" ->
       s"""SELECT event_id AS job_id,
          |  CASE WHEN event_type = 'error' THEN 'retrying' ELSE 'success' END AS terminal_state
          |FROM (SELECT * FROM events ORDER BY event_id LIMIT $SeedCount)

@@ -56,12 +56,11 @@ final case class BatchTerminal(batchId: String, status: String, at: Long)
   * one batch fold through one state slot, and the terminal transition
   * emits exactly once (`callbackEmitted` latch).
   */
-final class BatchTracker(backend: QueueBackend, spark: SparkSession) {
-  import spark.implicits._
-
-  /** The keyed fold, shared by streaming and batch paths. Events must
-    * arrive with a defined batchId. */
-  private def fold(
+object BatchTracker extends Serializable {
+  /** The keyed fold behind flatMapGroupsWithState — in a standalone
+    * object so the closure ships to executors without capturing the
+    * tracker (which holds the SparkSession). */
+  def fold(
       batchId: String,
       events: Iterator[CompletionEvent],
       state: GroupState[BatchProgress],
@@ -81,13 +80,23 @@ final class BatchTracker(backend: QueueBackend, spark: SparkSession) {
     state.update(progress)
     emitted.iterator
   }
+}
+
+final class BatchTracker(backend: QueueBackend, spark: SparkSession) {
+  import spark.implicits._
 
   /** Batch-mode tracking pass: fold all batch-stamped completion events
     * per batchId (distributed groupByKey — the fold runs on executors, one
     * group per batch, so 10^6 batches scale out horizontally) and commit
     * callbacks + status rows for NEWLY terminal batches. Idempotent:
-    * batches already recorded terminal in batch_status are skipped. */
-  def trackPass(): Seq[BatchTerminal] = {
+    * batches already recorded terminal in batch_status are skipped.
+    *
+    * Synchronized: the skip-if-terminal check-then-commit is only atomic
+    * within one tracker, so all in-process callers share the lock. Across
+    * processes the engine assumes a single maintenance coordinator (the
+    * same assumption goose makes for its scheduler thread); the streaming
+    * path gets the guarantee from per-key state instead. */
+  def trackPass(): Seq[BatchTerminal] = synchronized {
     val metas = backend.batches.select($"id".as("m_bid"), $"total", $"createdAt")
     val evs = backend.completions.filter($"batchId".isNotNull)
       .join(broadcast(metas), $"batchId" === $"m_bid")
@@ -136,7 +145,7 @@ final class BatchTracker(backend: QueueBackend, spark: SparkSession) {
       .groupByKey(_.batchId.get)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (bid: String, evs: Iterator[CompletionEvent], st: GroupState[BatchProgress]) =>
-          fold(bid, evs, st, metas.getOrElse(_, Int.MaxValue))
+          BatchTracker.fold(bid, evs, st, metas.getOrElse(_, Int.MaxValue))
       }
   }
 

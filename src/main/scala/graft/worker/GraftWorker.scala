@@ -1,0 +1,108 @@
+package graft.worker
+
+import java.util.concurrent.atomic.AtomicBoolean
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.streaming.Trigger
+import graft.backend.QueueBackend
+import graft.metrics.{Metrics, MetricsSink, NoopMetrics}
+
+/** The composite worker process (SURVEY.md §2.5 D15) — goose starts N
+  * consumer threads plus an internal pool running scheduler, cron,
+  * orphan-checker, heartbeat and metrics (reference redis/worker.clj:
+  * 57-88). Here that collapses to:
+  *
+  *  - ONE Structured Streaming query executing jobs (parallelism comes
+  *    from partitions, not a thread pool),
+  *  - one maintenance timer ticking scheduler-promotion, cron firing,
+  *    batch tracking and metrics gauges,
+  *  - no heartbeat/orphan machinery: Spark owns liveness, and the
+  *    (id, attempt)-keyed completions log makes replay idempotent.
+  *
+  * `stop(graceful)` mirrors D14 (redis/worker.clj:22-44): stop intake,
+  * let the in-flight micro-batch finish, then tear down.
+  */
+final class GraftWorker(
+    backend: QueueBackend,
+    spark: SparkSession,
+    root: String,
+    middlewares: Seq[WorkerCore.Middleware] = Nil,
+    metrics: MetricsSink = NoopMetrics,
+    trigger: Trigger = Trigger.ProcessingTime("1 second"),
+    maintenanceIntervalMs: Long = 1000,
+    nowFn: () => Long = () => System.currentTimeMillis()) {
+
+  private val sinkName = s"graft-worker-${java.util.UUID.randomUUID()}"
+  graft.metrics.MetricsRegistry.register(sinkName, metrics)
+
+  private val engine = new WorkerEngine(backend, spark,
+    middlewares :+ Metrics.middleware(sinkName), nowFn)
+  private val scheduler = new SchedulerEngine(backend, spark, nowFn)
+  private val tracker = new BatchTracker(backend, spark)
+
+  private val running = new AtomicBoolean(false)
+  @volatile private var query: org.apache.spark.sql.streaming.StreamingQuery = _
+  @volatile private var maintenance: Thread = _
+
+  def start(): this.type = {
+    require(running.compareAndSet(false, true), "worker already started")
+    query = engine.startStream(root, trigger)
+    maintenance = new Thread(() => {
+      while (running.get()) {
+        try {
+          scheduler.tick()
+          tracker.trackPass()
+          Metrics.publishGauges(backend, spark, metrics)
+        } catch {
+          case _: InterruptedException => // stopping
+          case e: Throwable if running.get() =>
+            System.err.println(s"[graft-worker] maintenance error: ${e.getMessage}")
+        }
+        try Thread.sleep(maintenanceIntervalMs)
+        catch { case _: InterruptedException => }
+      }
+    }, "graft-maintenance")
+    maintenance.setDaemon(true)
+    maintenance.start()
+    this
+  }
+
+  /** Graceful: drain available input and finish the in-flight micro-batch
+    * before stopping (reference worker.clj graceful-shutdown-sec). */
+  def stop(graceful: Boolean = true): Unit = {
+    if (!running.compareAndSet(true, false)) return
+    maintenance.interrupt()
+    maintenance.join(5000)
+    if (graceful) query.processAllAvailable()
+    query.stop()
+    query.awaitTermination(10000)
+  }
+
+  /** Block until the engine is fully drained (test/drain-mode helper).
+    * The settled condition must be one no concurrent maintenance tick can
+    * undo: no visible ready jobs, no due scheduled jobs, AND every batch
+    * already recorded terminal (trackPass is idempotent past that point,
+    * so no further callback can appear). */
+  def awaitDrained(timeoutMs: Long = 60000): Boolean = {
+    import org.apache.spark.sql.functions.{coalesce, col}
+    val deadline = System.currentTimeMillis() + timeoutMs
+    while (System.currentTimeMillis() < deadline) {
+      query.processAllAvailable()
+      scheduler.tick()
+      tracker.trackPass()
+      query.processAllAvailable()
+      val settled =
+        backend.readyJobs.isEmpty &&
+          backend.scheduledJobs.filter(
+            coalesce(col("state.retryAt"), col("scheduleRunAt")) <= nowFn()).isEmpty && {
+            val nBatches = backend.batches.select("id").distinct().count()
+            val nTerminal = backend.batchStatusEvents
+              .filter(e => graft.model.BatchStatus.terminal(e.status))
+              .select("batchId").distinct().count()
+            nTerminal == nBatches
+          }
+      if (settled) return true
+      Thread.sleep(50)
+    }
+    false
+  }
+}

@@ -160,6 +160,8 @@ final class WorkerEngine(
       trigger: Trigger = Trigger.ProcessingTime("1 second"),
       queryName: String = "graft-worker"): StreamingQuery = {
     val jobSchema = implicitly[org.apache.spark.sql.Encoder[Job]].schema
+    // The file source requires the log dir to exist before the query starts.
+    new java.io.File(s"$root/ready").mkdirs()
     spark.readStream
       .schema(jobSchema)
       .parquet(s"$root/ready")

@@ -1,0 +1,110 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.Trigger
+import graft.api.ManagementApi
+import graft.backend.ParquetBackend
+import graft.client.GraftClient
+import graft.model._
+import graft.worker.{BatchTracker, SchedulerEngine, WorkerEngine}
+
+/** Streaming-worker specs: the S5/D15 consumer as a Structured Streaming
+  * query over the ready log, including the crash/restart semantics that
+  * replace goose's in-progress queues + heartbeats + orphan checker
+  * (SURVEY.md §4: kill-and-restart-query tests over checkpoints replace
+  * integration_test.clj:67-86). */
+class StreamingSpec extends SparkSpec {
+
+  private def fixture() = {
+    TestFns.reset()
+    val clock = new java.util.concurrent.atomic.AtomicLong(1700000000000L)
+    val root = tmpDir("graft-stream")
+    val backend = new ParquetBackend(spark, root)
+    val retry = RetryOpts(maxRetries = 1, retryDelaySecFn = "instant")
+    val client = new GraftClient(backend, spark, "test", retry, () => clock.get())
+    val worker = new WorkerEngine(backend, spark, Nil, () => clock.get())
+    val api = new ManagementApi(backend, spark)
+    (root, backend, client, worker, api, clock)
+  }
+
+  test("streaming worker consumes appended jobs (S5)") {
+    val (root, backend, client, worker, api, _) = fixture()
+    client.performAsync("ok", "s1")
+    client.performAsync("ok", "s2")
+    val q = worker.startStream(root, Trigger.ProcessingTime("100 milliseconds"))
+    try {
+      q.processAllAvailable()
+      assert(TestFns.calls.get() == 2)
+      // late arrival picked up by a later micro-batch
+      client.performAsync("ok", "s3")
+      q.processAllAvailable()
+      assert(TestFns.calls.get() == 3)
+      assert(backend.completions.count() == 3)
+      assert(api.enqueuedSize("test") == 0)
+    } finally q.stop()
+  }
+
+  test("restart from checkpoint neither loses nor re-executes (D9/D10 analog)") {
+    val (root, backend, client, worker, _, _) = fixture()
+    client.performAsync("ok", "before")
+    val q1 = worker.startStream(root)
+    try { q1.processAllAvailable() } finally q1.stop()
+    assert(TestFns.calls.get() == 1)
+
+    // enqueued while the worker is down
+    client.performAsync("ok", "while-down")
+    val q2 = worker.startStream(root)
+    try {
+      q2.processAllAvailable()
+      // exactly one new execution: the checkpoint skips the consumed file,
+      // and the (id, attempt) completion key would dedupe even a replay.
+      assert(TestFns.calls.get() == 2)
+      assert(backend.completions.count() == 2)
+    } finally q2.stop()
+  }
+
+  test("streaming failure path: retry scheduled from inside the stream (D3)") {
+    val (root, backend, client, worker, api, _) = fixture()
+    TestFns.failuresRemaining.set(1)
+    client.performAsync("flaky")
+    val q = worker.startStream(root)
+    try {
+      q.processAllAvailable()
+      assert(api.scheduledSize() == 1) // retry parked with backoff
+      assert(backend.completions.count() == 1)
+    } finally q.stop()
+  }
+
+  test("streaming batch tracker emits exactly one terminal per batch (D7)") {
+    val (root, backend, client, worker, _, _) = fixture()
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    backend.putBatch(BatchMeta("b1", "callback", 60, "test", "test",
+      RetryOpts(), 3, BatchStatus.InProgress, 0L))
+    val tracker = new BatchTracker(backend, spark)
+    val input = MemoryStream[CompletionEvent]
+    val terminals = tracker.streamingTerminals(input.toDS())
+    val q = terminals.writeStream.format("memory").queryName("terminals")
+      .outputMode("append").start()
+    try {
+      def ev(jid: String, st: String, at: Long) =
+        CompletionEvent(jid, 0, Some("b1"), "test", st, wasRetried = false,
+          None, 1, at)
+      input.addData(ev("j1", "success", 1), ev("j2", "retrying", 2))
+      q.processAllAvailable()
+      assert(spark.sql("SELECT * FROM terminals").count() == 0) // still in-progress
+
+      input.addData(ev("j2", "success", 3), ev("j3", "dead", 4))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT batchId, status FROM terminals").collect()
+      assert(rows.map(r => (r.getString(0), r.getString(1))).toSeq ==
+        Seq(("b1", BatchStatus.PartialSuccess)))
+
+      // further events do not re-emit (callbackEmitted latch)
+      input.addData(ev("j3", "dead", 5))
+      q.processAllAvailable()
+      assert(spark.sql("SELECT * FROM terminals").count() == 1)
+    } finally q.stop()
+  }
+}
