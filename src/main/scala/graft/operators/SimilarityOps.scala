@@ -26,10 +26,12 @@ object SimilarityOps {
 
   private val QueryId = 0
 
-  /** dot(a, b) folded in double — codegen-friendly, no UDF. */
+  /** dot(a, b): native Catalyst expression (graft.functions.DotProduct) —
+    * one fused codegen loop, same left-to-right double fold as the
+    * composable `aggregate(zip_with(...))` form it replaced, so oracle
+    * values are unchanged. */
   private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+    graft.functions.VectorFunctions.vec_dot(a, b)
 
   private def norm(a: Column): Column = sqrt(dot(a, a))
 
