@@ -1,0 +1,139 @@
+package graft.backend
+
+import scala.collection.mutable
+import org.apache.spark.sql.{Dataset, SparkSession}
+import graft.model._
+
+/** Driver-local in-memory [[QueueBackend]] — the second broker behind the
+  * seam, playing the role RabbitMQ plays for goose (broker.clj's protocol
+  * has two implementations; the capability-matrix tests run every suite
+  * against each, test/goose/capability.clj:17-46).
+  *
+  * Semantics are identical to [[ParquetBackend]] (same (id, attempt)
+  * consumption keys, (id, seq) tombstones, seq-based purge markers); state
+  * lives in driver memory, like Redis lives on one node. Intended for
+  * tests and low-latency local pipelines; reads materialize to Datasets
+  * so every engine component runs unchanged.
+  */
+final class InMemoryBackend(spark: SparkSession) extends QueueBackend {
+  import spark.implicits._
+
+  private val lock = new Object
+  private val ready = mutable.ArrayBuffer[Job]()
+  private val scheduled = mutable.ArrayBuffer[Job]()
+  private val dead = mutable.ArrayBuffer[Job]()
+  private val comps = mutable.ArrayBuffer[CompletionEvent]()
+  private val consumedKeys = mutable.Set[(String, Int)]()
+  private val tombs = mutable.Map[String, mutable.Set[(String, Long)]]()
+  private val purgeMarks = mutable.Map[String, Long]() // queue -> max seqAt
+  private val crons = mutable.LinkedHashMap[String, CronEntry]()
+  private val batchMetas = mutable.ArrayBuffer[BatchMeta]()
+  private val statusEvents = mutable.ArrayBuffer[BatchStatusEvent]()
+
+  private def tombsFor(tbl: String) = tombs.getOrElseUpdate(tbl, mutable.Set.empty)
+
+  override def enqueue(jobs: Dataset[Job]): Unit = {
+    val rows = jobs.collect()
+    lock.synchronized { ready ++= rows }
+  }
+  override def schedule(jobs: Dataset[Job]): Unit = {
+    val rows = jobs.collect()
+    lock.synchronized { scheduled ++= rows }
+  }
+  override def bury(jobs: Dataset[Job]): Unit = {
+    val rows = jobs.collect()
+    lock.synchronized { dead ++= rows }
+  }
+  override def recordCompletions(events: Dataset[CompletionEvent]): Unit = {
+    val rows = events.collect()
+    lock.synchronized {
+      comps ++= rows
+      consumedKeys ++= rows.map(e => (e.jobId, e.attempt))
+    }
+  }
+
+  override def tombstone(tbl: String, victims: Seq[(String, Long)], reason: String): Unit =
+    lock.synchronized { tombsFor(tbl) ++= victims }
+
+  override def purge(tbl: String, queue: String): Unit = lock.synchronized {
+    if (tbl == "ready") {
+      purgeMarks(queue) = Job.nextSeq()
+    } else {
+      val buf = if (tbl == "scheduled") scheduled else dead
+      val vis = visibleOf(buf, tbl)
+      tombsFor(tbl) ++= vis.filter(j => queue == "*" || j.queue == queue)
+        .map(j => (j.id, j.seq))
+    }
+  }
+
+  private def readyVisiblePred(j: Job): Boolean = {
+    val attempt = JobAttempt.of(j)
+    !consumedKeys.contains((j.id, attempt)) &&
+      !tombsFor("ready").contains((j.id, j.seq)) &&
+      purgeMarks.get(j.queue).forall(j.seq > _) &&
+      purgeMarks.get("*").forall(j.seq > _)
+  }
+
+  private def visibleOf(buf: mutable.ArrayBuffer[Job], tbl: String): Seq[Job] =
+    buf.filterNot(j => tombsFor(tbl).contains((j.id, j.seq))).toSeq
+
+  override def readyJobs: Dataset[Job] =
+    lock.synchronized(spark.createDataset(ready.filter(readyVisiblePred).toSeq))
+
+  override def filterReadyVisible(slice: Dataset[Job]): Dataset[Job] = {
+    // snapshot the subtraction state; the predicate ships as plain sets
+    val (consumed, t, marks) = lock.synchronized {
+      (consumedKeys.toSet, tombsFor("ready").toSet, purgeMarks.toMap)
+    }
+    slice.filter { j =>
+      val attempt = JobAttempt.of(j)
+      !consumed.contains((j.id, attempt)) && !t.contains((j.id, j.seq)) &&
+        marks.get(j.queue).forall(j.seq > _) && marks.get("*").forall(j.seq > _)
+    }
+  }
+
+  override def scheduledJobs: Dataset[Job] =
+    lock.synchronized(spark.createDataset(visibleOf(scheduled, "scheduled")))
+  override def deadJobs: Dataset[Job] =
+    lock.synchronized(spark.createDataset(visibleOf(dead, "dead")))
+  override def completions: Dataset[CompletionEvent] =
+    lock.synchronized(spark.createDataset(comps.toSeq))
+
+  override def upsertCron(entries: Seq[CronEntry]): Unit =
+    lock.synchronized(entries.foreach(e => crons(e.cronName) = e))
+  override def cronEntries: Dataset[CronEntry] =
+    lock.synchronized(spark.createDataset(crons.values.toSeq))
+  override def deleteCron(names: Seq[String]): Unit =
+    lock.synchronized(names.foreach(crons.remove))
+  override def purgeCron(): Unit = lock.synchronized(crons.clear())
+
+  override def putBatch(meta: BatchMeta): Unit =
+    lock.synchronized(batchMetas += meta)
+  override def batches: Dataset[BatchMeta] =
+    lock.synchronized(spark.createDataset(batchMetas.toSeq))
+  override def recordBatchStatus(events: Seq[BatchStatusEvent]): Unit =
+    lock.synchronized(statusEvents ++= events)
+  override def batchStatusEvents: Dataset[BatchStatusEvent] =
+    lock.synchronized(spark.createDataset(statusEvents.toSeq))
+
+  /** Fold logs to their visible rows, dropping spent subtraction state. */
+  override def compact(tbl: String): Unit = lock.synchronized {
+    tbl match {
+      case "ready" =>
+        val vis = ready.filter(readyVisiblePred)
+        ready.clear(); ready ++= vis
+        val liveIds = ready.map(_.id).toSet
+        val keep = comps.filter(c => liveIds.contains(c.jobId))
+        comps.clear(); comps ++= keep
+        consumedKeys.clear(); consumedKeys ++= keep.map(e => (e.jobId, e.attempt))
+        tombs.remove("ready")
+      case "scheduled" =>
+        val vis = visibleOf(scheduled, "scheduled")
+        scheduled.clear(); scheduled ++= vis; tombs.remove("scheduled")
+      case "dead" =>
+        val vis = visibleOf(dead, "dead")
+        dead.clear(); dead ++= vis; tombs.remove("dead")
+      case other => throw new IllegalArgumentException(s"cannot compact '$other'")
+    }
+  }
+}

@@ -40,8 +40,15 @@ final class ParquetBackend(val spark: SparkSession, val root: String) extends Qu
     fs.exists(p) && fs.listStatus(p).exists(_.getPath.getName.endsWith(".parquet"))
   }
 
-  private def append[T](tbl: String, ds: Dataset[T]): Unit =
+  /** Appends to one table serialize through the backend instance:
+    * concurrent Hadoop FileOutputCommitter jobs share the target's
+    * `_temporary` dir, and one job's cleanup deletes the other's staging
+    * files mid-write. (Cross-process writers would need a staging-dir
+    * committer; in-process, the lock is enough.) */
+  private val writeLock = new Object
+  private def append[T](tbl: String, ds: Dataset[T]): Unit = writeLock.synchronized {
     ds.write.mode(SaveMode.Append).parquet(dir(tbl))
+  }
 
   /** Small driver-side row sets (client API calls) write one file. */
   private def appendSmall[T](tbl: String, ds: Dataset[T]): Unit =

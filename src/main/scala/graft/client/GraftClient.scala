@@ -31,7 +31,7 @@ final class GraftClient(
   private def validated(fnSym: String, args: Seq[Any], queue: String): Job = {
     validateQueue(queue)
     require(fnSym.nonEmpty, "execute-fn-sym required")
-    require(ArgsCodec.roundTripConsistent(args),
+    require(ArgsSerializers.active.roundTripConsistent(args),
       "args must serialize consistently (reference specs.clj:161-168)")
     Job(fnSym, args, queue, defaultRetryOpts).copy(enqueuedAt = nowFn())
   }

@@ -30,7 +30,8 @@ final case class FailureState(
     diedAt: Option[Long])
 
 /** The job envelope (reference job.clj:6-16). `argsJson` is the
-  * dynamically-typed payload, serialized by [[ArgsCodec]] — the engine
+  * dynamically-typed payload, serialized by the active [[ArgsSerializer]]
+  * (JSON by default) — the engine
   * analog of goose's nippy blobs (utils.clj:13-33).
   *
   * `priority` replaces Redis list-front mutations: consume order is
@@ -66,7 +67,7 @@ object Job {
     Job(
       id = UUID.randomUUID().toString,
       executeFnSym = fnSym,
-      argsJson = ArgsCodec.encode(args),
+      argsJson = ArgsSerializers.active.encode(args),
       queue = queue,
       readyQueue = queue,
       priority = 0,

@@ -32,7 +32,7 @@ final class SchedulerEngine(
 
   /** Promote all due scheduled/retry jobs to their ready queues.
     * Returns the number promoted. */
-  def promoteDue(): Long = {
+  def promoteDue(): Long = synchronized {
     val now = nowFn()
     // localCheckpoint: the appends below touch dirs this plan reads (see
     // WorkerEngine.executeBatch for the invalidation mechanics).
@@ -59,7 +59,7 @@ final class SchedulerEngine(
     * small keyed table (goose keeps it in one Redis HASH), so the
     * driver-side collect here is bounded by the number of *schedules*,
     * never by job volume. */
-  def fireCron(): Int = {
+  def fireCron(): Int = synchronized {
     val now = nowFn()
     val due = backend.cronEntries.filter($"nextRunAt" <= now).collect()
     if (due.isEmpty) return 0

@@ -25,7 +25,8 @@ object WorkerCore extends Serializable {
     */
   def runJob(job: Job, middlewares: Seq[Middleware], now: () => Long): ExecutionResult = {
     val attempt = JobAttempt.of(job)
-    val base: Job => Any = j => JobRegistry.resolve(j.executeFnSym)(ArgsCodec.decode(j.argsJson))
+    val base: Job => Any =
+      j => JobRegistry.resolve(j.executeFnSym)(ArgsSerializers.active.decode(j.argsJson))
     val chain = middlewares.foldRight(base)((mw, next) => mw(next))
     val startedAt = now()
     try {

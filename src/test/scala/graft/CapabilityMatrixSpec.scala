@@ -1,0 +1,133 @@
+package graft
+
+import graft.api.ManagementApi
+import graft.backend.{InMemoryBackend, ParquetBackend, QueueBackend}
+import graft.client.GraftClient
+import graft.model._
+import graft.worker.{BatchTracker, SchedulerEngine, WorkerEngine}
+
+/** Cross-backend capability matrix — the goose pattern of running one
+  * test suite against every broker implementing the protocol
+  * (test/goose/capability.clj:17-46, test/goose/integration/
+  * test_utils.clj:9-80). Each lifecycle scenario below runs against BOTH
+  * the parquet-log backend and the in-memory backend; behavior must be
+  * identical because the engine only sees the QueueBackend seam.
+  */
+class CapabilityMatrixSpec extends SparkSpec {
+
+  private case class Ctx(
+      backend: QueueBackend,
+      client: GraftClient,
+      worker: WorkerEngine,
+      sched: SchedulerEngine,
+      tracker: BatchTracker,
+      api: ManagementApi,
+      clock: java.util.concurrent.atomic.AtomicLong)
+
+  private def backends: Seq[(String, () => QueueBackend)] = Seq(
+    "parquet" -> (() => new ParquetBackend(spark, tmpDir("graft-cap"))),
+    "in-memory" -> (() => new InMemoryBackend(spark)))
+
+  private def ctx(mk: () => QueueBackend): Ctx = {
+    TestFns.reset()
+    val clock = new java.util.concurrent.atomic.AtomicLong(1700000000000L)
+    val nowFn = () => clock.get()
+    val backend = mk()
+    val retry = RetryOpts(maxRetries = 1, retryDelaySecFn = "instant")
+    Ctx(backend,
+      new GraftClient(backend, spark, "test", retry, nowFn),
+      new WorkerEngine(backend, spark, Nil, nowFn),
+      new SchedulerEngine(backend, spark, nowFn),
+      new BatchTracker(backend, spark),
+      new ManagementApi(backend, spark),
+      clock)
+  }
+
+  for ((name, mk) <- backends) {
+
+    test(s"[$name] async execute + consume-once") {
+      val c = ctx(mk)
+      c.client.performAsync("ok", "x")
+      assert(c.worker.runPass().succeeded == 1)
+      assert(c.worker.runPass().executed == 0) // consumed
+      assert(c.api.enqueuedSize("test") == 0)
+    }
+
+    test(s"[$name] retry then death with execution counts") {
+      val c = ctx(mk)
+      c.client.performAsync("boom")
+      assert(c.worker.runPass().retried == 1)
+      c.clock.addAndGet(1000)
+      assert(c.sched.promoteDue() == 1)
+      assert(c.worker.runPass().died == 1)
+      assert(TestFns.calls.get() == 2)
+      assert(c.api.deadSize() == 1)
+    }
+
+    test(s"[$name] dead replay + pop + purge") {
+      val c = ctx(mk)
+      c.client.performAsync("boom")
+      c.worker.runPass()
+      c.clock.addAndGet(1000)
+      c.sched.promoteDue()
+      c.worker.runPass()
+      assert(c.api.deadSize() == 1)
+      assert(c.api.deadReplayN(1).length == 1)
+      assert(c.api.deadSize() == 0 && c.api.enqueuedSize("test") == 1)
+      assert(c.worker.runPass().died == 1) // exhausted → dies again
+      assert(c.api.deadPop().isDefined)
+      assert(c.api.deadSize() == 0)
+    }
+
+    test(s"[$name] prioritise moves to front; delete and purge hide rows") {
+      val c = ctx(mk)
+      val a = c.client.performAsync("ok", "a")
+      c.clock.addAndGet(1000)
+      val b = c.client.performAsync("ok", "b")
+      assert(c.api.enqueuedPrioritise("test", Seq(b)) == 1)
+      assert(c.api.enqueuedPage("test", 0).head.id == b)
+      assert(c.api.enqueuedDelete("test", Seq(a)) == 1)
+      assert(c.api.enqueuedSize("test") == 1)
+      c.api.enqueuedPurge("test")
+      assert(c.api.enqueuedSize("test") == 0)
+      c.client.performAsync("ok", "after-purge")
+      assert(c.api.enqueuedSize("test") == 1)
+    }
+
+    test(s"[$name] batch lifecycle to partial-success with single callback") {
+      val c = ctx(mk)
+      JobRegistry.register("cap_cb", _ => "cb")
+      c.client.performBatch(Seq(("boom", Seq[Any]()), ("ok", Seq[Any]())), "cap_cb")
+      c.worker.runPass()
+      c.clock.addAndGet(1000)
+      c.sched.promoteDue()
+      c.worker.runPass()
+      val t = c.tracker.trackPass()
+      assert(t.map(_.status) == Seq(BatchStatus.PartialSuccess))
+      assert(c.tracker.trackPass().isEmpty)
+      assert(c.worker.runPass().succeeded == 1) // the callback job
+    }
+
+    test(s"[$name] cron fire + advance + idempotent upsert") {
+      val c = ctx(mk)
+      c.clock.set(java.time.Instant.parse("2024-01-01T00:00:30Z").toEpochMilli)
+      c.client.performEveryTz("cap-tick", "*/3 * * * *", "UTC", "ok")
+      c.client.performEveryTz("cap-tick", "*/5 * * * *", "UTC", "ok")
+      assert(c.api.cronList().map(_.cronSchedule) == Seq("*/5 * * * *"))
+      c.clock.set(java.time.Instant.parse("2024-01-01T00:05:10Z").toEpochMilli)
+      assert(c.sched.fireCron() == 1)
+      assert(c.sched.fireCron() == 0)
+      assert(c.worker.runPass().succeeded == 1)
+    }
+
+    test(s"[$name] compaction preserves visible sets") {
+      val c = ctx(mk)
+      val a = c.client.performAsync("ok", "keep")
+      val b = c.client.performAsync("ok", "drop")
+      c.api.enqueuedDelete("test", Seq(b))
+      c.backend.compact("ready")
+      assert(c.api.enqueuedSize("test") == 1)
+      assert(c.api.enqueuedFindById("test", a).isDefined)
+    }
+  }
+}

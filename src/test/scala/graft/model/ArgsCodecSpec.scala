@@ -50,4 +50,24 @@ class ArgsCodecSpec extends AnyFunSuite {
   test("non-array top level is rejected") {
     intercept[IllegalArgumentException] { ArgsCodec.decode("{\"a\":1}") }
   }
+
+  test("custom serializer installs and round-trips (utils.clj:13-17 seam)") {
+    object Base64Json extends ArgsSerializer {
+      private val enc = java.util.Base64.getEncoder
+      private val dec = java.util.Base64.getDecoder
+      def contentType = "application/base64+json"
+      def encode(args: Seq[Any]): String =
+        enc.encodeToString(ArgsCodec.encode(args).getBytes("UTF-8"))
+      def decode(payload: String): Seq[Any] =
+        ArgsCodec.decode(new String(dec.decode(payload), "UTF-8"))
+    }
+    try {
+      ArgsSerializers.install(Base64Json)
+      val args = Seq("hello", 42L)
+      val encoded = ArgsSerializers.active.encode(args)
+      assert(!encoded.contains("hello")) // actually transformed
+      assert(ArgsSerializers.active.decode(encoded) == args)
+      assert(ArgsSerializers.active.roundTripConsistent(args))
+    } finally ArgsSerializers.reset()
+  }
 }
