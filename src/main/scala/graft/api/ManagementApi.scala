@@ -195,6 +195,34 @@ final class ManagementApi(backend: QueueBackend, spark: SparkSession) {
     backend.readyJobs.groupBy($"queue").agg(count(lit(1)).as("n"))
       .as[(String, Long)].collect().toMap
 
+  // ---------- worker registry (reference redis/worker.clj, heartbeat.clj) ----------
+
+  /** Latest heartbeat per process (TTL applied by the caller's probe). */
+  private def latestHeartbeats =
+    backend.heartbeats.groupBy($"processId", $"queue")
+      .agg(max($"lastHeartbeatAt").as("lastHeartbeatAt"))
+
+  /** F9 alive? — heartbeat within ttl (redis/heartbeat.clj:10-11). */
+  def aliveProcesses(now: Long, ttlMs: Long = 60000): Seq[ProcessHeartbeat] =
+    latestHeartbeats.filter($"lastHeartbeatAt" >= now - ttlMs)
+      .as[(String, String, Long)].collect()
+      .map(t => ProcessHeartbeat(t._1, t._2, t._3)).toSeq
+
+  /** D10's detection half: registered processes WITHOUT a live heartbeat
+    * — the anti-join shape (orphan_checker.clj:13-20). Recovery itself is
+    * owned by checkpoint replay, so detection is all that remains. */
+  def deadProcesses(now: Long, ttlMs: Long = 60000): Seq[String] = {
+    val live = latestHeartbeats.filter($"lastHeartbeatAt" >= now - ttlMs)
+      .select($"processId".as("live_id"))
+    backend.heartbeats.select($"processId").distinct()
+      .join(live, $"processId" === $"live_id", "left_anti")
+      .as[String].collect().toSeq
+  }
+
+  /** A5 global-workers-count (redis/heartbeat.clj:16-20). */
+  def globalWorkersCount(now: Long, ttlMs: Long = 60000): Long =
+    latestHeartbeats.filter($"lastHeartbeatAt" >= now - ttlMs).count()
+
   /** D13 delete a whole batch's pending jobs (redis/api/batch.clj:11-38;
     * "documented-expensive" in goose, one anti-join per table here). */
   def batchDelete(batchId: String): Unit = {

@@ -116,6 +116,12 @@ final class InMemoryBackend(spark: SparkSession) extends QueueBackend {
   override def batchStatusEvents: Dataset[BatchStatusEvent] =
     lock.synchronized(spark.createDataset(statusEvents.toSeq))
 
+  private val hbs = mutable.ArrayBuffer[ProcessHeartbeat]()
+  override def recordHeartbeat(hb: ProcessHeartbeat): Unit =
+    lock.synchronized(hbs += hb)
+  override def heartbeats: Dataset[ProcessHeartbeat] =
+    lock.synchronized(spark.createDataset(hbs.toSeq))
+
   /** Fold logs to their visible rows, dropping spent subtraction state. */
   override def compact(tbl: String): Unit = lock.synchronized {
     tbl match {

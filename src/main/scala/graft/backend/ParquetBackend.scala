@@ -178,6 +178,13 @@ final class ParquetBackend(val spark: SparkSession, val root: String) extends Qu
   override def batchStatusEvents: Dataset[BatchStatusEvent] =
     readLog[BatchStatusEvent]("batch_status")
 
+  // ---------- worker registry ----------
+
+  override def recordHeartbeat(hb: ProcessHeartbeat): Unit =
+    appendSmall("heartbeats", Seq(hb).toDS())
+  override def heartbeats: Dataset[ProcessHeartbeat] =
+    readLog[ProcessHeartbeat]("heartbeats")
+
   // ---------- maintenance ----------
 
   /** Fold a log to its visible rows (the GC that keeps anti-join sides

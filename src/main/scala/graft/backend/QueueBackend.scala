@@ -63,6 +63,10 @@ trait QueueBackend {
   def recordBatchStatus(events: Seq[BatchStatusEvent]): Unit
   def batchStatusEvents: Dataset[BatchStatusEvent]
 
+  // ---- worker registry (reference redis/worker.clj:66-77, heartbeat.clj) ----
+  def recordHeartbeat(hb: ProcessHeartbeat): Unit
+  def heartbeats: Dataset[ProcessHeartbeat]
+
   // ---- maintenance ----
   def compact(tbl: String): Unit
 }

@@ -19,6 +19,7 @@ object DedupOps {
 
   private val ShingleLen = 8
   private val NumHashes = 4
+  private val MaxBandWidth = 20
 
   /** Character shingles of length 8: one row per (doc, offset). */
   private def shingled(docs: DataFrame): DataFrame =
@@ -94,6 +95,30 @@ object DedupOps {
         .orderBy("d1", "d2").limit(200)
     }),
 
+    // LSH with a hot-band guard: bands shared by more than MaxBandWidth
+    // docs are dropped before the self-join — the standard skew
+    // mitigation for MinHash dedup at corpus scale (a degenerate band
+    // value otherwise produces k² candidate pairs; capping bounds any
+    // single join key's fan-out while keeping genuinely-similar pairs,
+    // which meet in several bands).
+    "d09_lsh_skew_guarded" -> ((s, d) => {
+      val sig = signatures(Tables.documents(s, d)).localCheckpoint(true)
+      val bands = sig.select(col("doc_id"),
+        explode(array((1 to NumHashes).map(i =>
+          struct(lit(i).as("band"), col(s"h$i").as("h"))): _*)).as("b"))
+        .select(col("doc_id"), col("b.band"), col("b.h"))
+      val narrow = bands.groupBy("band", "h")
+        .agg(count(lit(1)).as("width"))
+        .filter(col("width") <= MaxBandWidth)
+        .select("band", "h")
+      val guarded = bands.join(narrow, Seq("band", "h"))
+      val l = guarded.select(col("doc_id").as("d1"), col("band"), col("h"))
+      val r = guarded.select(col("doc_id").as("d2"), col("band"), col("h"))
+      l.join(r, Seq("band", "h")).filter(col("d1") < col("d2"))
+        .select("d1", "d2").distinct()
+        .orderBy("d1", "d2").limit(200)
+    }),
+
     // n-gram Jaccard near-dup scores for same-source pairs: the verify
     // step that follows LSH candidate generation. Shingles are reduced to
     // sorted 64-bit hashes before the pairwise intersect: set sizes (and
@@ -155,6 +180,17 @@ object DedupOps {
               .mkString("\n  UNION ALL\n  ")})
          |SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
          |FROM bands a JOIN bands b ON a.band = b.band AND a.h = b.h
+         |WHERE a.doc_id < b.doc_id
+         |ORDER BY d1, d2 LIMIT 200""".stripMargin,
+    "d09_lsh_skew_guarded" ->
+      s"""WITH $sigSqlCte,
+         |bands AS (
+         |  ${(1 to NumHashes).map(i => s"SELECT doc_id, $i AS band, h$i AS h FROM sig")
+              .mkString("\n  UNION ALL\n  ")}),
+         |narrow AS (SELECT band, h FROM bands GROUP BY band, h HAVING COUNT(*) <= $MaxBandWidth),
+         |guarded AS (SELECT b.doc_id, b.band, b.h FROM bands b JOIN narrow n ON b.band = n.band AND b.h = n.h)
+         |SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+         |FROM guarded a JOIN guarded b ON a.band = b.band AND a.h = b.h
          |WHERE a.doc_id < b.doc_id
          |ORDER BY d1, d2 LIMIT 200""".stripMargin,
     "d06_ngram_jaccard" ->

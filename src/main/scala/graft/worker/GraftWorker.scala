@@ -39,6 +39,13 @@ final class GraftWorker(
   private val scheduler = new SchedulerEngine(backend, spark, nowFn)
   private val tracker = new BatchTracker(backend, spark)
 
+  /** Worker identity, goose's `queue:hostname:random12`
+    * (reference redis/worker.clj:66-67). */
+  val processId: String = {
+    val host = try java.net.InetAddress.getLocalHost.getHostName catch { case _: Throwable => "local" }
+    s"*:$host:${java.util.UUID.randomUUID().toString.take(12)}"
+  }
+
   private val running = new AtomicBoolean(false)
   @volatile private var query: org.apache.spark.sql.streaming.StreamingQuery = _
   @volatile private var maintenance: Thread = _
@@ -49,6 +56,8 @@ final class GraftWorker(
     maintenance = new Thread(() => {
       while (running.get()) {
         try {
+          backend.recordHeartbeat(
+            graft.model.ProcessHeartbeat(processId, "*", nowFn())) // D9
           scheduler.tick()
           tracker.trackPass()
           Metrics.publishGauges(backend, spark, metrics)

@@ -45,6 +45,12 @@ class GraftWorkerSpec extends SparkSpec {
     assert(sink.counter(Metrics.FailureCount + ",queue=test") == 1)
     assert(sink.counter(Metrics.RecoveredCount + ",queue=test") == 1)
     assert(sink.gauges.containsKey("total_enqueued.size"))
+    // heartbeats registered (D9); process alive within TTL, then the
+    // stopped worker shows up via the anti-join probe (F9/D10 detection)
+    val now = System.currentTimeMillis()
+    assert(api.globalWorkersCount(now) == 1)
+    assert(api.aliveProcesses(now).map(_.processId) == Seq(worker.processId))
+    assert(api.deadProcesses(now + 120000) == Seq(worker.processId))
   }
 
   test("latency source selection mirrors job.clj:45-61") {
