@@ -28,13 +28,15 @@ object DedupOps {
       .withColumn("sh", col("text").substr(col("g"), lit(ShingleLen)))
 
   /** Salted-min signature columns h1..h4. */
-  private def signatures(docs: DataFrame): DataFrame = {
-    val hs = (1 to NumHashes).map(i => min(md5(concat(lit(i.toString), col("sh")))).as(s"h$i"))
-    // distinct before hashing: min over the shingle SET equals min over
-    // the multiset, and repeated shingles (~40% here) skip 4 md5 calls.
-    shingled(docs).select("doc_id", "sh").distinct()
-      .groupBy("doc_id").agg(hs.head, hs.tail: _*)
-  }
+  /** Per-doc salted-min signatures via the native [[graft.functions.MinHashMd5]]
+    * expression: one pass per document, NO shingle explode/shuffle (the
+    * composable explode→md5→groupBy(min) form shuffles ~500 rows per doc;
+    * equivalence is spec-tested). */
+  private def signatures(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id") +:
+      (1 to NumHashes).map(i =>
+        graft.functions.MinHashFunctions.minhash_md5(col("text"), i.toString, ShingleLen)
+          .as(s"h$i")): _*)
 
   private val sigSqlCte =
     s"""sh AS (
@@ -133,7 +135,9 @@ object DedupOps {
       val l = sets.select(col("source"), col("doc_id").as("d1"), col("shs").as("s1"))
       val r = sets.select(col("source"), col("doc_id").as("d2"), col("shs").as("s2"))
       l.join(r, "source").filter(col("d1") < col("d2"))
-        .withColumn("inter", size(array_intersect(col("s1"), col("s2"))).cast("double"))
+        .withColumn("inter",
+          graft.functions.ArrayFunctions.sorted_intersect_size(col("s1"), col("s2"))
+            .cast("double"))
         .withColumn("jac", round(col("inter") /
           (size(col("s1")) + size(col("s2")) - col("inter")), 4))
         .filter(col("jac") >= 0.2)
