@@ -165,6 +165,42 @@ object QueueQueries {
         .orderBy("n_name")
     }),
 
+    // Windowed aggregation (beyond the reference surface — SURVEY §2.6:
+    // goose has no windowed aggs; Spark provides them natively).
+    "q24_daily_window" -> ((s, d) =>
+      events(s, d)
+        .groupBy(date_trunc("day", col("ts")).cast("date").as("day"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total_v"))
+        .orderBy("day", "event_type")),
+
+    // Gap-based sessionization (1-hour inactivity): lag + running sum of
+    // session breaks — the standard distributed sessionize, one shuffle
+    // per user partition.
+    "q25_sessionize" -> ((s, d) => {
+      val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      events(s, d)
+        .withColumn("prev_ts", lag("ts", 1).over(byUser))
+        .withColumn("brk",
+          when(col("prev_ts").isNull ||
+            col("ts") > col("prev_ts") + expr("INTERVAL 1 HOUR"), 1).otherwise(0))
+        .withColumn("sess", sum("brk").over(
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("user_id", "sess")
+        .agg(count(lit(1)).as("n_events"), min("ts").as("start_ts"))
+        .orderBy("user_id", "sess").limit(100)
+    }),
+
+    // Rollup (grouping sets family — also free from Catalyst).
+    "q26_rollup" -> ((s, d) =>
+      events(s, d)
+        .rollup(col("event_type"), (col("user_id") % 5).as("cohort"))
+        .agg(count(lit(1)).as("n"))
+        // sentinel-coalesce the rollup nulls: null sort/compare semantics
+        // differ across engines and drivers
+        .select(coalesce(col("event_type"), lit("ALL")).as("event_type"),
+          coalesce(col("cohort"), lit(-1)).as("cohort"), col("n"))
+        .orderBy("event_type", "cohort")),
+
     // Top-k per group (console "latest per queue" view) — window row_number.
     "q23_topk_per_status" -> ((s, d) => {
       val w = Window.partitionBy("o_orderstatus")
@@ -221,6 +257,22 @@ object QueueQueries {
     "q22_revenue_by_nation" ->
       "SELECT n_name, COUNT(*) AS n_orders, ROUND(SUM(o_totalprice), 2) AS revenue FROM orders JOIN customer ON o_custkey = c_custkey JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name ORDER BY n_name",
     "q23_topk_per_status" ->
-      "SELECT o_orderstatus, o_orderkey, o_totalprice, rn FROM (SELECT o_orderstatus, o_orderkey, o_totalprice, ROW_NUMBER() OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn FROM orders) WHERE rn <= 3 ORDER BY o_orderstatus, rn"
+      "SELECT o_orderstatus, o_orderkey, o_totalprice, rn FROM (SELECT o_orderstatus, o_orderkey, o_totalprice, ROW_NUMBER() OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn FROM orders) WHERE rn <= 3 ORDER BY o_orderstatus, rn",
+    "q24_daily_window" ->
+      "SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type, COUNT(*) AS n, ROUND(SUM(value), 2) AS total_v FROM events GROUP BY 1, 2 ORDER BY day, event_type",
+    "q25_sessionize" ->
+      """WITH g AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN lag(ts) OVER w IS NULL OR ts > lag(ts) OVER w + INTERVAL 1 HOUR
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (
+        |  SELECT user_id, ts,
+        |    CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sess
+        |  FROM g)
+        |SELECT user_id, sess, COUNT(*) AS n_events, MIN(ts) AS start_ts
+        |FROM s GROUP BY user_id, sess ORDER BY user_id, sess LIMIT 100""".stripMargin,
+    "q26_rollup" ->
+      "SELECT COALESCE(event_type, 'ALL') AS event_type, COALESCE(user_id % 5, -1) AS cohort, COUNT(*) AS n FROM events GROUP BY ROLLUP(event_type, user_id % 5) ORDER BY event_type, cohort"
   )
 }

@@ -116,8 +116,8 @@ object TextOps {
          |FROM documents ORDER BY doc_id LIMIT 200""".stripMargin,
     "t03_token_count" ->
       s"""SELECT source, COUNT(*) AS n_docs,
-         |  SUM(len(regexp_extract_all(text, '$WsTok', 0))) AS ws_total,
-         |  SUM(len(regexp_extract_all(text, '$BpeTok', 0))) AS bpe_total
+         |  CAST(SUM(len(regexp_extract_all(text, '$WsTok', 0))) AS BIGINT) AS ws_total,
+         |  CAST(SUM(len(regexp_extract_all(text, '$BpeTok', 0))) AS BIGINT) AS bpe_total
          |FROM documents GROUP BY source ORDER BY source""".stripMargin,
     "t04_fingerprint" ->
       """SELECT doc_id, substr(md5(regexp_replace(lower(text), '\s+', ' ', 'g')), 1, 16) AS fp

@@ -9,6 +9,7 @@ tables, and compares: row count, column names (sorted), and values
 (sorted by all columns after sorting columns by name).
 """
 import sys, json, glob, os
+import decimal
 import duckdb
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
@@ -16,9 +17,14 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 
 def norm(v):
-    if isinstance(v, float):
-        return round(v, 9)
-    return v
+    """Normalize to a sortable, cross-type-comparable tuple."""
+    if v is None:
+        return (0, "", "")
+    if isinstance(v, bool):
+        return (1, "bool", str(v))
+    if isinstance(v, (int, float, decimal.Decimal)):
+        return (1, "num", round(float(v), 9))
+    return (1, type(v).__name__, str(v))
 
 
 def main(sf_dir, out_dir):
