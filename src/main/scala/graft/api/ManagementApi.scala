@@ -223,6 +223,22 @@ final class ManagementApi(backend: QueueBackend, spark: SparkSession) {
   def globalWorkersCount(now: Long, ttlMs: Long = 60000): Long =
     latestHeartbeats.filter($"lastHeartbeatAt" >= now - ttlMs).count()
 
+  /** D8 linger cleanup (redis/batch.clj:73-99: EXPIRE linger-sec NX on
+    * batch keys). Batches terminal for longer than their lingerSec are
+    * dropped from the metadata/status tables. Run from the maintenance
+    * tick or an admin call. */
+  def vacuumBatches(now: Long): Int = {
+    val terminalAt = backend.batchStatusEvents
+      .filter(e => BatchStatus.terminal(e.status))
+      .groupBy($"batchId").agg(max($"at").as("t_at"))
+    val expired = backend.batches
+      .join(terminalAt, $"id" === $"batchId")
+      .filter($"t_at" + $"lingerSec" * 1000L <= now)
+      .select($"id").as[String].collect().toSeq
+    backend.deleteBatches(expired)
+    expired.length
+  }
+
   /** D13 delete a whole batch's pending jobs (redis/api/batch.clj:11-38;
     * "documented-expensive" in goose, one anti-join per table here). */
   def batchDelete(batchId: String): Unit = {

@@ -116,6 +116,12 @@ final class InMemoryBackend(spark: SparkSession) extends QueueBackend {
   override def batchStatusEvents: Dataset[BatchStatusEvent] =
     lock.synchronized(spark.createDataset(statusEvents.toSeq))
 
+  override def deleteBatches(ids: Seq[String]): Unit = lock.synchronized {
+    val drop = ids.toSet
+    batchMetas.filterInPlace(m => !drop.contains(m.id))
+    statusEvents.filterInPlace(e => !drop.contains(e.batchId))
+  }
+
   private val hbs = mutable.ArrayBuffer[ProcessHeartbeat]()
   override def recordHeartbeat(hb: ProcessHeartbeat): Unit =
     lock.synchronized(hbs += hb)

@@ -178,6 +178,13 @@ final class ParquetBackend(val spark: SparkSession, val root: String) extends Qu
   override def batchStatusEvents: Dataset[BatchStatusEvent] =
     readLog[BatchStatusEvent]("batch_status")
 
+  override def deleteBatches(ids: Seq[String]): Unit = {
+    if (ids.isEmpty) return
+    val drop = ids.toSet
+    rewriteLog("batches", batches.filter(m => !drop.contains(m.id)))
+    rewriteLog("batch_status", batchStatusEvents.filter(e => !drop.contains(e.batchId)))
+  }
+
   // ---------- worker registry ----------
 
   override def recordHeartbeat(hb: ProcessHeartbeat): Unit =

@@ -63,6 +63,10 @@ trait QueueBackend {
   def recordBatchStatus(events: Seq[BatchStatusEvent]): Unit
   def batchStatusEvents: Dataset[BatchStatusEvent]
 
+  /** Drop batch metadata + status rows for the given ids (the linger-TTL
+    * cleanup of redis/batch.clj:73-99, where EXPIRE does it for free). */
+  def deleteBatches(ids: Seq[String]): Unit
+
   // ---- worker registry (reference redis/worker.clj:66-77, heartbeat.clj) ----
   def recordHeartbeat(hb: ProcessHeartbeat): Unit
   def heartbeats: Dataset[ProcessHeartbeat]

@@ -122,6 +122,35 @@ class ManagementApiSpec extends SparkSpec {
     assert(api.queueGauges() == Map("test" -> 1L))
   }
 
+  test("batch linger vacuum drops expired terminal batches (D8 EXPIRE)") {
+    val (backend, client, worker, _, api, clock) = fixture()
+    JobRegistry.register("mapi_cb", _ => "cb")
+    val retry = RetryOpts(maxRetries = 0)
+    val c2 = new GraftClient(backend, spark, "test", retry, () => clock.get())
+    val bid = c2.performBatch(Seq(("ok", Seq[Any]())), "mapi_cb", lingerSec = 60)
+    worker.runPass()
+    val tracker = new graft.worker.BatchTracker(backend, spark)
+    assert(tracker.trackPass().map(_.status) == Seq(BatchStatus.Success))
+    val terminalAt = backend.batchStatusEvents.collect().head.at
+    assert(api.vacuumBatches(terminalAt + 59000) == 0) // still lingering
+    assert(api.vacuumBatches(terminalAt + 61000) == 1)
+    assert(backend.batches.count() == 0)
+    assert(backend.batchStatusEvents.count() == 0)
+  }
+
+  test("SQL views expose live collections (GraftSql)") {
+    val (backend, client, worker, _, _, _) = fixture()
+    client.performAsync("ok", "sql-a")
+    client.performInSec(600, "ok")
+    graft.api.GraftSql.registerViews(backend, spark)
+    assert(spark.sql("SELECT COUNT(*) FROM graft_enqueued").head().getLong(0) == 1)
+    assert(spark.sql("SELECT queue FROM graft_scheduled").head().getString(0) == "test")
+    worker.runPass()
+    graft.api.GraftSql.registerViews(backend, spark) // refresh listing
+    assert(spark.sql(
+      "SELECT terminalState FROM graft_completions").head().getString(0) == "success")
+  }
+
   test("compaction preserves the visible set") {
     val (backend, client, _, _, api, _) = fixture()
     val a = client.performAsync("ok", "keep-1")
