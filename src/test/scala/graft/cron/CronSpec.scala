@@ -71,6 +71,17 @@ class CronSpec extends AnyFunSuite {
     assert(s.prevFire(t("2024-01-01T00:15:00Z"), utc) == t("2024-01-01T00:15:00Z"))
   }
 
+  test("leap day fires only in leap years") {
+    val s = CronSchedule.parse("0 0 29 2 *")
+    assert(s.nextFire(t("2023-03-01T00:00:00Z"), utc) == t("2024-02-29T00:00:00Z"))
+    assert(s.nextFire(t("2024-02-29T00:00:00Z"), utc) == t("2028-02-29T00:00:00Z"))
+  }
+
+  test("impossible dates fail fast instead of spinning") {
+    val s = CronSchedule.parse("0 0 31 4 *") // April 31st never exists
+    intercept[IllegalStateException] { s.nextFire(t("2024-01-01T00:00:00Z"), utc) }
+  }
+
   test("invalid schedules are rejected") {
     intercept[IllegalArgumentException] { CronSchedule.parse("* * * *") }
     intercept[IllegalArgumentException] { CronSchedule.parse("61 * * * *") }
