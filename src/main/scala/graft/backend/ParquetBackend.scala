@@ -40,14 +40,17 @@ final class ParquetBackend(val spark: SparkSession, val root: String) extends Qu
     fs.exists(p) && fs.listStatus(p).exists(_.getPath.getName.endsWith(".parquet"))
   }
 
-  /** Appends to one table serialize through the backend instance:
-    * concurrent Hadoop FileOutputCommitter jobs share the target's
-    * `_temporary` dir, and one job's cleanup deletes the other's staging
-    * files mid-write. (Cross-process writers would need a staging-dir
-    * committer; in-process, the lock is enough.) */
-  private val writeLock = new Object
-  private def append[T](tbl: String, ds: Dataset[T]): Unit = writeLock.synchronized {
-    ds.write.mode(SaveMode.Append).parquet(dir(tbl))
+  /** Appends to one table serialize through a PER-TABLE lock: concurrent
+    * Hadoop FileOutputCommitter jobs on the SAME directory share its
+    * `_temporary` staging dir, and one job's cleanup deletes the other's
+    * files mid-write. Different tables have different staging dirs, so
+    * they append concurrently (the worker commits completions/retries/
+    * deaths in parallel). Cross-process writers on one table would need a
+    * staging-dir committer; in-process, the lock is enough. */
+  private val writeLocks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private def append[T](tbl: String, ds: Dataset[T]): Unit = {
+    val lock = writeLocks.computeIfAbsent(tbl, _ => new Object)
+    lock.synchronized { ds.write.mode(SaveMode.Append).parquet(dir(tbl)) }
   }
 
   /** Small driver-side row sets (client API calls) write one file. */

@@ -123,15 +123,25 @@ final class WorkerEngine(
       val executed = counts.values.sum
       if (executed == 0) return PassStats(0, 0, 0, 0)
 
-      backend.recordCompletions(results.map(r => WorkerCore.toCompletion(r)))
-
       val retried = counts.getOrElse("retry", 0L)
-      if (retried > 0) backend.schedule(results.filter(_.action == "retry").map(_.job))
-
       val died = counts.getOrElse("dead", 0L)
-      if (died > 0) backend.bury(results
-        .filter(r => r.action == "dead" && !r.job.retryOpts.skipDeadQueue)
-        .map(_.job))
+
+      // The three outcome commits target disjoint tables and read only the
+      // checkpointed results — submit them as concurrent Spark jobs.
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val commits = Seq(
+        Future(backend.recordCompletions(results.map(r => WorkerCore.toCompletion(r))))) ++
+        (if (retried > 0)
+          Seq(Future(backend.schedule(results.filter(_.action == "retry").map(_.job))))
+        else Nil) ++
+        (if (died > 0)
+          Seq(Future(backend.bury(results
+            .filter(r => r.action == "dead" && !r.job.retryOpts.skipDeadQueue)
+            .map(_.job))))
+        else Nil)
+      commits.foreach(Await.result(_, Duration.Inf))
 
       PassStats(executed, counts.getOrElse("success", 0L), retried, died)
     } finally results.unpersist()
