@@ -201,6 +201,18 @@ object QueueQueries {
           coalesce(col("cohort"), lit(-1)).as("cohort"), col("n"))
         .orderBy("event_type", "cohort")),
 
+    // Exact per-queue latency percentiles (the SLO view a queue console
+    // needs; goose has no percentile surface at all). Implemented through
+    // the spark.sql path: the engine's tables work as plain SQL views.
+    "q27_percentiles" -> ((s, d) => {
+      events(s, d).createOrReplaceTempView("q27_events")
+      s.sql(
+        """SELECT event_type,
+          |  ROUND(percentile_cont(0.5) WITHIN GROUP (ORDER BY value), 4) AS p50,
+          |  ROUND(percentile_cont(0.95) WITHIN GROUP (ORDER BY value), 4) AS p95
+          |FROM q27_events GROUP BY event_type ORDER BY event_type""".stripMargin)
+    }),
+
     // Top-k per group (console "latest per queue" view) — window row_number.
     "q23_topk_per_status" -> ((s, d) => {
       val w = Window.partitionBy("o_orderstatus")
@@ -273,6 +285,11 @@ object QueueQueries {
         |SELECT user_id, sess, COUNT(*) AS n_events, MIN(ts) AS start_ts
         |FROM s GROUP BY user_id, sess ORDER BY user_id, sess LIMIT 100""".stripMargin,
     "q26_rollup" ->
-      "SELECT COALESCE(event_type, 'ALL') AS event_type, COALESCE(user_id % 5, -1) AS cohort, COUNT(*) AS n FROM events GROUP BY ROLLUP(event_type, user_id % 5) ORDER BY event_type, cohort"
+      "SELECT COALESCE(event_type, 'ALL') AS event_type, COALESCE(user_id % 5, -1) AS cohort, COUNT(*) AS n FROM events GROUP BY ROLLUP(event_type, user_id % 5) ORDER BY event_type, cohort",
+    "q27_percentiles" ->
+      """SELECT event_type,
+        |  ROUND(percentile_cont(0.5) WITHIN GROUP (ORDER BY value), 4) AS p50,
+        |  ROUND(percentile_cont(0.95) WITHIN GROUP (ORDER BY value), 4) AS p95
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
   )
 }
