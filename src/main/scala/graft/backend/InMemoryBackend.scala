@@ -77,19 +77,30 @@ final class InMemoryBackend(spark: SparkSession) extends QueueBackend {
   private def visibleOf(buf: mutable.ArrayBuffer[Job], tbl: String): Seq[Job] =
     buf.filterNot(j => tombsFor(tbl).contains((j.id, j.seq))).toSeq
 
+  /** One row per (id, attempt) — crash-replay duplicates collapse, same
+    * as ParquetBackend.filterReadyVisible. */
+  private def dedupeByAttempt(jobs: Seq[Job]): Seq[Job] =
+    jobs.groupBy(j => (j.id, JobAttempt.of(j))).values.map(_.head).toSeq
+
   override def readyJobs: Dataset[Job] =
-    lock.synchronized(spark.createDataset(ready.filter(readyVisiblePred).toSeq))
+    lock.synchronized(
+      spark.createDataset(dedupeByAttempt(ready.filter(readyVisiblePred).toSeq)))
 
   override def filterReadyVisible(slice: Dataset[Job]): Dataset[Job] = {
     // snapshot the subtraction state; the predicate ships as plain sets
     val (consumed, t, marks) = lock.synchronized {
       (consumedKeys.toSet, tombsFor("ready").toSet, purgeMarks.toMap)
     }
+    import org.apache.spark.sql.functions.{coalesce, col, lit}
     slice.filter { j =>
       val attempt = JobAttempt.of(j)
       !consumed.contains((j.id, attempt)) && !t.contains((j.id, j.seq)) &&
         marks.get(j.queue).forall(j.seq > _) && marks.get("*").forall(j.seq > _)
     }
+      .withColumn("rattempt", coalesce(col("state.retryCount") + 1, lit(0)))
+      .dropDuplicates("id", "rattempt")
+      .drop("rattempt")
+      .as[Job]
   }
 
   override def scheduledJobs: Dataset[Job] =

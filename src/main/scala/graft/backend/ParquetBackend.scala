@@ -116,6 +116,12 @@ final class ParquetBackend(val spark: SparkSession, val root: String) extends Qu
         $"id" === $"t_id" && $"seq" === $"t_seq", "left_anti")
       .join(purges, $"queue" === $"p_queue", "left_outer")
       .filter($"p_seq".isNull || $"seq" > $"p_seq")
+      // crash-replay can append the same logical row twice (e.g. a
+      // promote that died between enqueue and tombstone re-promotes):
+      // one execution per (id, attempt). AFTER the subtractions — before
+      // them, the arbitrary survivor could be a tombstoned version
+      // (prioritise tombstones the old seq and re-appends the new one).
+      .dropDuplicates("id", "rattempt")
       .drop("rattempt", "p_queue", "p_seq")
       .as[Job]
   }

@@ -126,22 +126,29 @@ final class WorkerEngine(
       val retried = counts.getOrElse("retry", 0L)
       val died = counts.getOrElse("dead", 0L)
 
-      // The three outcome commits target disjoint tables and read only the
-      // checkpointed results — submit them as concurrent Spark jobs.
+      // Commit ORDER is the crash-safety contract: retry/death rows first
+      // (concurrent — disjoint tables, reading only checkpointed results),
+      // completions LAST as the commit point. A crash before the
+      // completion append leaves the attempt unconsumed, so replay
+      // re-executes it (at-least-once, like goose) and re-derives the same
+      // outputs; duplicates that creates are collapsed by the (id,
+      // attempt) dedupe in filterReadyVisible / the (id, seq) tombstones.
+      // The REVERSE order would mark the attempt consumed with its retry
+      // never scheduled — silent job loss.
       import scala.concurrent.{Await, Future}
       import scala.concurrent.duration.Duration
       import scala.concurrent.ExecutionContext.Implicits.global
-      val commits = Seq(
-        Future(backend.recordCompletions(results.map(r => WorkerCore.toCompletion(r))))) ++
+      val outcomes =
         (if (retried > 0)
           Seq(Future(backend.schedule(results.filter(_.action == "retry").map(_.job))))
         else Nil) ++
-        (if (died > 0)
-          Seq(Future(backend.bury(results
-            .filter(r => r.action == "dead" && !r.job.retryOpts.skipDeadQueue)
-            .map(_.job))))
-        else Nil)
-      commits.foreach(Await.result(_, Duration.Inf))
+          (if (died > 0)
+            Seq(Future(backend.bury(results
+              .filter(r => r.action == "dead" && !r.job.retryOpts.skipDeadQueue)
+              .map(_.job))))
+          else Nil)
+      outcomes.foreach(Await.result(_, Duration.Inf))
+      backend.recordCompletions(results.map(r => WorkerCore.toCompletion(r)))
 
       PassStats(executed, counts.getOrElse("success", 0L), retried, died)
     } finally results.unpersist()

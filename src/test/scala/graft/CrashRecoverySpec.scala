@@ -1,0 +1,123 @@
+package graft
+
+import java.util.concurrent.atomic.AtomicInteger
+import org.apache.spark.sql.Dataset
+import graft.api.ManagementApi
+import graft.backend.{BatchStatusEvent, ParquetBackend, QueueBackend}
+import graft.client.GraftClient
+import graft.model._
+import graft.worker.{SchedulerEngine, WorkerEngine}
+
+/** Fault injection: delegate to a real backend, throwing on the Nth call
+  * of one chosen write — simulating a worker crash mid-commit. */
+final class CrashingBackend(inner: QueueBackend, failMethod: String)
+    extends QueueBackend {
+  val armed = new AtomicInteger(1) // fail the first call, then recover
+
+  private def maybeFail(m: String): Unit =
+    if (m == failMethod && armed.getAndDecrement() > 0)
+      throw new RuntimeException(s"injected crash in $m")
+
+  def enqueue(jobs: Dataset[Job]): Unit = { maybeFail("enqueue"); inner.enqueue(jobs) }
+  def schedule(jobs: Dataset[Job]): Unit = { maybeFail("schedule"); inner.schedule(jobs) }
+  def bury(jobs: Dataset[Job]): Unit = { maybeFail("bury"); inner.bury(jobs) }
+  def recordCompletions(events: Dataset[CompletionEvent]): Unit = {
+    maybeFail("recordCompletions"); inner.recordCompletions(events)
+  }
+  def tombstone(tbl: String, victims: Seq[(String, Long)], reason: String): Unit = {
+    maybeFail("tombstone"); inner.tombstone(tbl, victims, reason)
+  }
+  def purge(tbl: String, queue: String): Unit = inner.purge(tbl, queue)
+  def readyJobs: Dataset[Job] = inner.readyJobs
+  def filterReadyVisible(slice: Dataset[Job]): Dataset[Job] = inner.filterReadyVisible(slice)
+  def scheduledJobs: Dataset[Job] = inner.scheduledJobs
+  def deadJobs: Dataset[Job] = inner.deadJobs
+  def completions: Dataset[CompletionEvent] = inner.completions
+  def upsertCron(entries: Seq[CronEntry]): Unit = inner.upsertCron(entries)
+  def cronEntries: Dataset[CronEntry] = inner.cronEntries
+  def deleteCron(names: Seq[String]): Unit = inner.deleteCron(names)
+  def purgeCron(): Unit = inner.purgeCron()
+  def putBatch(meta: BatchMeta): Unit = inner.putBatch(meta)
+  def batches: Dataset[BatchMeta] = inner.batches
+  def recordBatchStatus(events: Seq[BatchStatusEvent]): Unit = inner.recordBatchStatus(events)
+  def batchStatusEvents: Dataset[BatchStatusEvent] = inner.batchStatusEvents
+  def deleteBatches(ids: Seq[String]): Unit = inner.deleteBatches(ids)
+  def recordHeartbeat(hb: ProcessHeartbeat): Unit = inner.recordHeartbeat(hb)
+  def heartbeats: Dataset[ProcessHeartbeat] = inner.heartbeats
+  def compact(tbl: String): Unit = inner.compact(tbl)
+}
+
+/** Crash-mid-commit recovery: at every injection point the invariant is
+  * "replay converges with no job lost and at most duplicated EXECUTION,
+  * never duplicated OUTCOME" — the at-least-once + idempotent-commit
+  * contract that replaces goose's in-progress queues + orphan checker
+  * (SURVEY.md §4.3). */
+class CrashRecoverySpec extends SparkSpec {
+
+  private def fixture(failMethod: String) = {
+    TestFns.reset()
+    val clock = new java.util.concurrent.atomic.AtomicLong(1700000000000L)
+    val nowFn = () => clock.get()
+    val real = new ParquetBackend(spark, tmpDir("graft-crash"))
+    val backend = new CrashingBackend(real, failMethod)
+    val retry = RetryOpts(maxRetries = 1, retryDelaySecFn = "instant")
+    val client = new GraftClient(real, spark, "test", retry, nowFn) // client unaffected
+    val worker = new WorkerEngine(backend, spark, Nil, nowFn)
+    val sched = new SchedulerEngine(backend, spark, nowFn)
+    val api = new ManagementApi(real, spark)
+    (backend, client, worker, sched, api, clock)
+  }
+
+  test("crash BEFORE the completion commit re-executes, never loses the retry") {
+    val (backend, client, worker, sched, api, clock) = fixture("recordCompletions")
+    client.performAsync("boom")
+    intercept[RuntimeException] { worker.runPass() } // crash: retry written, completion not
+    assert(api.scheduledSize() == 1)
+    assert(backend.completions.count() == 0)
+
+    // replay (what the streaming checkpoint would do): attempt 0 runs
+    // again — at-least-once — and this time commits
+    assert(worker.runPass().retried == 1)
+    assert(TestFns.calls.get() == 2)
+    // the duplicate scheduled row shares (id, seq); one promote clears both
+    clock.addAndGet(1000)
+    sched.promoteDue()
+    assert(api.scheduledSize() == 0)
+    // duplicated promoted rows collapse to ONE attempt-1 execution → death
+    assert(worker.runPass().died == 1)
+    assert(TestFns.calls.get() == 3)
+    assert(api.deadSize() == 1)
+  }
+
+  test("crash during the retry write leaves the attempt unconsumed") {
+    val (backend, client, worker, sched, api, clock) = fixture("schedule")
+    client.performAsync("boom")
+    intercept[RuntimeException] { worker.runPass() } // nothing durable yet
+    assert(backend.completions.count() == 0)
+
+    assert(worker.runPass().retried == 1) // clean re-run
+    clock.addAndGet(1000)
+    sched.promoteDue()
+    assert(worker.runPass().died == 1)
+    assert(api.deadSize() == 1)
+    assert(TestFns.calls.get() == 3) // one extra execution, no lost outcome
+  }
+
+  test("promote crash between enqueue and tombstone re-promotes without double-execution") {
+    val (backend, client, worker, sched, api, clock) = fixture("tombstone")
+    TestFns.failuresRemaining.set(1)
+    client.performAsync("flaky")
+    worker.runPass() // retrying
+    clock.addAndGet(1000)
+    intercept[RuntimeException] { sched.promoteDue() } // ready row written, scheduled not cleared
+    assert(api.enqueuedSize("test") == 1)
+    assert(api.scheduledSize() == 1) // still due → will re-promote
+
+    assert(sched.promoteDue() == 1) // re-promote: second ready copy, scheduled cleared
+    assert(api.scheduledSize() == 0)
+    // two ready copies of attempt 1 → deduped to one execution, job recovers
+    assert(worker.runPass().succeeded == 1)
+    assert(TestFns.calls.get() == 2)
+    assert(api.enqueuedSize("test") == 0)
+  }
+}
