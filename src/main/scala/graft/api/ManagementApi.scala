@@ -56,9 +56,12 @@ final class ManagementApi(backend: QueueBackend, spark: SparkSession) {
       .filter($"queue" === queue && $"id".isin(ids: _*)).collect()
     if (present.isEmpty) return 0
     val now = System.currentTimeMillis()
-    backend.tombstone("ready", present.map(j => (j.id, j.seq)).toSeq, "prioritise")
+    // append-first, tombstone-second: a crash in between leaves a
+    // transient duplicate (collapsed by the (id, attempt) dedupe), never
+    // a lost job. The reverse order can delete without re-appending.
     backend.enqueue(present.map(j =>
       j.copy(priority = 1, enqueuedAt = now, seq = Job.nextSeq())).toSeq.toDS().coalesce(1))
+    backend.tombstone("ready", present.map(j => (j.id, j.seq)).toSeq, "prioritise")
     present.length
   }
 
@@ -97,11 +100,12 @@ final class ManagementApi(backend: QueueBackend, spark: SparkSession) {
     val present = backend.scheduledJobs.filter($"id".isin(ids: _*)).collect()
     if (present.isEmpty) return 0
     val now = System.currentTimeMillis()
-    backend.tombstone("scheduled", present.map(j => (j.id, j.seq)).toSeq, "prioritise")
+    // append-first, tombstone-second (see enqueuedPrioritise)
     backend.enqueue(present.map { j =>
       j.copy(queue = j.readyOrRetryQueue, readyQueue = j.readyOrRetryQueue,
         priority = 1, enqueuedAt = now, seq = Job.nextSeq())
     }.toSeq.toDS().coalesce(1))
+    backend.tombstone("scheduled", present.map(j => (j.id, j.seq)).toSeq, "prioritise")
     present.length
   }
 
@@ -159,8 +163,9 @@ final class ManagementApi(backend: QueueBackend, spark: SparkSession) {
       j.copy(priority = 1, enqueuedAt = now, seq = Job.nextSeq(),
         queue = j.readyOrRetryQueue, readyQueue = j.readyOrRetryQueue, state = st)
     }
-    backend.tombstone("dead", jobs.map(j => (j.id, j.seq)), "replay")
+    // append-first, tombstone-second (see enqueuedPrioritise)
     backend.enqueue(replayed.toDS().coalesce(1))
+    backend.tombstone("dead", jobs.map(j => (j.id, j.seq)), "replay")
     replayed
   }
 

@@ -103,6 +103,22 @@ class CrashRecoverySpec extends SparkSpec {
     assert(TestFns.calls.get() == 3) // one extra execution, no lost outcome
   }
 
+  test("prioritise crash between re-append and tombstone never loses the job") {
+    val (backend, client, worker, _, _, _) = fixture("tombstone")
+    val apiOnCrashing = new ManagementApi(backend, spark)
+    val id = client.performAsync("ok")
+    intercept[RuntimeException] { apiOnCrashing.enqueuedPrioritise("test", Seq(id)) }
+    // crash left old + re-appended copies; (id, attempt) dedupe → still 1
+    assert(apiOnCrashing.enqueuedSize("test") == 1)
+    // retrying the operation converges: old version tombstoned, bumped
+    // version at the front
+    assert(apiOnCrashing.enqueuedPrioritise("test", Seq(id)) >= 1)
+    val page = apiOnCrashing.enqueuedPage("test", 0)
+    assert(page.map(_.id) == Seq(id) && page.head.priority == 1)
+    assert(worker.runPass().succeeded == 1) // exactly one execution
+    assert(TestFns.calls.get() == 1)
+  }
+
   test("promote crash between enqueue and tombstone re-promotes without double-execution") {
     val (backend, client, worker, sched, api, clock) = fixture("tombstone")
     TestFns.failuresRemaining.set(1)
