@@ -77,10 +77,11 @@ final class InMemoryBackend(spark: SparkSession) extends QueueBackend {
   private def visibleOf(buf: mutable.ArrayBuffer[Job], tbl: String): Seq[Job] =
     buf.filterNot(j => tombsFor(tbl).contains((j.id, j.seq))).toSeq
 
-  /** One row per (id, attempt) — crash-replay duplicates collapse, same
-    * as ParquetBackend.filterReadyVisible. */
+  /** One row per (id, attempt), latest version (max seq) winning —
+    * crash-replay duplicates collapse, same as
+    * ParquetBackend.filterReadyVisible. */
   private def dedupeByAttempt(jobs: Seq[Job]): Seq[Job] =
-    jobs.groupBy(j => (j.id, JobAttempt.of(j))).values.map(_.head).toSeq
+    jobs.groupBy(j => (j.id, JobAttempt.of(j))).values.map(_.maxBy(_.seq)).toSeq
 
   override def readyJobs: Dataset[Job] =
     lock.synchronized(
@@ -98,8 +99,12 @@ final class InMemoryBackend(spark: SparkSession) extends QueueBackend {
         marks.get(j.queue).forall(j.seq > _) && marks.get("*").forall(j.seq > _)
     }
       .withColumn("rattempt", coalesce(col("state.retryCount") + 1, lit(0)))
-      .dropDuplicates("id", "rattempt")
-      .drop("rattempt")
+      .withColumn("vrank", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("id"), col("rattempt"))
+          .orderBy(col("seq").desc)))
+      .filter(col("vrank") === 1)
+      .drop("rattempt", "vrank")
       .as[Job]
   }
 

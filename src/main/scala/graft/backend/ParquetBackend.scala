@@ -117,12 +117,17 @@ final class ParquetBackend(val spark: SparkSession, val root: String) extends Qu
       .join(purges, $"queue" === $"p_queue", "left_outer")
       .filter($"p_seq".isNull || $"seq" > $"p_seq")
       // crash-replay can append the same logical row twice (e.g. a
-      // promote that died between enqueue and tombstone re-promotes):
-      // one execution per (id, attempt). AFTER the subtractions — before
-      // them, the arbitrary survivor could be a tombstoned version
-      // (prioritise tombstones the old seq and re-appends the new one).
-      .dropDuplicates("id", "rattempt")
-      .drop("rattempt", "p_queue", "p_seq")
+      // promote that died between enqueue and tombstone re-promotes, or a
+      // prioritise that died before tombstoning): one row per (id,
+      // attempt), the LATEST version (max seq) winning so a re-appended
+      // bump deterministically shadows its predecessor. AFTER the
+      // subtractions — before them, the survivor could be a tombstoned
+      // version.
+      .withColumn("vrank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy($"id", $"rattempt").orderBy($"seq".desc)))
+      .filter($"vrank" === 1)
+      .drop("rattempt", "p_queue", "p_seq", "vrank")
       .as[Job]
   }
 

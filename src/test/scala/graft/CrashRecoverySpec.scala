@@ -108,8 +108,10 @@ class CrashRecoverySpec extends SparkSpec {
     val apiOnCrashing = new ManagementApi(backend, spark)
     val id = client.performAsync("ok")
     intercept[RuntimeException] { apiOnCrashing.enqueuedPrioritise("test", Seq(id)) }
-    // crash left old + re-appended copies; (id, attempt) dedupe → still 1
+    // crash left old + re-appended copies; latest-version-wins dedupe →
+    // one row, already bumped
     assert(apiOnCrashing.enqueuedSize("test") == 1)
+    assert(apiOnCrashing.enqueuedPage("test", 0).head.priority == 1)
     // retrying the operation converges: old version tombstoned, bumped
     // version at the front
     assert(apiOnCrashing.enqueuedPrioritise("test", Seq(id)) >= 1)
