@@ -245,13 +245,15 @@ final class ManagementApi(backend: QueueBackend, spark: SparkSession) {
   }
 
   /** D13 delete a whole batch's pending jobs (redis/api/batch.clj:11-38;
-    * "documented-expensive" in goose, one anti-join per table here). */
+    * "documented-expensive" in goose, one anti-join per table here).
+    * Victims stay Datasets end-to-end — a million-job batch delete never
+    * materializes ids on the driver. */
   def batchDelete(batchId: String): Unit = {
-    val readyIds = backend.readyJobs.filter($"batchId" === batchId)
-      .select($"id", $"seq").as[(String, Long)].collect()
-    if (readyIds.nonEmpty) backend.tombstone("ready", readyIds.toSeq, "batch-delete")
-    val schedIds = backend.scheduledJobs.filter($"batchId" === batchId)
-      .select($"id", $"seq").as[(String, Long)].collect()
-    if (schedIds.nonEmpty) backend.tombstone("scheduled", schedIds.toSeq, "batch-delete")
+    backend.tombstone("ready",
+      backend.readyJobs.filter($"batchId" === batchId)
+        .select($"id", $"seq").as[(String, Long)], "batch-delete")
+    backend.tombstone("scheduled",
+      backend.scheduledJobs.filter($"batchId" === batchId)
+        .select($"id", $"seq").as[(String, Long)], "batch-delete")
   }
 }

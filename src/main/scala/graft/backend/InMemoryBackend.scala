@@ -55,6 +55,11 @@ final class InMemoryBackend(spark: SparkSession) extends QueueBackend {
   override def tombstone(tbl: String, victims: Seq[(String, Long)], reason: String): Unit =
     lock.synchronized { tombsFor(tbl) ++= victims }
 
+  /** Driver-local by design (state IS on the driver), so the distributed
+    * variant collects — same tradeoff as every other write here. */
+  override def tombstone(tbl: String, victims: Dataset[(String, Long)], reason: String): Unit =
+    tombstone(tbl, victims.collect().toSeq, reason)
+
   override def purge(tbl: String, queue: String): Unit = lock.synchronized {
     if (tbl == "ready") {
       purgeMarks(queue) = Job.nextSeq()

@@ -77,6 +77,12 @@ final class ParquetBackend(val spark: SparkSession, val root: String) extends Qu
       victims.map { case (id, seq) => Tombstone(tbl, id, seq, reason, now) }.toDS())
   }
 
+  override def tombstone(tbl: String, victims: Dataset[(String, Long)], reason: String): Unit = {
+    val now = System.currentTimeMillis()
+    append("tombstones",
+      victims.map { case (id, seq) => Tombstone(tbl, id, seq, reason, now) })
+  }
+
   override def purge(tbl: String, queue: String): Unit = {
     if (tbl == "ready") {
       // marker purge: O(1) write, like DEL — rows appended later survive.
@@ -84,12 +90,12 @@ final class ParquetBackend(val spark: SparkSession, val root: String) extends Qu
         Seq(PurgeMarker(tbl, queue, Job.nextSeq(), System.currentTimeMillis())).toDS())
     } else {
       // scheduled/dead hold future/terminal rows, so purge materializes
-      // the victim versions (admin op; these collections are orders of
-      // magnitude smaller than ready traffic).
+      // the victim versions — distributed end-to-end (admin op, but the
+      // dead set after an incident can be huge; never collect it).
       val vis = if (tbl == "scheduled") scheduledJobs else deadJobs
       val victims = vis.filter(j => queue == "*" || j.queue == queue)
-        .select($"id", $"seq").as[(String, Long)].collect().toSeq
-      if (victims.nonEmpty) tombstone(tbl, victims, "purge")
+        .select($"id", $"seq").as[(String, Long)]
+      tombstone(tbl, victims, "purge")
     }
   }
 

@@ -38,6 +38,11 @@ trait QueueBackend {
   def bury(jobs: Dataset[Job]): Unit
   def recordCompletions(events: Dataset[CompletionEvent]): Unit
   def tombstone(tbl: String, victims: Seq[(String, Long)], reason: String): Unit
+
+  /** Distributed tombstone: victims stay a Dataset end-to-end, so a
+    * 100M-row due-backlog promote or batch delete never materializes ids
+    * on the driver — the append is a distributed write like any other. */
+  def tombstone(tbl: String, victims: Dataset[(String, Long)], reason: String): Unit
   def purge(tbl: String, queue: String): Unit
 
   // ---- visible sets (console / worker read side) ----

@@ -81,9 +81,59 @@ object Job {
 
   /** Append version of a physical row: tombstones target (id, seq), so a
     * re-append of the same job id (prioritise, replay) is a NEW version
-    * that an older tombstone cannot hide. Monotonic per writer JVM; log
-    * ordering across writers is approximate, like any distributed log. */
-  def nextSeq(): Long = System.nanoTime()
+    * that an older tombstone cannot hide. Cross-writer comparable — see
+    * [[SeqGen]]: a mutation stamped later in wall time by ANY writer JVM
+    * carries a larger seq, so latest-version-wins dedupe and max-seq
+    * shadowing hold on a multi-executor cluster, not just in one JVM. */
+  def nextSeq(): Long = SeqGen.global.next()
+}
+
+/** Cross-writer-ordered version sequence (snowflake layout):
+  *
+  * {{{  seq = epochMs << 21  |  perMsCounter << 8  |  writerId  }}}
+  *
+  * - epochMs (top ~42 bits): wall-clock prefix, so seqs from different
+  *   JVMs order by real time (bounded by NTP skew — milliseconds), unlike
+  *   `System.nanoTime`, whose per-JVM arbitrary origin made cross-writer
+  *   comparison meaningless.
+  * - counter (13 bits): strictly-increasing within a writer; disambiguates
+  *   up to 8192 stamps per ms, and on overflow (or a clock step backwards)
+  *   borrows into the ms prefix — per-writer monotonicity never breaks.
+  * - writerId (8 bits): per-JVM tiebreak so two writers stamping the same
+  *   millisecond+counter still produce distinct, deterministically ordered
+  *   seqs.
+  *
+  * Mirrors how goose orders mutations by Redis's single clock
+  * (reference redis/api/enqueued_jobs.clj:29-40 works from any client
+  * process because Redis serializes them); with no single broker clock, a
+  * time-prefixed id is the distributed-log equivalent.
+  */
+final class SeqGen(
+    val writerId: Int,
+    clock: () => Long = () => System.currentTimeMillis()) extends Serializable {
+  require(writerId >= 0 && writerId < (1 << SeqGen.WriterBits), s"writerId out of range: $writerId")
+
+  private val last = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  def next(): Long = {
+    val packed = last.updateAndGet { prev =>
+      val nowSlot = clock() << SeqGen.CounterBits
+      if (nowSlot > prev) nowSlot else prev + 1 // same-ms bump / clock-backwards guard
+    }
+    (packed << SeqGen.WriterBits) | writerId.toLong
+  }
+}
+
+object SeqGen {
+  val CounterBits = 13
+  val WriterBits = 8
+
+  /** Process-wide generator; writerId drawn once per JVM. Executors each
+    * get their own id when the object deserializes fresh per JVM. */
+  lazy val global: SeqGen = new SeqGen(new scala.util.Random().nextInt(1 << WriterBits))
+
+  def epochMsOf(seq: Long): Long = seq >>> (CounterBits + WriterBits)
+  def writerOf(seq: Long): Int = (seq & ((1L << WriterBits) - 1)).toInt
 }
 
 /** A job-description is a Job minus id/enqueuedAt (reference job.clj:27-37);

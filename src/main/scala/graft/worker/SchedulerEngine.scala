@@ -48,8 +48,10 @@ final class SchedulerEngine(
           priority = 1, enqueuedAt = now, seq = Job.nextSeq())
       }
       backend.enqueue(promoted)
-      backend.tombstone("scheduled",
-        due.select($"id", $"seq").as[(String, Long)].collect().toSeq, "promote")
+      // Distributed tombstone: the due backlog after an outage can be
+      // 100M rows; ids never touch the driver (due is checkpointed, so
+      // this re-reads the snapshot, not the mutated dirs).
+      backend.tombstone("scheduled", due.select($"id", $"seq").as[(String, Long)], "promote")
       n
     } finally due.unpersist()
   }

@@ -27,6 +27,9 @@ final class CrashingBackend(inner: QueueBackend, failMethod: String)
   def tombstone(tbl: String, victims: Seq[(String, Long)], reason: String): Unit = {
     maybeFail("tombstone"); inner.tombstone(tbl, victims, reason)
   }
+  def tombstone(tbl: String, victims: Dataset[(String, Long)], reason: String): Unit = {
+    maybeFail("tombstone"); inner.tombstone(tbl, victims, reason)
+  }
   def purge(tbl: String, queue: String): Unit = inner.purge(tbl, queue)
   def readyJobs: Dataset[Job] = inner.readyJobs
   def filterReadyVisible(slice: Dataset[Job]): Dataset[Job] = inner.filterReadyVisible(slice)
