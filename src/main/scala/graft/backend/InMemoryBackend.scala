@@ -156,7 +156,13 @@ final class InMemoryBackend(spark: SparkSession) extends QueueBackend {
         val vis = ready.filter(readyVisiblePred)
         ready.clear(); ready ++= vis
         val liveIds = ready.map(_.id).toSet
-        val keep = comps.filter(c => liveIds.contains(c.jobId))
+        // retain completions of not-yet-terminal batches: the tracker
+        // re-derives batch status from them (see ParquetBackend.compact)
+        val terminalB = statusEvents.filter(e => BatchStatus.terminal(e.status))
+          .map(_.batchId).toSet
+        val liveBatches = batchMetas.map(_.id).filterNot(terminalB).toSet
+        val keep = comps.filter(c =>
+          liveIds.contains(c.jobId) || c.batchId.exists(liveBatches))
         comps.clear(); comps ++= keep
         consumedKeys.clear(); consumedKeys ++= keep.map(e => (e.jobId, e.attempt))
         tombs.remove("ready")

@@ -231,12 +231,22 @@ final class ParquetBackend(val spark: SparkSession, val root: String) extends Qu
     fs.rename(new Path(tmp), old)
     fs.delete(bak, true)
     // Drop tombstones for this table and, for ready, consumed markers of
-    // rows that no longer exist in the folded log.
+    // rows that no longer exist in the folded log. Completions of NOT-YET-
+    // TERMINAL batches are retained even when their job is gone from the
+    // ready log — the batch tracker re-derives status from them, and
+    // dropping a succeeded member's event would strand its batch
+    // in-progress forever.
     if (tbl == "ready") {
       val survivors = spark.read.parquet(dir(tbl)).as[Job]
       val comps = readLog[CompletionEvent]("completions")
+      val terminalB = readLog[BatchStatusEvent]("batch_status")
+        .filter(e => BatchStatus.terminal(e.status)).select($"batchId".as("tb"))
+      val liveBatches = readLog[BatchMeta]("batches").select($"id".as("lb"))
+        .join(terminalB, $"lb" === $"tb", "left_anti")
       val keptComps = comps.join(
         survivors.select($"id".as("s_id")), $"jobId" === $"s_id", "left_semi")
+        .union(comps.join(liveBatches, $"batchId" === $"lb", "left_semi"))
+        .distinct()
         .as[CompletionEvent]
       rewriteLog("completions", keptComps)
     }

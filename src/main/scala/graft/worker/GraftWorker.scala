@@ -29,15 +29,50 @@ final class GraftWorker(
     metrics: MetricsSink = NoopMetrics,
     trigger: Trigger = Trigger.ProcessingTime("1 second"),
     maintenanceIntervalMs: Long = 1000,
+    /** Compaction policy: every `compactEveryTicks` maintenance ticks, IF
+      * the log dirs have accumulated more than `compactMinFiles` parquet
+      * files, fold ready/scheduled/dead to their visible rows. Without
+      * this the anti-join sides (completions, tombstones) grow without
+      * bound — goose gets the same GC for free from Redis key deletion. */
+    compactEveryTicks: Int = 30,
+    compactMinFiles: Int = 64,
     nowFn: () => Long = () => System.currentTimeMillis()) {
 
   private val sinkName = s"graft-worker-${java.util.UUID.randomUUID()}"
   graft.metrics.MetricsRegistry.register(sinkName, metrics)
 
+  /** Serializes compaction (write side) against in-flight micro-batches
+    * and maintenance reads (read side) — see WorkerEngine.gate. */
+  private val gate = new java.util.concurrent.locks.ReentrantReadWriteLock()
+
   private val engine = new WorkerEngine(backend, spark,
-    middlewares :+ Metrics.middleware(sinkName), nowFn)
+    middlewares :+ Metrics.middleware(sinkName), nowFn, gate)
   private val scheduler = new SchedulerEngine(backend, spark, nowFn)
   private val tracker = new BatchTracker(backend, spark)
+
+  /** Number of compaction rounds run (policy-triggered or manual). */
+  val compactionsRun = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  private def logFileCount(): Int = {
+    val tables = Seq("ready", "scheduled", "dead", "completions", "tombstones", "purges")
+    tables.map { t =>
+      val d = new java.io.File(s"$root/$t")
+      if (d.isDirectory) d.listFiles((_, n) => n.endsWith(".parquet")).length else 0
+    }.sum
+  }
+
+  /** Fold every job log to its visible rows under the write gate — safe
+    * to call while the stream runs; the next micro-batch simply sees the
+    * folded (equivalent) state. */
+  def compactNow(): Unit = {
+    gate.writeLock().lock()
+    try {
+      backend.compact("ready")
+      backend.compact("scheduled")
+      backend.compact("dead")
+      compactionsRun.incrementAndGet()
+    } finally gate.writeLock().unlock()
+  }
 
   /** Worker identity, goose's `queue:hostname:random12`
     * (reference redis/worker.clj:66-67). */
@@ -54,13 +89,20 @@ final class GraftWorker(
     require(running.compareAndSet(false, true), "worker already started")
     query = engine.startStream(root, trigger)
     maintenance = new Thread(() => {
+      var tick = 0L
       while (running.get()) {
         try {
-          backend.recordHeartbeat(
-            graft.model.ProcessHeartbeat(processId, "*", nowFn())) // D9
-          scheduler.tick()
-          tracker.trackPass()
-          Metrics.publishGauges(backend, spark, metrics)
+          tick += 1
+          gate.readLock().lock()
+          try {
+            backend.recordHeartbeat(
+              graft.model.ProcessHeartbeat(processId, "*", nowFn())) // D9
+            scheduler.tick()
+            tracker.trackPass()
+            Metrics.publishGauges(backend, spark, metrics)
+          } finally gate.readLock().unlock()
+          if (compactEveryTicks > 0 && tick % compactEveryTicks == 0 &&
+            logFileCount() > compactMinFiles) compactNow()
         } catch {
           case _: InterruptedException => // stopping
           case e: Throwable if running.get() =>
@@ -94,12 +136,18 @@ final class GraftWorker(
   def awaitDrained(timeoutMs: Long = 60000): Boolean = {
     import org.apache.spark.sql.functions.{coalesce, col}
     val deadline = System.currentTimeMillis() + timeoutMs
+    // NEVER hold the read gate across processAllAvailable(): the stream
+    // thread itself takes the read side, and a queued compactor (writer)
+    // would wedge all three threads.
+    def withReadLock[A](body: => A): A = {
+      gate.readLock().lock()
+      try body finally gate.readLock().unlock()
+    }
     while (System.currentTimeMillis() < deadline) {
       query.processAllAvailable()
-      scheduler.tick()
-      tracker.trackPass()
+      withReadLock { scheduler.tick(); tracker.trackPass() }
       query.processAllAvailable()
-      val settled =
+      val settled = withReadLock {
         backend.readyJobs.isEmpty &&
           backend.scheduledJobs.filter(
             coalesce(col("state.retryAt"), col("scheduleRunAt")) <= nowFn()).isEmpty && {
@@ -109,6 +157,7 @@ final class GraftWorker(
               .select("batchId").distinct().count()
             nTerminal == nBatches
           }
+      }
       if (settled) return true
       Thread.sleep(50)
     }

@@ -96,7 +96,13 @@ final class WorkerEngine(
     backend: QueueBackend,
     spark: SparkSession,
     middlewares: Seq[WorkerCore.Middleware] = Nil,
-    nowFn: () => Long = () => System.currentTimeMillis()) extends Serializable {
+    nowFn: () => Long = () => System.currentTimeMillis(),
+    /** Shared with the process's maintenance loop: passes hold the READ
+      * side while they scan the live log dirs; compaction holds the WRITE
+      * side while it swaps them (GraftWorker), so a micro-batch never
+      * reads files mid-rename. Uncontended when no compactor runs. */
+    gate: java.util.concurrent.locks.ReadWriteLock =
+      new java.util.concurrent.locks.ReentrantReadWriteLock()) extends Serializable {
 
   import spark.implicits._
 
@@ -104,9 +110,21 @@ final class WorkerEngine(
 
   /** Drain-and-execute every currently visible ready job (the batch-mode
     * twin of the streaming query; also the foreachBatch body). */
-  def runPass(): PassStats = executeBatch(backend.readyJobs)
+  def runPass(): PassStats = gated(executeBatchInner(backend.readyJobs))
 
-  private[graft] def executeBatch(jobs: Dataset[Job]): PassStats = {
+  /** Plan CONSTRUCTION must happen inside the gate as well: building
+    * `readyJobs`/`filterReadyVisible` lists the live log files, and a
+    * compaction between listing and execution leaves the plan pointing at
+    * renamed-away files. */
+  private def gated[A](body: => A): A = {
+    gate.readLock().lock()
+    try body finally gate.readLock().unlock()
+  }
+
+  private[graft] def executeBatch(jobs: Dataset[Job]): PassStats =
+    gated(executeBatchInner(jobs))
+
+  private def executeBatchInner(jobs: Dataset[Job]): PassStats = {
     val mws = middlewares
     val now = nowFn
     // localCheckpoint (eager) cuts lineage to the live log directories:
@@ -174,8 +192,8 @@ final class WorkerEngine(
       .trigger(trigger)
       .option("checkpointLocation", s"$root/checkpoints/$queryName")
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
-        executeBatch(backend.filterReadyVisible(batch.as[Job]))
-        ()
+        // gate covers the visibility-plan construction too (file listing)
+        gated { executeBatchInner(backend.filterReadyVisible(batch.as[Job])); () }
       }
       .start()
   }

@@ -53,6 +53,51 @@ class GraftWorkerSpec extends SparkSpec {
     assert(api.deadProcesses(now + 120000) == Seq(worker.processId))
   }
 
+  test("tick-triggered compaction preserves visibility and bounds file count") {
+    TestFns.reset()
+    val root = tmpDir("graft-compact")
+    val backend = new ParquetBackend(spark, root)
+    val retry = RetryOpts(maxRetries = 0) // failures go straight to dead
+    val client = new GraftClient(backend, spark, "test", retry)
+    val api = new ManagementApi(backend, spark)
+
+    // one file per append: 24 ready appends + the engine's own commit files
+    (1 to 20).foreach(i => client.performAsync("ok", s"a$i"))
+    (1 to 4).foreach(_ => client.performAsync("boom"))
+    client.performInSec(3600, "ok", "future") // stays scheduled, must survive
+
+    def fileCount(): Int =
+      Seq("ready", "scheduled", "dead", "completions", "tombstones", "purges").map { t =>
+        val d = new java.io.File(s"$root/$t")
+        if (d.isDirectory) d.listFiles((_, n) => n.endsWith(".parquet")).length else 0
+      }.sum
+    val filesBefore = fileCount()
+    assert(filesBefore >= 25)
+
+    val worker = new GraftWorker(backend, spark, root,
+      maintenanceIntervalMs = 100, compactEveryTicks = 2, compactMinFiles = 8)
+    worker.start()
+    try {
+      assert(worker.awaitDrained(120000), "worker did not drain")
+    } finally worker.stop()
+    assert(worker.compactionsRun.get() > 0, "policy never triggered compaction")
+
+    // visibility before vs after one more (manual) compaction round
+    val statsBefore = api.homeStats()
+    val deadBefore = api.deadPage(0).map(_.id).toSet
+    worker.compactNow()
+    assert(api.homeStats() == statsBefore)
+    assert(api.deadPage(0).map(_.id).toSet == deadBefore)
+    assert(statsBefore("enqueued") == 0)
+    assert(statsBefore("scheduled") == 1) // the future job survived folding
+    assert(statsBefore("dead") == 4)
+    assert(TestFns.calls.get() == 24) // compaction caused no re-executions
+
+    // folded logs: file count bounded, not proportional to append count
+    assert(fileCount() < filesBefore,
+      s"expected folded logs to shrink: before=$filesBefore after=${fileCount()}")
+  }
+
   test("latency source selection mirrors job.clj:45-61") {
     val base = Job("fn", Nil, "q", RetryOpts())
     val now = base.enqueuedAt + 500

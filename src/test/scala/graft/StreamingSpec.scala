@@ -76,18 +76,19 @@ class StreamingSpec extends SparkSpec {
   }
 
   test("streaming batch tracker emits exactly one terminal per batch (D7)") {
-    val (root, backend, client, worker, _, _) = fixture()
+    val (_, backend, _, _, _, _) = fixture()
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
 
-    backend.putBatch(BatchMeta("b1", "callback", 60, "test", "test",
-      RetryOpts(), 3, BatchStatus.InProgress, 0L))
     val tracker = new BatchTracker(backend, spark)
+    val metas = MemoryStream[BatchMeta]
     val input = MemoryStream[CompletionEvent]
-    val terminals = tracker.streamingTerminals(input.toDS())
+    val terminals = tracker.streamingTerminals(input.toDS(), metas.toDS())
     val q = terminals.writeStream.format("memory").queryName("terminals")
       .outputMode("append").start()
     try {
+      metas.addData(BatchMeta("b1", "callback", 60, "test", "test",
+        RetryOpts(), 3, BatchStatus.InProgress, 0L))
       def ev(jid: String, st: String, at: Long) =
         CompletionEvent(jid, 0, Some("b1"), "test", st, wasRetried = false,
           None, 1, at)
@@ -105,6 +106,61 @@ class StreamingSpec extends SparkSpec {
       input.addData(ev("j3", "dead", 5))
       q.processAllAvailable()
       assert(spark.sql("SELECT * FROM terminals").count() == 1)
+    } finally q.stop()
+  }
+
+  test("a batch created AFTER the tracker stream starts still reaches terminal") {
+    val (_, backend, _, _, _, _) = fixture()
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val tracker = new BatchTracker(backend, spark)
+    val metas = MemoryStream[BatchMeta]
+    val input = MemoryStream[CompletionEvent]
+    val q = tracker.streamingTerminals(input.toDS(), metas.toDS())
+      .writeStream.format("memory").queryName("late_terminals")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable() // stream is live, registry still empty
+
+      // completions can even arrive BEFORE the registration lands
+      input.addData(CompletionEvent("j1", 0, Some("b2"), "test", "success",
+        wasRetried = false, None, 1, 10))
+      q.processAllAvailable()
+      assert(spark.sql("SELECT * FROM late_terminals").count() == 0)
+
+      // now the batch registers (created mid-stream) and the second job lands
+      metas.addData(BatchMeta("b2", "callback", 60, "test", "test",
+        RetryOpts(), 2, BatchStatus.InProgress, 0L))
+      input.addData(CompletionEvent("j2", 0, Some("b2"), "test", "success",
+        wasRetried = false, None, 1, 20))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT batchId, status FROM late_terminals").collect()
+      assert(rows.map(r => (r.getString(0), r.getString(1))).toSeq ==
+        Seq(("b2", BatchStatus.Success)))
+    } finally q.stop()
+  }
+
+  test("end-to-end streaming tracker over backend file streams (meta + completions logs)") {
+    val (root, backend, client, worker, _, _) = fixture()
+    import spark.implicits._
+
+    val tracker = new BatchTracker(backend, spark)
+    val compSchema = implicitly[org.apache.spark.sql.Encoder[CompletionEvent]].schema
+    new java.io.File(s"$root/completions").mkdirs()
+    val compStream = spark.readStream.schema(compSchema)
+      .parquet(s"$root/completions").as[CompletionEvent]
+    val q = tracker.streamingTerminals(compStream, tracker.metaStream(root))
+      .writeStream.format("memory").queryName("e2e_terminals")
+      .outputMode("append").start()
+    try {
+      // batch created after the tracker started; jobs run via the worker
+      val bid = client.performBatch(Seq(("ok", Seq[Any]("a")), ("ok", Seq[Any]("b"))), "cb")
+      worker.runPass()
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT batchId, status FROM e2e_terminals").collect()
+      assert(rows.map(r => (r.getString(0), r.getString(1))).toSeq ==
+        Seq((bid, BatchStatus.Success)))
     } finally q.stop()
   }
 }
