@@ -38,6 +38,38 @@ object DedupOps {
         graft.functions.MinHashFunctions.minhash_md5(col("text"), i.toString, ShingleLen)
           .as(s"h$i")): _*)
 
+  /** Band rows (doc_id, band, h) from a signature frame. */
+  private def bandsOf(sig: DataFrame): DataFrame =
+    sig.select(col("doc_id"),
+      explode(array((1 to NumHashes).map(i =>
+        struct(lit(i).as("band"), col(s"h$i").as("h"))): _*)).as("b"))
+      .select(col("doc_id"), col("b.band"), col("b.h"))
+
+  /** Skew-guarded LSH candidate pairs (the d09 generator, unlimited):
+    * bands wider than MaxBandWidth are dropped before the self-join, so
+    * no single join key fans out quadratically. This is the default
+    * candidate generator — d05 (unguarded) exists as the textbook form
+    * and for recall comparison, not as the scale path. */
+  private def guardedCandidatePairs(sig: DataFrame): DataFrame = {
+    val bands = bandsOf(sig)
+    val narrow = bands.groupBy("band", "h")
+      .agg(count(lit(1)).as("width"))
+      .filter(col("width") <= MaxBandWidth)
+      .select("band", "h")
+    val guarded = bands.join(narrow, Seq("band", "h"))
+    val l = guarded.select(col("doc_id").as("d1"), col("band"), col("h"))
+    val r = guarded.select(col("doc_id").as("d2"), col("band"), col("h"))
+    l.join(r, Seq("band", "h")).filter(col("d1") < col("d2"))
+      .select("d1", "d2").distinct()
+  }
+
+  /** Sorted shingle-hash set per doc — the pairwise-verify operand.
+    * xxhash64 reduction keeps set sizes (and Jaccard) exact short of a
+    * ~n²/2⁶⁴ collision while making intersection a long-array merge. */
+  private def shingleSets(docs: DataFrame): DataFrame =
+    shingled(docs).groupBy(col("doc_id"))
+      .agg(array_sort(collect_set(xxhash64(col("sh")))).as("shs"))
+
   private val sigSqlCte =
     s"""sh AS (
        |  SELECT doc_id, substr(text, CAST(g AS INT), $ShingleLen) AS s
@@ -86,10 +118,7 @@ object DedupOps {
     // materialization instead of re-shingling+re-hashing the corpus.
     "d05_lsh_candidate_pairs" -> ((s, d) => {
       val sig = signatures(Tables.documents(s, d)).localCheckpoint(true)
-      val bands = sig.select(col("doc_id"),
-        explode(array((1 to NumHashes).map(i =>
-          struct(lit(i).as("band"), col(s"h$i").as("h"))): _*)).as("b"))
-        .select(col("doc_id"), col("b.band"), col("b.h"))
+      val bands = bandsOf(sig)
       val l = bands.select(col("doc_id").as("d1"), col("band"), col("h"))
       val r = bands.select(col("doc_id").as("d2"), col("band"), col("h"))
       l.join(r, Seq("band", "h")).filter(col("d1") < col("d2"))
@@ -105,19 +134,29 @@ object DedupOps {
     // which meet in several bands).
     "d09_lsh_skew_guarded" -> ((s, d) => {
       val sig = signatures(Tables.documents(s, d)).localCheckpoint(true)
-      val bands = sig.select(col("doc_id"),
-        explode(array((1 to NumHashes).map(i =>
-          struct(lit(i).as("band"), col(s"h$i").as("h"))): _*)).as("b"))
-        .select(col("doc_id"), col("b.band"), col("b.h"))
-      val narrow = bands.groupBy("band", "h")
-        .agg(count(lit(1)).as("width"))
-        .filter(col("width") <= MaxBandWidth)
-        .select("band", "h")
-      val guarded = bands.join(narrow, Seq("band", "h"))
-      val l = guarded.select(col("doc_id").as("d1"), col("band"), col("h"))
-      val r = guarded.select(col("doc_id").as("d2"), col("band"), col("h"))
-      l.join(r, Seq("band", "h")).filter(col("d1") < col("d2"))
-        .select("d1", "d2").distinct()
+      guardedCandidatePairs(sig).orderBy("d1", "d2").limit(200)
+    }),
+
+    // The composed dedup pipeline, end-to-end: skew-guarded LSH
+    // candidates (d09) verified by exact n-gram Jaccard (the d06 kernel).
+    // Verify cost is O(candidates), never O(pairs-within-source) — the
+    // form that survives 100 TB. This is the operator a pipeline should
+    // call; d06 remains the exhaustive-within-source diagnostic.
+    "d10_lsh_verified" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val sig = signatures(docs).localCheckpoint(true)
+      val cand = guardedCandidatePairs(sig)
+      val sets = shingleSets(docs).localCheckpoint(true)
+      cand
+        .join(sets.select(col("doc_id").as("d1"), col("shs").as("s1")), "d1")
+        .join(sets.select(col("doc_id").as("d2"), col("shs").as("s2")), "d2")
+        .withColumn("inter",
+          graft.functions.ArrayFunctions.sorted_intersect_size(col("s1"), col("s2"))
+            .cast("double"))
+        .withColumn("jac", round(col("inter") /
+          (size(col("s1")) + size(col("s2")) - col("inter")), 4))
+        .filter(col("jac") >= 0.2)
+        .select("d1", "d2", "jac")
         .orderBy("d1", "d2").limit(200)
     }),
 
@@ -196,6 +235,25 @@ object DedupOps {
          |SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
          |FROM guarded a JOIN guarded b ON a.band = b.band AND a.h = b.h
          |WHERE a.doc_id < b.doc_id
+         |ORDER BY d1, d2 LIMIT 200""".stripMargin,
+    "d10_lsh_verified" ->
+      s"""WITH $sigSqlCte,
+         |bands AS (
+         |  ${(1 to NumHashes).map(i => s"SELECT doc_id, $i AS band, h$i AS h FROM sig")
+              .mkString("\n  UNION ALL\n  ")}),
+         |narrow AS (SELECT band, h FROM bands GROUP BY band, h HAVING COUNT(*) <= $MaxBandWidth),
+         |guarded AS (SELECT b.doc_id, b.band, b.h FROM bands b JOIN narrow n ON b.band = n.band AND b.h = n.h),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+         |  FROM guarded a JOIN guarded b ON a.band = b.band AND a.h = b.h
+         |  WHERE a.doc_id < b.doc_id),
+         |sets AS (SELECT doc_id, list_distinct(list(s)) AS shs FROM sh GROUP BY doc_id)
+         |SELECT c.d1, c.d2,
+         |  ROUND(CAST(len(list_intersect(a.shs, b.shs)) AS DOUBLE)
+         |    / (len(a.shs) + len(b.shs) - len(list_intersect(a.shs, b.shs))), 4) AS jac
+         |FROM cand c JOIN sets a ON c.d1 = a.doc_id JOIN sets b ON c.d2 = b.doc_id
+         |WHERE ROUND(CAST(len(list_intersect(a.shs, b.shs)) AS DOUBLE)
+         |    / (len(a.shs) + len(b.shs) - len(list_intersect(a.shs, b.shs))), 4) >= 0.2
          |ORDER BY d1, d2 LIMIT 200""".stripMargin,
     "d06_ngram_jaccard" ->
       s"""WITH sh AS (

