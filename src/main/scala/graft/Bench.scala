@@ -48,8 +48,14 @@ object Bench {
     val all = results :+ ("pipeline_noop_100k" -> pipeline._1)
     val qs = all.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
     val total = all.map(_._2).sum
-    println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"jobs_per_sec":${pipeline._2}%.0f,"sf":"$sfDir"}""")
+    val json =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"jobs_per_sec":${pipeline._2}%.0f,"sf":"$sfDir"}"""
+    // stdout goes through sbt's [info] prefixing, which breaks line-level
+    // JSON parsers — ALSO write the line to a file (env-overridable) so
+    // the harness can machine-read it unconditionally.
+    println(json)
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH.json")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), json + "\n")
     spark.stop()
   }
 
