@@ -124,6 +124,55 @@ class CrashRecoverySpec extends SparkSpec {
     assert(TestFns.calls.get() == 1)
   }
 
+  test("foreign-worker recovery: worker B (fresh checkpoint) replays worker A's uncommitted work exactly once") {
+    // goose scenario (redis/integration_test.clj:67-86 + orphan_checker.clj:
+    // 9-40): worker A dies with jobs in its in-progress queue; another
+    // worker's orphan checker re-enqueues them. Here the in-progress queue
+    // is A's streaming checkpoint; B never reads it — B derives the same
+    // recovery set from the shared completions log: ready ∖ completions.
+    import spark.implicits._
+    TestFns.reset()
+    val root = tmpDir("graft-foreign")
+    val real = new ParquetBackend(spark, root)
+    val crashing = new CrashingBackend(real, "recordCompletions")
+    crashing.armed.set(0) // let worker A's first micro-batch commit cleanly
+    val client = new GraftClient(real, spark, "test", RetryOpts(), () => 1700000000000L)
+    val workerA = new WorkerEngine(crashing, spark, Nil, () => 1700000000000L)
+    val workerB = new WorkerEngine(real, spark, Nil, () => 1700000000000L)
+
+    // phase 1: A consumes two jobs and commits
+    client.performAsync("ok", "a1")
+    client.performAsync("ok", "a2")
+    val qA = workerA.startStream(root, queryName = "worker-A")
+    try qA.processAllAvailable() finally {}
+    assert(TestFns.calls.get() == 2)
+    assert(real.completions.count() == 2)
+
+    // phase 2: three more jobs; A executes them but DIES at the commit
+    // point (completions never land) — its checkpoint says "done", the
+    // shared log says otherwise
+    crashing.armed.set(1)
+    client.performAsync("ok", "b1")
+    client.performAsync("ok", "b2")
+    client.performAsync("ok", "b3")
+    intercept[Throwable] { qA.processAllAvailable() }
+    qA.stop()
+    assert(TestFns.calls.get() == 5) // A burned executions...
+    assert(real.completions.count() == 2) // ...but committed nothing
+
+    // phase 3: worker B, fresh checkpoint, same backend — must re-derive
+    // exactly A's three unconsumed (id, attempt)s, not the committed two
+    val qB = workerB.startStream(root, queryName = "worker-B")
+    try qB.processAllAvailable() finally qB.stop()
+    assert(TestFns.calls.get() == 8, "B replays exactly the 3 uncommitted jobs")
+    assert(real.completions.count() == 5)
+    // exactly one completion per (id, attempt)
+    val dup = real.completions.groupByKey(e => (e.jobId, e.attempt))
+      .count().filter(_._2 > 1).count()
+    assert(dup == 0)
+    assert(real.readyJobs.count() == 0)
+  }
+
   test("promote crash between enqueue and tombstone re-promotes without double-execution") {
     val (backend, client, worker, sched, api, clock) = fixture("tombstone")
     TestFns.failuresRemaining.set(1)
