@@ -146,6 +146,10 @@ final class InMemoryBackend(spark: SparkSession) extends QueueBackend {
   private val hbs = mutable.ArrayBuffer[ProcessHeartbeat]()
   override def recordHeartbeat(hb: ProcessHeartbeat): Unit =
     lock.synchronized(hbs += hb)
+  override def recordHeartbeats(beats: Dataset[ProcessHeartbeat]): Unit = {
+    val rows = beats.collect()
+    lock.synchronized(hbs ++= rows)
+  }
   override def heartbeats: Dataset[ProcessHeartbeat] =
     lock.synchronized(spark.createDataset(hbs.toSeq))
 

@@ -209,6 +209,8 @@ final class ParquetBackend(val spark: SparkSession, val root: String) extends Qu
 
   override def recordHeartbeat(hb: ProcessHeartbeat): Unit =
     appendSmall("heartbeats", Seq(hb).toDS())
+  override def recordHeartbeats(hbs: Dataset[ProcessHeartbeat]): Unit =
+    append("heartbeats", hbs)
   override def heartbeats: Dataset[ProcessHeartbeat] =
     readLog[ProcessHeartbeat]("heartbeats")
 

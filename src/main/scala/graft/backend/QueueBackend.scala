@@ -74,6 +74,10 @@ trait QueueBackend {
 
   // ---- worker registry (reference redis/worker.clj:66-77, heartbeat.clj) ----
   def recordHeartbeat(hb: ProcessHeartbeat): Unit
+
+  /** Bulk variant — a fleet's heartbeats arrive as a Dataset (e.g. relayed
+    * from executor-side agents), appended without driver materialization. */
+  def recordHeartbeats(hbs: Dataset[ProcessHeartbeat]): Unit
   def heartbeats: Dataset[ProcessHeartbeat]
 
   // ---- maintenance ----

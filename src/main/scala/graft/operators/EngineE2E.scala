@@ -98,6 +98,82 @@ object EngineE2E {
         .orderBy("job_id")
     }),
 
+    // S2: perform-at with a PAST-DUE time short-circuits to the FRONT of
+    // the ready queue (client.clj:82-106, redis/scheduler.clj:12-20) —
+    // here priority=1 beats every seed row in consume order. The one
+    // client-created row carries a random UUID, mapped to job_id=-1.
+    "q19_pastdue_front" -> ((s, d) => {
+      val (backend, _, _, clock) = fixture(s)
+      backend.enqueue(seedJobs(s, d))
+      val client = new graft.client.GraftClient(backend, s, "e2e",
+        RetryOpts(maxRetries = 1, retryDelaySecFn = "e2e_instant"), () => clock.get())
+      client.performAt(java.time.Instant.ofEpochMilli(T0 - 5000), "e2e_noop")
+      backend.readyJobs.toDF()
+        .select(
+          when(col("priority") === 1, lit(-1L))
+            .otherwise(col("id").cast("long")).as("job_id"),
+          col("priority"))
+        .orderBy(col("priority").desc, col("job_id").asc)
+        .limit(10)
+    }),
+
+    // O2: scheduled page ascending by run-at with offset paging
+    // (redis/api/scheduled_jobs.clj:42-45, ZRANGEBYSCORE window) — page 1
+    // of the scheduled set, run-ats derived deterministically from ids.
+    "q28_scheduled_page" -> ((s, d) => {
+      import s.implicits._
+      val (backend, _, _, _) = fixture(s)
+      backend.schedule(seedJobs(s, d).map(j =>
+        j.copy(scheduleRunAt = Some(T0 + (j.id.toLong % 97) * 1000))))
+      backend.scheduledJobs.toDF()
+        .select(col("id").cast("long").as("job_id"),
+          coalesce(col("state.retryAt"), col("scheduleRunAt")).as("run_at"))
+        .orderBy(col("run_at").asc, col("job_id").asc)
+        .offset(10).limit(10)
+    }),
+
+    // D6: the cron engine's next-fire computation as a verifiable table —
+    // one row per schedule fixture (steps, ranges, names, dom/dow OR
+    // quirk, timezone, leap day, DST gap), each fire time hand-verifiable
+    // (reference redis/cron.clj:57-103; cron/parsing.clj).
+    "q29_cron_next_fires" -> ((s, d) => {
+      import s.implicits._
+      val fixtures: Seq[(String, String, String, String)] = Seq(
+        ("every3", "*/3 * * * *", "UTC", "2024-01-01T00:04:30Z"),
+        ("daily930", "30 9 * * *", "UTC", "2024-03-05T09:30:00Z"),
+        ("ranges", "0 0 1,15 JAN-JUN/2 *", "UTC", "2024-01-15T00:00:00Z"),
+        ("weekdays", "0 12 * * MON-FRI", "UTC", "2024-01-06T00:00:00Z"),
+        ("sunday0", "0 0 * * 0", "UTC", "2024-01-03T00:00:00Z"),
+        ("sunday7", "0 0 * * 7", "UTC", "2024-01-03T00:00:00Z"),
+        ("orquirk_dom", "0 0 13 * 5", "UTC", "2024-09-11T00:00:00Z"),
+        ("orquirk_dow", "0 0 13 * 5", "UTC", "2024-09-13T00:00:00Z"),
+        ("tokyo9", "0 9 * * *", "Asia/Tokyo", "2024-01-01T23:00:00Z"),
+        ("leap_seek", "0 0 29 2 *", "UTC", "2023-03-01T00:00:00Z"),
+        ("leap_next", "0 0 29 2 *", "UTC", "2024-02-29T00:00:00Z"),
+        ("dst_gap", "30 2 * * *", "America/New_York", "2024-03-10T05:00:00Z"))
+      val rows = fixtures.map { case (name, sched, tz, from) =>
+        val next = graft.cron.CronSchedule.parse(sched)
+          .nextFire(java.time.Instant.parse(from), java.time.ZoneId.of(tz))
+        (name, next.toEpochMilli)
+      }
+      rows.toDF("cron_name", "next_fire_ms").orderBy("cron_name")
+    }),
+
+    // A5/F9: global-workers-count — latest heartbeat per process within
+    // TTL (redis/heartbeat.clj:16-20); each process also has an OLDER
+    // stale beat, so the max-per-process step is exercised.
+    "q30_workers_alive" -> ((s, d) => {
+      import s.implicits._
+      val (backend, _, _, _) = fixture(s)
+      val beats = Tables.events(s, d).select($"user_id".as[Long]).distinct()
+        .flatMap(u => Seq(
+          ProcessHeartbeat(s"w$u", "e2e", T0 - u * 1000),
+          ProcessHeartbeat(s"w$u", "e2e", T0 - u * 1000 - 100000)))
+      backend.recordHeartbeats(beats)
+      val api = new graft.api.ManagementApi(backend, s)
+      Seq(api.globalWorkersCount(T0, 60000)).toDF("n_alive")
+    }),
+
     // D7/D8: batch over the seed jobs → tracker folds completions → one
     // terminal status (partial-success when some jobs died).
     "e2e_batch_status" -> ((s, d) => {
@@ -120,6 +196,42 @@ object EngineE2E {
   )
 
   val oracles: Map[String, String] = Map(
+    "q19_pastdue_front" ->
+      s"""WITH seed AS (SELECT event_id FROM (SELECT * FROM events ORDER BY event_id LIMIT $SeedCount)),
+         |front AS (
+         |  SELECT CAST(-1 AS BIGINT) AS job_id, 1 AS priority
+         |  UNION ALL
+         |  SELECT CAST(event_id AS BIGINT), 0 FROM seed)
+         |SELECT job_id, priority FROM front
+         |ORDER BY priority DESC, job_id ASC LIMIT 10""".stripMargin,
+    "q28_scheduled_page" ->
+      s"""SELECT CAST(event_id AS BIGINT) AS job_id,
+         |  CAST(1700000000000 + (event_id % 97) * 1000 AS BIGINT) AS run_at
+         |FROM (SELECT * FROM events ORDER BY event_id LIMIT $SeedCount)
+         |ORDER BY run_at ASC, job_id ASC LIMIT 10 OFFSET 10""".stripMargin,
+    "q29_cron_next_fires" ->
+      """SELECT cron_name, CAST(epoch_ms(expected) AS BIGINT) AS next_fire_ms
+        |FROM (VALUES
+        |  ('daily930',    TIMESTAMP '2024-03-06 09:30:00'),
+        |  -- 02:30 local does not exist on 2024-03-10 in New York; the
+        |  -- engine skips to the next valid 02:30 local = 03-11 06:30Z
+        |  ('dst_gap',     TIMESTAMP '2024-03-11 06:30:00'),
+        |  ('every3',      TIMESTAMP '2024-01-01 00:06:00'),
+        |  ('leap_next',   TIMESTAMP '2028-02-29 00:00:00'),
+        |  ('leap_seek',   TIMESTAMP '2024-02-29 00:00:00'),
+        |  ('orquirk_dom', TIMESTAMP '2024-09-13 00:00:00'),
+        |  ('orquirk_dow', TIMESTAMP '2024-09-20 00:00:00'),
+        |  ('ranges',      TIMESTAMP '2024-03-01 00:00:00'),
+        |  ('sunday0',     TIMESTAMP '2024-01-07 00:00:00'),
+        |  ('sunday7',     TIMESTAMP '2024-01-07 00:00:00'),
+        |  ('tokyo9',      TIMESTAMP '2024-01-02 00:00:00'),
+        |  ('weekdays',    TIMESTAMP '2024-01-08 12:00:00')
+        |) AS t(cron_name, expected)
+        |ORDER BY cron_name""".stripMargin,
+    "q30_workers_alive" ->
+      """SELECT COUNT(*) AS n_alive
+        |FROM (SELECT DISTINCT user_id FROM events)
+        |WHERE user_id * 1000 <= 60000""".stripMargin,
     "e2e_worker_pass" ->
       s"""SELECT event_id AS job_id,
          |  CASE WHEN event_type = 'error' THEN 'retrying' ELSE 'success' END AS terminal_state

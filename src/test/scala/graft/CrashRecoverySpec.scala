@@ -46,6 +46,7 @@ final class CrashingBackend(inner: QueueBackend, failMethod: String)
   def batchStatusEvents: Dataset[BatchStatusEvent] = inner.batchStatusEvents
   def deleteBatches(ids: Seq[String]): Unit = inner.deleteBatches(ids)
   def recordHeartbeat(hb: ProcessHeartbeat): Unit = inner.recordHeartbeat(hb)
+  def recordHeartbeats(hbs: Dataset[ProcessHeartbeat]): Unit = inner.recordHeartbeats(hbs)
   def heartbeats: Dataset[ProcessHeartbeat] = inner.heartbeats
   def compact(tbl: String): Unit = inner.compact(tbl)
 }
