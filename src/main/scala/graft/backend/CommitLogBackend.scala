@@ -1,0 +1,161 @@
+package graft.backend
+
+import java.util.UUID
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Dataset, Encoder, SaveMode, SparkSession}
+
+/** Manifest-commit-log binding of [[LogStructuredBackend]] — the second
+  * real broker behind the seam (goose's Redis vs RabbitMQ split,
+  * broker.clj:4-67 vs rmq/broker.clj:24-70), built the way object-store
+  * table formats do it (Delta/Iceberg-style, from their public designs):
+  *
+  *  - Data files are immutable parquet parts under `root/<tbl>/`; the
+  *    directory listing is NEVER trusted.
+  *  - The table state lives in `root/_log/<version>.commit` files, each
+  *    holding `add tbl file` / `replace tbl file...` records (plain
+  *    tab-separated lines; version = zero-padded file name).
+  *  - A reader resolves the CURRENT snapshot by folding the commit files
+  *    in version order — so a reader planning at version N keeps a
+  *    consistent view even while writers commit N+1, N+2, ... and even
+  *    while compaction REPLACES a table (old files are left in place for
+  *    in-flight readers; `vacuum()` deletes unreferenced files later).
+  *  - Writers commit optimistically: stage part files, then claim the
+  *    next version with a no-overwrite rename. A lost race re-reads the
+  *    log and retries with the next number — appends never conflict
+  *    semantically, so retry is always safe.
+  *
+  * What this buys over [[ParquetBackend]] at cluster scale: atomic
+  * multi-file commits, torn-read-free compaction WITHOUT a process-local
+  * gate, and a total order of commits any process can observe (the log is
+  * the broker's clock, like Redis's serialized command stream).
+  */
+final class CommitLogBackend(spark0: SparkSession, val root: String)
+    extends LogStructuredBackend(spark0) {
+
+  private val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+  private val logDir = new Path(s"$root/_log")
+  fs.mkdirs(logDir)
+
+  /** In-process commit serialization; cross-process safety comes from the
+    * no-overwrite rename (atomic on HDFS-like stores; on a plain local FS
+    * the exists-check + rename window is documented best-effort). */
+  private val commitLock = new Object
+
+  // ---------- commit log ----------
+
+  private def versionOf(p: Path): Long =
+    p.getName.stripSuffix(".commit").toLong
+
+  private def listCommits(): Seq[Path] =
+    if (!fs.exists(logDir)) Nil
+    else fs.listStatus(logDir).map(_.getPath)
+      .filter(_.getName.endsWith(".commit")).sortBy(versionOf).toSeq
+
+  /** Current file set per table: fold add/replace records in version
+    * order. Incremental — the fold state is cached at its last version
+    * and only NEWER commit files are read (commits are immutable once
+    * claimed, so replaying the suffix is always sound). */
+  private case class LogState(version: Long, tables: Map[String, Vector[String]])
+  @volatile private var cached = LogState(0L, Map.empty)
+
+  private def snapshot(): Map[String, Vector[String]] = {
+    val commits = listCommits()
+    val base = cached
+    val newer = commits.filter(versionOf(_) > base.version)
+    if (newer.isEmpty) return base.tables.withDefaultValue(Vector.empty)
+    var state = base.tables.withDefaultValue(Vector.empty)
+    newer.foreach { p =>
+      val in = fs.open(p)
+      val lines = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+      lines.split('\n').filter(_.nonEmpty).foreach { line =>
+        line.split('\t') match {
+          case Array("add", tbl, file) => state += tbl -> (state(tbl) :+ file)
+          case Array("replace", tbl, rest @ _*) => state += tbl -> rest.toVector
+          case other => throw new IllegalStateException(
+            s"corrupt commit record in ${p.getName}: ${other.mkString("\t")}")
+        }
+      }
+    }
+    cached = LogState(versionOf(newer.last), state)
+    state
+  }
+
+  private def commit(records: Seq[String]): Unit = commitLock.synchronized {
+    val payload = records.mkString("", "\n", "\n").getBytes("UTF-8")
+    var attempt = 0
+    while (true) {
+      val next = listCommits().lastOption.map(versionOf(_) + 1).getOrElse(1L)
+      val target = new Path(logDir, f"$next%012d.commit")
+      val tmp = new Path(logDir, s".tmp-${UUID.randomUUID()}")
+      val out = fs.create(tmp, false)
+      try out.write(payload) finally out.close()
+      // claim the version: no-overwrite rename; a lost race retries
+      if (!fs.exists(target) && fs.rename(tmp, target)) return
+      fs.delete(tmp, false)
+      attempt += 1
+      if (attempt > 1000) throw new IllegalStateException("commit contention livelock")
+    }
+  }
+
+  /** Write `ds` as immutable parts under the table dir, returning the
+    * staged file names (not yet visible — no commit record yet). */
+  private def stage[T](tbl: String, ds: Dataset[T]): Seq[String] = {
+    val stageDir = s"$root/.stage-${UUID.randomUUID()}"
+    ds.write.mode(SaveMode.Overwrite).parquet(stageDir)
+    val parts = fs.listStatus(new Path(stageDir))
+      .map(_.getPath).filter(_.getName.endsWith(".parquet")).toSeq
+    fs.mkdirs(new Path(s"$root/$tbl"))
+    val moved = parts.zipWithIndex.map { case (p, i) =>
+      val name = s"data-${UUID.randomUUID()}-$i.parquet"
+      require(fs.rename(p, new Path(s"$root/$tbl/$name")), s"stage move failed for $p")
+      name
+    }
+    fs.delete(new Path(stageDir), true)
+    moved
+  }
+
+  // ---------- LogStructuredBackend primitives ----------
+
+  override protected def readLog[T: Encoder](tbl: String): Dataset[T] = {
+    val files = snapshot()(tbl).map(f => s"$root/$tbl/$f")
+    if (files.isEmpty) spark.emptyDataset[T]
+    else spark.read.parquet(files: _*).as[T]
+  }
+
+  override protected def appendLog[T](tbl: String, ds: Dataset[T]): Unit = {
+    val files = stage(tbl, ds)
+    if (files.nonEmpty) commit(files.map(f => s"add\t$tbl\t$f"))
+  }
+
+  override protected def replaceLog[T](tbl: String, rows: Dataset[T]): Unit = {
+    // rows may read the files being replaced: staging executes the plan
+    // BEFORE the commit flips the snapshot, and old files stay on disk
+    // for any in-flight reader (vacuum reclaims them later).
+    val files = stage(tbl, rows)
+    commit(Seq(("replace" +: tbl +: files).mkString("\t")))
+  }
+
+  // ---------- maintenance ----------
+
+  /** Delete data files no longer referenced by the current snapshot
+    * (post-compaction garbage). Callers ensure no reader is still using a
+    * snapshot older than the last replace — the same horizon contract as
+    * Delta's VACUUM (public docs). Returns the number of files removed. */
+  def vacuum(): Int = {
+    val live = snapshot()
+    var removed = 0
+    live.keys.toSeq.foreach { tbl =>
+      val keep = live(tbl).toSet
+      val d = new Path(s"$root/$tbl")
+      if (fs.exists(d)) fs.listStatus(d).map(_.getPath).foreach { p =>
+        if (p.getName.endsWith(".parquet") && !keep.contains(p.getName)) {
+          fs.delete(p, false); removed += 1
+        }
+      }
+    }
+    removed
+  }
+
+  /** Number of commits in the log (diagnostics / tests). */
+  def logVersion: Long = listCommits().lastOption.map(versionOf).getOrElse(0L)
+}

@@ -1,0 +1,214 @@
+package graft.backend
+
+import org.apache.spark.sql.{Dataset, Encoder, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.model._
+
+/** The log-structured queue engine, abstracted over HOW logs are stored.
+  *
+  * Everything goose does with Redis list/zset/hash surgery is expressed
+  * here as three primitives over append-only tables:
+  *
+  *  - `readLog`    — current visible file set of one table
+  *  - `appendLog`  — add rows (any number of concurrent writers)
+  *  - `replaceLog` — atomically substitute a table's contents (compaction,
+  *                   cron snapshot, batch GC)
+  *
+  * Two storage bindings ship: [[ParquetBackend]] (directory listing — the
+  * simplest thing that works on any filesystem; replace = dir swap) and
+  * [[CommitLogBackend]] (a manifest commit log — atomic multi-file
+  * commits, optimistic concurrency, snapshot-isolated readers; the
+  * object-store-grade binding). goose ships the same split as Redis vs
+  * RabbitMQ behind one Broker protocol (broker.clj:4-67).
+  *
+  * Visibility (the log-structured LREM/ZREM/DEL of commands.clj):
+  *   ready    = log ∖ completions(id,attempt) ∖ tombstones ∖ purge-marked
+  *   scheduled/dead = log ∖ tombstones
+  * computed with left_anti joins that Catalyst plans as broadcast joins
+  * while the subtraction side is small and shuffle joins beyond — both
+  * scale-out clean. `compact` folds a log to its visible set so the
+  * subtraction side never grows unboundedly.
+  */
+abstract class LogStructuredBackend(val spark: SparkSession) extends QueueBackend {
+  import spark.implicits._
+
+  // ---------- storage primitives ----------
+
+  protected def readLog[T: Encoder](tbl: String): Dataset[T]
+  protected def appendLog[T](tbl: String, ds: Dataset[T]): Unit
+  protected def replaceLog[T](tbl: String, rows: Dataset[T]): Unit
+
+  /** Small driver-side row sets (client API calls) write one file. */
+  protected def appendSmall[T](tbl: String, ds: Dataset[T]): Unit =
+    appendLog(tbl, ds.coalesce(1))
+
+  // ---------- appends ----------
+  // Bulk paths stay fully distributed (one file per task); driver-side
+  // Seq-based callers pre-coalesce their tiny row sets.
+
+  override def enqueue(jobs: Dataset[Job]): Unit = appendLog("ready", jobs)
+  override def schedule(jobs: Dataset[Job]): Unit = appendLog("scheduled", jobs)
+  override def bury(jobs: Dataset[Job]): Unit = appendLog("dead", jobs)
+  override def recordCompletions(events: Dataset[CompletionEvent]): Unit =
+    appendLog("completions", events)
+
+  override def tombstone(tbl: String, victims: Seq[(String, Long)], reason: String): Unit = {
+    val now = System.currentTimeMillis()
+    appendSmall("tombstones",
+      victims.map { case (id, seq) => Tombstone(tbl, id, seq, reason, now) }.toDS())
+  }
+
+  override def tombstone(tbl: String, victims: Dataset[(String, Long)], reason: String): Unit = {
+    val now = System.currentTimeMillis()
+    appendLog("tombstones",
+      victims.map { case (id, seq) => Tombstone(tbl, id, seq, reason, now) })
+  }
+
+  override def purge(tbl: String, queue: String): Unit = {
+    if (tbl == "ready") {
+      // marker purge: O(1) write, like DEL — rows appended later survive.
+      appendSmall("purges",
+        Seq(PurgeMarker(tbl, queue, Job.nextSeq(), System.currentTimeMillis())).toDS())
+    } else {
+      // scheduled/dead hold future/terminal rows, so purge materializes
+      // the victim versions — distributed end-to-end (admin op, but the
+      // dead set after an incident can be huge; never collect it).
+      val vis = if (tbl == "scheduled") scheduledJobs else deadJobs
+      val victims = vis.filter(j => queue == "*" || j.queue == queue)
+        .select($"id", $"seq").as[(String, Long)]
+      tombstone(tbl, victims, "purge")
+    }
+  }
+
+  // ---------- visible sets ----------
+
+  private def tombstonesFor(tbl: String): Dataset[Tombstone] =
+    readLog[Tombstone]("tombstones").filter($"tbl" === tbl)
+
+  private def minusTombstones(jobs: Dataset[Job], tbl: String): Dataset[Job] =
+    jobs.join(tombstonesFor(tbl).select($"id".as("t_id"), $"seq".as("t_seq")),
+      col("id") === col("t_id") && col("seq") === col("t_seq"), "left_anti").as[Job]
+
+  override def readyJobs: Dataset[Job] = filterReadyVisible(readLog[Job]("ready"))
+
+  override def filterReadyVisible(slice: Dataset[Job]): Dataset[Job] = {
+    val comps = readLog[CompletionEvent]("completions")
+      .select($"jobId".as("c_id"), $"attempt".as("c_attempt"))
+    val purges = readLog[PurgeMarker]("purges").filter($"tbl" === "ready")
+      .groupBy($"queue".as("p_queue")).agg(max($"seqAt").as("p_seq"))
+    slice
+      .withColumn("rattempt", coalesce($"state.retryCount" + 1, lit(0)))
+      .join(comps, $"id" === $"c_id" && $"rattempt" === $"c_attempt", "left_anti")
+      .join(tombstonesFor("ready").select($"id".as("t_id"), $"seq".as("t_seq")),
+        $"id" === $"t_id" && $"seq" === $"t_seq", "left_anti")
+      .join(purges, $"queue" === $"p_queue", "left_outer")
+      .filter($"p_seq".isNull || $"seq" > $"p_seq")
+      // crash-replay can append the same logical row twice (e.g. a
+      // promote that died between enqueue and tombstone re-promotes, or a
+      // prioritise that died before tombstoning): one row per (id,
+      // attempt), the LATEST version (max seq) winning so a re-appended
+      // bump deterministically shadows its predecessor. AFTER the
+      // subtractions — before them, the survivor could be a tombstoned
+      // version.
+      .withColumn("vrank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy($"id", $"rattempt").orderBy($"seq".desc)))
+      .filter($"vrank" === 1)
+      .drop("rattempt", "p_queue", "p_seq", "vrank")
+      .as[Job]
+  }
+
+  override def scheduledJobs: Dataset[Job] =
+    minusTombstones(readLog[Job]("scheduled"), "scheduled")
+
+  override def deadJobs: Dataset[Job] =
+    minusTombstones(readLog[Job]("dead"), "dead")
+
+  override def completions: Dataset[CompletionEvent] =
+    readLog[CompletionEvent]("completions")
+
+  // ---------- cron (tiny keyed table, replace-on-write) ----------
+
+  override def cronEntries: Dataset[CronEntry] = readLog[CronEntry]("cron")
+
+  /** Idempotent upsert keyed by cronName (reference redis/cron.clj:38-50:
+    * registering an existing name replaces the entry). The registry is
+    * bounded by the number of *schedules*, so the read-modify-replace is
+    * a tiny snapshot write, exactly like goose's one Redis HASH. */
+  override def upsertCron(entries: Seq[CronEntry]): Unit = {
+    val names = entries.map(_.cronName).toSet
+    val kept = cronEntries.collect().filterNot(e => names.contains(e.cronName))
+    replaceLog("cron", (kept ++ entries).toSeq.toDS().coalesce(1))
+  }
+
+  override def deleteCron(names: Seq[String]): Unit = {
+    val drop = names.toSet
+    val kept = cronEntries.collect().filterNot(e => drop.contains(e.cronName))
+    replaceLog("cron", kept.toSeq.toDS().coalesce(1))
+  }
+
+  override def purgeCron(): Unit =
+    replaceLog("cron", spark.emptyDataset[CronEntry])
+
+  // ---------- batches ----------
+
+  override def putBatch(meta: BatchMeta): Unit = appendSmall("batches", Seq(meta).toDS())
+  override def batches: Dataset[BatchMeta] = readLog[BatchMeta]("batches")
+
+  override def recordBatchStatus(events: Seq[BatchStatusEvent]): Unit =
+    appendSmall("batch_status", events.toDS())
+  override def batchStatusEvents: Dataset[BatchStatusEvent] =
+    readLog[BatchStatusEvent]("batch_status")
+
+  override def deleteBatches(ids: Seq[String]): Unit = {
+    if (ids.isEmpty) return
+    val drop = ids.toSet
+    replaceLog("batches", batches.filter(m => !drop.contains(m.id)))
+    replaceLog("batch_status", batchStatusEvents.filter(e => !drop.contains(e.batchId)))
+  }
+
+  // ---------- worker registry ----------
+
+  override def recordHeartbeat(hb: ProcessHeartbeat): Unit =
+    appendSmall("heartbeats", Seq(hb).toDS())
+  override def recordHeartbeats(hbs: Dataset[ProcessHeartbeat]): Unit =
+    appendLog("heartbeats", hbs)
+  override def heartbeats: Dataset[ProcessHeartbeat] =
+    readLog[ProcessHeartbeat]("heartbeats")
+
+  // ---------- maintenance ----------
+
+  /** Fold a log to its visible rows (the GC that keeps anti-join sides
+    * bounded). Survivors are pinned (localCheckpoint) BEFORE the swap so
+    * the replacement never reads files it is replacing. Completions of
+    * NOT-YET-TERMINAL batches are retained even when their job is gone
+    * from the ready log — the batch tracker re-derives status from them,
+    * and dropping a succeeded member's event would strand its batch
+    * in-progress forever. */
+  override def compact(tbl: String): Unit = {
+    val visible: Dataset[Job] = tbl match {
+      case "ready" => readyJobs
+      case "scheduled" => scheduledJobs
+      case "dead" => deadJobs
+      case other => throw new IllegalArgumentException(s"cannot compact '$other'")
+    }
+    val survivors = visible.localCheckpoint(true)
+    try {
+      replaceLog(tbl, survivors)
+      if (tbl == "ready") {
+        val comps = readLog[CompletionEvent]("completions")
+        val terminalB = readLog[BatchStatusEvent]("batch_status")
+          .filter(e => BatchStatus.terminal(e.status)).select($"batchId".as("tb"))
+        val liveBatches = readLog[BatchMeta]("batches").select($"id".as("lb"))
+          .join(terminalB, $"lb" === $"tb", "left_anti")
+        val keptComps = comps.join(
+          survivors.select($"id".as("s_id")), $"jobId" === $"s_id", "left_semi")
+          .union(comps.join(liveBatches, $"batchId" === $"lb", "left_semi"))
+          .distinct()
+          .as[CompletionEvent]
+        replaceLog("completions", keptComps)
+      }
+      replaceLog("tombstones", readLog[Tombstone]("tombstones").filter($"tbl" =!= tbl))
+    } finally survivors.unpersist()
+  }
+}

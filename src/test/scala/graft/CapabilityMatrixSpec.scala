@@ -1,7 +1,7 @@
 package graft
 
 import graft.api.ManagementApi
-import graft.backend.{InMemoryBackend, ParquetBackend, QueueBackend}
+import graft.backend.{CommitLogBackend, InMemoryBackend, ParquetBackend, QueueBackend}
 import graft.client.GraftClient
 import graft.model._
 import graft.worker.{BatchTracker, SchedulerEngine, WorkerEngine}
@@ -26,6 +26,7 @@ class CapabilityMatrixSpec extends SparkSpec {
 
   private def backends: Seq[(String, () => QueueBackend)] = Seq(
     "parquet" -> (() => new ParquetBackend(spark, tmpDir("graft-cap"))),
+    "commit-log" -> (() => new CommitLogBackend(spark, tmpDir("graft-cap-cl"))),
     "in-memory" -> (() => new InMemoryBackend(spark)))
 
   private def ctx(mk: () => QueueBackend): Ctx = {

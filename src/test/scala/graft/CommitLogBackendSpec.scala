@@ -1,0 +1,79 @@
+package graft
+
+import graft.backend.CommitLogBackend
+import graft.model._
+
+/** Manifest-commit-log broker: the properties the directory-listing
+  * backend cannot offer — snapshot-isolated readers across a compaction,
+  * garbage retention until vacuum, and a totally ordered commit log. */
+class CommitLogBackendSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def job(id: String, seq: Long = Job.nextSeq()): Job = Job(
+    id = id, executeFnSym = "noop", argsJson = "[]", queue = "q",
+    readyQueue = "q", priority = 0, enqueuedAt = 1700000000000L,
+    scheduleRunAt = None, cronRunAt = None, batchId = None,
+    retryOpts = RetryOpts(), state = None, seq = seq)
+
+  test("appends are committed atomically and totally ordered") {
+    val b = new CommitLogBackend(spark, tmpDir("graft-cl"))
+    val v0 = b.logVersion
+    b.enqueue(Seq(job("a"), job("b")).toDS().coalesce(1))
+    b.enqueue(Seq(job("c")).toDS().coalesce(1))
+    assert(b.logVersion == v0 + 2)
+    assert(b.readyJobs.collect().map(_.id).sorted.toSeq == Seq("a", "b", "c"))
+  }
+
+  test("a reader's plan survives compaction mid-flight (snapshot isolation)") {
+    val b = new CommitLogBackend(spark, tmpDir("graft-cl"))
+    val rows = (1 to 100).map(i => job(s"j$i"))
+    b.enqueue(rows.toDS())
+    b.tombstone("ready", rows.take(50).map(j => (j.id, j.seq)), "half")
+
+    // plan (and its file list) resolved against the pre-compaction snapshot
+    val preCompactionView = b.readyJobs
+
+    b.compact("ready") // rewrites the table; old files must remain on disk
+    // the old snapshot still evaluates — no FileNotFound, same rows
+    assert(preCompactionView.count() == 50)
+    // and the new snapshot agrees
+    assert(b.readyJobs.count() == 50)
+
+    // only after vacuum are the unreferenced files reclaimed
+    assert(b.vacuum() > 0)
+    assert(b.readyJobs.count() == 50)
+  }
+
+  test("directory garbage is invisible: only manifested files are read") {
+    val root = tmpDir("graft-cl")
+    val b = new CommitLogBackend(spark, root)
+    b.enqueue(Seq(job("real")).toDS().coalesce(1))
+    // an orphaned data file from a crashed writer (staged but never committed)
+    Seq(job("ghost")).toDS().coalesce(1)
+      .write.mode("append").parquet(s"$root/ready")
+    assert(b.readyJobs.collect().map(_.id).toSeq == Seq("real"))
+  }
+
+  test("replace keeps the table consistent for cron upserts") {
+    val b = new CommitLogBackend(spark, tmpDir("graft-cl"))
+    val desc = JobDescription("noop", "[]", "q", "q", 0, RetryOpts())
+    b.upsertCron(Seq(CronEntry("c1", "* * * * *", "UTC", desc, 1L)))
+    b.upsertCron(Seq(CronEntry("c1", "*/5 * * * *", "UTC", desc, 2L)))
+    b.upsertCron(Seq(CronEntry("c2", "0 0 * * *", "UTC", desc, 3L)))
+    assert(b.cronEntries.collect().map(e => e.cronName -> e.cronSchedule).sorted.toSeq ==
+      Seq("c1" -> "*/5 * * * *", "c2" -> "0 0 * * *"))
+    b.purgeCron()
+    assert(b.cronEntries.count() == 0)
+  }
+
+  test("concurrent appenders never lose a commit (optimistic version claim)") {
+    val b = new CommitLogBackend(spark, tmpDir("graft-cl"))
+    val threads = (1 to 8).map { t =>
+      new Thread(() =>
+        (1 to 5).foreach(i => b.enqueue(Seq(job(s"t$t-$i")).toDS().coalesce(1))))
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(b.readyJobs.count() == 40)
+    assert(b.logVersion == 40)
+  }
+}
