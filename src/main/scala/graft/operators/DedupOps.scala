@@ -184,6 +184,27 @@ object DedupOps {
         .orderBy("d1", "d2").limit(200)
     }),
 
+    // Train/eval contamination: for each doc of the held-out sources, the
+    // fraction of its 8-gram shingles that appear ANYWHERE in the training
+    // sources — the decontamination pass every eval pipeline needs
+    // (exact-match contamination is a degenerate case; shingle overlap is
+    // the form that catches paraphrase-level leakage). Pure equi-join on
+    // the shingle, so it shuffles by shingle hash and scales horizontally.
+    "d11_contamination" -> ((s, d) => {
+      val evalSrcs = Seq("src0", "src1")
+      val sh = shingled(Tables.documents(s, d))
+      val evalSh = sh.filter(col("source").isin(evalSrcs: _*))
+        .select(col("doc_id"), col("sh")).distinct()
+      val trainSh = sh.filter(!col("source").isin(evalSrcs: _*))
+        .select(col("sh")).distinct().withColumn("hit", lit(1))
+      evalSh.join(trainSh, Seq("sh"), "left_outer")
+        .groupBy("doc_id")
+        .agg(round(sum(coalesce(col("hit"), lit(0))).cast("double") /
+          count(lit(1)).cast("double"), 4).as("overlap"))
+        .filter(col("overlap") >= 0.5)
+        .orderBy("doc_id")
+    }),
+
     // SimHash (16-bit, token-level): bit-majority sketch; identical md5
     // arithmetic on both sides makes the signature oracle-checkable.
     "d07_simhash" -> ((s, d) => {
@@ -269,6 +290,20 @@ object DedupOps {
          |WHERE ROUND(CAST(len(list_intersect(a.shs, b.shs)) AS DOUBLE)
          |    / (len(a.shs) + len(b.shs) - len(list_intersect(a.shs, b.shs))), 4) >= 0.2
          |ORDER BY d1, d2 LIMIT 200""".stripMargin,
+    "d11_contamination" ->
+      s"""WITH sh AS (
+         |  SELECT doc_id, source, substr(text, CAST(g AS INT), $ShingleLen) AS s
+         |  FROM (SELECT doc_id, source, text,
+         |          unnest(generate_series(1, greatest(length(text) - ${ShingleLen - 1}, 1))) AS g
+         |        FROM documents)),
+         |eval_sh AS (SELECT DISTINCT doc_id, s FROM sh WHERE source IN ('src0', 'src1')),
+         |train_sh AS (SELECT DISTINCT s FROM sh WHERE source NOT IN ('src0', 'src1'))
+         |SELECT e.doc_id,
+         |  ROUND(SUM(CASE WHEN t.s IS NOT NULL THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 4) AS overlap
+         |FROM eval_sh e LEFT JOIN train_sh t ON e.s = t.s
+         |GROUP BY e.doc_id
+         |HAVING ROUND(SUM(CASE WHEN t.s IS NOT NULL THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 4) >= 0.5
+         |ORDER BY doc_id""".stripMargin,
     "d07_simhash" -> {
       val bitSumSql = (0 until 16).map { b =>
         val c = b / 4; val k = 1 << (b % 4)

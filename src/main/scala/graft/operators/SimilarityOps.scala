@@ -120,6 +120,26 @@ object SimilarityOps {
         .limit(5)
     }),
 
+    // Batched multi-query exact top-k: score the corpus against a
+    // BROADCAST query set in one scan (the serving shape — k queries ×
+    // corpus, one pass, per-query top-k via WindowGroupLimit so the
+    // shuffle carries only partial top rows, never the full score
+    // matrix). The broadcast nested-loop is intentional: q × corpus IS
+    // the brute-force work; the plan just never materializes it.
+    "s04_ann_multiquery" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val qs = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("qid").orderBy(col("cos").desc, col("vec_id").asc)
+      emb.join(broadcast(qs), col("vec_id") =!= col("qid"))
+        .withColumn("cos", cosCol)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select("qid", "vec_id", "cos", "rn")
+        .orderBy("qid", "rn")
+    }),
+
     // Embedding-cosine near-dup pairs, generated from sign-LSH bucket
     // candidates WITHIN each cluster: an equi-join on (label, bucket),
     // never a cross join — each join key's fan-out is a cluster's bucket
@@ -179,6 +199,17 @@ object SimilarityOps {
          |FROM embeddings, q, best
          |WHERE label = best_label AND vec_id <> $QueryId
          |ORDER BY cos DESC, vec_id ASC LIMIT 5""".stripMargin,
+    "s04_ann_multiquery" ->
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 5),
+         |scored AS (
+         |  SELECT q.qid, e.vec_id, ${cosSql("e.embedding", "q.qv", 6)} AS cos
+         |  FROM embeddings e, q WHERE e.vec_id <> q.qid),
+         |ranked AS (
+         |  SELECT qid, vec_id, cos,
+         |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id ASC) AS rn
+         |  FROM scored)
+         |SELECT qid, vec_id, cos, rn FROM ranked WHERE rn <= 3
+         |ORDER BY qid, rn""".stripMargin,
     "d08_embedding_neardup" -> {
       def b(e: String) = (0 until 6)
         .map(i => s"(CASE WHEN $e[${i + 1}] >= 0 THEN '1' ELSE '0' END)")

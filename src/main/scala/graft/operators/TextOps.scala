@@ -89,7 +89,21 @@ object TextOps {
         .withColumn("fp",
           substring(md5(regexp_replace(lower(col("text")), "\\s+", " ")), 1, 16))
         .select("doc_id", "fp")
-        .orderBy("doc_id").limit(200))
+        .orderBy("doc_id").limit(200)),
+
+    // Corpus n-gram statistics: top word-bigrams by frequency — the
+    // frequency table behind repetition/boilerplate filters (C4's "three-
+    // sentence dedup", Gopher's repetition thresholds are built on
+    // exactly this grouped count). explode → groupBy: one shuffle.
+    "t05_top_bigrams" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(split(col("text"), "\\s+").as("w"))
+        .filter(size(col("w")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(1, size(w) - 1), i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))"))
+          .as("bigram"))
+        .groupBy("bigram").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("bigram").asc).limit(20))
   )
 
   val oracles: Map[String, String] = Map(
@@ -121,6 +135,15 @@ object TextOps {
          |FROM documents GROUP BY source ORDER BY source""".stripMargin,
     "t04_fingerprint" ->
       """SELECT doc_id, substr(md5(regexp_replace(lower(text), '\s+', ' ', 'g')), 1, 16) AS fp
-        |FROM documents ORDER BY doc_id LIMIT 200""".stripMargin
+        |FROM documents ORDER BY doc_id LIMIT 200""".stripMargin,
+    "t05_top_bigrams" ->
+      """WITH toks AS (
+        |  SELECT regexp_split_to_array(text, '\s+') AS w FROM documents),
+        |bi AS (
+        |  SELECT w[g] || ' ' || w[g + 1] AS bigram
+        |  FROM (SELECT w, unnest(generate_series(1, len(w) - 1)) AS g
+        |        FROM toks WHERE len(w) >= 2))
+        |SELECT bigram, COUNT(*) AS n FROM bi
+        |GROUP BY bigram ORDER BY n DESC, bigram ASC LIMIT 20""".stripMargin
   )
 }

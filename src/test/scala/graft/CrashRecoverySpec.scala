@@ -158,14 +158,18 @@ class CrashRecoverySpec extends SparkSpec {
     client.performAsync("ok", "b3")
     intercept[Throwable] { qA.processAllAvailable() }
     qA.stop()
-    assert(TestFns.calls.get() == 5) // A burned executions...
-    assert(real.completions.count() == 2) // ...but committed nothing
+    // the file source may split the three appends across micro-batches, so
+    // A burned 1..3 executions before dying — but committed NONE of them
+    val callsAfterCrash = TestFns.calls.get()
+    assert(callsAfterCrash >= 3 && callsAfterCrash <= 5)
+    assert(real.completions.count() == 2)
 
     // phase 3: worker B, fresh checkpoint, same backend — must re-derive
     // exactly A's three unconsumed (id, attempt)s, not the committed two
     val qB = workerB.startStream(root, queryName = "worker-B")
     try qB.processAllAvailable() finally qB.stop()
-    assert(TestFns.calls.get() == 8, "B replays exactly the 3 uncommitted jobs")
+    assert(TestFns.calls.get() == callsAfterCrash + 3,
+      "B executes exactly the 3 uncommitted jobs")
     assert(real.completions.count() == 5)
     // exactly one completion per (id, attempt)
     val dup = real.completions.groupByKey(e => (e.jobId, e.attempt))
