@@ -30,6 +30,22 @@ object StreamingAnalytics {
         avg("executionTimeMs").as("avg_exec_ms"),
         max("executionTimeMs").as("max_exec_ms"))
 
+  /** Streaming exact dedup — the streaming twin of the batch d01/d03
+    * operators, for ingest-time dedup of a document firehose: drop rows
+    * whose normalized-content fingerprint was already seen within the
+    * watermark horizon. State is bounded by the watermark (expired keys
+    * are evicted), so the query runs indefinitely at firehose rates; the
+    * batch dedup passes catch anything beyond the horizon. Input needs an
+    * event-time column `ts` and a text column named by `textCol`. */
+  def streamingDedup(
+      docs: DataFrame,
+      textCol: String = "text",
+      lateness: String = "10 minutes"): DataFrame =
+    docs
+      .withColumn("fp", md5(regexp_replace(lower(col(textCol)), "\\s+", " ")))
+      .withWatermark("ts", lateness)
+      .dropDuplicatesWithinWatermark("fp")
+
   /** Failure ratio per window+queue (conditional aggregation — the
     * streaming twin of the console's gauges). */
   def failureRates(

@@ -34,6 +34,26 @@ class StreamingAnalyticsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dedup drops watermark-window duplicates by normalized content") {
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, String)]
+    val docs = input.toDS().toDF("ts", "text")
+    val q = StreamingAnalytics.streamingDedup(docs, lateness = "1 minute")
+      .writeStream.format("memory").queryName("dedup").outputMode("append").start()
+    try {
+      def t(sec: Long) = new java.sql.Timestamp(1700000000000L + sec * 1000)
+      input.addData(
+        (t(1), "Hello  world"),
+        (t(2), "hello world"), // normalized duplicate — dropped
+        (t(3), "something else"))
+      q.processAllAvailable()
+      assert(spark.sql("SELECT DISTINCT text FROM dedup").count() == 2)
+      input.addData((t(10), "HELLO   world")) // still inside the horizon
+      q.processAllAvailable()
+      assert(spark.sql("SELECT * FROM dedup").count() == 2)
+    } finally q.stop()
+  }
+
   test("failure ratio per window") {
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val input = MemoryStream[CompletionEvent]
