@@ -145,8 +145,15 @@ object DedupOps {
     "d10_lsh_verified" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val sig = signatures(docs).localCheckpoint(true)
-      val cand = guardedCandidatePairs(sig)
-      val sets = shingleSets(docs).localCheckpoint(true)
+      val cand = guardedCandidatePairs(sig).localCheckpoint(true)
+      // shingle ONLY docs that appear in a candidate pair: the verify
+      // stage's input is the candidate subset, never the full corpus —
+      // at 100 TB that's the difference between re-scanning everything
+      // and touching a few permille of it.
+      val candDocs = cand.select(col("d1").as("doc_id"))
+        .union(cand.select(col("d2").as("doc_id"))).distinct()
+      val sets = shingleSets(docs.join(candDocs, Seq("doc_id"), "left_semi"))
+        .localCheckpoint(true)
       cand
         .join(sets.select(col("doc_id").as("d1"), col("shs").as("s1")), "d1")
         .join(sets.select(col("doc_id").as("d2"), col("shs").as("s2")), "d2")
