@@ -32,6 +32,12 @@ import org.apache.spark.sql.{Dataset, Encoder, SaveMode, SparkSession}
 final class CommitLogBackend(spark0: SparkSession, val root: String)
     extends LogStructuredBackend(spark0) {
 
+  override def capabilities: BrokerCapabilities = BrokerCapabilities(
+    fullOperatorSurface = true,
+    snapshotIsolatedReads = true, // manifest snapshots; replaced files linger until vacuum
+    multiProcessWriters = true, // staged UUID files + optimistic version claim
+    durable = true)
+
   private val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
   private val logDir = new Path(s"$root/_log")
   fs.mkdirs(logDir)

@@ -18,6 +18,12 @@ import graft.model._
 final class InMemoryBackend(spark: SparkSession) extends QueueBackend {
   import spark.implicits._
 
+  override def capabilities: BrokerCapabilities = BrokerCapabilities(
+    fullOperatorSurface = true,
+    snapshotIsolatedReads = true, // reads materialize a locked snapshot
+    multiProcessWriters = false, // driver-local state
+    durable = false)
+
   private val lock = new Object
   private val ready = mutable.ArrayBuffer[Job]()
   private val scheduled = mutable.ArrayBuffer[Job]()

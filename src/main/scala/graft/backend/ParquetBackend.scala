@@ -26,6 +26,12 @@ import org.apache.spark.sql.{Dataset, Encoder, SaveMode, SparkSession}
 final class ParquetBackend(spark0: SparkSession, val root: String)
     extends LogStructuredBackend(spark0) {
 
+  override def capabilities: BrokerCapabilities = BrokerCapabilities(
+    fullOperatorSurface = true,
+    snapshotIsolatedReads = false, // dir swap: callers gate compaction (GraftWorker)
+    multiProcessWriters = false, // shared _temporary staging dir per table
+    durable = true)
+
   private val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   private def dir(tbl: String) = s"$root/$tbl"

@@ -18,11 +18,29 @@ final case class PurgeMarker(tbl: String, queue: String, seqAt: Long, at: Long)
   * reference redis/batch.clj:73-90). */
 final case class BatchStatusEvent(batchId: String, status: String, at: Long)
 
+/** Runtime capability matrix — goose computes this per broker (Redis
+  * supports everything; RMQ lacks cron/batches/find-by-id, reference
+  * broker.clj:4-67 vs rmq/broker.clj:24-70, test/goose/capability.clj:
+  * 17-46). graft's backends all implement the full operator surface;
+  * what differs is the CONSISTENCY envelope, so that is what the matrix
+  * reports — callers gate deployment topology on it (e.g. only run
+  * multi-process writers against a backend that claims them). */
+final case class BrokerCapabilities(
+    /** every queue operator incl. cron + batches + find/delete-by-id */
+    fullOperatorSurface: Boolean,
+    /** readers keep a consistent view across a concurrent compaction
+      * (manifest snapshots) vs needing caller-side read/write gating */
+    snapshotIsolatedReads: Boolean,
+    /** safe concurrent appends to ONE table from multiple processes */
+    multiProcessWriters: Boolean,
+    /** state survives process restart */
+    durable: Boolean)
+
 /** Storage seam of the engine — the Spark analog of goose's 30-method
-  * `Broker` protocol (reference broker.clj:4-67). One implementation here
-  * ([[ParquetBackend]], an append-only parquet log); the trait keeps the
-  * seam for Delta/Iceberg/Kafka-backed implementations exactly as goose
-  * keeps Redis vs RabbitMQ behind one protocol.
+  * `Broker` protocol (reference broker.clj:4-67). Three implementations
+  * ([[ParquetBackend]], [[CommitLogBackend]], [[InMemoryBackend]]); the
+  * trait keeps the seam for Delta/Iceberg/Kafka-backed implementations
+  * exactly as goose keeps Redis vs RabbitMQ behind one protocol.
   *
   * Design (SURVEY.md §7): every mutation is an APPEND — jobs, completion
   * events, tombstones, purge markers. Visible sets are computed by
@@ -32,6 +50,10 @@ final case class BatchStatusEvent(batchId: String, status: String, at: Long)
   * compaction is embarrassingly parallel.
   */
 trait QueueBackend {
+  /** What this broker's consistency envelope supports (see
+    * [[BrokerCapabilities]]); the goose capability-matrix analog. */
+  def capabilities: BrokerCapabilities
+
   // ---- appends (client / worker side) ----
   def enqueue(jobs: Dataset[Job]): Unit
   def schedule(jobs: Dataset[Job]): Unit

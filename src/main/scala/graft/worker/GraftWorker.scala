@@ -70,6 +70,12 @@ final class GraftWorker(
       backend.compact("ready")
       backend.compact("scheduled")
       backend.compact("dead")
+      // manifest backends retain replaced files for snapshot readers;
+      // under the write gate no reader is in flight, so reclaim now
+      backend match {
+        case cl: graft.backend.CommitLogBackend => cl.vacuum()
+        case _ =>
+      }
       compactionsRun.incrementAndGet()
     } finally gate.writeLock().unlock()
   }

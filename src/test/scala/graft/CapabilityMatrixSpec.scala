@@ -44,6 +44,14 @@ class CapabilityMatrixSpec extends SparkSpec {
       clock)
   }
 
+  test("runtime capability matrix (goose test/goose/capability.clj analog)") {
+    val caps = backends.map { case (name, mk) => name -> mk().capabilities }.toMap
+    assert(caps.values.forall(_.fullOperatorSurface)) // unlike RMQ, no gaps
+    assert(!caps("parquet").snapshotIsolatedReads && caps("commit-log").snapshotIsolatedReads)
+    assert(!caps("parquet").multiProcessWriters && caps("commit-log").multiProcessWriters)
+    assert(caps("parquet").durable && caps("commit-log").durable && !caps("in-memory").durable)
+  }
+
   for ((name, mk) <- backends) {
 
     test(s"[$name] async execute + consume-once") {

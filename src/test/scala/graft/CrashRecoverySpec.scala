@@ -14,6 +14,8 @@ final class CrashingBackend(inner: QueueBackend, failMethod: String)
     extends QueueBackend {
   val armed = new AtomicInteger(1) // fail the first call, then recover
 
+  def capabilities: graft.backend.BrokerCapabilities = inner.capabilities
+
   private def maybeFail(m: String): Unit =
     if (m == failMethod && armed.getAndDecrement() > 0)
       throw new RuntimeException(s"injected crash in $m")
