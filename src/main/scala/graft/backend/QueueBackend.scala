@@ -94,6 +94,12 @@ trait QueueBackend {
     * cleanup of redis/batch.clj:73-99, where EXPIRE does it for free). */
   def deleteBatches(ids: Seq[String]): Unit
 
+  // ---- queue declarations (reference rmq/queue.clj:29-48) ----
+  /** Idempotent declare of a queue + its delivery envelope; redeclaring
+    * with different arguments throws (RMQ's PRECONDITION_FAILED). */
+  def declareQueue(decl: QueueDecl): Unit
+  def queueDecls: Dataset[QueueDecl]
+
   // ---- worker registry (reference redis/worker.clj:66-77, heartbeat.clj) ----
   def recordHeartbeat(hb: ProcessHeartbeat): Unit
 

@@ -214,6 +214,18 @@ object JobAttempt {
   def of(job: Job): Int = job.state.map(_.retryCount + 1).getOrElse(0)
 }
 
+/** A declared queue and its delivery envelope — the RMQ queue-declaration
+  * analog (reference rmq/queue.clj:29-48: durable declare with
+  * x-queue-type + x-max-priority / x-quorum-initial-group-size arguments).
+  * Redeclaring with different arguments fails, mirroring RMQ's
+  * PRECONDITION_FAILED. */
+final case class QueueDecl(
+    queue: String,
+    queueType: String, // classic | quorum
+    maxPriority: Int, // classic: 9; quorum: 0 (priority unsupported)
+    replicationFactor: Int, // quorum group size; 1 for classic
+    declaredAt: Long)
+
 /** Worker process registration (reference redis/worker.clj:66-77,
   * redis/heartbeat.clj). Retained for the liveness query surface; actual
   * liveness/replay is owned by Spark checkpointing (SURVEY.md §4). */
