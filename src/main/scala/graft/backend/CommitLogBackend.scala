@@ -43,8 +43,9 @@ final class CommitLogBackend(spark0: SparkSession, val root: String)
   fs.mkdirs(logDir)
 
   /** In-process commit serialization; cross-process safety comes from the
-    * no-overwrite rename (atomic on HDFS-like stores; on a plain local FS
-    * the exists-check + rename window is documented best-effort). */
+    * atomic no-overwrite CREATE of the commit file itself — O_EXCL via
+    * java.nio on a local FS, namespace-atomic `create(overwrite=false)`
+    * on HDFS-like stores. No check-then-act window. */
   private val commitLock = new Object
 
   // ---------- commit log ----------
@@ -70,38 +71,78 @@ final class CommitLogBackend(spark0: SparkSession, val root: String)
     val newer = commits.filter(versionOf(_) > base.version)
     if (newer.isEmpty) return base.tables.withDefaultValue(Vector.empty)
     var state = base.tables.withDefaultValue(Vector.empty)
-    newer.foreach { p =>
+    var folded = base.version
+    val it = newer.iterator
+    var stop = false
+    while (it.hasNext && !stop) {
+      val p = it.next()
       val in = fs.open(p)
       val lines = try new String(in.readAllBytes(), "UTF-8") finally in.close()
-      lines.split('\n').filter(_.nonEmpty).foreach { line =>
-        line.split('\t') match {
-          case Array("add", tbl, file) => state += tbl -> (state(tbl) :+ file)
-          case Array("replace", tbl, rest @ _*) => state += tbl -> rest.toVector
-          case other => throw new IllegalStateException(
-            s"corrupt commit record in ${p.getName}: ${other.mkString("\t")}")
+      val recs = lines.split('\n').filter(_.nonEmpty)
+      // a commit is complete iff its `end <count>` trailer matches: the
+      // claim is an atomic CREATE, so a concurrent/crashed claimant's file
+      // can be observed before its payload is fully written
+      val complete = recs.lastOption.exists(_ == s"end\t${recs.length - 1}")
+      if (!complete) {
+        val ageMs = System.currentTimeMillis() - fs.getFileStatus(p).getModificationTime
+        if (ageMs > CommitLogBackend.AbandonedCommitMs) {
+          // claimant died mid-write: the commit never happened; skip it
+          System.err.println(s"[commit-log] skipping abandoned torn commit ${p.getName}")
+          folded = versionOf(p)
+        } else {
+          // in-flight writer: fold only the complete prefix; re-read later
+          stop = true
         }
+      } else {
+        recs.iterator.takeWhile(!_.startsWith("end\t")).foreach { line =>
+          line.split('\t') match {
+            case Array("add", tbl, file) => state += tbl -> (state(tbl) :+ file)
+            case Array("replace", tbl, rest @ _*) => state += tbl -> rest.toVector
+            case other => throw new IllegalStateException(
+              s"corrupt commit record in ${p.getName}: ${other.mkString("\t")}")
+          }
+        }
+        folded = versionOf(p)
       }
     }
-    cached = LogState(versionOf(newer.last), state)
-    state
+    cached = LogState(folded, state)
+    state.withDefaultValue(Vector.empty)
   }
 
   private def commit(records: Seq[String]): Unit = commitLock.synchronized {
-    val payload = records.mkString("", "\n", "\n").getBytes("UTF-8")
+    val payload = (records :+ s"end\t${records.size}")
+      .mkString("", "\n", "\n").getBytes("UTF-8")
     var attempt = 0
     while (true) {
       val next = listCommits().lastOption.map(versionOf(_) + 1).getOrElse(1L)
       val target = new Path(logDir, f"$next%012d.commit")
-      val tmp = new Path(logDir, s".tmp-${UUID.randomUUID()}")
-      val out = fs.create(tmp, false)
-      try out.write(payload) finally out.close()
-      // claim the version: no-overwrite rename; a lost race retries
-      if (!fs.exists(target) && fs.rename(tmp, target)) return
-      fs.delete(tmp, false)
+      if (tryClaim(target, payload)) return
       attempt += 1
       if (attempt > 1000) throw new IllegalStateException("commit contention livelock")
     }
   }
+
+  /** Atomically claim `target` and write the payload. Local FS: O_EXCL
+    * create via java.nio (`Files.createFile` is atomic; Hadoop's
+    * RawLocalFileSystem create is a check-then-act). Remote stores:
+    * `fs.create(overwrite=false)` — an atomic namespace claim on
+    * HDFS-like filesystems. Returns false on a lost race. */
+  private def tryClaim(target: Path, payload: Array[Byte]): Boolean =
+    try {
+      if (fs.getScheme == "file") {
+        val local = java.nio.file.Paths.get(target.toUri.getPath)
+        java.nio.file.Files.createFile(local) // atomic claim
+        java.nio.file.Files.write(local, payload)
+      } else {
+        val out = fs.create(target, false)
+        try out.write(payload) finally out.close()
+      }
+      true
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException => false
+      case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+      case _: java.io.IOException => false
+    }
 
   /** Write `ds` as immutable parts under the table dir, returning the
     * staged file names (not yet visible — no commit record yet). */
@@ -121,6 +162,8 @@ final class CommitLogBackend(spark0: SparkSession, val root: String)
   }
 
   // ---------- LogStructuredBackend primitives ----------
+
+  override def dataFileCount(tbl: String): Int = snapshot()(tbl).size
 
   override protected def readLog[T: Encoder](tbl: String): Dataset[T] = {
     val files = snapshot()(tbl).map(f => s"$root/$tbl/$f")
@@ -164,4 +207,11 @@ final class CommitLogBackend(spark0: SparkSession, val root: String)
 
   /** Number of commits in the log (diagnostics / tests). */
   def logVersion: Long = listCommits().lastOption.map(versionOf).getOrElse(0L)
+}
+
+object CommitLogBackend {
+  /** A torn commit (claimed version, incomplete payload) older than this
+    * is treated as a dead claimant and skipped — the commit never
+    * happened. Younger ones block the fold briefly (writer in flight). */
+  val AbandonedCommitMs: Long = 10L * 60 * 1000
 }

@@ -149,6 +149,24 @@ final class InMemoryBackend(spark: SparkSession) extends QueueBackend {
     statusEvents.filterInPlace(e => !drop.contains(e.batchId))
   }
 
+  private val decls = mutable.LinkedHashMap[String, QueueDecl]()
+  override def declareQueue(decl: QueueDecl): Unit = {
+    QueueDecl.validate(decl)
+    lock.synchronized {
+      decls.get(decl.queue) match {
+        case Some(existing) if QueueDecl.sameEnvelope(existing, decl) => // idempotent
+        case Some(existing) =>
+          throw new IllegalStateException(
+            s"PRECONDITION_FAILED: queue '${decl.queue}' already declared as " +
+              s"(type=${existing.queueType}, maxPriority=${existing.maxPriority}, " +
+              s"replicationFactor=${existing.replicationFactor})")
+        case None => decls(decl.queue) = decl
+      }
+    }
+  }
+  override def queueDecls: Dataset[QueueDecl] =
+    lock.synchronized(spark.createDataset(decls.values.toSeq))
+
   private val hbs = mutable.ArrayBuffer[ProcessHeartbeat]()
   override def recordHeartbeat(hb: ProcessHeartbeat): Unit =
     lock.synchronized(hbs += hb)
@@ -182,6 +200,7 @@ final class InMemoryBackend(spark: SparkSession) extends QueueBackend {
       case "dead" =>
         val vis = visibleOf(dead, "dead")
         dead.clear(); dead ++= vis; tombs.remove("dead")
+      case "cron" => // registry is already a keyed map; nothing to fold
       case other => throw new IllegalArgumentException(s"cannot compact '$other'")
     }
   }

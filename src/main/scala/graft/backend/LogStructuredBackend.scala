@@ -38,6 +38,11 @@ abstract class LogStructuredBackend(val spark: SparkSession) extends QueueBacken
   protected def appendLog[T](tbl: String, ds: Dataset[T]): Unit
   protected def replaceLog[T](tbl: String, rows: Dataset[T]): Unit
 
+  /** Number of live data files in one table — the pressure signal for
+    * GraftWorker's compaction policy. Counted via the binding's own
+    * storage (Hadoop FS listing / manifest), never java.io.File. */
+  def dataFileCount(tbl: String): Int
+
   /** Small driver-side row sets (client API calls) write one file. */
   protected def appendSmall[T](tbl: String, ds: Dataset[T]): Unit =
     appendLog(tbl, ds.coalesce(1))
@@ -127,28 +132,72 @@ abstract class LogStructuredBackend(val spark: SparkSession) extends QueueBacken
   override def completions: Dataset[CompletionEvent] =
     readLog[CompletionEvent]("completions")
 
-  // ---------- cron (tiny keyed table, replace-on-write) ----------
+  // ---------- cron (keyed log, latest-wins — reference redis/cron.clj) ----------
 
-  override def cronEntries: Dataset[CronEntry] = readLog[CronEntry]("cron")
+  /** Latest record per cronName wins; a final `del` hides the name. Two
+    * processes upserting DIFFERENT names concurrently both survive (each
+    * is its own append) — the lost-update window of the old
+    * read-modify-overwrite snapshot is gone. Same-name races resolve by
+    * seq order, goose's last-HSET-wins. */
+  override def cronEntries: Dataset[CronEntry] =
+    readLog[CronLogRecord]("cron")
+      .withColumn("crank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy($"cronName").orderBy($"seq".desc)))
+      .filter($"crank" === 1 && $"op" === "put")
+      .select("entry.*")
+      .as[CronEntry]
 
   /** Idempotent upsert keyed by cronName (reference redis/cron.clj:38-50:
-    * registering an existing name replaces the entry). The registry is
-    * bounded by the number of *schedules*, so the read-modify-replace is
-    * a tiny snapshot write, exactly like goose's one Redis HASH. */
-  override def upsertCron(entries: Seq[CronEntry]): Unit = {
-    val names = entries.map(_.cronName).toSet
-    val kept = cronEntries.collect().filterNot(e => names.contains(e.cronName))
-    replaceLog("cron", (kept ++ entries).toSeq.toDS().coalesce(1))
-  }
+    * registering an existing name replaces the entry) — one log append. */
+  override def upsertCron(entries: Seq[CronEntry]): Unit =
+    appendSmall("cron",
+      entries.map(e => CronLogRecord("put", e.cronName, Some(e), Job.nextSeq())).toDS())
 
-  override def deleteCron(names: Seq[String]): Unit = {
-    val drop = names.toSet
-    val kept = cronEntries.collect().filterNot(e => drop.contains(e.cronName))
-    replaceLog("cron", kept.toSeq.toDS().coalesce(1))
-  }
+  override def deleteCron(names: Seq[String]): Unit =
+    appendSmall("cron",
+      names.map(n => CronLogRecord("del", n, None, Job.nextSeq())).toDS())
 
   override def purgeCron(): Unit =
-    replaceLog("cron", spark.emptyDataset[CronEntry])
+    replaceLog("cron", spark.emptyDataset[CronLogRecord])
+
+  // ---------- queue declarations (reference rmq/queue.clj:29-48) ----------
+
+  /** Idempotent declare, log-append storage. Matching redeclare is a
+    * no-op; mismatched redeclare throws — the log-structured rewrite of
+    * RMQ's PRECONDITION_FAILED on `queue.declare` with changed arguments
+    * (reference rmq/queue.clj:29-48). Earliest declaration wins on read,
+    * so two racing writers of the SAME envelope converge and a later
+    * conflicting one would have thrown here. */
+  override def declareQueue(decl: QueueDecl): Unit = {
+    QueueDecl.validate(decl)
+    queueDecls.filter($"queue" === decl.queue).collect().headOption match {
+      case Some(existing) if QueueDecl.sameEnvelope(existing, decl) => // idempotent
+      case Some(existing) =>
+        throw new IllegalStateException(
+          s"PRECONDITION_FAILED: queue '${decl.queue}' already declared as " +
+            s"(type=${existing.queueType}, maxPriority=${existing.maxPriority}, " +
+            s"replicationFactor=${existing.replicationFactor}); " +
+            s"redeclare requested (type=${decl.queueType}, maxPriority=${decl.maxPriority}, " +
+            s"replicationFactor=${decl.replicationFactor})")
+      case None => appendSmall("queue_decls", Seq(decl).toDS())
+    }
+  }
+
+  override def queueDecls: Dataset[QueueDecl] = {
+    // first declaration per queue wins (later conflicting ones threw;
+    // later identical ones are redundant duplicates from racing writers)
+    readLog[QueueDecl]("queue_decls")
+      .withColumn("drank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy($"queue")
+          // deterministic under racing writers whose decls tie on the ms
+          .orderBy($"declaredAt".asc, $"queueType".asc, $"maxPriority".asc,
+            $"replicationFactor".asc)))
+      .filter($"drank" === 1)
+      .drop("drank")
+      .as[QueueDecl]
+  }
 
   // ---------- batches ----------
 
@@ -186,6 +235,14 @@ abstract class LogStructuredBackend(val spark: SparkSession) extends QueueBacken
     * and dropping a succeeded member's event would strand its batch
     * in-progress forever. */
   override def compact(tbl: String): Unit = {
+    if (tbl == "cron") {
+      // fold the keyed log to its winning puts (bounded by schedule count)
+      val current = cronEntries.collect().toSeq
+      replaceLog("cron",
+        current.map(e => CronLogRecord("put", e.cronName, Some(e), Job.nextSeq()))
+          .toDS().coalesce(1))
+      return
+    }
     val visible: Dataset[Job] = tbl match {
       case "ready" => readyJobs
       case "scheduled" => scheduledJobs

@@ -49,6 +49,12 @@ final class ParquetBackend(spark0: SparkSession, val root: String)
     * staging-dir committer; in-process, the lock is enough. */
   private val writeLocks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
+  override def dataFileCount(tbl: String): Int = {
+    val p = new Path(dir(tbl))
+    if (fs.exists(p)) fs.listStatus(p).count(_.getPath.getName.endsWith(".parquet"))
+    else 0
+  }
+
   override protected def readLog[T: Encoder](tbl: String): Dataset[T] =
     if (exists(tbl)) spark.read.parquet(dir(tbl)).as[T]
     else spark.emptyDataset[T]

@@ -18,6 +18,13 @@ final case class PurgeMarker(tbl: String, queue: String, seqAt: Long, at: Long)
   * reference redis/batch.clj:73-90). */
 final case class BatchStatusEvent(batchId: String, status: String, at: Long)
 
+/** One append to the cron registry log — latest-wins per cronName on
+  * read, the same (key, seq) pattern as the job tables. Replaces the
+  * read-modify-overwrite snapshot (lost-update window under concurrent
+  * upsert from two processes). `op` ∈ put | del; del carries no entry. */
+final case class CronLogRecord(
+    op: String, cronName: String, entry: Option[CronEntry], seq: Long)
+
 /** Runtime capability matrix — goose computes this per broker (Redis
   * supports everything; RMQ lacks cron/batches/find-by-id, reference
   * broker.clj:4-67 vs rmq/broker.clj:24-70, test/goose/capability.clj:

@@ -128,9 +128,23 @@ object SeqGen {
   val CounterBits = 13
   val WriterBits = 8
 
-  /** Process-wide generator; writerId drawn once per JVM. Executors each
-    * get their own id when the object deserializes fresh per JVM. */
-  lazy val global: SeqGen = new SeqGen(new scala.util.Random().nextInt(1 << WriterBits))
+  /** Process-wide generator; one writerId per JVM (executors each
+    * initialize the object fresh). Executor JVMs derive the id from the
+    * app-unique Spark executor id — collision-free up to 256 executors,
+    * then cyclic (two same-slot executors would need a same-ms same-counter
+    * stamp to collide, ~2^-53 per pair-write). Non-Spark/driver JVMs fall
+    * back to a random slot: drivers are few, birthday risk is the
+    * documented multi-DRIVER limit, not the fleet limit. */
+  lazy val global: SeqGen = new SeqGen(defaultWriterId())
+
+  private[model] def defaultWriterId(): Int = {
+    val fromExecutor =
+      try Option(org.apache.spark.SparkEnv.get).map(_.executorId)
+          .filter(id => id.nonEmpty && id.forall(_.isDigit))
+          .map(id => (id.toLong % (1 << WriterBits)).toInt)
+      catch { case _: Throwable => None }
+    fromExecutor.getOrElse(new scala.util.Random().nextInt(1 << WriterBits))
+  }
 
   def epochMsOf(seq: Long): Long = seq >>> (CounterBits + WriterBits)
   def writerOf(seq: Long): Int = (seq & ((1L << WriterBits) - 1)).toInt
@@ -225,6 +239,40 @@ final case class QueueDecl(
     maxPriority: Int, // classic: 9; quorum: 0 (priority unsupported)
     replicationFactor: Int, // quorum group size; 1 for classic
     declaredAt: Long)
+
+object QueueDecl {
+  val ClassicMaxPriority = 9 // reference defaults.clj:76-77 (x-max-priority)
+
+  def classic(queue: String, maxPriority: Int = ClassicMaxPriority): QueueDecl =
+    QueueDecl(queue, "classic", maxPriority, 1, System.currentTimeMillis())
+
+  def quorum(queue: String, replicationFactor: Int = 3): QueueDecl =
+    QueueDecl(queue, "quorum", 0, replicationFactor, System.currentTimeMillis())
+
+  /** Argument validation mirroring rmq/queue.clj:19-28: classic queues
+    * carry x-max-priority; quorum queues reject priority entirely and
+    * carry x-quorum-initial-group-size. */
+  def validate(d: QueueDecl): Unit = d.queueType match {
+    case "classic" =>
+      require(d.maxPriority >= 0 && d.maxPriority <= 255,
+        s"classic queue '${d.queue}': maxPriority ${d.maxPriority} outside [0,255]")
+      require(d.replicationFactor == 1,
+        s"classic queue '${d.queue}': replicationFactor must be 1")
+    case "quorum" =>
+      require(d.maxPriority == 0,
+        s"quorum queue '${d.queue}': priority unsupported (got ${d.maxPriority})")
+      require(d.replicationFactor >= 1,
+        s"quorum queue '${d.queue}': replicationFactor must be >= 1")
+    case other =>
+      throw new IllegalArgumentException(
+        s"queue '${d.queue}': unknown queueType '$other' (classic|quorum)")
+  }
+
+  /** Envelope equality for idempotent redeclare (declaredAt excluded). */
+  def sameEnvelope(a: QueueDecl, b: QueueDecl): Boolean =
+    a.queueType == b.queueType && a.maxPriority == b.maxPriority &&
+      a.replicationFactor == b.replicationFactor
+}
 
 /** Worker process registration (reference redis/worker.clj:66-77,
   * redis/heartbeat.clj). Retained for the liveness query surface; actual

@@ -191,7 +191,8 @@ final class BatchTracker(backend: QueueBackend, spark: SparkSession) {
     * tracker through the same micro-batch machinery as completions. */
   def metaStream(root: String): Dataset[BatchMeta] = {
     val schema = implicitly[org.apache.spark.sql.Encoder[BatchMeta]].schema
-    new java.io.File(s"$root/batches").mkdirs()
+    val batchesPath = new org.apache.hadoop.fs.Path(s"$root/batches")
+    batchesPath.getFileSystem(spark.sparkContext.hadoopConfiguration).mkdirs(batchesPath)
     spark.readStream.schema(schema).parquet(s"$root/batches").as[BatchMeta]
   }
 

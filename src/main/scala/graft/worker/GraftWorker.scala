@@ -53,12 +53,16 @@ final class GraftWorker(
   /** Number of compaction rounds run (policy-triggered or manual). */
   val compactionsRun = new java.util.concurrent.atomic.AtomicInteger(0)
 
+  /** Data-file pressure feeding the compaction policy. Counted through
+    * the backend's own storage (Hadoop FileSystem / manifest snapshot),
+    * not java.io.File — an hdfs:// or s3a:// root would otherwise always
+    * report 0 and the policy would silently never fire. */
   private def logFileCount(): Int = {
     val tables = Seq("ready", "scheduled", "dead", "completions", "tombstones", "purges")
-    tables.map { t =>
-      val d = new java.io.File(s"$root/$t")
-      if (d.isDirectory) d.listFiles((_, n) => n.endsWith(".parquet")).length else 0
-    }.sum
+    backend match {
+      case ls: graft.backend.LogStructuredBackend => tables.map(ls.dataFileCount).sum
+      case _ => 0 // driver-local backends have no file pressure
+    }
   }
 
   /** Fold every job log to its visible rows under the write gate — safe
@@ -70,6 +74,7 @@ final class GraftWorker(
       backend.compact("ready")
       backend.compact("scheduled")
       backend.compact("dead")
+      backend.compact("cron") // keyed log grows one record per firing
       // manifest backends retain replaced files for snapshot readers;
       // under the write gate no reader is in flight, so reclaim now
       backend match {

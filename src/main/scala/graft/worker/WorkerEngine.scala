@@ -182,8 +182,10 @@ final class WorkerEngine(
       trigger: Trigger = Trigger.ProcessingTime("1 second"),
       queryName: String = "graft-worker"): StreamingQuery = {
     val jobSchema = implicitly[org.apache.spark.sql.Encoder[Job]].schema
-    // The file source requires the log dir to exist before the query starts.
-    new java.io.File(s"$root/ready").mkdirs()
+    // The file source requires the log dir to exist before the query
+    // starts — created via Hadoop FS so hdfs://-style roots work too.
+    val readyPath = new org.apache.hadoop.fs.Path(s"$root/ready")
+    readyPath.getFileSystem(spark.sparkContext.hadoopConfiguration).mkdirs(readyPath)
     spark.readStream
       .schema(jobSchema)
       .parquet(s"$root/ready")

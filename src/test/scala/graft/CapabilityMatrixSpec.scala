@@ -129,6 +129,24 @@ class CapabilityMatrixSpec extends SparkSpec {
       assert(c.worker.runPass().succeeded == 1)
     }
 
+    test(s"[$name] queue declare: idempotent redeclare; mismatch is PRECONDITION_FAILED") {
+      val c = ctx(mk)
+      c.backend.declareQueue(QueueDecl.classic("orders", maxPriority = 9))
+      c.backend.declareQueue(QueueDecl.classic("orders", maxPriority = 9)) // idempotent
+      c.backend.declareQueue(QueueDecl.quorum("payments", replicationFactor = 3))
+      val decls = c.backend.queueDecls.collect().map(d => d.queue -> d.queueType).toMap
+      assert(decls == Map("orders" -> "classic", "payments" -> "quorum"))
+      // redeclare with a different envelope throws (reference rmq/queue.clj:29-48)
+      val ex = intercept[IllegalStateException] {
+        c.backend.declareQueue(QueueDecl.classic("orders", maxPriority = 1))
+      }
+      assert(ex.getMessage.contains("PRECONDITION_FAILED"))
+      // invalid envelopes rejected up front (rmq/queue.clj:19-28)
+      intercept[IllegalArgumentException] {
+        c.backend.declareQueue(QueueDecl("bad", "quorum", 5, 3, 0L))
+      }
+    }
+
     test(s"[$name] compaction preserves visible sets") {
       val c = ctx(mk)
       val a = c.client.performAsync("ok", "keep")

@@ -48,6 +48,32 @@ class MultiWriterSpec extends SparkSpec {
     assert(backend.readyJobs.count() == 0)
   }
 
+  test("interleaved cron upserts of different names from two writers both survive") {
+    // the old read-modify-overwrite snapshot lost one of these; the keyed
+    // log (latest-wins per cronName) keeps both
+    val backend = new ParquetBackend(spark, tmpDir("graft-mw"))
+    val desc = JobDescription("noop", "[]", "q", "q", 0, RetryOpts())
+    val a = new Thread(() =>
+      backend.upsertCron(Seq(CronEntry("cron-a", "* * * * *", "UTC", desc, 1000L))))
+    val b = new Thread(() =>
+      backend.upsertCron(Seq(CronEntry("cron-b", "*/5 * * * *", "UTC", desc, 2000L))))
+    a.start(); b.start(); a.join(); b.join()
+    val names = backend.cronEntries.collect().map(_.cronName).sorted
+    assert(names.toSeq == Seq("cron-a", "cron-b"))
+
+    // same-name re-upsert replaces (goose HSET semantics), delete hides
+    backend.upsertCron(Seq(CronEntry("cron-a", "0 * * * *", "UTC", desc, 3000L)))
+    val cronA = backend.cronEntries.filter($"cronName" === "cron-a").collect()
+    assert(cronA.length == 1 && cronA.head.cronSchedule == "0 * * * *")
+    backend.deleteCron(Seq("cron-b"))
+    assert(backend.cronEntries.collect().map(_.cronName).toSeq == Seq("cron-a"))
+
+    // compaction folds the log without changing the view
+    backend.compact("cron")
+    val after = backend.cronEntries.collect()
+    assert(after.length == 1 && after.head.cronSchedule == "0 * * * *")
+  }
+
   test("distributed (Dataset) tombstone path hides victims without a driver collect") {
     val backend = new ParquetBackend(spark, tmpDir("graft-mw"))
     val rows = (1 to 500).map(i => job(s"j$i", 0, Job.nextSeq()))
