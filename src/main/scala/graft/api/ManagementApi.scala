@@ -50,8 +50,17 @@ final class ManagementApi(backend: QueueBackend, spark: SparkSession) {
       .offset(page * pageSize).limit(pageSize).collect().toSeq
 
   /** O5 prioritise-execution (enqueued_jobs.clj:29-40): verify existence,
-    * then move to front — a tombstone + re-append with priority=1. */
+    * then move to front — a tombstone + re-append with priority=1. A
+    * quorum-declared queue rejects prioritisation (priority is a classic
+    * queue feature, reference rmq/queue.clj:19-28); a classic decl caps
+    * the bump at its maxPriority. */
   def enqueuedPrioritise(queue: String, ids: Seq[String]): Int = {
+    val decl = backend.queueDecls.filter($"queue" === queue).collect().headOption
+    decl.foreach { d =>
+      if (d.queueType == "quorum") throw new UnsupportedOperationException(
+        s"queue '$queue' is declared quorum: priority unsupported (rmq/queue.clj:19-28)")
+    }
+    val bump = decl.map(d => math.min(1, d.maxPriority)).getOrElse(1)
     val present = backend.readyJobs
       .filter($"queue" === queue && $"id".isin(ids: _*)).collect()
     if (present.isEmpty) return 0
@@ -60,7 +69,7 @@ final class ManagementApi(backend: QueueBackend, spark: SparkSession) {
     // transient duplicate (collapsed by the (id, attempt) dedupe), never
     // a lost job. The reverse order can delete without re-appending.
     backend.enqueue(present.map(j =>
-      j.copy(priority = 1, enqueuedAt = now, seq = Job.nextSeq())).toSeq.toDS().coalesce(1))
+      j.copy(priority = bump, enqueuedAt = now, seq = Job.nextSeq())).toSeq.toDS().coalesce(1))
     backend.tombstone("ready", present.map(j => (j.id, j.seq)).toSeq, "prioritise")
     present.length
   }
@@ -255,5 +264,7 @@ final class ManagementApi(backend: QueueBackend, spark: SparkSession) {
     backend.tombstone("scheduled",
       backend.scheduledJobs.filter($"batchId" === batchId)
         .select($"id", $"seq").as[(String, Long)], "batch-delete")
+    // the reference then DELs the batch hash + id sets (api/batch.clj:30-38)
+    backend.deleteBatches(Seq(batchId))
   }
 }

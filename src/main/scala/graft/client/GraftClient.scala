@@ -7,12 +7,26 @@ import graft.backend.QueueBackend
 import graft.cron.CronSchedule
 import graft.model._
 
+/** Per-call overrides of a client's construction-time defaults — goose's
+  * client opts map (reference client.clj:30-58: every perform-* takes
+  * {:queue, :retry-opts}; api_test.clj enqueues to several queues from
+  * one client throughout). Absent fields fall back to the client's
+  * defaults. */
+final case class ClientOpts(
+    queue: Option[String] = None,
+    retryOpts: Option[RetryOpts] = None)
+
+object ClientOpts {
+  val default: ClientOpts = ClientOpts()
+  def queue(q: String): ClientOpts = ClientOpts(queue = Some(q))
+}
+
 /** Client API — the engine's `goose.client` (reference client.clj).
   *
-  * Validation mirrors specs.clj:97-143 (queue-name shape, arg
-  * serializability) at the API boundary only — never per-row in the hot
-  * path (goose measured 40% throughput cost of always-on instrumentation,
-  * specs.clj:241-248).
+  * Validation mirrors specs.clj:97-143 (queue-name shape, retry-opts
+  * shape, arg serializability) at the API boundary only — never per-row
+  * in the hot path (goose measured 40% throughput cost of always-on
+  * instrumentation, specs.clj:241-248).
   */
 final class GraftClient(
     backend: QueueBackend,
@@ -28,17 +42,54 @@ final class GraftClient(
     require(!q.startsWith("graft/"), s"queue name must be unprefixed: '$q'")
   }
 
-  private def validated(fnSym: String, args: Seq[Any], queue: String): Job = {
+  private def validateRetryOpts(r: RetryOpts): Unit = {
+    require(r.maxRetries >= 0, s"maxRetries must be >= 0: ${r.maxRetries}")
+    r.retryQueue.foreach(validateQueue)
+  }
+
+  /** Declared-queue envelopes, one snapshot per client — declaration is a
+    * deployment-time surface (RMQ declares at channel open, reference
+    * rmq/queue.clj:29-48). Call [[refreshQueueDecls]] after declaring
+    * mid-process. */
+  @volatile private var declCache: Option[Map[String, QueueDecl]] = None
+  private def declsByQueue: Map[String, QueueDecl] = declCache match {
+    case Some(m) => m
+    case None =>
+      val m = backend.queueDecls.collect().map(d => d.queue -> d).toMap
+      declCache = Some(m); m
+  }
+  def refreshQueueDecls(): Unit = declCache = None
+
+  /** Clamp the job's priority to its queue's declared envelope: classic
+    * decls cap at maxPriority; quorum decls ignore priority entirely —
+    * RMQ's own behavior when publishing with priority to a quorum queue
+    * (reference rmq/queue.clj:19-28, defaults.clj:76-77). Undeclared
+    * queues are unconstrained (the Redis-broker behavior). */
+  private def applyDecl(job: Job): Job = declsByQueue.get(job.queue) match {
+    case Some(d) if d.queueType == "quorum" => job.copy(priority = 0)
+    case Some(d) => job.copy(priority = math.min(job.priority, d.maxPriority))
+    case None => job
+  }
+
+  private def validated(fnSym: String, args: Seq[Any], opts: ClientOpts): Job = {
+    val queue = opts.queue.getOrElse(defaultQueue)
+    val retry = opts.retryOpts.getOrElse(defaultRetryOpts)
     validateQueue(queue)
+    validateRetryOpts(retry)
     require(fnSym.nonEmpty, "execute-fn-sym required")
     require(ArgsSerializers.active.roundTripConsistent(args),
       "args must serialize consistently (reference specs.clj:161-168)")
-    Job(fnSym, args, queue, defaultRetryOpts).copy(enqueuedAt = nowFn())
+    Job(fnSym, args, queue, retry).copy(enqueuedAt = nowFn())
   }
 
   /** Fire-and-forget enqueue (reference client.clj:60-80, S1). */
-  def performAsync(fnSym: String, args: Any*): String = {
-    val job = validated(fnSym, args, defaultQueue)
+  def performAsync(fnSym: String, args: Any*): String =
+    performAsync(ClientOpts.default, fnSym, args: _*)
+
+  /** Per-call opts variant: enqueue to any queue with any retry policy
+    * from one client (reference client.clj:30-58). */
+  def performAsync(opts: ClientOpts, fnSym: String, args: Any*): String = {
+    val job = applyDecl(validated(fnSym, args, opts))
     backend.enqueue(Seq(job).toDS().coalesce(1))
     job.id
   }
@@ -46,11 +97,14 @@ final class GraftClient(
   /** Absolute-time schedule (reference client.clj:82-106, S2). Past-due
     * jobs short-circuit to the FRONT of the ready queue
     * (redis/scheduler.clj:12-20) — here, priority=1. */
-  def performAt(at: Instant, fnSym: String, args: Any*): String = {
-    val job = validated(fnSym, args, defaultQueue)
+  def performAt(at: Instant, fnSym: String, args: Any*): String =
+    performAt(ClientOpts.default, at, fnSym, args: _*)
+
+  def performAt(opts: ClientOpts, at: Instant, fnSym: String, args: Any*): String = {
+    val job = validated(fnSym, args, opts)
     val runAt = at.toEpochMilli
     if (runAt <= nowFn()) {
-      backend.enqueue(Seq(job.copy(priority = 1)).toDS().coalesce(1))
+      backend.enqueue(Seq(applyDecl(job.copy(priority = 1))).toDS().coalesce(1))
     } else {
       backend.schedule(Seq(job.copy(scheduleRunAt = Some(runAt))).toDS().coalesce(1))
     }
@@ -61,17 +115,24 @@ final class GraftClient(
   def performInSec(sec: Long, fnSym: String, args: Any*): String =
     performAt(Instant.ofEpochMilli(nowFn() + sec * 1000), fnSym, args: _*)
 
+  def performInSec(opts: ClientOpts, sec: Long, fnSym: String, args: Any*): String =
+    performAt(opts, Instant.ofEpochMilli(nowFn() + sec * 1000), fnSym, args: _*)
+
   /** Register/replace a cron entry — idempotent by name
     * (reference client.clj:131-167, redis/cron.clj:38-50, S3). */
   def performEvery(cronName: String, cronSchedule: String, fnSym: String, args: Any*): String =
     performEveryTz(cronName, cronSchedule, java.time.ZoneId.systemDefault().getId, fnSym, args: _*)
 
   def performEveryTz(cronName: String, cronSchedule: String, timezone: String,
-      fnSym: String, args: Any*): String = {
+      fnSym: String, args: Any*): String =
+    performEveryTz(ClientOpts.default, cronName, cronSchedule, timezone, fnSym, args: _*)
+
+  def performEveryTz(opts: ClientOpts, cronName: String, cronSchedule: String,
+      timezone: String, fnSym: String, args: Any*): String = {
     require(cronName.nonEmpty && cronName.length < 200, "cron name must be 1..199 chars")
     val sched = CronSchedule.parse(cronSchedule) // validates
     val zone = java.time.ZoneId.of(timezone)
-    val job = validated(fnSym, args, defaultQueue)
+    val job = validated(fnSym, args, opts)
     val desc = JobDescription(job.executeFnSym, job.argsJson, job.queue,
       job.readyQueue, job.priority, job.retryOpts)
     val next = sched.nextFire(Instant.ofEpochMilli(nowFn()), zone).toEpochMilli
@@ -84,14 +145,23 @@ final class GraftClient(
   def performBatch(
       jobs: Seq[(String, Seq[Any])],
       callbackFnSym: String,
-      lingerSec: Int = 3600): String = {
+      lingerSec: Int = 3600): String =
+    performBatch(ClientOpts.default, jobs, callbackFnSym, lingerSec)
+
+  def performBatch(
+      opts: ClientOpts,
+      jobs: Seq[(String, Seq[Any])],
+      callbackFnSym: String,
+      lingerSec: Int): String = {
     require(jobs.nonEmpty, "batch must contain at least one job")
+    val queue = opts.queue.getOrElse(defaultQueue)
+    val retry = opts.retryOpts.getOrElse(defaultRetryOpts)
     val batchId = UUID.randomUUID().toString
     val rows = jobs.map { case (fnSym, args) =>
-      validated(fnSym, args, defaultQueue).copy(batchId = Some(batchId))
+      applyDecl(validated(fnSym, args, opts).copy(batchId = Some(batchId)))
     }
-    backend.putBatch(BatchMeta(batchId, callbackFnSym, lingerSec, defaultQueue,
-      defaultQueue, defaultRetryOpts, rows.size, BatchStatus.InProgress, nowFn()))
+    backend.putBatch(BatchMeta(batchId, callbackFnSym, lingerSec, queue,
+      queue, retry, rows.size, BatchStatus.InProgress, nowFn()))
     backend.enqueue(rows.toDS().coalesce(1))
     batchId
   }

@@ -174,6 +174,109 @@ object EngineE2E {
       Seq(api.globalWorkersCount(T0, 60000)).toDF("n_alive")
     }),
 
+    // S7/S8 decl surface: queues declared classic or quorum by envelope,
+    // then one past-due enqueue per queue — the priority-1 front bump is
+    // kept on classic queues and clamped to 0 on quorum queues (RMQ
+    // ignores priority on quorum queues, reference rmq/queue.clj:19-28).
+    "q31_queue_decls" -> ((s, d) => {
+      import s.implicits._
+      val (backend, _, _, clock) = fixture(s)
+      val types = Tables.events(s, d).select($"event_type".as[String])
+        .distinct().collect().sorted
+      types.foreach { t =>
+        backend.declareQueue(
+          if (t.length % 2 == 0) QueueDecl.classic(t, maxPriority = 5)
+          else QueueDecl.quorum(t, replicationFactor = 3))
+      }
+      val client = new graft.client.GraftClient(backend, s, "e2e",
+        RetryOpts(maxRetries = 1, retryDelaySecFn = "e2e_instant"), () => clock.get())
+      types.foreach { t =>
+        client.performAt(graft.client.ClientOpts.queue(t),
+          java.time.Instant.ofEpochMilli(T0 - 1000), "e2e_noop")
+      }
+      backend.queueDecls.toDF().as("decl")
+        .join(backend.readyJobs.toDF().as("job"),
+          col("decl.queue") === col("job.queue"))
+        .select(col("decl.queue").as("queue"),
+          col("queueType").as("queue_type"),
+          col("maxPriority").as("max_priority"),
+          col("replicationFactor").as("replication_factor"),
+          col("job.priority").as("priority"))
+        .orderBy("queue")
+    }),
+
+    // F2: find-by-pattern — an arbitrary typed predicate over the ready
+    // set with a limit (reference redis/api/enqueued_jobs.clj via
+    // commands.clj:205-210: lazy scan + filter + take).
+    "q32_find_by_pattern" -> ((s, d) => {
+      import s.implicits._
+      val (backend, _, _, _) = fixture(s)
+      backend.enqueue(seedJobs(s, d))
+      val api = new graft.api.ManagementApi(backend, s)
+      val hits = api.enqueuedFindByPattern("e2e", j => j.id.toLong % 11 == 0, SeedCount)
+      hits.map(_.id.toLong).sorted.toDF("job_id")
+    }),
+
+    // F6: cron find-by-name — HGET by key (reference redis/cron.clj:26-27);
+    // registered through the client so next-run stamping is exercised too.
+    "q33_cron_find_by_name" -> ((s, d) => {
+      import s.implicits._
+      val (backend, _, _, clock) = fixture(s)
+      clock.set(java.time.Instant.parse("2024-01-01T00:00:30Z").toEpochMilli)
+      val client = new graft.client.GraftClient(backend, s, "e2e",
+        RetryOpts(maxRetries = 1, retryDelaySecFn = "e2e_instant"), () => clock.get())
+      client.performEveryTz("every3", "*/3 * * * *", "UTC", "e2e_noop")
+      client.performEveryTz("daily930", "30 9 * * *", "UTC", "e2e_noop")
+      val api = new graft.api.ManagementApi(backend, s)
+      val hit = api.cronFind("every3").toSeq
+      hit.map(e => (e.cronName, e.cronSchedule, e.timezone, e.nextRunAt))
+        .toDF("cron_name", "cron_schedule", "timezone", "next_run_at")
+    }),
+
+    // D13: batch delete — every pending job of one batch tombstoned via
+    // the distributed anti-join path, batch keys dropped (reference
+    // redis/api/batch.clj:11-38, "documented-expensive" in goose).
+    "q34_batch_delete" -> ((s, d) => {
+      import s.implicits._
+      val (backend, _, _, _) = fixture(s)
+      val seed = Tables.events(s, d).orderBy("event_id").limit(SeedCount)
+        .select($"event_id".as[Long], $"event_type".as[String]).collect()
+      val client = new graft.client.GraftClient(backend, s, "e2e",
+        RetryOpts(maxRetries = 1, retryDelaySecFn = "e2e_instant"), () => T0)
+      val (errs, oks) = seed.partition(_._2 == "error")
+      val errBatch =
+        if (errs.nonEmpty)
+          Some(client.performBatch(errs.toSeq.map(_ => ("e2e_boom", Seq.empty[Any])), "e2e_noop"))
+        else None
+      if (oks.nonEmpty)
+        client.performBatch(oks.toSeq.map(_ => ("e2e_noop", Seq.empty[Any])), "e2e_noop")
+      val api = new graft.api.ManagementApi(backend, s)
+      errBatch.foreach(api.batchDelete)
+      backend.readyJobs.toDF().agg(count(lit(1)).as("n_remaining"))
+        .crossJoin(backend.batches.toDF().agg(count(lit(1)).as("n_batches")))
+    }),
+
+    // D14/D15: the composite worker — streaming consumer + maintenance
+    // ticks (scheduler promotion, batch tracking, heartbeat) started,
+    // drained, and gracefully stopped (reference redis/worker.clj:22-88).
+    // Completion history must match the two-pass batch-mode result.
+    "q35_worker_lifecycle" -> ((s, d) => {
+      val root = java.nio.file.Files.createTempDirectory("graft-e2e-w").toString
+      val backend = new ParquetBackend(s, root)
+      backend.enqueue(seedJobs(s, d))
+      val worker = new graft.worker.GraftWorker(backend, s, root,
+        trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime("100 milliseconds"),
+        maintenanceIntervalMs = 200)
+      worker.start()
+      try {
+        require(worker.awaitDrained(120000), "worker failed to drain")
+      } finally worker.stop(graceful = true)
+      backend.completions.toDF()
+        .groupBy(col("terminalState").as("terminal_state"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("terminal_state")
+    }),
+
     // D7/D8: batch over the seed jobs → tracker folds completions → one
     // terminal status (partial-success when some jobs died).
     "e2e_batch_status" -> ((s, d) => {
@@ -232,6 +335,36 @@ object EngineE2E {
       """SELECT COUNT(*) AS n_alive
         |FROM (SELECT DISTINCT user_id FROM events)
         |WHERE user_id * 1000 <= 60000""".stripMargin,
+    "q32_find_by_pattern" ->
+      s"""SELECT CAST(event_id AS BIGINT) AS job_id
+         |FROM (SELECT * FROM events ORDER BY event_id LIMIT $SeedCount)
+         |WHERE event_id % 11 = 0 ORDER BY job_id""".stripMargin,
+    "q33_cron_find_by_name" ->
+      """SELECT 'every3' AS cron_name, '*/3 * * * *' AS cron_schedule,
+        |  'UTC' AS timezone,
+        |  CAST(epoch_ms(TIMESTAMP '2024-01-01 00:03:00') AS BIGINT) AS next_run_at""".stripMargin,
+    "q34_batch_delete" ->
+      s"""WITH seed AS (SELECT * FROM events ORDER BY event_id LIMIT $SeedCount)
+         |SELECT
+         |  (SELECT COUNT(*) FROM seed WHERE event_type <> 'error') AS n_remaining,
+         |  (SELECT CAST(CASE WHEN COUNT(*) > 0 THEN 1 ELSE 0 END AS BIGINT)
+         |     FROM seed WHERE event_type <> 'error') AS n_batches""".stripMargin,
+    "q35_worker_lifecycle" ->
+      s"""WITH seed AS (SELECT * FROM events ORDER BY event_id LIMIT $SeedCount)
+         |SELECT 'dead' AS terminal_state, COUNT(*) AS n FROM seed WHERE event_type = 'error'
+         |UNION ALL
+         |SELECT 'retrying', COUNT(*) FROM seed WHERE event_type = 'error'
+         |UNION ALL
+         |SELECT 'success', COUNT(*) FROM seed WHERE event_type <> 'error'
+         |ORDER BY terminal_state""".stripMargin,
+    "q31_queue_decls" ->
+      """SELECT event_type AS queue,
+        |  CASE WHEN length(event_type) % 2 = 0 THEN 'classic' ELSE 'quorum' END AS queue_type,
+        |  CASE WHEN length(event_type) % 2 = 0 THEN 5 ELSE 0 END AS max_priority,
+        |  CASE WHEN length(event_type) % 2 = 0 THEN 1 ELSE 3 END AS replication_factor,
+        |  CASE WHEN length(event_type) % 2 = 0 THEN 1 ELSE 0 END AS priority
+        |FROM (SELECT DISTINCT event_type FROM events)
+        |ORDER BY queue""".stripMargin,
     "e2e_worker_pass" ->
       s"""SELECT event_id AS job_id,
          |  CASE WHEN event_type = 'error' THEN 'retrying' ELSE 'success' END AS terminal_state

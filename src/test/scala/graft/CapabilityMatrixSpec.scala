@@ -147,6 +147,27 @@ class CapabilityMatrixSpec extends SparkSpec {
       }
     }
 
+    test(s"[$name] declared envelopes gate delivery: quorum clamps priority, rejects prioritise") {
+      val c = ctx(mk)
+      c.backend.declareQueue(QueueDecl.quorum("critical"))
+      c.backend.declareQueue(QueueDecl.classic("normal"))
+      import graft.client.ClientOpts
+      // past-due perform-at would front-bump (priority=1); quorum ignores it
+      c.client.performAt(ClientOpts.queue("critical"),
+        java.time.Instant.ofEpochMilli(c.clock.get() - 1000), "ok")
+      c.client.performAt(ClientOpts.queue("normal"),
+        java.time.Instant.ofEpochMilli(c.clock.get() - 1000), "ok")
+      val byQueue = c.backend.readyJobs.collect().map(j => j.queue -> j.priority).toMap
+      assert(byQueue == Map("critical" -> 0, "normal" -> 1))
+      // prioritise-execution is a classic-queue feature
+      val id = c.client.performAsync(ClientOpts.queue("critical"), "ok")
+      intercept[UnsupportedOperationException] {
+        c.api.enqueuedPrioritise("critical", Seq(id))
+      }
+      assert(c.api.enqueuedPrioritise("normal",
+        c.backend.readyJobs.filter(_.queue == "normal").collect().map(_.id).toSeq) == 1)
+    }
+
     test(s"[$name] compaction preserves visible sets") {
       val c = ctx(mk)
       val a = c.client.performAsync("ok", "keep")

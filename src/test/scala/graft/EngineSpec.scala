@@ -108,6 +108,30 @@ class EngineSpec extends SparkSpec {
     assert(api.deadSize() == 0)
   }
 
+  test("per-call opts: two queues with distinct retry policies from one client (client.clj:30-58)") {
+    import graft.client.ClientOpts
+    val (backend, client, worker, sched, api, clock) = fixture()
+    // default queue "test" with default retry (maxRetries=1); second queue
+    // "bulk" with no retries at all — the failure must die immediately
+    client.performAsync("ok", "hello")
+    client.performAsync(
+      ClientOpts(queue = Some("bulk"),
+        retryOpts = Some(RetryOpts(maxRetries = 0, retryDelaySecFn = "instant"))),
+      "boom")
+    assert(api.enqueuedSize("test") == 1 && api.enqueuedSize("bulk") == 1)
+    val r = worker.runPass()
+    assert(r.succeeded == 1 && r.died == 1, "maxRetries=0 override must bury on first failure")
+    assert(api.deadSize() == 1)
+    assert(backend.deadJobs.collect().head.queue == "bulk")
+
+    // the default-retry queue still retries: enqueue a failer with defaults
+    client.performAsync("boom")
+    assert(worker.runPass().retried == 1)
+    clock.addAndGet(1000)
+    sched.promoteDue()
+    assert(worker.runPass().died == 1)
+  }
+
   test("perform-at past-due goes straight to front (scheduler.clj:12-20)") {
     val (_, client, worker, _, api, clock) = fixture()
     client.performAt(Instant.ofEpochMilli(clock.get() - 5000), "ok")
