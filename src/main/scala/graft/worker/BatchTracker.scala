@@ -193,8 +193,76 @@ final class BatchTracker(backend: QueueBackend, spark: SparkSession) {
     val schema = implicitly[org.apache.spark.sql.Encoder[BatchMeta]].schema
     val batchesPath = new org.apache.hadoop.fs.Path(s"$root/batches")
     batchesPath.getFileSystem(spark.sparkContext.hadoopConfiguration).mkdirs(batchesPath)
-    spark.readStream.schema(schema).parquet(s"$root/batches").as[BatchMeta]
+    // a listed-but-vanished file can only mean compaction/batch-GC
+    // replaced the log between listing and read; the replacement rows
+    // arrive as a new file, so skipping is lossless (fold is idempotent)
+    spark.readStream.schema(schema).option("ignoreMissingFiles", "true")
+      .parquet(s"$root/batches").as[BatchMeta]
   }
+
+  /** The tracker as a continuously-running streaming query — the DEFAULT
+    * mount in [[GraftWorker]] ([[trackPass]] stays as the batch/recovery
+    * path). Exactly-once callbacks across kill/restart come from two
+    * layers: the per-key `callbackEmitted` latch lives in checkpointed
+    * state (a restored stream can't re-emit a terminal it already
+    * emitted), and the sink is idempotent anyway
+    * ([[commitTerminalsIdempotent]]) for the epoch-replay window between
+    * a sink commit and its checkpoint commit — the standard Structured
+    * Streaming effectively-once recipe.
+    *
+    * `gated` wraps each sink commit (GraftWorker passes its compaction
+    * read-gate); the default is no gating. */
+  def startStream(
+      root: String,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.ProcessingTime("1 second"),
+      gated: (=> Unit) => Unit = body => body,
+      queryName: String = "graft-tracker"): org.apache.spark.sql.streaming.StreamingQuery = {
+    val compSchema = implicitly[org.apache.spark.sql.Encoder[CompletionEvent]].schema
+    val compPath = new org.apache.hadoop.fs.Path(s"$root/completions")
+    compPath.getFileSystem(spark.sparkContext.hadoopConfiguration).mkdirs(compPath)
+    val compStream = spark.readStream.schema(compSchema)
+      .option("ignoreMissingFiles", "true") // see metaStream note
+      .parquet(s"$root/completions").as[CompletionEvent]
+    streamingTerminals(compStream, metaStream(root))
+      .writeStream
+      .queryName(queryName)
+      .trigger(trigger)
+      .outputMode("append")
+      .option("checkpointLocation", s"$root/checkpoints/$queryName")
+      .foreachBatch { (ds: Dataset[BatchTerminal], _: Long) =>
+        // the collect (reads the epoch's source files) stays inside the
+        // gate so a compaction fold can't interleave with it
+        gated {
+          commitTerminalsIdempotent(ds.collect().toSeq) // bounded per epoch
+          ()
+        }
+      }
+      .start()
+  }
+
+  /** Commit terminals, skipping batches that already carry a terminal
+    * status row — re-delivered epochs after a crash-restart, or overlap
+    * with a batch-mode [[trackPass]]. Both lookups are semi-filtered to
+    * this epoch's batch ids, so cost is bounded by the commit size, not
+    * history. */
+  def commitTerminalsIdempotent(terminals: Seq[BatchTerminal]): Seq[BatchTerminal] =
+    synchronized {
+      if (terminals.isEmpty) return Nil
+      val ids = terminals.map(_.batchId).distinct
+      val already = backend.batchStatusEvents
+        .filter($"batchId".isin(ids: _*))
+        .filter(e => BatchStatus.terminal(e.status))
+        .select($"batchId").distinct().as[String].collect().toSet
+      val fresh = terminals.filterNot(t => already(t.batchId))
+      if (fresh.nonEmpty) {
+        val metaMap = backend.batches
+          .filter($"id".isin(fresh.map(_.batchId): _*))
+          .as[BatchMeta].collect().map(m => m.id -> m).toMap
+        commitTerminals(fresh, metaMap)
+      }
+      fresh
+    }
 
   /** Enqueue callback jobs (front of queue, redis/batch.clj:73-90) and
     * record terminal status rows. */

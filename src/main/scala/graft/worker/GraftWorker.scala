@@ -36,6 +36,12 @@ final class GraftWorker(
       * bound — goose gets the same GC for free from Redis key deletion. */
     compactEveryTicks: Int = 30,
     compactMinFiles: Int = 64,
+    /** Batch tracking mount. Default: a second streaming query
+      * (BatchTracker.startStream) — per-key checkpointed state, no
+      * per-tick rescan of completion history. false = the batch-mode
+      * trackPass on each maintenance tick (the recovery mode, and the
+      * only mode for backends without a file-backed root). */
+    streamingTracker: Boolean = true,
     nowFn: () => Long = () => System.currentTimeMillis()) {
 
   private val sinkName = s"graft-worker-${java.util.UUID.randomUUID()}"
@@ -94,11 +100,19 @@ final class GraftWorker(
 
   private val running = new AtomicBoolean(false)
   @volatile private var query: org.apache.spark.sql.streaming.StreamingQuery = _
+  @volatile private var trackerQuery: org.apache.spark.sql.streaming.StreamingQuery = _
   @volatile private var maintenance: Thread = _
+
+  private def withReadGate(body: => Unit): Unit = {
+    gate.readLock().lock()
+    try body finally gate.readLock().unlock()
+  }
 
   def start(): this.type = {
     require(running.compareAndSet(false, true), "worker already started")
     query = engine.startStream(root, trigger)
+    if (streamingTracker)
+      trackerQuery = tracker.startStream(root, trigger, withReadGate _)
     maintenance = new Thread(() => {
       var tick = 0L
       while (running.get()) {
@@ -109,7 +123,7 @@ final class GraftWorker(
             backend.recordHeartbeat(
               graft.model.ProcessHeartbeat(processId, "*", nowFn())) // D9
             scheduler.tick()
-            tracker.trackPass()
+            if (!streamingTracker) tracker.trackPass() // recovery/batch mode
             Metrics.publishGauges(backend, spark, metrics)
           } finally gate.readLock().unlock()
           if (compactEveryTicks > 0 && tick % compactEveryTicks == 0 &&
@@ -134,9 +148,16 @@ final class GraftWorker(
     if (!running.compareAndSet(true, false)) return
     maintenance.interrupt()
     maintenance.join(5000)
-    if (graceful) query.processAllAvailable()
+    if (graceful) {
+      query.processAllAvailable()
+      // jobs the final micro-batch completed may close a batch: let the
+      // tracker drain them (and its callback enqueues) before teardown
+      if (trackerQuery != null) trackerQuery.processAllAvailable()
+    }
     query.stop()
+    if (trackerQuery != null) trackerQuery.stop()
     query.awaitTermination(10000)
+    if (trackerQuery != null) trackerQuery.awaitTermination(10000)
   }
 
   /** Block until the engine is fully drained (test/drain-mode helper).
@@ -156,7 +177,12 @@ final class GraftWorker(
     }
     while (System.currentTimeMillis() < deadline) {
       query.processAllAvailable()
-      withReadLock { scheduler.tick(); tracker.trackPass() }
+      if (streamingTracker) {
+        withReadLock { scheduler.tick() }
+        trackerQuery.processAllAvailable() // terminals → callback enqueues
+      } else {
+        withReadLock { scheduler.tick(); tracker.trackPass() }
+      }
       query.processAllAvailable()
       val settled = withReadLock {
         backend.readyJobs.isEmpty &&

@@ -188,6 +188,10 @@ final class WorkerEngine(
     readyPath.getFileSystem(spark.sparkContext.hadoopConfiguration).mkdirs(readyPath)
     spark.readStream
       .schema(jobSchema)
+      // a listed-but-vanished file can only mean a compaction fold
+      // replaced the ready log between listing and read; the fold's
+      // replacement (same visible jobs) arrives as a new file
+      .option("ignoreMissingFiles", "true")
       .parquet(s"$root/ready")
       .writeStream
       .queryName(queryName)

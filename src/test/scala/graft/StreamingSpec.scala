@@ -6,7 +6,7 @@ import graft.api.ManagementApi
 import graft.backend.ParquetBackend
 import graft.client.GraftClient
 import graft.model._
-import graft.worker.{BatchTracker, SchedulerEngine, WorkerEngine}
+import graft.worker.{BatchTerminal, BatchTracker, SchedulerEngine, WorkerEngine}
 
 /** Streaming-worker specs: the S5/D15 consumer as a Structured Streaming
   * query over the ready log, including the crash/restart semantics that
@@ -162,5 +162,55 @@ class StreamingSpec extends SparkSpec {
       assert(rows.map(r => (r.getString(0), r.getString(1))).toSeq ==
         Seq((bid, BatchStatus.Success)))
     } finally q.stop()
+  }
+
+  test("tracker stream kill/restart: terminal callback exactly-once across checkpoint (D8)") {
+    val (root, backend, client, worker, _, _) = fixture()
+    val tracker = new BatchTracker(backend, spark)
+
+    // first life: batch 1 completes, one terminal + one callback enqueue
+    val q1 = tracker.startStream(root, Trigger.ProcessingTime("100 milliseconds"))
+    val b1 = try {
+      val b1 = client.performBatch(Seq(("ok", Seq[Any]("a")), ("ok", Seq[Any]("b"))), "ok")
+      worker.runPass()
+      q1.processAllAvailable()
+      b1
+    } finally q1.stop() // kill
+
+    def terminalRows() = backend.batchStatusEvents
+      .filter(e => BatchStatus.terminal(e.status)).collect()
+      .groupBy(_.batchId).view.mapValues(_.length).toMap
+    assert(terminalRows() == Map(b1 -> 1))
+    // exactly one callback job visible; execute it while the tracker is down
+    assert(backend.readyJobs.collect().map(_.executeFnSym).toSeq == Seq("ok"))
+    worker.runPass()
+
+    // while down: batch 2 registered and its job executed
+    val b2 = client.performBatch(Seq(("ok", Seq[Any]("c"))), "ok")
+    worker.runPass()
+
+    // second life, same checkpoint: batch 2 resolves; batch 1 is NOT
+    // re-committed (its callbackEmitted latch was checkpointed) and no
+    // duplicate callback appears in the ready set
+    val q2 = tracker.startStream(root, Trigger.ProcessingTime("100 milliseconds"))
+    try q2.processAllAvailable() finally q2.stop()
+    assert(terminalRows() == Map(b1 -> 1, b2 -> 1))
+    val visible = backend.readyJobs.collect()
+    assert(visible.length == 1 && visible.head.executeFnSym == "ok",
+      s"expected only batch-2's callback, got ${visible.toSeq}")
+  }
+
+  test("idempotent terminal sink: an epoch replay cannot double-commit (D8 replay window)") {
+    val (_, backend, client, _, _, _) = fixture()
+    val tracker = new BatchTracker(backend, spark)
+    val bid = client.performBatch(Seq(("ok", Seq[Any]("x"))), "ok")
+    val t = BatchTerminal(bid, BatchStatus.Success, 123L)
+
+    assert(tracker.commitTerminalsIdempotent(Seq(t)).map(_.batchId) == Seq(bid))
+    // the replayed epoch delivers the same terminal again
+    assert(tracker.commitTerminalsIdempotent(Seq(t)).isEmpty)
+    assert(backend.batchStatusEvents.filter(e => BatchStatus.terminal(e.status)).count() == 1)
+    // exactly one callback enqueue survives (plus the original batch job)
+    assert(backend.readyJobs.filter(_.priority == 1).count() == 1)
   }
 }
