@@ -29,7 +29,34 @@ import org.apache.spark.sql.{Dataset, Encoder, SaveMode, SparkSession}
   * gate, and a total order of commits any process can observe (the log is
   * the broker's clock, like Redis's serialized command stream).
   */
-final class CommitLogBackend(spark0: SparkSession, val root: String)
+/** Publisher-confirm strategy for [[CommitLogBackend]] appends — the
+  * analog of goose's RMQ publisher confirms (reference
+  * rmq/publisher_confirms.clj:20-29, rmq/commands.clj:14-58):
+  *
+  *  - [[ConfirmMode.Sync]]: every append stages its part files AND
+  *    commits a manifest version before returning (publish +
+  *    wait-for-confirms per call). Visible-and-durable on return.
+  *  - [[ConfirmMode.Async]]: appends stage their part files immediately
+  *    but the manifest commit — the broker ack — is deferred and
+  *    GROUP-committed on [[CommitLogBackend.waitForConfirms]] or when
+  *    `maxBuffered` records accumulate. One commit round-trip amortizes
+  *    over many appends; on an object store, where the manifest CAS is
+  *    the latency floor, this is the same lever behind goose's measured
+  *    ~40× async-over-sync publish throughput (BASELINE.md). Stricter
+  *    than RMQ on visibility: an unconfirmed append is not yet visible
+  *    to ANY reader (RMQ may deliver-then-lose an unconfirmed publish;
+  *    this never surfaces anything a crash could retract).
+  */
+sealed trait ConfirmMode
+object ConfirmMode {
+  case object Sync extends ConfirmMode
+  final case class Async(maxBuffered: Int = 256) extends ConfirmMode
+}
+
+final class CommitLogBackend(
+    spark0: SparkSession,
+    val root: String,
+    confirmMode: ConfirmMode = ConfirmMode.Sync)
     extends LogStructuredBackend(spark0) {
 
   override def capabilities: BrokerCapabilities = BrokerCapabilities(
@@ -171,12 +198,46 @@ final class CommitLogBackend(spark0: SparkSession, val root: String)
     else spark.read.parquet(files: _*).as[T]
   }
 
+  /** Staged-but-unconfirmed append records (Async mode's in-flight
+    * publishes; the delivery-tag ledger of rmq/commands.clj:25-39). */
+  private val pendingConfirms = scala.collection.mutable.ArrayBuffer.empty[String]
+
   override protected def appendLog[T](tbl: String, ds: Dataset[T]): Unit = {
-    val files = stage(tbl, ds)
-    if (files.nonEmpty) commit(files.map(f => s"add\t$tbl\t$f"))
+    val files = stage(tbl, ds) // part files are durable from here on
+    if (files.isEmpty) return
+    val records = files.map(f => s"add\t$tbl\t$f")
+    confirmMode match {
+      case ConfirmMode.Sync => commit(records)
+      case ConfirmMode.Async(maxBuffered) =>
+        val due = pendingConfirms.synchronized {
+          pendingConfirms ++= records
+          pendingConfirms.size >= maxBuffered
+        }
+        if (due) waitForConfirms()
+    }
   }
 
+  /** Group-commit every buffered append in ONE manifest version — the
+    * wait-for-confirms barrier (reference rmq/commands.clj:54-56). No-op
+    * in Sync mode / with nothing buffered. Returns #records confirmed. */
+  def waitForConfirms(): Int = pendingConfirms.synchronized {
+    if (pendingConfirms.isEmpty) 0
+    else {
+      val records = pendingConfirms.toVector
+      pendingConfirms.clear()
+      commit(records)
+      records.size
+    }
+  }
+
+  /** Fold/GC entry points flush in-flight publishes BEFORE building
+    * their read plans (the plan's file snapshot resolves eagerly). */
+  override protected def beforeFold(): Unit = { waitForConfirms(); () }
+
   override protected def replaceLog[T](tbl: String, rows: Dataset[T]): Unit = {
+    // safety for direct replaces whose plan doesn't pre-read the table
+    // (e.g. purgeCron); fold paths already flushed via beforeFold
+    waitForConfirms()
     // rows may read the files being replaced: staging executes the plan
     // BEFORE the commit flips the snapshot, and old files stay on disk
     // for any in-flight reader (vacuum reclaims them later).
@@ -192,12 +253,20 @@ final class CommitLogBackend(spark0: SparkSession, val root: String)
     * Delta's VACUUM (public docs). Returns the number of files removed. */
   def vacuum(): Int = {
     val live = snapshot()
+    // staged-but-unconfirmed Async appends are referenced by no snapshot
+    // yet — they are in-flight publishes, not garbage
+    val pending: Set[(String, String)] = pendingConfirms.synchronized {
+      pendingConfirms.iterator.map(_.split('\t')).collect {
+        case Array("add", tbl, file) => (tbl, file)
+      }.toSet
+    }
     var removed = 0
     live.keys.toSeq.foreach { tbl =>
       val keep = live(tbl).toSet
       val d = new Path(s"$root/$tbl")
       if (fs.exists(d)) fs.listStatus(d).map(_.getPath).foreach { p =>
-        if (p.getName.endsWith(".parquet") && !keep.contains(p.getName)) {
+        if (p.getName.endsWith(".parquet") && !keep.contains(p.getName) &&
+          !pending.contains((tbl, p.getName))) {
           fs.delete(p, false); removed += 1
         }
       }

@@ -211,6 +211,7 @@ abstract class LogStructuredBackend(val spark: SparkSession) extends QueueBacken
 
   override def deleteBatches(ids: Seq[String]): Unit = {
     if (ids.isEmpty) return
+    beforeFold()
     val drop = ids.toSet
     replaceLog("batches", batches.filter(m => !drop.contains(m.id)))
     replaceLog("batch_status", batchStatusEvents.filter(e => !drop.contains(e.batchId)))
@@ -234,7 +235,13 @@ abstract class LogStructuredBackend(val spark: SparkSession) extends QueueBacken
     * from the ready log — the batch tracker re-derives status from them,
     * and dropping a succeeded member's event would strand its batch
     * in-progress forever. */
+  /** Hook for bindings with deferred append visibility (async publisher
+    * confirms): flush in-flight publishes BEFORE a fold/GC constructs its
+    * read plan, or the replace would silently drop them. Default no-op. */
+  protected def beforeFold(): Unit = ()
+
   override def compact(tbl: String): Unit = {
+    beforeFold()
     if (tbl == "cron") {
       // fold the keyed log to its winning puts (bounded by schedule count)
       val current = cronEntries.collect().toSeq

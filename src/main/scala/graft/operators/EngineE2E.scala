@@ -277,6 +277,25 @@ object EngineE2E {
         .orderBy("terminal_state")
     }),
 
+    // S7 publisher confirms: async-mode publishes are staged durable but
+    // invisible until the group ack (one manifest commit for all chunks)
+    // — goose's async publisher-confirm strategy re-expressed as group
+    // commit (reference rmq/publisher_confirms.clj:26-29,
+    // rmq/commands.clj:25-39).
+    "q36_async_confirms" -> ((s, d) => {
+      import s.implicits._
+      val root = java.nio.file.Files.createTempDirectory("graft-e2e-cl").toString
+      val backend = new graft.backend.CommitLogBackend(s, root,
+        graft.backend.ConfirmMode.Async(maxBuffered = 1000))
+      seedJobs(s, d).collect().grouped(20).foreach(chunk =>
+        backend.enqueue(chunk.toSeq.toDS().coalesce(1)))
+      val before = backend.readyJobs.count()
+      val confirmedFiles = backend.waitForConfirms().toLong
+      val after = backend.readyJobs.count()
+      Seq((before, confirmedFiles, after))
+        .toDF("n_before_confirm", "n_confirmed_files", "n_after_confirm")
+    }),
+
     // D7/D8: batch over the seed jobs → tracker folds completions → one
     // terminal status (partial-success when some jobs died).
     "e2e_batch_status" -> ((s, d) => {
@@ -357,6 +376,11 @@ object EngineE2E {
          |UNION ALL
          |SELECT 'success', COUNT(*) FROM seed WHERE event_type <> 'error'
          |ORDER BY terminal_state""".stripMargin,
+    "q36_async_confirms" ->
+      s"""SELECT CAST(0 AS BIGINT) AS n_before_confirm,
+         |  CAST(5 AS BIGINT) AS n_confirmed_files,
+         |  (SELECT COUNT(*) FROM (SELECT * FROM events ORDER BY event_id LIMIT $SeedCount))
+         |    AS n_after_confirm""".stripMargin,
     "q31_queue_decls" ->
       """SELECT event_type AS queue,
         |  CASE WHEN length(event_type) % 2 = 0 THEN 'classic' ELSE 'quorum' END AS queue_type,

@@ -76,4 +76,33 @@ class CommitLogBackendSpec extends SparkSpec {
     assert(b.readyJobs.count() == 40)
     assert(b.logVersion == 40)
   }
+
+  test("async confirms: N publishes, ONE manifest commit at wait-for-confirms") {
+    import graft.backend.ConfirmMode
+    val b = new CommitLogBackend(spark, tmpDir("graft-cl"),
+      ConfirmMode.Async(maxBuffered = 1000))
+    val v0 = b.logVersion
+    (1 to 5).foreach(i => b.enqueue(Seq(job(s"a$i")).toDS().coalesce(1)))
+    // unconfirmed publishes: staged durable, visible to no reader yet
+    assert(b.readyJobs.count() == 0 && b.logVersion == v0)
+    // vacuum must treat in-flight publishes as live, not garbage
+    assert(b.vacuum() == 0)
+    assert(b.waitForConfirms() == 5) // the group ack: one commit round-trip
+    assert(b.logVersion == v0 + 1)
+    assert(b.readyJobs.collect().map(_.id).sorted.toSeq ==
+      Seq("a1", "a2", "a3", "a4", "a5"))
+  }
+
+  test("async confirms: buffer threshold and fold/replace both force the group commit") {
+    import graft.backend.ConfirmMode
+    val b = new CommitLogBackend(spark, tmpDir("graft-cl"),
+      ConfirmMode.Async(maxBuffered = 3))
+    (1 to 3).foreach(i => b.enqueue(Seq(job(s"t$i")).toDS().coalesce(1)))
+    assert(b.readyJobs.count() == 3, "threshold reached: auto-flushed")
+
+    b.enqueue(Seq(job("late")).toDS().coalesce(1))
+    assert(b.readyJobs.count() == 3, "below threshold: unconfirmed")
+    b.compact("ready") // a fold must not silently drop buffered appends
+    assert(b.readyJobs.count() == 4)
+  }
 }
