@@ -1,0 +1,98 @@
+package graft
+
+import java.time.Instant
+import graft.api.{ConsoleRequest, ConsoleRoutes}
+import graft.backend.ParquetBackend
+import graft.client.GraftClient
+import graft.model._
+import graft.worker.{SchedulerEngine, WorkerEngine}
+
+/** Console route table driven end-to-end, mirroring the action-per-route
+  * contract of the reference console handlers (redis/console.clj:11-48;
+  * handler tests under test/goose/brokers/redis/console/). */
+class ConsoleRoutesSpec extends SparkSpec {
+
+  private def fixture() = {
+    TestFns.reset()
+    val clock = new java.util.concurrent.atomic.AtomicLong(1700000000000L)
+    val backend = new ParquetBackend(spark, tmpDir("graft-console"))
+    val retry = RetryOpts(maxRetries = 1, retryDelaySecFn = "instant")
+    val client = new GraftClient(backend, spark, "test", retry, () => clock.get())
+    val worker = new WorkerEngine(backend, spark, Nil, () => clock.get())
+    val sched = new SchedulerEngine(backend, spark, () => clock.get())
+    val routes = new ConsoleRoutes(backend, spark)
+    (backend, client, worker, sched, routes, clock)
+  }
+
+  private def get(r: ConsoleRoutes, path: String, params: (String, String)*) =
+    r.handle(ConsoleRequest("GET", path, params.toMap))
+  private def post(r: ConsoleRoutes, path: String, params: (String, String)*) =
+    r.handle(ConsoleRequest("POST", path, params.toMap))
+  private def delete(r: ConsoleRoutes, path: String, params: (String, String)*) =
+    r.handle(ConsoleRequest("DELETE", path, params.toMap))
+
+  test("home, enqueued pages, job detail, prioritise, delete, purge") {
+    val (_, client, _, _, routes, _) = fixture()
+    val id1 = client.performAsync("ok", "a")
+    val id2 = client.performAsync("ok", "b")
+
+    assert(get(routes, "/").status == 200)
+    assert(get(routes, "/").body.contains("\"enqueued\":2"))
+    assert(get(routes, "/enqueued").body.contains("\"test\""))
+
+    val pageBody = get(routes, "/enqueued/queue/test", "page" -> "0").body
+    assert(pageBody.contains("\"total\":2") && pageBody.contains(id1))
+
+    val detail = get(routes, s"/enqueued/queue/test/job/$id1")
+    assert(detail.status == 200 && detail.body.contains("\"args\""))
+    assert(get(routes, "/enqueued/queue/test/job/nope").status == 404)
+
+    assert(post(routes, s"/enqueued/queue/test/job/$id2").body
+      .contains("\"prioritised\":1"))
+    assert(delete(routes, "/enqueued/queue/test/jobs", "ids" -> s"$id1,$id2").body
+      .contains("\"deleted\":2"))
+    client.performAsync("ok", "c")
+    assert(delete(routes, "/enqueued/queue/test").status == 200)
+    assert(get(routes, "/").body.contains("\"enqueued\":0"))
+  }
+
+  test("scheduled page and prioritise; dead replay and purge") {
+    val (_, client, worker, sched, routes, clock) = fixture()
+    client.performAt(Instant.ofEpochMilli(clock.get() + 60000), "ok", "later")
+    val schedBody = get(routes, "/scheduled").body
+    assert(schedBody.contains("\"total\":1") && schedBody.contains("schedule_run_at"))
+
+    val sid = client.performAt(Instant.ofEpochMilli(clock.get() + 90000), "ok")
+    assert(post(routes, s"/scheduled/job/$sid").body.contains("\"prioritised\":1"))
+
+    // bury one
+    client.performAsync("boom")
+    worker.runPass(); clock.addAndGet(1000); sched.promoteDue(); worker.runPass()
+    assert(get(routes, "/dead").body.contains("\"total\":1"))
+    val deadId = get(routes, "/dead").body.split("\"id\":\"")(1).takeWhile(_ != '"')
+    assert(post(routes, s"/dead/job/$deadId").body.contains("replayed"))
+    assert(get(routes, "/dead").body.contains("\"total\":0"))
+    assert(delete(routes, "/dead").status == 200)
+  }
+
+  test("cron routes and batch progress route") {
+    val (_, client, worker, _, routes, _) = fixture()
+    client.performEveryTz("tick", "*/5 * * * *", "UTC", "ok")
+    assert(get(routes, "/cron").body.contains("\"tick\""))
+    assert(get(routes, "/cron/job/tick").body.contains("*/5 * * * *"))
+    assert(get(routes, "/cron/job/nope").status == 404)
+
+    val bid = client.performBatch(Seq(("ok", Seq[Any]("x"))), "ok")
+    val pending = get(routes, "/batch", "id" -> bid).body
+    assert(pending.contains("\"status\":\"in-progress\"") && pending.contains("\"total\":1"))
+    worker.runPass()
+    assert(get(routes, "/batch", "id" -> bid).body.contains("\"success\":1"))
+
+    assert(delete(routes, s"/batch/job/$bid").status == 200)
+    assert(get(routes, "/batch", "id" -> bid).status == 404)
+
+    assert(delete(routes, "/cron/job/tick").status == 200)
+    assert(get(routes, "/cron").body == "[]")
+    assert(get(routes, "/nonsense").status == 404)
+  }
+}
