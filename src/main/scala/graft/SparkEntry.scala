@@ -13,7 +13,8 @@ object SparkEntry {
       (operators.DedupOps.queries, operators.DedupOps.oracles),
       (operators.SimilarityOps.queries, operators.SimilarityOps.oracles),
       (operators.TextOps.queries, operators.TextOps.oracles),
-      (operators.MultimodalOps.queries, operators.MultimodalOps.oracles)
+      (operators.MultimodalOps.queries, operators.MultimodalOps.oracles),
+      (operators.PipelineOps.queries, operators.PipelineOps.oracles)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -17,9 +17,9 @@ import graft.Tables
   */
 object DedupOps {
 
-  private val ShingleLen = 8
-  private val NumHashes = 4
-  private val MaxBandWidth = 20
+  private[operators] val ShingleLen = 8
+  private[operators] val NumHashes = 4
+  private[operators] val MaxBandWidth = 20
 
   /** Input bound for the two intentionally-quadratic diagnostic forms
     * (d05 unguarded LSH, d06 all-pairs Jaccard). Their cost grows with
@@ -31,7 +31,7 @@ object DedupOps {
   private val DiagnosticDocCap = 1000L
 
   /** Character shingles of length 8: one row per (doc, offset). */
-  private def shingled(docs: DataFrame): DataFrame =
+  private[operators] def shingled(docs: DataFrame): DataFrame =
     docs
       .withColumn("g", explode(sequence(lit(1), greatest(length(col("text")) - (ShingleLen - 1), lit(1)))))
       .withColumn("sh", col("text").substr(col("g"), lit(ShingleLen)))
@@ -41,14 +41,14 @@ object DedupOps {
     * expression: one pass per document, NO shingle explode/shuffle (the
     * composable explode→md5→groupBy(min) form shuffles ~500 rows per doc;
     * equivalence is spec-tested). */
-  private def signatures(docs: DataFrame): DataFrame =
+  private[operators] def signatures(docs: DataFrame): DataFrame =
     docs.select(col("doc_id") +:
       (1 to NumHashes).map(i =>
         graft.functions.MinHashFunctions.minhash_md5(col("text"), i.toString, ShingleLen)
           .as(s"h$i")): _*)
 
   /** Band rows (doc_id, band, h) from a signature frame. */
-  private def bandsOf(sig: DataFrame): DataFrame =
+  private[operators] def bandsOf(sig: DataFrame): DataFrame =
     sig.select(col("doc_id"),
       explode(array((1 to NumHashes).map(i =>
         struct(lit(i).as("band"), col(s"h$i").as("h"))): _*)).as("b"))
@@ -59,7 +59,7 @@ object DedupOps {
     * no single join key fans out quadratically. This is the default
     * candidate generator — d05 (unguarded) exists as the textbook form
     * and for recall comparison, not as the scale path. */
-  private def guardedCandidatePairs(sig: DataFrame): DataFrame = {
+  private[operators] def guardedCandidatePairs(sig: DataFrame): DataFrame = {
     val bands = bandsOf(sig)
     val narrow = bands.groupBy("band", "h")
       .agg(count(lit(1)).as("width"))
@@ -75,7 +75,7 @@ object DedupOps {
   /** Sorted shingle-hash set per doc — the pairwise-verify operand.
     * xxhash64 reduction keeps set sizes (and Jaccard) exact short of a
     * ~n²/2⁶⁴ collision while making intersection a long-array merge. */
-  private def shingleSets(docs: DataFrame): DataFrame =
+  private[operators] def shingleSets(docs: DataFrame): DataFrame =
     shingled(docs).groupBy(col("doc_id"))
       .agg(array_sort(collect_set(xxhash64(col("sh")))).as("shs"))
 

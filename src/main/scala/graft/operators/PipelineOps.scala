@@ -1,0 +1,221 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** The composed training-data cleaning pipeline — the operator a 100 TB
+  * pretraining run actually calls, chaining the individual kernels
+  * (TextOps lang-ID/quality, DedupOps exact/LSH/contamination) into one
+  * staged funnel:
+  *
+  *   all → lang-ID filter → quality threshold → exact dedup (keep-first)
+  *       → LSH near-dup removal (skew-guarded + Jaccard-verified)
+  *       → decontamination (held-out sources excluded; training docs
+  *         with heavy eval-shingle overlap dropped)
+  *
+  * Every stage is a pure DataFrame transform on the previous stage's
+  * survivors — so filters/pruning reach the scan, and the expensive
+  * stages (shingling, LSH) run on the REDUCED corpus, the ordering any
+  * production pipeline uses. Output is the funnel: per-stage survivor
+  * counts, verified exactly by a DuckDB oracle composing the same
+  * kernels (C4/Gopher-style pipeline shape; PAPERS.md).
+  */
+object PipelineOps {
+
+  private val QualityMinBp = 6000L
+  private val NearDupJaccard = 0.2
+  private val ContaminationMax = 0.5
+  private val EvalSources = Seq("src0", "src1")
+
+  /** Decontamination shingle length: LONG (≈8-word) n-grams, the
+    * standard eval-decontamination granularity — the 8-char dedup
+    * shingles are far too generic (on this corpus every doc shares >70%
+    * of its 8-grams with something; at 40 chars only true near-copies of
+    * held-out text match). */
+  private val ContamShingleLen = 40
+
+  private def contamShingled(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("g", explode(sequence(lit(1),
+        greatest(length(col("text")) - (ContamShingleLen - 1), lit(1)))))
+      .withColumn("sh", col("text").substr(col("g"), lit(ContamShingleLen)))
+
+  // ---- stage kernels (the t01/t02/t04 formulas, inlined on a column) ----
+
+  private val langPatterns: Seq[(String, String)] = Seq(
+    "en" -> "\\b(the|and|of|to|in|is|a)\\b",
+    "de" -> "\\b(der|die|das|und|ist|ein)\\b",
+    "es" -> "\\b(el|la|los|de|que|es|un)\\b",
+    "fr" -> "\\b(le|la|les|des|est|une|et)\\b")
+
+  private def scoreCol(pat: String): Column =
+    size(regexp_extract_all(lower(col("text")), lit(pat), lit(1)))
+
+  /** t01's argmax language heuristic as a single predicate: doc is 'en'. */
+  private def isEnglish: Column = {
+    val best = greatest(langPatterns.map(lp => scoreCol(lp._2)): _*)
+    best > 0 && scoreCol(langPatterns.head._2) === best
+  }
+
+  /** t02's quality score in basis points. */
+  private def qualityBp: Column = {
+    val nTok = size(regexp_extract_all(col("text"), lit("\\S+"), lit(0))).cast("double")
+    val nPunct = size(regexp_extract_all(col("text"), lit("[^a-zA-Z0-9\\s]"), lit(0))).cast("double")
+    val nStop = scoreCol(langPatterns.head._2).cast("double")
+    floor(
+      (least(col("n_chars") / 500.0, lit(1.0)) * 0.4
+        + (lit(1.0) - least(nPunct / greatest(nTok, lit(1.0)), lit(1.0))) * 0.3
+        + least(nStop / greatest(nTok, lit(1.0)) * 5.0, lit(1.0)) * 0.3) * 10000)
+      .cast("long")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p01_clean_corpus" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+
+      val s1 = docs.filter(isEnglish)
+      val s2 = s1.filter(qualityBp >= QualityMinBp)
+
+      // exact dedup keep-first on whitespace-normalized fingerprint (t04/d02)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(md5(regexp_replace(lower(col("text")), "\\s+", " ")))
+        .orderBy(col("doc_id").asc)
+      val s3 = s2.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1).drop("rn")
+        .localCheckpoint(true) // shared by LSH sides + later stages
+
+      // near-dup removal: verified pairs on the REDUCED corpus; the
+      // higher doc_id of each verified pair is dropped (d09 + d06 verify)
+      val cand = DedupOps.guardedCandidatePairs(DedupOps.signatures(s3))
+      val sets = DedupOps.shingleSets(s3)
+      val verified = cand
+        .join(sets.select(col("doc_id").as("d1"), col("shs").as("s1")), "d1")
+        .join(sets.select(col("doc_id").as("d2"), col("shs").as("s2")), "d2")
+        .withColumn("inter",
+          graft.functions.ArrayFunctions.sorted_intersect_size(col("s1"), col("s2"))
+            .cast("double"))
+        .withColumn("jac", round(col("inter") /
+          (size(col("s1")) + size(col("s2")) - col("inter")), 4))
+        .filter(col("jac") >= NearDupJaccard)
+        .select(col("d2").as("dup_id")).distinct()
+      val s4 = s3.join(verified, s3("doc_id") === verified("dup_id"), "left_anti")
+        .localCheckpoint(true)
+
+      // decontamination (d11 inverted): held-out sources leave the
+      // training set entirely; a surviving training doc is dropped when
+      // ≥ ContaminationMax of its distinct shingles appear in ANY
+      // held-out doc. Pure equi-join on shingle, no pairwise work.
+      // both sides reduce 40-char shingles to xxhash64 before the
+      // distinct+join: 5× less shuffle than raw strings; per-doc distinct
+      // counts (and thus ratios) are unchanged short of an in-doc
+      // collision (~n²/2⁶⁴ — the d06 argument)
+      val evalShingles = contamShingled(docs.filter(col("source").isin(EvalSources: _*)))
+        .select(xxhash64(col("sh")).as("esh")).distinct()
+      val trainDocs = s4.filter(!col("source").isin(EvalSources: _*))
+      val contaminated = contamShingled(trainDocs)
+        .select(col("doc_id"), xxhash64(col("sh")).as("sh")).distinct()
+        .join(evalShingles, col("sh") === col("esh"), "left")
+        .groupBy("doc_id")
+        .agg(round(sum(when(col("esh").isNotNull, 1).otherwise(0)).cast("double")
+          / count(lit(1)), 4).as("overlap"))
+        .filter(col("overlap") >= ContaminationMax)
+        .select(col("doc_id").as("c_id"))
+      val s5 = trainDocs.join(contaminated, trainDocs("doc_id") === contaminated("c_id"), "left_anti")
+
+      val stages: Seq[(String, DataFrame)] = Seq(
+        "1_all" -> docs, "2_lang" -> s1, "3_quality" -> s2,
+        "4_exact_dedup" -> s3, "5_near_dedup" -> s4, "6_decontaminated" -> s5)
+      stages.map { case (name, df) =>
+        df.agg(count(lit(1)).as("n_docs")).withColumn("stage", lit(name))
+      }.reduce(_.unionByName(_)).select("stage", "n_docs").orderBy("stage")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "p01_clean_corpus" -> {
+      val scores = langPatterns.map { case (l, p) =>
+        s"len(regexp_extract_all(lower(text), '$p', 1)) AS sc_$l"
+      }.mkString(", ")
+      val best = langPatterns.map(lp => s"sc_${lp._1}").mkString("greatest(", ", ", ")")
+      val evalIn = EvalSources.map(s => s"'$s'").mkString(", ")
+      val sigCols = (1 to DedupOps.NumHashes)
+        .map(i => s"min(md5('$i' || sh)) AS h$i").mkString(", ")
+      val bandsUnion = (1 to DedupOps.NumHashes)
+        .map(i => s"SELECT doc_id, $i AS band, h$i AS h FROM sig")
+        .mkString("\n  UNION ALL\n  ")
+      s"""WITH lang AS (
+         |  SELECT *, $scores FROM documents),
+         |s1 AS (
+         |  SELECT * FROM (SELECT *, $best AS best FROM lang)
+         |  WHERE best > 0 AND sc_en = best),
+         |s2 AS (
+         |  SELECT * FROM (
+         |    SELECT *, CAST(FLOOR((
+         |        least(n_chars / 500.0, 1.0) * 0.4
+         |      + (1.0 - least(len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]', 0))
+         |          / CAST(greatest(len(regexp_extract_all(text, '\\S+', 0)), 1) AS DOUBLE), 1.0)) * 0.3
+         |      + least(sc_en / CAST(greatest(len(regexp_extract_all(text, '\\S+', 0)), 1) AS DOUBLE) * 5.0, 1.0) * 0.3
+         |      ) * 10000) AS BIGINT) AS score_bp FROM s1)
+         |  WHERE score_bp >= $QualityMinBp),
+         |s3 AS (
+         |  SELECT * FROM (
+         |    SELECT *, ROW_NUMBER() OVER (
+         |      PARTITION BY md5(regexp_replace(lower(text), '\\s+', ' ', 'g'))
+         |      ORDER BY doc_id) AS rn FROM s2)
+         |  WHERE rn = 1),
+         |shg AS (
+         |  SELECT doc_id, substr(text, CAST(g AS INT), ${DedupOps.ShingleLen}) AS sh
+         |  FROM (SELECT doc_id, text,
+         |          unnest(generate_series(1, greatest(length(text) - ${DedupOps.ShingleLen - 1}, 1))) AS g
+         |        FROM s3)),
+         |sig AS (SELECT doc_id, $sigCols FROM shg GROUP BY doc_id),
+         |bands AS (
+         |  $bandsUnion),
+         |narrow AS (SELECT band, h FROM bands GROUP BY band, h
+         |           HAVING COUNT(*) <= ${DedupOps.MaxBandWidth}),
+         |guarded AS (SELECT b.doc_id, b.band, b.h FROM bands b
+         |            JOIN narrow n ON b.band = n.band AND b.h = n.h),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+         |  FROM guarded a JOIN guarded b ON a.band = b.band AND a.h = b.h
+         |  WHERE a.doc_id < b.doc_id),
+         |sets AS (SELECT doc_id, list_distinct(list(sh)) AS shs FROM shg GROUP BY doc_id),
+         |dups AS (
+         |  SELECT DISTINCT c.d2 AS dup_id
+         |  FROM cand c JOIN sets a ON c.d1 = a.doc_id JOIN sets b ON c.d2 = b.doc_id
+         |  WHERE ROUND(CAST(len(list_intersect(a.shs, b.shs)) AS DOUBLE)
+         |      / (len(a.shs) + len(b.shs) - len(list_intersect(a.shs, b.shs))), 4)
+         |    >= $NearDupJaccard),
+         |s4 AS (SELECT * FROM s3 WHERE doc_id NOT IN (SELECT dup_id FROM dups)),
+         |evalsh AS (
+         |  SELECT DISTINCT substr(text, CAST(g AS INT), $ContamShingleLen) AS esh
+         |  FROM (SELECT text,
+         |          unnest(generate_series(1, greatest(length(text) - ${ContamShingleLen - 1}, 1))) AS g
+         |        FROM documents WHERE source IN ($evalIn))),
+         |train AS (SELECT * FROM s4 WHERE source NOT IN ($evalIn)),
+         |trainsh AS (
+         |  SELECT DISTINCT doc_id, substr(text, CAST(g AS INT), $ContamShingleLen) AS sh
+         |  FROM (SELECT doc_id, text,
+         |          unnest(generate_series(1, greatest(length(text) - ${ContamShingleLen - 1}, 1))) AS g
+         |        FROM train)),
+         |contaminated AS (
+         |  SELECT doc_id FROM (
+         |    SELECT t.doc_id,
+         |      ROUND(SUM(CASE WHEN e.esh IS NOT NULL THEN 1 ELSE 0 END) * 1.0
+         |        / COUNT(*), 4) AS overlap
+         |    FROM trainsh t LEFT JOIN evalsh e ON t.sh = e.esh
+         |    GROUP BY t.doc_id)
+         |  WHERE overlap >= $ContaminationMax),
+         |s5 AS (SELECT * FROM train WHERE doc_id NOT IN (SELECT doc_id FROM contaminated))
+         |SELECT stage, n_docs FROM (
+         |  SELECT '1_all' AS stage, COUNT(*) AS n_docs FROM documents
+         |  UNION ALL SELECT '2_lang', COUNT(*) FROM s1
+         |  UNION ALL SELECT '3_quality', COUNT(*) FROM s2
+         |  UNION ALL SELECT '4_exact_dedup', COUNT(*) FROM s3
+         |  UNION ALL SELECT '5_near_dedup', COUNT(*) FROM s4
+         |  UNION ALL SELECT '6_decontaminated', COUNT(*) FROM s5)
+         |ORDER BY stage""".stripMargin
+    }
+  )
+}
