@@ -140,6 +140,39 @@ object SimilarityOps {
         .orderBy("qid", "rn")
     }),
 
+    // ANN quality measurement: recall of the sign-LSH candidate filter
+    // against the exact top-10, per query — "measure, don't guess" for
+    // the approximate path. One corpus scan per side (broadcast query
+    // set), hit counting via left join on the exact set (tiny).
+    // Measured on this corpus: 0-10% recall@10 — 6 leading-dimension
+    // sign bits carry almost no cosine signal here, which is exactly why
+    // the label-aware IVF path (s03) is the serving default and s02 is a
+    // bucketing demonstration. The gate pins the measurement so a future
+    // "better" hash has to prove itself in this number.
+    "s05_ann_recall" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val qs = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("qid").orderBy(col("cos").desc, col("vec_id").asc)
+      val exact = emb.join(broadcast(qs), col("vec_id") =!= col("qid"))
+        .withColumn("cos", cosCol)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 10)
+        .select(col("qid").as("x_qid"), col("vec_id").as("x_vid"))
+      val cands = emb.join(broadcast(qs), col("vec_id") =!= col("qid"))
+        .filter(bucketOf(col("embedding")) === bucketOf(col("qv")))
+        .select(col("qid").as("c_qid"), col("vec_id").as("c_vid"))
+      exact.join(cands,
+          col("x_qid") === col("c_qid") && col("x_vid") === col("c_vid"), "left")
+        .groupBy(col("x_qid").as("qid"))
+        .agg(count(lit(1)).as("n_exact"),
+          sum(when(col("c_vid").isNotNull, 1).otherwise(0)).as("n_hits"))
+        .withColumn("recall_bp",
+          floor(col("n_hits") * 10000.0 / col("n_exact")).cast("long"))
+        .orderBy("qid")
+    }),
+
     // Embedding-cosine near-dup pairs, generated from sign-LSH bucket
     // candidates WITHIN each cluster: an equi-join on (label, bucket),
     // never a cross join — each join key's fan-out is a cluster's bucket
@@ -210,6 +243,29 @@ object SimilarityOps {
          |  FROM scored)
          |SELECT qid, vec_id, cos, rn FROM ranked WHERE rn <= 3
          |ORDER BY qid, rn""".stripMargin,
+    "s05_ann_recall" -> {
+      def b(e: String) = (0 until 6)
+        .map(i => s"(CASE WHEN $e[${i + 1}] >= 0 THEN '1' ELSE '0' END)")
+        .mkString("concat(", ", ", ")")
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 5),
+         |scored AS (
+         |  SELECT q.qid, e.vec_id, ${cosSql("e.embedding", "q.qv", 6)} AS cos
+         |  FROM embeddings e, q WHERE e.vec_id <> q.qid),
+         |exact AS (
+         |  SELECT qid, vec_id FROM (
+         |    SELECT qid, vec_id,
+         |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id ASC) AS rn
+         |    FROM scored) WHERE rn <= 10),
+         |cands AS (
+         |  SELECT q.qid, e.vec_id FROM embeddings e, q
+         |  WHERE e.vec_id <> q.qid AND ${b("e.embedding")} = ${b("q.qv")})
+         |SELECT x.qid, COUNT(*) AS n_exact,
+         |  SUM(CASE WHEN c.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS n_hits,
+         |  CAST(FLOOR(SUM(CASE WHEN c.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+         |    * 10000.0 / COUNT(*)) AS BIGINT) AS recall_bp
+         |FROM exact x LEFT JOIN cands c ON x.qid = c.qid AND x.vec_id = c.vec_id
+         |GROUP BY x.qid ORDER BY x.qid""".stripMargin
+    },
     "d08_embedding_neardup" -> {
       def b(e: String) = (0 until 6)
         .map(i => s"(CASE WHEN $e[${i + 1}] >= 0 THEN '1' ELSE '0' END)")

@@ -103,7 +103,35 @@ object TextOps {
           "transform(sequence(1, size(w) - 1), i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))"))
           .as("bigram"))
         .groupBy("bigram").agg(count(lit(1)).as("n"))
-        .orderBy(col("n").desc, col("bigram").asc).limit(20))
+        .orderBy(col("n").desc, col("bigram").asc).limit(20)),
+
+    // Per-doc repetition metrics — the Gopher-style repetition filter's
+    // inputs (top-bigram frequency share, duplicate-word fraction), in
+    // basis points via FLOOR for engine-exact verification. Two grouped
+    // aggregations over one bigram explode; scales as t05 does.
+    "t06_repetition" -> ((s, d) => {
+      val perDocBigram = Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), "\\s+").as("w"))
+        .filter(size(col("w")) >= 2)
+        .select(col("doc_id"), col("w"),
+          explode(expr(
+            "transform(sequence(1, size(w) - 1), i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))"))
+            .as("bigram"))
+        .groupBy(col("doc_id"), col("bigram"))
+        .agg(count(lit(1)).as("c"), first(size(col("w"))).as("n_words"))
+      perDocBigram
+        .groupBy("doc_id")
+        .agg(sum("c").as("n_bigrams"), max("c").as("top_c"),
+          first("n_words").as("n_words"),
+          countDistinct("bigram").as("n_distinct_bigrams"))
+        .withColumn("top_share_bp",
+          floor(col("top_c") * 10000.0 / col("n_bigrams")).cast("long"))
+        .withColumn("dup_bigram_bp",
+          floor((col("n_bigrams") - col("n_distinct_bigrams")) * 10000.0
+            / col("n_bigrams")).cast("long"))
+        .select("doc_id", "n_bigrams", "top_share_bp", "dup_bigram_bp")
+        .orderBy("doc_id").limit(200)
+    })
   )
 
   val oracles: Map[String, String] = Map(
@@ -144,6 +172,23 @@ object TextOps {
         |  FROM (SELECT w, unnest(generate_series(1, len(w) - 1)) AS g
         |        FROM toks WHERE len(w) >= 2))
         |SELECT bigram, COUNT(*) AS n FROM bi
-        |GROUP BY bigram ORDER BY n DESC, bigram ASC LIMIT 20""".stripMargin
+        |GROUP BY bigram ORDER BY n DESC, bigram ASC LIMIT 20""".stripMargin,
+    "t06_repetition" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(text, '\s+') AS w FROM documents),
+        |bi AS (
+        |  SELECT doc_id, w[g] || ' ' || w[g + 1] AS bigram
+        |  FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 1)) AS g
+        |        FROM toks WHERE len(w) >= 2)),
+        |cnt AS (SELECT doc_id, bigram, COUNT(*) AS c FROM bi GROUP BY 1, 2),
+        |agg AS (
+        |  SELECT doc_id, SUM(c) AS n_bigrams, MAX(c) AS top_c,
+        |         COUNT(*) AS n_distinct_bigrams
+        |  FROM cnt GROUP BY doc_id)
+        |SELECT doc_id, n_bigrams,
+        |  CAST(FLOOR(top_c * 10000.0 / n_bigrams) AS BIGINT) AS top_share_bp,
+        |  CAST(FLOOR((n_bigrams - n_distinct_bigrams) * 10000.0 / n_bigrams) AS BIGINT)
+        |    AS dup_bigram_bp
+        |FROM agg ORDER BY doc_id LIMIT 200""".stripMargin
   )
 }
