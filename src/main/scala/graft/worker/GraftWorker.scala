@@ -42,7 +42,12 @@ final class GraftWorker(
       * trackPass on each maintenance tick (the recovery mode, and the
       * only mode for backends without a file-backed root). */
     streamingTracker: Boolean = true,
-    nowFn: () => Long = () => System.currentTimeMillis()) {
+    nowFn: () => Long = () => System.currentTimeMillis(),
+    /** Queue scope (reference worker.clj:27,43): a fleet runs one scoped
+      * worker per queue; None consumes everything. Maintenance duties
+      * (scheduler, tracker, compaction) stay global — they are
+      * coordinator work, not consumer work. */
+    queue: Option[String] = None) {
 
   private val sinkName = s"graft-worker-${java.util.UUID.randomUUID()}"
   graft.metrics.MetricsRegistry.register(sinkName, metrics)
@@ -52,7 +57,7 @@ final class GraftWorker(
   private val gate = new java.util.concurrent.locks.ReentrantReadWriteLock()
 
   private val engine = new WorkerEngine(backend, spark,
-    middlewares :+ Metrics.middleware(sinkName), nowFn, gate)
+    middlewares :+ Metrics.middleware(sinkName), nowFn, gate, queue)
   private val scheduler = new SchedulerEngine(backend, spark, nowFn)
   private val tracker = new BatchTracker(backend, spark)
 
@@ -95,7 +100,7 @@ final class GraftWorker(
     * (reference redis/worker.clj:66-67). */
   val processId: String = {
     val host = try java.net.InetAddress.getLocalHost.getHostName catch { case _: Throwable => "local" }
-    s"*:$host:${java.util.UUID.randomUUID().toString.take(12)}"
+    s"${queue.getOrElse("*")}:$host:${java.util.UUID.randomUUID().toString.take(12)}"
   }
 
   private val running = new AtomicBoolean(false)
@@ -121,7 +126,7 @@ final class GraftWorker(
           gate.readLock().lock()
           try {
             backend.recordHeartbeat(
-              graft.model.ProcessHeartbeat(processId, "*", nowFn())) // D9
+              graft.model.ProcessHeartbeat(processId, queue.getOrElse("*"), nowFn())) // D9
             scheduler.tick()
             if (!streamingTracker) tracker.trackPass() // recovery/batch mode
             Metrics.publishGauges(backend, spark, metrics)
@@ -184,8 +189,14 @@ final class GraftWorker(
         withReadLock { scheduler.tick(); tracker.trackPass() }
       }
       query.processAllAvailable()
+      // a scoped worker only drains ITS queue; other queues' jobs belong
+      // to other workers of the fleet
+      def scopedReady = queue match {
+        case Some(q) => backend.readyJobs.filter(col("queue") === q)
+        case None => backend.readyJobs
+      }
       val settled = withReadLock {
-        backend.readyJobs.isEmpty &&
+        scopedReady.isEmpty &&
           backend.scheduledJobs.filter(
             coalesce(col("state.retryAt"), col("scheduleRunAt")) <= nowFn()).isEmpty && {
             val nBatches = backend.batches.select("id").distinct().count()

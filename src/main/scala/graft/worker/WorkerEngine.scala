@@ -102,15 +102,27 @@ final class WorkerEngine(
       * side while it swaps them (GraftWorker), so a micro-batch never
       * reads files mid-rename. Uncontended when no compactor runs. */
     gate: java.util.concurrent.locks.ReadWriteLock =
-      new java.util.concurrent.locks.ReentrantReadWriteLock()) extends Serializable {
+      new java.util.concurrent.locks.ReentrantReadWriteLock(),
+    /** Queue scope — goose workers consume exactly ONE queue (reference
+      * worker.clj:27,43: `:queue`, default-queue; fleet = one worker per
+      * queue). None = consume everything (the single-process mode). The
+      * filter is a Catalyst predicate on the ready scan, so a scoped
+      * worker never reads other queues' row groups (min/max pruning). */
+    queue: Option[String] = None) extends Serializable {
 
   import spark.implicits._
 
   final case class PassStats(executed: Long, succeeded: Long, retried: Long, died: Long)
 
-  /** Drain-and-execute every currently visible ready job (the batch-mode
-    * twin of the streaming query; also the foreachBatch body). */
-  def runPass(): PassStats = gated(executeBatchInner(backend.readyJobs))
+  private def scoped(jobs: Dataset[Job]): Dataset[Job] = queue match {
+    case Some(q) => jobs.filter(org.apache.spark.sql.functions.col("queue") === q)
+    case None => jobs
+  }
+
+  /** Drain-and-execute every currently visible ready job of this
+    * worker's scope (the batch-mode twin of the streaming query; also
+    * the foreachBatch body). */
+  def runPass(): PassStats = gated(executeBatchInner(scoped(backend.readyJobs)))
 
   /** Plan CONSTRUCTION must happen inside the gate as well: building
     * `readyJobs`/`filterReadyVisible` lists the live log files, and a
@@ -180,7 +192,10 @@ final class WorkerEngine(
   def startStream(
       root: String,
       trigger: Trigger = Trigger.ProcessingTime("1 second"),
-      queryName: String = "graft-worker"): StreamingQuery = {
+      /** Scoped workers default to distinct checkpoints: two queue-scoped
+        * streams on one root must not share file-source offsets. */
+      queryName: String = null): StreamingQuery = {
+    val qn = Option(queryName).getOrElse(s"graft-worker${queue.fold("")("-" + _)}")
     val jobSchema = implicitly[org.apache.spark.sql.Encoder[Job]].schema
     // The file source requires the log dir to exist before the query
     // starts — created via Hadoop FS so hdfs://-style roots work too.
@@ -194,12 +209,12 @@ final class WorkerEngine(
       .option("ignoreMissingFiles", "true")
       .parquet(s"$root/ready")
       .writeStream
-      .queryName(queryName)
+      .queryName(qn)
       .trigger(trigger)
-      .option("checkpointLocation", s"$root/checkpoints/$queryName")
+      .option("checkpointLocation", s"$root/checkpoints/$qn")
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
         // gate covers the visibility-plan construction too (file listing)
-        gated { executeBatchInner(backend.filterReadyVisible(batch.as[Job])); () }
+        gated { executeBatchInner(scoped(backend.filterReadyVisible(batch.as[Job]))); () }
       }
       .start()
   }

@@ -132,6 +132,23 @@ class EngineSpec extends SparkSpec {
     assert(worker.runPass().died == 1)
   }
 
+  test("queue-scoped workers consume only their queue (worker.clj:27,43 fleet shape)") {
+    import graft.client.ClientOpts
+    val (backend, client, _, _, api, clock) = fixture()
+    client.performAsync("ok", "for-default")
+    client.performAsync(ClientOpts.queue("bulk"), "ok", "for-bulk")
+
+    val wDefault = new WorkerEngine(backend, spark, Nil, () => clock.get(), queue = Some("test"))
+    val wBulk = new WorkerEngine(backend, spark, Nil, () => clock.get(), queue = Some("bulk"))
+
+    assert(wDefault.runPass().executed == 1)
+    assert(api.enqueuedSize("bulk") == 1, "scoped worker must not touch the other queue")
+    assert(api.enqueuedSize("test") == 0)
+    assert(wBulk.runPass().executed == 1)
+    assert(api.enqueuedSize("bulk") == 0)
+    assert(wDefault.runPass().executed == 0) // nothing left in scope
+  }
+
   test("perform-at past-due goes straight to front (scheduler.clj:12-20)") {
     val (_, client, worker, _, api, clock) = fixture()
     client.performAt(Instant.ofEpochMilli(clock.get() - 5000), "ok")
