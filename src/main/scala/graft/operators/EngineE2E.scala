@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.backend.ParquetBackend
 import graft.model._
-import graft.worker.{BatchTracker, SchedulerEngine, WorkerEngine}
+import graft.worker.{BatchTracker, SchedulerEngine, WorkerCore, WorkerEngine}
 
 /** End-to-end engine demonstrations through the driver's correctness gate:
   * each query seeds jobs FROM the events test table (deterministic ids =
@@ -60,6 +60,29 @@ object EngineE2E {
     "e2e_worker_pass" -> ((s, d) => {
       val (backend, worker, _, _) = fixture(s)
       backend.enqueue(seedJobs(s, d))
+      worker.runPass()
+      backend.completions.toDF()
+        .select(col("jobId").cast("long").as("job_id"),
+          col("terminalState").as("terminal_state"))
+        .orderBy("job_id")
+    }),
+
+    // D2: the middleware chain wraps every execution on the executor
+    // (reference redis/worker.clj:46-55) — a deterministic gatekeeper
+    // middleware rejects every 7th job BEFORE the function runs, sending
+    // it down the retry path while the rest succeed untouched.
+    "q37_middleware_chain" -> ((s, d) => {
+      val clock = new AtomicLong(T0)
+      val root = java.nio.file.Files.createTempDirectory("graft-e2e-mw").toString
+      val backend = new ParquetBackend(s, root)
+      val gatekeeper: WorkerCore.Middleware = next => job =>
+        if (job.id.toLong % 7 == 0)
+          throw new RuntimeException("rejected by gatekeeper middleware")
+        else next(job)
+      val worker = new WorkerEngine(backend, s, Seq(gatekeeper), () => clock.get())
+      // all-noop seed: every failure below is the middleware's doing
+      backend.enqueue(seedJobs(s, d).map(_.copy(executeFnSym = "e2e_noop"))(
+        org.apache.spark.sql.Encoders.product[Job]))
       worker.runPass()
       backend.completions.toDF()
         .select(col("jobId").cast("long").as("job_id"),
@@ -376,6 +399,11 @@ object EngineE2E {
          |UNION ALL
          |SELECT 'success', COUNT(*) FROM seed WHERE event_type <> 'error'
          |ORDER BY terminal_state""".stripMargin,
+    "q37_middleware_chain" ->
+      s"""SELECT CAST(event_id AS BIGINT) AS job_id,
+         |  CASE WHEN event_id % 7 = 0 THEN 'retrying' ELSE 'success' END AS terminal_state
+         |FROM (SELECT * FROM events ORDER BY event_id LIMIT $SeedCount)
+         |ORDER BY job_id""".stripMargin,
     "q36_async_confirms" ->
       s"""SELECT CAST(0 AS BIGINT) AS n_before_confirm,
          |  CAST(5 AS BIGINT) AS n_confirmed_files,
