@@ -17,9 +17,13 @@ object SparkEntry {
       (operators.PipelineOps.queries, operators.PipelineOps.oracles)
     )
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * The composed corpus-cleaning pipeline — lang-ID → quality → exact
+    * dedup → LSH near-dup removal → decontamination — exercising the
+    * dedup/text kernels, the native expressions and the funnel shape a
+    * 100 TB pretraining ingest runs. */
   def entry(spark: SparkSession): DataFrame =
-    queries("q01_size_by_queue")(spark, "/root/testdata/sf0.001")
+    queries("p01_clean_corpus")(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -194,20 +194,27 @@ final class WorkerEngine(
       trigger: Trigger = Trigger.ProcessingTime("1 second"),
       /** Scoped workers default to distinct checkpoints: two queue-scoped
         * streams on one root must not share file-source offsets. */
-      queryName: String = null): StreamingQuery = {
+      queryName: String = null,
+      /** Intake bound per micro-batch (file granularity) — the RMQ
+        * prefetch-count analog (reference rmq/channel.clj: QoS prefetch
+        * caps in-flight deliveries per consumer). Bounds a micro-batch's
+        * memory/latency footprint when a huge backlog appears at once;
+        * None = drain everything available each trigger. */
+      prefetchFiles: Option[Int] = None): StreamingQuery = {
     val qn = Option(queryName).getOrElse(s"graft-worker${queue.fold("")("-" + _)}")
     val jobSchema = implicitly[org.apache.spark.sql.Encoder[Job]].schema
     // The file source requires the log dir to exist before the query
     // starts — created via Hadoop FS so hdfs://-style roots work too.
     val readyPath = new org.apache.hadoop.fs.Path(s"$root/ready")
     readyPath.getFileSystem(spark.sparkContext.hadoopConfiguration).mkdirs(readyPath)
-    spark.readStream
+    val reader = spark.readStream
       .schema(jobSchema)
       // a listed-but-vanished file can only mean a compaction fold
       // replaced the ready log between listing and read; the fold's
       // replacement (same visible jobs) arrives as a new file
       .option("ignoreMissingFiles", "true")
-      .parquet(s"$root/ready")
+    prefetchFiles.foreach(n => reader.option("maxFilesPerTrigger", n))
+    reader.parquet(s"$root/ready")
       .writeStream
       .queryName(qn)
       .trigger(trigger)

@@ -63,6 +63,20 @@ class StreamingSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("prefetch bound: maxFilesPerTrigger caps each micro-batch, backlog drains (S8 QoS analog)") {
+    val (root, _, client, worker, _, _) = fixture()
+    (1 to 4).foreach(i => client.performAsync("ok", s"j$i")) // 4 separate log files
+    val q = worker.startStream(root, Trigger.ProcessingTime("50 milliseconds"),
+      prefetchFiles = Some(1))
+    try {
+      q.processAllAvailable()
+      assert(TestFns.calls.get() == 4, "bounded intake must still drain the backlog")
+      val nonEmpty = q.recentProgress.filter(_.numInputRows > 0)
+      assert(nonEmpty.length >= 4, s"expected >=4 bounded micro-batches, got ${nonEmpty.length}")
+      assert(nonEmpty.forall(_.numInputRows <= 1), "each micro-batch must respect the prefetch cap")
+    } finally q.stop()
+  }
+
   test("streaming failure path: retry scheduled from inside the stream (D3)") {
     val (root, backend, client, worker, api, _) = fixture()
     TestFns.failuresRemaining.set(1)
