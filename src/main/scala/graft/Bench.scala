@@ -37,13 +37,22 @@ object Bench {
       catch { case _: Throwable => }
     }
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
-    }
-
-    val pipeline = benchJobPipeline(spark)
+    // Best-of-2 per query, sampled as two FULL passes over the suite
+    // (criterium takes the best of many samples, reference
+    // perf/goose/core.clj:39-53). Whole-suite passes put minutes between
+    // the two samples of any one query, so a multi-minute host-contention
+    // window — observed on shared-host runs — degrades at most one of
+    // them; back-to-back samples would both land inside it.
+    def pass(): Seq[(String, Double)] =
+      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        name -> (System.nanoTime() - t0) / 1e9
+      }
+    val (r1, pipe1) = (pass(), benchJobPipeline(spark))
+    val (r2, pipe2) = (pass(), benchJobPipeline(spark))
+    val results = r1.zip(r2).map { case ((n, a), (_, b)) => n -> math.min(a, b) }
+    val pipeline = Seq(pipe1, pipe2).minBy(_._1)
 
     val all = results :+ ("pipeline_noop_100k" -> pipeline._1)
     val qs = all.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")

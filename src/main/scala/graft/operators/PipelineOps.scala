@@ -70,6 +70,26 @@ object PipelineOps {
       .cast("long")
   }
 
+  /** Per-source sampling weights for p02 (a training-mixture config: keep
+    * all of the curated source, down-sample the rest). Unlisted sources
+    * get [[DefaultWeight]]. */
+  private val MixWeights: Seq[(String, Double)] =
+    Seq("src0" -> 1.0, "src1" -> 0.6, "src2" -> 0.3)
+  private val DefaultWeight = 0.1
+
+  /** Weight fraction → 8-hex-digit threshold. A doc survives when the
+    * first 8 hex chars of md5(doc_id) sort below the threshold —
+    * lexicographic compare of lowercase hex is identical in Spark and
+    * DuckDB, so the sample is deterministic and engine-exact (no RNG, no
+    * integer-conversion dialect differences). f=1.0 clamps to "ffffffff"
+    * (drops a doc only on an exact-max prefix, p≈2^-32, identically in
+    * both engines). */
+  private def thresholdHex(f: Double): String =
+    f"${math.min((f * 4294967296.0).toLong, 0xffffffffL)}%08x"
+
+  /** Context length (in whitespace tokens) for the p03 packing plan. */
+  private val ContextLen = 256L
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p01_clean_corpus" -> ((s, d) => {
       val docs = Tables.documents(s, d)
@@ -129,6 +149,58 @@ object PipelineOps {
       stages.map { case (name, df) =>
         df.agg(count(lit(1)).as("n_docs")).withColumn("stage", lit(name))
       }.reduce(_.unionByName(_)).select("stage", "n_docs").orderBy("stage")
+    }),
+
+    // Deterministic weighted source mixing — the data-mixing pass that
+    // turns a raw crawl into a training mixture (Pile/Dolma-style per-
+    // source weights). Hash-threshold sampling: no RNG, no shuffle of the
+    // kept rows, reproducible across reruns AND across engines — the
+    // property a 100 TB ingest needs so that retries and backfills select
+    // the same docs. One scan, map-side filter, one grouped agg.
+    "p02_source_mixing" -> ((s, d) => {
+      val thr = MixWeights.foldRight(lit(thresholdHex(DefaultWeight)): Column) {
+        case ((src, f), acc) =>
+          when(col("source") === src, thresholdHex(f)).otherwise(acc)
+      }
+      val keep = substring(md5(col("doc_id").cast("string")), 1, 8) < thr
+      val nTok = size(regexp_extract_all(col("text"), lit("\\S+"), lit(0)))
+      Tables.documents(s, d)
+        .withColumn("keep", keep).withColumn("n_tok", nTok)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("keep"), 1L).otherwise(0L)).as("n_sampled"),
+          sum(when(col("keep"), col("n_tok")).otherwise(0L)).as("tokens_sampled"))
+        .withColumn("sampled_bp",
+          floor(col("n_sampled") * 10000.0 / col("n_docs")).cast("long"))
+        .orderBy("source")
+    }),
+
+    // Concat-and-chunk packing plan — GPT-style sequence packing: docs
+    // concatenate in a deterministic order (doc_id within source) and
+    // split into fixed ContextLen windows. The per-doc window span falls
+    // out of a prefix-sum window function (one shuffle, partitioned by
+    // source — at 100 TB the partition key is the shard, so state per
+    // partition stays bounded). Output: per-source shard plan — window
+    // count, boundary-split docs, utilization.
+    "p03_pack_stats" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("source").orderBy("doc_id")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      val nTok = size(regexp_extract_all(col("text"), lit("\\S+"), lit(0))).cast("long")
+      Tables.documents(s, d)
+        .withColumn("n_tok", nTok)
+        .withColumn("cum", sum(col("n_tok")).over(w))
+        .withColumn("first_w", floor((col("cum") - col("n_tok")) / ContextLen.toDouble))
+        .withColumn("last_w", floor((col("cum") - 1) / ContextLen.toDouble))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_tok").as("total_tokens"),
+          sum(when(col("last_w") > col("first_w"), 1L).otherwise(0L)).as("split_docs"))
+        .withColumn("n_windows", expr(s"(total_tokens + ${ContextLen - 1}) div $ContextLen"))
+        .withColumn("util_bp",
+          floor(col("total_tokens") * 10000.0 / (col("n_windows") * ContextLen)).cast("long"))
+        .select("source", "n_docs", "total_tokens", "n_windows", "split_docs", "util_bp")
+        .orderBy("source")
     })
   )
 
@@ -216,6 +288,51 @@ object PipelineOps {
          |  UNION ALL SELECT '5_near_dedup', COUNT(*) FROM s4
          |  UNION ALL SELECT '6_decontaminated', COUNT(*) FROM s5)
          |ORDER BY stage""".stripMargin
-    }
+    },
+
+    "p02_source_mixing" -> {
+      val thrCase = MixWeights.foldRight(s"'${thresholdHex(DefaultWeight)}'") {
+        case ((src, f), acc) =>
+          s"CASE WHEN source = '$src' THEN '${thresholdHex(f)}' ELSE $acc END"
+      }
+      s"""WITH t AS (
+         |  SELECT source,
+         |    substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < ($thrCase) AS keep,
+         |    len(regexp_extract_all(text, '\\S+', 0)) AS n_tok
+         |  FROM documents)
+         |SELECT source, COUNT(*) AS n_docs,
+         |  CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+         |  CAST(SUM(CASE WHEN keep THEN n_tok ELSE 0 END) AS BIGINT) AS tokens_sampled,
+         |  CAST(FLOOR(SUM(CASE WHEN keep THEN 1 ELSE 0 END) * 10000.0 / COUNT(*)) AS BIGINT)
+         |    AS sampled_bp
+         |FROM t GROUP BY source ORDER BY source""".stripMargin
+    },
+
+    "p03_pack_stats" ->
+      s"""WITH t AS (
+         |  SELECT source, doc_id,
+         |    CAST(len(regexp_extract_all(text, '\\S+', 0)) AS BIGINT) AS n_tok
+         |  FROM documents),
+         |c AS (
+         |  SELECT source, n_tok,
+         |    SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM t),
+         |f AS (
+         |  SELECT source, n_tok,
+         |    FLOOR((cum - n_tok) / $ContextLen.0) AS first_w,
+         |    FLOOR((cum - 1) / $ContextLen.0) AS last_w
+         |  FROM c),
+         |agg AS (
+         |  SELECT source, COUNT(*) AS n_docs, SUM(n_tok) AS total_tokens,
+         |    SUM(CASE WHEN last_w > first_w THEN 1 ELSE 0 END) AS split_docs
+         |  FROM f GROUP BY source)
+         |SELECT source, n_docs, CAST(total_tokens AS BIGINT) AS total_tokens,
+         |  CAST((total_tokens + ${ContextLen - 1}) // $ContextLen AS BIGINT) AS n_windows,
+         |  CAST(split_docs AS BIGINT) AS split_docs,
+         |  CAST(FLOOR(total_tokens * 10000.0
+         |    / (((total_tokens + ${ContextLen - 1}) // $ContextLen) * $ContextLen)) AS BIGINT)
+         |    AS util_bp
+         |FROM agg ORDER BY source""".stripMargin
   )
 }

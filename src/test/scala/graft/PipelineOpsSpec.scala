@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Invariants of the mixture-sampling and packing-plan operators
+  * (PipelineOps p02/p03) at sf0.001. Value-exactness is the DuckDB
+  * oracle's job; these pin the properties the oracle can't state:
+  * determinism across runs and the packing arithmetic's internal
+  * consistency. */
+class PipelineOpsSpec extends SparkSpec {
+  private val sf = "/root/testdata/sf0.001"
+
+  test("p02 source mixing is deterministic and weight-ordered") {
+    val run1 = operators.PipelineOps.queries("p02_source_mixing")(spark, sf).collect()
+    val run2 = operators.PipelineOps.queries("p02_source_mixing")(spark, sf).collect()
+    assert(run1.toSeq == run2.toSeq, "hash-threshold sample must be reproducible")
+
+    val bySrc = run1.map(r => r.getString(0) ->
+      (r.getLong(1), r.getLong(2), r.getLong(4))).toMap
+    bySrc.foreach { case (src, (n, sampled, _)) =>
+      assert(sampled <= n, s"$src sampled more docs than exist")
+    }
+    // weight 1.0 keeps (essentially) everything; default 0.1 keeps a strict
+    // minority — the mixture actually reweights.
+    val (n0, s0, _) = bySrc("src0")
+    assert(s0 == n0, "weight-1.0 source must keep all docs at this scale")
+    val defaultBps = bySrc.filterKeys(k => !Set("src0", "src1", "src2")(k)).values.map(_._3)
+    assert(defaultBps.forall(_ < 5000), s"default-weight sources should keep a minority: $defaultBps")
+  }
+
+  test("p03 packing plan arithmetic is internally consistent") {
+    val rows = operators.PipelineOps.queries("p03_pack_stats")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nDocs, total, nWin, split, utilBp) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(nWin * 256 >= total, "windows must cover the token stream")
+      assert((nWin - 1) * 256 < total, "no fully-empty trailing window")
+      assert(split <= nDocs)
+      assert(utilBp > 0 && utilBp <= 10000)
+    }
+    // cross-check against the independent per-source token totals (t03)
+    val t03 = operators.TextOps.queries("t03_token_count")(spark, sf)
+      .select(col("source"), col("ws_total")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      assert(r.getLong(2) == t03(r.getString(0)),
+        s"${r.getString(0)}: packing total_tokens must equal t03 ws_total")
+    }
+  }
+}
