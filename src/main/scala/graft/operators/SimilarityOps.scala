@@ -173,6 +173,48 @@ object SimilarityOps {
         .orderBy("qid")
     }),
 
+    // IVF probe-depth sweep: recall@10 of the IVF path when scanning the
+    // query's 1, 2, or 4 nearest inverted lists — the nprobe tuning table
+    // every IVF deployment needs ("measure, don't guess": how much recall
+    // does each extra probed list buy?). One exact top-10 pass + the
+    // cached centroid table; each exact hit is scored by the RANK of its
+    // own list for that query, so all three depths fall out of one join
+    // (crank <= nprobe), not three candidate scans.
+    "s06_ivf_recall_sweep" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val qs = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("qid").orderBy(col("cos").desc, col("vec_id").asc)
+      val exact = emb.join(broadcast(qs), col("vec_id") =!= col("qid"))
+        .withColumn("cos", cosCol)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 10)
+        .select(col("qid"), col("vec_id").as("x_vid"), col("label").as("x_label"))
+      val qElems = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("cq_qid"),
+          posexplode(col("embedding")).as(Seq("qpos", "qev")))
+        .withColumn("qev", col("qev").cast("double"))
+      val cw = org.apache.spark.sql.expressions.Window
+        .partitionBy("cq_qid").orderBy(col("ccos").desc, col("label").asc)
+      val crank = ivfCentroids(s, d)
+        .join(broadcast(qElems), col("pos") === col("qpos"))
+        .groupBy("cq_qid", "label")
+        .agg(round(sum(col("cv") * col("qev")) /
+          (sqrt(sum(col("cv") * col("cv"))) * sqrt(sum(col("qev") * col("qev")))), 6)
+          .as("ccos"))
+        .withColumn("crank", row_number().over(cw))
+      def recallAt(n: Int): Column =
+        floor(sum(when(col("crank") <= n, 1).otherwise(0)) * 10000.0
+          / count(lit(1))).cast("long")
+      exact.join(crank,
+          col("qid") === col("cq_qid") && col("x_label") === col("label"))
+        .groupBy("qid")
+        .agg(count(lit(1)).as("n_exact"),
+          recallAt(1).as("r1_bp"), recallAt(2).as("r2_bp"), recallAt(4).as("r4_bp"))
+        .orderBy("qid")
+    }),
+
     // Embedding-cosine near-dup pairs, generated from sign-LSH bucket
     // candidates WITHIN each cluster: an equi-join on (label, bucket),
     // never a cross join — each join key's fan-out is a cluster's bucket
@@ -266,6 +308,37 @@ object SimilarityOps {
          |FROM exact x LEFT JOIN cands c ON x.qid = c.qid AND x.vec_id = c.vec_id
          |GROUP BY x.qid ORDER BY x.qid""".stripMargin
     },
+    "s06_ivf_recall_sweep" ->
+      s"""WITH elems AS (
+         |  SELECT vec_id, label, generate_subscripts(embedding, 1) AS pos,
+         |         CAST(unnest(embedding) AS DOUBLE) AS v
+         |  FROM embeddings),
+         |centroids AS (SELECT label, pos, avg(v) AS cv FROM elems GROUP BY label, pos),
+         |qe AS (SELECT vec_id AS qid, pos AS qpos, v AS qev FROM elems WHERE vec_id < 5),
+         |cc AS (
+         |  SELECT qe.qid, c.label,
+         |    ROUND(SUM(c.cv * qe.qev) / (sqrt(SUM(c.cv * c.cv)) * sqrt(SUM(qe.qev * qe.qev))), 6) AS ccos
+         |  FROM centroids c JOIN qe ON c.pos = qe.qpos
+         |  GROUP BY qe.qid, c.label),
+         |crank AS (
+         |  SELECT qid, label,
+         |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY ccos DESC, label ASC) AS crank
+         |  FROM cc),
+         |q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 5),
+         |scored AS (
+         |  SELECT q.qid, e.vec_id, e.label, ${cosSql("e.embedding", "q.qv", 6)} AS cos
+         |  FROM embeddings e, q WHERE e.vec_id <> q.qid),
+         |exact AS (
+         |  SELECT qid, vec_id, label FROM (
+         |    SELECT qid, vec_id, label,
+         |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id ASC) AS rn
+         |    FROM scored) WHERE rn <= 10)
+         |SELECT x.qid, COUNT(*) AS n_exact,
+         |  CAST(FLOOR(SUM(CASE WHEN r.crank <= 1 THEN 1 ELSE 0 END) * 10000.0 / COUNT(*)) AS BIGINT) AS r1_bp,
+         |  CAST(FLOOR(SUM(CASE WHEN r.crank <= 2 THEN 1 ELSE 0 END) * 10000.0 / COUNT(*)) AS BIGINT) AS r2_bp,
+         |  CAST(FLOOR(SUM(CASE WHEN r.crank <= 4 THEN 1 ELSE 0 END) * 10000.0 / COUNT(*)) AS BIGINT) AS r4_bp
+         |FROM exact x JOIN crank r ON x.qid = r.qid AND x.label = r.label
+         |GROUP BY x.qid ORDER BY x.qid""".stripMargin,
     "d08_embedding_neardup" -> {
       def b(e: String) = (0 until 6)
         .map(i => s"(CASE WHEN $e[${i + 1}] >= 0 THEN '1' ELSE '0' END)")
