@@ -72,12 +72,79 @@ object DedupOps {
       .select("d1", "d2").distinct()
   }
 
+  /** Connected components of the candidate-pair graph by min-label
+    * propagation: every node starts labelled with its own id; each round
+    * every node takes the min of its own label and its neighbours'
+    * labels; fixpoint = components labelled by their min doc_id.
+    *
+    * Scale shape: one shuffle join per round keyed on the node id, and
+    * the round count is the graph DIAMETER — for near-dup graphs the
+    * skew guard bounds component fan-out, so diameters are single-digit
+    * and this converges in ~3-5 rounds regardless of corpus size (the
+    * O(log n) large-star/small-star alternation of Kiveris et al. is the
+    * upgrade path for adversarially-chained graphs). `localCheckpoint`
+    * truncates the lineage each round — without it the iterative plan
+    * re-executes every prior round on each action. The convergence probe
+    * is a scalar `isEmpty` on the changed-label set, not a data collect. */
+  private[operators] def connectedComponents(pairs: DataFrame, maxRounds: Int = 20): DataFrame = {
+    val edges = pairs.select(col("d1").as("src"), col("d2").as("dst"))
+      .union(pairs.select(col("d2").as("src"), col("d1").as("dst")))
+      .localCheckpoint(true)
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("lbl", col("node"))
+      .localCheckpoint(true)
+    var round = 0
+    var done = false
+    while (!done && round < maxRounds) {
+      val viaNeighbour = edges
+        .join(labels.withColumnRenamed("node", "src"), "src")
+        .select(col("dst").as("node"), col("lbl"))
+      val next = labels.union(viaNeighbour)
+        .groupBy("node").agg(min("lbl").as("lbl"))
+        .localCheckpoint(true)
+      done = next
+        .join(labels.withColumnRenamed("lbl", "prev"), "node")
+        .filter(col("lbl") =!= col("prev"))
+        .isEmpty
+      labels = next
+      round += 1
+    }
+    labels
+  }
+
   /** Sorted shingle-hash set per doc — the pairwise-verify operand.
     * xxhash64 reduction keeps set sizes (and Jaccard) exact short of a
     * ~n²/2⁶⁴ collision while making intersection a long-array merge. */
   private[operators] def shingleSets(docs: DataFrame): DataFrame =
     shingled(docs).groupBy(col("doc_id"))
       .agg(array_sort(collect_set(xxhash64(col("sh")))).as("shs"))
+
+  /** The full LSH→verify funnel (the d10 kernel): skew-guarded candidate
+    * pairs, then exact n-gram Jaccard over ONLY the candidate docs'
+    * shingle sets. Output is (d1, d2, jac) with jac >= 0.2 — the edge
+    * list both the d10 report and the d12 cluster pass consume. */
+  private[operators] def verifiedPairs(docs: DataFrame): DataFrame = {
+    val sig = signatures(docs).localCheckpoint(true)
+    val cand = guardedCandidatePairs(sig).localCheckpoint(true)
+    // shingle ONLY docs that appear in a candidate pair: the verify
+    // stage's input is the candidate subset, never the full corpus —
+    // at 100 TB that's the difference between re-scanning everything
+    // and touching a few permille of it.
+    val candDocs = cand.select(col("d1").as("doc_id"))
+      .union(cand.select(col("d2").as("doc_id"))).distinct()
+    val sets = shingleSets(docs.join(candDocs, Seq("doc_id"), "left_semi"))
+      .localCheckpoint(true)
+    cand
+      .join(sets.select(col("doc_id").as("d1"), col("shs").as("s1")), "d1")
+      .join(sets.select(col("doc_id").as("d2"), col("shs").as("s2")), "d2")
+      .withColumn("inter",
+        graft.functions.ArrayFunctions.sorted_intersect_size(col("s1"), col("s2"))
+          .cast("double"))
+      .withColumn("jac", round(col("inter") /
+        (size(col("s1")) + size(col("s2")) - col("inter")), 4))
+      .filter(col("jac") >= 0.2)
+      .select("d1", "d2", "jac")
+  }
 
   private val sigSqlCte =
     s"""sh AS (
@@ -165,30 +232,9 @@ object DedupOps {
     // Verify cost is O(candidates), never O(pairs-within-source) — the
     // form that survives 100 TB. This is the operator a pipeline should
     // call; d06 remains the exhaustive-within-source diagnostic.
-    "d10_lsh_verified" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      val sig = signatures(docs).localCheckpoint(true)
-      val cand = guardedCandidatePairs(sig).localCheckpoint(true)
-      // shingle ONLY docs that appear in a candidate pair: the verify
-      // stage's input is the candidate subset, never the full corpus —
-      // at 100 TB that's the difference between re-scanning everything
-      // and touching a few permille of it.
-      val candDocs = cand.select(col("d1").as("doc_id"))
-        .union(cand.select(col("d2").as("doc_id"))).distinct()
-      val sets = shingleSets(docs.join(candDocs, Seq("doc_id"), "left_semi"))
-        .localCheckpoint(true)
-      cand
-        .join(sets.select(col("doc_id").as("d1"), col("shs").as("s1")), "d1")
-        .join(sets.select(col("doc_id").as("d2"), col("shs").as("s2")), "d2")
-        .withColumn("inter",
-          graft.functions.ArrayFunctions.sorted_intersect_size(col("s1"), col("s2"))
-            .cast("double"))
-        .withColumn("jac", round(col("inter") /
-          (size(col("s1")) + size(col("s2")) - col("inter")), 4))
-        .filter(col("jac") >= 0.2)
-        .select("d1", "d2", "jac")
-        .orderBy("d1", "d2").limit(200)
-    }),
+    "d10_lsh_verified" -> ((s, d) =>
+      verifiedPairs(Tables.documents(s, d))
+        .orderBy("d1", "d2").limit(200)),
 
     // n-gram Jaccard near-dup scores for same-source pairs: the verify
     // step that follows LSH candidate generation. Shingles are reduced to
@@ -234,6 +280,25 @@ object DedupOps {
           count(lit(1)).cast("double"), 4).as("overlap"))
         .filter(col("overlap") >= 0.5)
         .orderBy("doc_id")
+    }),
+
+    // Fuzzy-dedup clusters: connected components over the VERIFIED
+    // near-dup graph (the d10 kernel's jac>=0.2 edges), then every doc
+    // mapped to its cluster canonical (min doc_id reachable; singletons
+    // map to themselves). Pairwise keep-first alone under-deletes: if
+    // A~B and B~C but A!~C, it leaves A and C both alive even though
+    // they are one cluster — transitive closure is what production
+    // dedup actually ships (cf. SlimPajama/Dolma near-dedup passes).
+    // Clustering the unverified candidate graph instead would weld the
+    // corpus into one giant component (measured: 490/500 docs at
+    // sf0.01) — verify-then-cluster is the order that survives scale.
+    "d12_dedup_clusters" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val comp = connectedComponents(verifiedPairs(docs).select("d1", "d2"))
+      docs.select("doc_id")
+        .join(comp.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left_outer")
+        .select(col("doc_id"), coalesce(col("lbl"), col("doc_id")).as("cluster"))
+        .orderBy("doc_id").limit(500)
     }),
 
     // SimHash (16-bit, token-level): bit-majority sketch; identical md5
@@ -335,6 +400,32 @@ object DedupOps {
          |GROUP BY e.doc_id
          |HAVING ROUND(SUM(CASE WHEN t.s IS NOT NULL THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 4) >= 0.5
          |ORDER BY doc_id""".stripMargin,
+    "d12_dedup_clusters" ->
+      s"""WITH RECURSIVE $sigSqlCte,
+         |bands AS (
+         |  ${(1 to NumHashes).map(i => s"SELECT doc_id, $i AS band, h$i AS h FROM sig")
+              .mkString("\n  UNION ALL\n  ")}),
+         |narrow AS (SELECT band, h FROM bands GROUP BY band, h HAVING COUNT(*) <= $MaxBandWidth),
+         |guarded AS (SELECT b.doc_id, b.band, b.h FROM bands b JOIN narrow n ON b.band = n.band AND b.h = n.h),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+         |  FROM guarded a JOIN guarded b ON a.band = b.band AND a.h = b.h
+         |  WHERE a.doc_id < b.doc_id),
+         |sets AS (SELECT doc_id, list_distinct(list(s)) AS shs FROM sh GROUP BY doc_id),
+         |ver AS (
+         |  SELECT c.d1, c.d2
+         |  FROM cand c JOIN sets a ON c.d1 = a.doc_id JOIN sets b ON c.d2 = b.doc_id
+         |  WHERE ROUND(CAST(len(list_intersect(a.shs, b.shs)) AS DOUBLE)
+         |    / (len(a.shs) + len(b.shs) - len(list_intersect(a.shs, b.shs))), 4) >= 0.2),
+         |edges AS (SELECT d1 AS src, d2 AS dst FROM ver UNION SELECT d2, d1 FROM ver),
+         |reach(node, lbl) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node),
+         |comp AS (SELECT node, MIN(lbl) AS cluster FROM reach GROUP BY node)
+         |SELECT d.doc_id, COALESCE(c.cluster, d.doc_id) AS cluster
+         |FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+         |ORDER BY doc_id LIMIT 500""".stripMargin,
     "d07_simhash" -> {
       val bitSumSql = (0 until 16).map { b =>
         val c = b / 4; val k = 1 << (b % 4)

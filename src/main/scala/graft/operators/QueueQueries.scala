@@ -222,7 +222,46 @@ object QueueQueries {
         .filter(col("rn") <= 3)
         .select("o_orderstatus", "o_orderkey", "o_totalprice", "rn")
         .orderBy("o_orderstatus", "rn")
-    })
+    }),
+
+    // Distributed AS-OF join: each click joined to the same user's most
+    // recent error at-or-before it. Spark has no ASOF operator; the
+    // scalable composition is union-tag + one window pass — ONE shuffle
+    // keyed by user, one sort, `last(_, ignoreNulls)` carrying the
+    // latest right-side row forward. The naive alternatives both die at
+    // scale: an inequality theta-join is O(clicks × errors-per-user)
+    // and a per-key collect isn't distributed at all. Right rows sort
+    // before left rows at equal ts (tag 0 < 1) = inclusive `>=` ASOF.
+    "q38_asof_join" -> ((s, d) => {
+      val ev = events(s, d)
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("user_id"), col("ts"), lit(0).as("tag"),
+          lit(null).cast("long").as("event_id"),
+          col("ts").as("err_ts"), col("value").as("err_value"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), lit(1).as("tag"),
+          col("event_id"),
+          lit(null).cast("timestamp").as("err_ts"),
+          lit(null).cast("double").as("err_value"))
+      val w = Window.partitionBy("user_id").orderBy("ts", "tag")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      errors.union(clicks)
+        .withColumn("last_err_ts", last("err_ts", ignoreNulls = true).over(w))
+        .withColumn("last_err_value", last("err_value", ignoreNulls = true).over(w))
+        .filter(col("tag") === 1)
+        .select("event_id", "user_id", "last_err_ts", "last_err_value")
+        .orderBy("event_id").limit(500)
+    }),
+
+    // JSON column extraction (event props arrive as JSON strings from any
+    // real event source): path extraction stays inside codegen —
+    // get_json_object, no UDF — so the parse is a scan-local expression.
+    "q39_json_extract" -> ((s, d) =>
+      events(s, d)
+        .select(col("event_id"),
+          get_json_object(col("props"), "$.k").cast("int").as("k"))
+        .filter(col("k") >= 90)
+        .orderBy("event_id").limit(200))
   )
 
   val oracles: Map[String, String] = Map(
