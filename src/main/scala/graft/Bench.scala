@@ -55,16 +55,20 @@ object Bench {
     val pipeline = Seq(pipe1, pipe2).minBy(_._1)
 
     val all = results :+ ("pipeline_noop_100k" -> pipeline._1)
-    val qs = all.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
-    val total = all.map(_._2).sum
-    val json =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"jobs_per_sec":${pipeline._2}%.0f,"sf":"$sfDir"}"""
-    // stdout goes through sbt's [info] prefixing, which breaks line-level
-    // JSON parsers — ALSO write the line to a file (env-overridable) so
-    // the harness can machine-read it unconditionally.
-    println(json)
+    def toJson(rows: Seq[(String, Double)]): String = {
+      val qs = rows.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
+      val total = all.map(_._2).sum
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"jobs_per_sec":${pipeline._2}%.0f,"n_queries":${all.size},"sf":"$sfDir"}"""
+    }
+    // Full per-query detail → BENCH.json (env-overridable path). Stdout
+    // gets a COMPACT line (slowest 10 queries only): the harness keeps a
+    // ~2k-char tail of the sbt log, and the full 70-query line overflows
+    // it, truncating the JSON mid-object — that is exactly the
+    // "parsed": null of BENCH_r01-r03.
+    val full = toJson(all)
+    println(toJson(all.sortBy(-_._2).take(10).sortBy(_._1)))
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH.json")
-    java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), json + "\n")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), full + "\n")
     spark.stop()
   }
 

@@ -109,6 +109,12 @@ object DedupOps {
       labels = next
       round += 1
     }
+    // Truncated convergence would silently disagree with the oracle's full
+    // transitive closure — fail loudly instead (diameter > maxRounds means
+    // the caller should raise maxRounds, not ship wrong labels).
+    if (!done)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge within $maxRounds rounds")
     labels
   }
 

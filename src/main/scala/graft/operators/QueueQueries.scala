@@ -241,9 +241,15 @@ object QueueQueries {
       val clicks = ev.filter(col("event_type") === "click")
         .select(col("user_id"), col("ts"), lit(1).as("tag"),
           col("event_id"),
-          lit(null).cast("timestamp").as("err_ts"),
+          // NTZ, matching Tables.events' ts convention — an LTZ null here
+          // would coerce the whole unioned column away from timestamp_ntz.
+          lit(null).cast("timestamp_ntz").as("err_ts"),
           lit(null).cast("double").as("err_value"))
-      val w = Window.partitionBy("user_id").orderBy("ts", "tag")
+      // err_value in the ordering breaks ties between two error rows at
+      // the same (user_id, ts) deterministically (last = max err_value);
+      // within a (ts, tag) group err_value is homogeneously null (clicks)
+      // or non-null (errors), so null-ordering never differs vs DuckDB.
+      val w = Window.partitionBy("user_id").orderBy("ts", "tag", "err_value")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       errors.union(clicks)
         .withColumn("last_err_ts", last("err_ts", ignoreNulls = true).over(w))
@@ -329,6 +335,30 @@ object QueueQueries {
       """SELECT event_type,
         |  ROUND(percentile_cont(0.5) WITHIN GROUP (ORDER BY value), 4) AS p50,
         |  ROUND(percentile_cont(0.95) WITHIN GROUP (ORDER BY value), 4) AS p95
-        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // Mirrors the union-tag + window formulation rather than DuckDB's
+    // native ASOF JOIN: at equal error ts the ASOF row choice is
+    // unspecified, while this form pins the same (ts, tag, err_value)
+    // tiebreak on both engines.
+    "q38_asof_join" ->
+      """WITH u AS (
+        |  SELECT user_id, ts, 0 AS tag, CAST(NULL AS BIGINT) AS event_id,
+        |         ts AS err_ts, value AS err_value
+        |  FROM events WHERE event_type = 'error'
+        |  UNION ALL
+        |  SELECT user_id, ts, 1 AS tag, event_id, NULL, NULL
+        |  FROM events WHERE event_type = 'click')
+        |SELECT event_id, user_id, last_err_ts, last_err_value FROM (
+        |  SELECT *,
+        |    last_value(err_ts IGNORE NULLS) OVER w AS last_err_ts,
+        |    last_value(err_value IGNORE NULLS) OVER w AS last_err_value
+        |  FROM u WINDOW w AS (
+        |    PARTITION BY user_id ORDER BY ts, tag, err_value
+        |    ROWS UNBOUNDED PRECEDING))
+        |WHERE tag = 1 ORDER BY event_id LIMIT 500""".stripMargin,
+    "q39_json_extract" ->
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k
+        |FROM events WHERE CAST(json_extract_string(props, '$.k') AS INT) >= 90
+        |ORDER BY event_id LIMIT 200""".stripMargin
   )
 }

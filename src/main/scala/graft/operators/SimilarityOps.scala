@@ -302,7 +302,7 @@ object SimilarityOps {
          |  SELECT q.qid, e.vec_id FROM embeddings e, q
          |  WHERE e.vec_id <> q.qid AND ${b("e.embedding")} = ${b("q.qv")})
          |SELECT x.qid, COUNT(*) AS n_exact,
-         |  SUM(CASE WHEN c.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS n_hits,
+         |  CAST(SUM(CASE WHEN c.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
          |  CAST(FLOOR(SUM(CASE WHEN c.vec_id IS NOT NULL THEN 1 ELSE 0 END)
          |    * 10000.0 / COUNT(*)) AS BIGINT) AS recall_bp
          |FROM exact x LEFT JOIN cands c ON x.qid = c.qid AND x.vec_id = c.vec_id

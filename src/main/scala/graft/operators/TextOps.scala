@@ -182,7 +182,7 @@ object TextOps {
         |        FROM toks WHERE len(w) >= 2)),
         |cnt AS (SELECT doc_id, bigram, COUNT(*) AS c FROM bi GROUP BY 1, 2),
         |agg AS (
-        |  SELECT doc_id, SUM(c) AS n_bigrams, MAX(c) AS top_c,
+        |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams, MAX(c) AS top_c,
         |         COUNT(*) AS n_distinct_bigrams
         |  FROM cnt GROUP BY doc_id)
         |SELECT doc_id, n_bigrams,

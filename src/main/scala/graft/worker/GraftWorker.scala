@@ -135,8 +135,12 @@ final class GraftWorker(
             logFileCount() > compactMinFiles) compactNow()
         } catch {
           case _: InterruptedException => // stopping
-          case e: Throwable if running.get() =>
-            System.err.println(s"[graft-worker] maintenance error: ${e.getMessage}")
+          case e: Throwable =>
+            // After stop() the interrupt can surface as any wrapper
+            // (InterruptedIOException from a parquet write, SparkException
+            // chains) — only report errors from a live worker.
+            if (running.get())
+              System.err.println(s"[graft-worker] maintenance error: ${e.getMessage}")
         }
         try Thread.sleep(maintenanceIntervalMs)
         catch { case _: InterruptedException => }
