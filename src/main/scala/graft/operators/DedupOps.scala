@@ -307,6 +307,39 @@ object DedupOps {
         .orderBy("doc_id").limit(500)
     }),
 
+    // Sketch-quality measurement: MinHash-estimated Jaccard (fraction of
+    // agreeing signature components) vs the exact shingle Jaccard, per
+    // guarded candidate pair — "measure, don't guess" for the sketch
+    // itself, the number that justifies NumHashes before a 100 TB run
+    // spends its budget on it. With 4 components the estimate quantizes
+    // to multiples of 2500 bp; err_bp is the per-pair estimator error.
+    "d13_sketch_error" -> ((s, d) => {
+      val sig = signatures(Tables.documents(s, d)).localCheckpoint(true)
+      val cand = guardedCandidatePairs(sig)
+      val a = sig.select(col("doc_id").as("d1") +:
+        (1 to NumHashes).map(i => col(s"h$i").as(s"a$i")): _*)
+      val b = sig.select(col("doc_id").as("d2") +:
+        (1 to NumHashes).map(i => col(s"h$i").as(s"b$i")): _*)
+      val sets = shingleSets(Tables.documents(s, d)).localCheckpoint(true)
+      val matches = (1 to NumHashes)
+        .map(i => when(col(s"a$i") === col(s"b$i"), 1).otherwise(0))
+        .reduce(_ + _)
+      cand.join(a, "d1").join(b, "d2")
+        .withColumn("est_bp",
+          floor(matches * 10000.0 / NumHashes).cast("long"))
+        .join(sets.select(col("doc_id").as("d1"), col("shs").as("s1")), "d1")
+        .join(sets.select(col("doc_id").as("d2"), col("shs").as("s2")), "d2")
+        .withColumn("inter",
+          graft.functions.ArrayFunctions.sorted_intersect_size(col("s1"), col("s2"))
+            .cast("double"))
+        .withColumn("exact_bp",
+          floor(col("inter") * 10000.0 /
+            (size(col("s1")) + size(col("s2")) - col("inter"))).cast("long"))
+        .withColumn("err_bp", abs(col("est_bp") - col("exact_bp")))
+        .select("d1", "d2", "est_bp", "exact_bp", "err_bp")
+        .orderBy("d1", "d2").limit(200)
+    }),
+
     // SimHash (16-bit, token-level): bit-majority sketch; identical md5
     // arithmetic on both sides makes the signature oracle-checkable.
     "d07_simhash" -> ((s, d) => {
@@ -432,6 +465,31 @@ object DedupOps {
          |SELECT d.doc_id, COALESCE(c.cluster, d.doc_id) AS cluster
          |FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
          |ORDER BY doc_id LIMIT 500""".stripMargin,
+    "d13_sketch_error" -> {
+      val matchSql = (1 to NumHashes)
+        .map(i => s"(CASE WHEN a.h$i = b.h$i THEN 1 ELSE 0 END)").mkString(" + ")
+      s"""WITH $sigSqlCte,
+         |bands AS (
+         |  ${(1 to NumHashes).map(i => s"SELECT doc_id, $i AS band, h$i AS h FROM sig")
+              .mkString("\n  UNION ALL\n  ")}),
+         |narrow AS (SELECT band, h FROM bands GROUP BY band, h HAVING COUNT(*) <= $MaxBandWidth),
+         |guarded AS (SELECT b.doc_id, b.band, b.h FROM bands b JOIN narrow n ON b.band = n.band AND b.h = n.h),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+         |  FROM guarded a JOIN guarded b ON a.band = b.band AND a.h = b.h
+         |  WHERE a.doc_id < b.doc_id),
+         |sets AS (SELECT doc_id, list_distinct(list(s)) AS shs FROM sh GROUP BY doc_id),
+         |pairs AS (
+         |  SELECT c.d1, c.d2,
+         |    CAST(FLOOR(($matchSql) * 10000.0 / $NumHashes) AS BIGINT) AS est_bp,
+         |    CAST(FLOOR(CAST(len(list_intersect(x.shs, y.shs)) AS DOUBLE) * 10000.0
+         |      / (len(x.shs) + len(y.shs) - len(list_intersect(x.shs, y.shs)))) AS BIGINT) AS exact_bp
+         |  FROM cand c
+         |  JOIN sig a ON c.d1 = a.doc_id JOIN sig b ON c.d2 = b.doc_id
+         |  JOIN sets x ON c.d1 = x.doc_id JOIN sets y ON c.d2 = y.doc_id)
+         |SELECT d1, d2, est_bp, exact_bp, ABS(est_bp - exact_bp) AS err_bp
+         |FROM pairs ORDER BY d1, d2 LIMIT 200""".stripMargin
+    },
     "d07_simhash" -> {
       val bitSumSql = (0 until 16).map { b =>
         val c = b / 4; val k = 1 << (b % 4)

@@ -319,6 +319,46 @@ object EngineE2E {
         .toDF("n_before_confirm", "n_confirmed_files", "n_after_confirm")
     }),
 
+    // Structured Streaming windowed aggregation with a WATERMARK, end to
+    // end (SURVEY §1.4/§2.6: watermarks + windowed aggs are the Spark
+    // capability goose lacks): a file-source stream of events → 1-day
+    // tumbling windows in APPEND mode, so a window row is emitted exactly
+    // once, when the watermark passes its end — the streaming metrics
+    // shape of A4 at scale. A late sentinel row 3 days past the seed
+    // advances the watermark so every seed window finalizes
+    // deterministically; the sentinel's own window stays pending (its end
+    // is beyond the final watermark) and never emits.
+    "e2e_stream_window" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft-e2e-sw").toString
+      val seed = Tables.events(s, d).orderBy("event_id").limit(1000)
+        .select("event_id", "ts", "event_type", "value")
+      seed.write.parquet(s"$dir/input")
+      val name = "sw_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = s.readStream.schema(s.read.parquet(s"$dir/input").schema)
+        .parquet(s"$dir/input")
+        // watermarks require TIMESTAMP (LTZ); session TZ is pinned UTC so
+        // the NTZ→LTZ cast is value-preserving
+        .withColumn("ts", col("ts").cast("timestamp"))
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "1 day"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total_v"))
+        .writeStream.outputMode("append").format("memory").queryName(name).start()
+      try {
+        q.processAllAvailable()
+        seed.agg(date_add(max("ts").cast("date"), 3).cast("timestamp_ntz").as("ts"))
+          .withColumn("event_id", lit(-1L))
+          .withColumn("event_type", lit("sentinel"))
+          .withColumn("value", lit(0.0))
+          .select("event_id", "ts", "event_type", "value")
+          .write.mode("append").parquet(s"$dir/input")
+        q.processAllAvailable()
+      } finally q.stop()
+      s.table(name)
+        .select(col("window.start").cast("date").as("day"),
+          col("event_type"), col("n"), col("total_v"))
+        .orderBy("day", "event_type")
+    }),
+
     // D7/D8: batch over the seed jobs → tracker folds completions → one
     // terminal status (partial-success when some jobs died).
     "e2e_batch_status" -> ((s, d) => {
@@ -435,6 +475,11 @@ object EngineE2E {
          |UNION ALL
          |SELECT 'success', COUNT(*) FROM seed WHERE event_type <> 'error'
          |ORDER BY terminal_state""".stripMargin,
+    "e2e_stream_window" ->
+      """WITH seed AS (SELECT * FROM events ORDER BY event_id LIMIT 1000)
+        |SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+        |  COUNT(*) AS n, ROUND(SUM(value), 2) AS total_v
+        |FROM seed GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin,
     "e2e_batch_status" ->
       s"""SELECT CASE
          |  WHEN (SELECT COUNT(*) FROM (SELECT * FROM events ORDER BY event_id LIMIT $SeedCount) WHERE event_type = 'error') = 0 THEN 'success'

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
@@ -267,7 +267,34 @@ object QueueQueries {
         .select(col("event_id"),
           get_json_object(col("props"), "$.k").cast("int").as("k"))
         .filter(col("k") >= 90)
-        .orderBy("event_id").limit(200))
+        .orderBy("event_id").limit(200)),
+
+    // Distributed RANGE join: clicks within the hour before each error,
+    // per user ("what led up to this failure"). A naive theta-join
+    // (c.ts BETWEEN e.ts - 1h AND e.ts) has no equi-key — Spark would
+    // pick BroadcastNestedLoopJoin and die at scale. The banded form
+    // buckets both sides by the hour and equi-joins on (user_id, bucket)
+    // with errors exploded over the 2 buckets a 1-hour lookback can
+    // touch: each click lands in exactly one of an error's buckets, so
+    // no post-join dedup, and every join key's fan-out is one user-hour.
+    "q40_range_join" -> ((s, d) => {
+      val ev = events(s, d)
+      val hourOf = (c: Column) => floor(unix_timestamp(c.cast("timestamp")) / 3600)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id").as("c_uid"), col("ts").as("c_ts"),
+          col("event_id").as("click_id"), hourOf(col("ts")).as("c_bkt"))
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("event_id").as("err_id"), col("user_id"), col("ts").as("err_ts"))
+        .withColumn("bkt", explode(array(hourOf(col("err_ts")) - 1, hourOf(col("err_ts")))))
+      errors.join(clicks,
+          col("user_id") === col("c_uid") && col("bkt") === col("c_bkt") &&
+            col("c_ts") > col("err_ts") - expr("INTERVAL 1 HOUR") &&
+            col("c_ts") <= col("err_ts"),
+          "left")
+        .groupBy("err_id")
+        .agg(count(col("click_id")).as("n_clicks"))
+        .orderBy("err_id").limit(500)
+    })
   )
 
   val oracles: Map[String, String] = Map(
@@ -359,6 +386,13 @@ object QueueQueries {
     "q39_json_extract" ->
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k
         |FROM events WHERE CAST(json_extract_string(props, '$.k') AS INT) >= 90
-        |ORDER BY event_id LIMIT 200""".stripMargin
+        |ORDER BY event_id LIMIT 200""".stripMargin,
+    "q40_range_join" ->
+      """SELECT e.event_id AS err_id, COUNT(c.event_id) AS n_clicks
+        |FROM events e LEFT JOIN events c
+        |  ON c.event_type = 'click' AND c.user_id = e.user_id
+        |  AND c.ts > e.ts - INTERVAL 1 HOUR AND c.ts <= e.ts
+        |WHERE e.event_type = 'error'
+        |GROUP BY e.event_id ORDER BY err_id LIMIT 500""".stripMargin
   )
 }

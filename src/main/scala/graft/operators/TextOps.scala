@@ -131,6 +131,30 @@ object TextOps {
             / col("n_bigrams")).cast("long"))
         .select("doc_id", "n_bigrams", "top_share_bp", "dup_bigram_bp")
         .orderBy("doc_id").limit(200)
+    }),
+
+    // Per-doc top TF-IDF term — the keyword/topic signal a corpus triage
+    // pass extracts. Two grouped aggs over one token explode (tf per
+    // (doc, tok), df per tok) + a broadcast scalar N; idf = ln(N/df) in
+    // IEEE double on both engines, ranked on the FLOORED basis points so
+    // the tiebreak (tok asc) compares identical values everywhere.
+    "t07_tfidf" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val toks = docs.select(col("doc_id"),
+        explode(split(col("text"), "\\s+")).as("tok"))
+      val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+      val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+      val n = docs.agg(count(lit(1)).as("n_docs"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy(col("tfidf_bp").desc, col("tok").asc)
+      tf.join(dfreq, "tok").crossJoin(broadcast(n))
+        .withColumn("tfidf_bp",
+          floor(col("c").cast("double")
+            * log(col("n_docs").cast("double") / col("df")) * 10000).cast("long"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select("doc_id", "tok", "tfidf_bp")
+        .orderBy("doc_id").limit(200)
     })
   )
 
@@ -189,6 +213,23 @@ object TextOps {
         |  CAST(FLOOR(top_c * 10000.0 / n_bigrams) AS BIGINT) AS top_share_bp,
         |  CAST(FLOOR((n_bigrams - n_distinct_bigrams) * 10000.0 / n_bigrams) AS BIGINT)
         |    AS dup_bigram_bp
-        |FROM agg ORDER BY doc_id LIMIT 200""".stripMargin
+        |FROM agg ORDER BY doc_id LIMIT 200""".stripMargin,
+    "t07_tfidf" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS tok
+        |  FROM documents),
+        |tf AS (SELECT doc_id, tok, COUNT(*) AS c FROM toks GROUP BY 1, 2),
+        |dfreq AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+        |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.tok,
+        |    CAST(FLOOR(CAST(tf.c AS DOUBLE)
+        |      * ln(CAST(n.n_docs AS DOUBLE) / dfreq.df) * 10000) AS BIGINT) AS tfidf_bp
+        |  FROM tf JOIN dfreq ON tf.tok = dfreq.tok CROSS JOIN n)
+        |SELECT doc_id, tok, tfidf_bp FROM (
+        |  SELECT *, ROW_NUMBER() OVER (
+        |    PARTITION BY doc_id ORDER BY tfidf_bp DESC, tok ASC) AS rn
+        |  FROM scored)
+        |WHERE rn = 1 ORDER BY doc_id LIMIT 200""".stripMargin
   )
 }
