@@ -358,6 +358,51 @@ object DedupOps {
             .reduce(_ + _))
         .select("doc_id", "simhash")
         .orderBy("doc_id").limit(100)
+    }),
+
+    // Incremental dedup — TODAY'S batch against the EXISTING corpus, the
+    // shape a daily 100 TB ingest actually runs (never all-pairs over
+    // everything). Batch = top-20% doc_ids. Batch bands equi-join BASE
+    // bands only (batch×batch and base×base pairs are never generated);
+    // the skew guard is computed on the base side — the big side — so no
+    // hot band fans out. At production scale the base signatures are a
+    // persisted artifact of earlier runs (cf. ivfCentroids); only the
+    // batch is freshly sketched. Verify touches candidate docs only.
+    // Output: each dropped batch doc with its best (min-id) base match.
+    "d14_incremental_dedup" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val bound = docs.agg(floor(max("doc_id") * 0.8).cast("long").as("b"))
+      val withB = docs.crossJoin(broadcast(bound))
+      val base = withB.filter(col("doc_id") <= col("b")).drop("b")
+      val batch = withB.filter(col("doc_id") > col("b")).drop("b")
+      val baseBands = bandsOf(signatures(base))
+      val narrow = baseBands.groupBy("band", "h")
+        .agg(count(lit(1)).as("width"))
+        .filter(col("width") <= MaxBandWidth)
+        .select("band", "h")
+      val cand = bandsOf(signatures(batch))
+        .select(col("doc_id").as("d2"), col("band"), col("h"))
+        .join(baseBands.join(narrow, Seq("band", "h"))
+          .select(col("doc_id").as("d1"), col("band"), col("h")),
+          Seq("band", "h"))
+        .select("d1", "d2").distinct()
+      val candDocs = cand.select(col("d1").as("doc_id"))
+        .union(cand.select(col("d2").as("doc_id"))).distinct()
+      val sets = shingleSets(docs.join(candDocs, Seq("doc_id"), "left_semi"))
+        .localCheckpoint(true)
+      cand
+        .join(sets.select(col("doc_id").as("d1"), col("shs").as("s1")), "d1")
+        .join(sets.select(col("doc_id").as("d2"), col("shs").as("s2")), "d2")
+        .withColumn("inter",
+          graft.functions.ArrayFunctions.sorted_intersect_size(col("s1"), col("s2"))
+            .cast("double"))
+        .withColumn("jac", round(col("inter") /
+          (size(col("s1")) + size(col("s2")) - col("inter")), 4))
+        .filter(col("jac") >= 0.2)
+        .groupBy(col("d2").as("doc_id"))
+        .agg(min(struct(col("d1"), col("jac"))).as("m"))
+        .select(col("doc_id"), col("m.d1").as("match_id"), col("m.jac").as("jac"))
+        .orderBy("doc_id").limit(200)
     })
   )
 
@@ -504,6 +549,31 @@ object DedupOps {
          |    $bitSumSql
          |  FROM toks GROUP BY doc_id)
          |SELECT doc_id, $shSql AS simhash FROM sums ORDER BY doc_id LIMIT 100""".stripMargin
-    }
+    },
+    "d14_incremental_dedup" ->
+      s"""WITH $sigSqlCte,
+         |bound AS (SELECT CAST(FLOOR(MAX(doc_id) * 0.8) AS BIGINT) AS b FROM documents),
+         |bands AS (
+         |  ${(1 to NumHashes).map(i => s"SELECT doc_id, $i AS band, h$i AS h FROM sig")
+              .mkString("\n  UNION ALL\n  ")}),
+         |basebands AS (SELECT bands.* FROM bands, bound WHERE doc_id <= b),
+         |batchbands AS (SELECT bands.* FROM bands, bound WHERE doc_id > b),
+         |narrow AS (SELECT band, h FROM basebands GROUP BY band, h
+         |           HAVING COUNT(*) <= $MaxBandWidth),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS d1, t.doc_id AS d2
+         |  FROM basebands a JOIN narrow n ON a.band = n.band AND a.h = n.h
+         |  JOIN batchbands t ON t.band = a.band AND t.h = a.h),
+         |sets AS (SELECT doc_id, list_distinct(list(s)) AS shs FROM sh GROUP BY doc_id),
+         |ver AS (
+         |  SELECT c.d1, c.d2,
+         |    ROUND(CAST(len(list_intersect(a.shs, b.shs)) AS DOUBLE)
+         |      / (len(a.shs) + len(b.shs) - len(list_intersect(a.shs, b.shs))), 4) AS jac
+         |  FROM cand c JOIN sets a ON c.d1 = a.doc_id JOIN sets b ON c.d2 = b.doc_id)
+         |SELECT doc_id, match_id, jac FROM (
+         |  SELECT d2 AS doc_id, d1 AS match_id, jac,
+         |    ROW_NUMBER() OVER (PARTITION BY d2 ORDER BY d1) AS rn
+         |  FROM ver WHERE jac >= 0.2)
+         |WHERE rn = 1 ORDER BY doc_id LIMIT 200""".stripMargin
   )
 }

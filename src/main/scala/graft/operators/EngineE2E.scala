@@ -359,6 +359,65 @@ object EngineE2E {
         .orderBy("day", "event_type")
     }),
 
+    // Streaming exact dedup: state-backed dropDuplicates on the key —
+    // the continuous-ingest form of d01 (each arriving event passes the
+    // keyed state exactly once; at 100 TB/day the state store is
+    // RocksDB-backed and the key set is the dedup cardinality, not the
+    // stream length). The memory sink holds the deduped KEY SET —
+    // order-insensitive by construction — and the batch-side rollup
+    // below makes the checked result deterministic.
+    "e2e_stream_dedup" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft-e2e-sd").toString
+      val seed = Tables.events(s, d).orderBy("event_id").limit(1000)
+        .select("event_id", "ts", "user_id", "event_type")
+      seed.write.parquet(s"$dir/input")
+      val name = "sd_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = s.readStream.schema(s.read.parquet(s"$dir/input").schema)
+        .parquet(s"$dir/input")
+        .select("user_id", "event_type")
+        .dropDuplicates("user_id", "event_type")
+        .writeStream.outputMode("append").format("memory").queryName(name).start()
+      try q.processAllAvailable() finally q.stop()
+      s.table(name)
+        .groupBy("event_type").agg(count(lit(1)).as("n_users"))
+        .orderBy("event_type")
+    }),
+
+    // Watermarked STREAM-STREAM interval join — q40's "clicks in the
+    // hour before each error" as a continuous query. Both sides carry a
+    // 1-hour watermark and the join predicate bounds event-time distance,
+    // so each side's buffered state is one watermark window, not the
+    // stream's history — the only join shape that runs forever at scale.
+    // Inner matches emit as found (append mode); the batch-side rollup
+    // keys the check on err_id so row order never matters.
+    "e2e_stream_join" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft-e2e-sj").toString
+      val seed = Tables.events(s, d).orderBy("event_id").limit(1000)
+        .select("event_id", "ts", "user_id", "event_type")
+      seed.write.parquet(s"$dir/input")
+      val schema = s.read.parquet(s"$dir/input").schema
+      def stream = s.readStream.schema(schema).parquet(s"$dir/input")
+        .withColumn("ts", col("ts").cast("timestamp")) // NTZ→LTZ, UTC session
+      val clicks = stream.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id").as("c_uid"),
+          col("ts").as("c_ts"))
+        .withWatermark("c_ts", "1 hour")
+      val errors = stream.filter(col("event_type") === "error")
+        .select(col("event_id").as("err_id"), col("user_id").as("e_uid"),
+          col("ts").as("e_ts"))
+        .withWatermark("e_ts", "1 hour")
+      val name = "sj_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = errors.join(clicks,
+          col("e_uid") === col("c_uid") &&
+            col("c_ts") > col("e_ts") - expr("INTERVAL 1 HOUR") &&
+            col("c_ts") <= col("e_ts"))
+        .writeStream.outputMode("append").format("memory").queryName(name).start()
+      try q.processAllAvailable() finally q.stop()
+      s.table(name)
+        .groupBy("err_id").agg(count(lit(1)).as("n_clicks"))
+        .orderBy("err_id")
+    }),
+
     // D7/D8: batch over the seed jobs → tracker folds completions → one
     // terminal status (partial-success when some jobs died).
     "e2e_batch_status" -> ((s, d) => {
@@ -480,6 +539,18 @@ object EngineE2E {
         |SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
         |  COUNT(*) AS n, ROUND(SUM(value), 2) AS total_v
         |FROM seed GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin,
+    "e2e_stream_dedup" ->
+      """WITH seed AS (SELECT * FROM events ORDER BY event_id LIMIT 1000)
+        |SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+        |FROM seed GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "e2e_stream_join" ->
+      """WITH seed AS (SELECT * FROM events ORDER BY event_id LIMIT 1000)
+        |SELECT e.event_id AS err_id, COUNT(*) AS n_clicks
+        |FROM seed e JOIN seed c
+        |  ON c.event_type = 'click' AND c.user_id = e.user_id
+        |  AND c.ts > e.ts - INTERVAL 1 HOUR AND c.ts <= e.ts
+        |WHERE e.event_type = 'error'
+        |GROUP BY e.event_id ORDER BY err_id""".stripMargin,
     "e2e_batch_status" ->
       s"""SELECT CASE
          |  WHEN (SELECT COUNT(*) FROM (SELECT * FROM events ORDER BY event_id LIMIT $SeedCount) WHERE event_type = 'error') = 0 THEN 'success'

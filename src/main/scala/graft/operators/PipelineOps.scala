@@ -201,6 +201,46 @@ object PipelineOps {
           floor(col("total_tokens") * 10000.0 / (col("n_windows") * ContextLen)).cast("long"))
         .select("source", "n_docs", "total_tokens", "n_windows", "split_docs", "util_bp")
         .orderBy("source")
+    }),
+
+    // Deterministic output-shard plan — the write layout of a 100 TB
+    // ingest: every doc lands in shard = last md5 nibble of its id (16
+    // shards here; a prefix of more nibbles scales the fan-out). Content
+    // hashing (not round-robin) keeps placement stable across reruns and
+    // backfills, and the per-shard stats below ARE the skew audit you
+    // run before committing a layout: docs, tokens, and source spread
+    // per shard. One scan, one grouped agg — shard assignment is a
+    // scan-local expression, so at scale this is `write.partitionBy`.
+    "p04_shard_plan" -> ((s, d) => {
+      val nTok = size(regexp_extract_all(col("text"), lit("\\S+"), lit(0))).cast("long")
+      Tables.documents(s, d)
+        .withColumn("shard",
+          conv(substring(md5(col("doc_id").cast("string")), 32, 1), 16, 10).cast("long"))
+        .withColumn("n_tok", nTok)
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_tok").as("total_tokens"),
+          countDistinct(col("source")).as("n_sources"))
+        .orderBy("shard")
+    }),
+
+    // Per-source quantile gate — "keep docs at or above their source's
+    // median length" (the relative form of a Gopher length filter: an
+    // absolute threshold misfits sources with different length regimes).
+    // Exact interpolated percentile (percentile_cont semantics on both
+    // engines), broadcast back onto the scan; integer token counts make
+    // the median exactly representable, so the >= compare is engine-safe.
+    "p05_quantile_filter" -> ((s, d) => {
+      val nTok = size(regexp_extract_all(col("text"), lit("\\S+"), lit(0))).cast("double")
+      val docs = Tables.documents(s, d).withColumn("n_tok", nTok)
+      val med = docs.groupBy("source")
+        .agg(expr("percentile(n_tok, 0.5)").as("med"))
+      docs.join(broadcast(med), "source")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("n_tok") >= col("med"), 1L).otherwise(0L)).as("n_kept"),
+          round(min("med"), 1).as("median_tok"))
+        .orderBy("source")
     })
   )
 
@@ -333,6 +373,32 @@ object PipelineOps {
          |  CAST(FLOOR(total_tokens * 10000.0
          |    / (((total_tokens + ${ContextLen - 1}) // $ContextLen) * $ContextLen)) AS BIGINT)
          |    AS util_bp
-         |FROM agg ORDER BY source""".stripMargin
+         |FROM agg ORDER BY source""".stripMargin,
+
+    "p04_shard_plan" ->
+      """WITH t AS (
+        |  SELECT strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 32, 1)) - 1
+        |      AS shard,
+        |    CAST(len(regexp_extract_all(text, '\S+', 0)) AS BIGINT) AS n_tok,
+        |    source
+        |  FROM documents)
+        |SELECT CAST(shard AS BIGINT) AS shard, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+        |  COUNT(DISTINCT source) AS n_sources
+        |FROM t GROUP BY shard ORDER BY shard""".stripMargin,
+
+    "p05_quantile_filter" ->
+      """WITH t AS (
+        |  SELECT source,
+        |    CAST(len(regexp_extract_all(text, '\S+', 0)) AS DOUBLE) AS n_tok
+        |  FROM documents),
+        |med AS (
+        |  SELECT source, percentile_cont(0.5) WITHIN GROUP (ORDER BY n_tok) AS med
+        |  FROM t GROUP BY source)
+        |SELECT t.source, COUNT(*) AS n_docs,
+        |  CAST(SUM(CASE WHEN n_tok >= med THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  ROUND(MIN(med), 1) AS median_tok
+        |FROM t JOIN med ON t.source = med.source
+        |GROUP BY t.source ORDER BY t.source""".stripMargin
   )
 }

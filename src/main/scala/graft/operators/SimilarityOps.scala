@@ -234,6 +234,31 @@ object SimilarityOps {
         .filter(col("cos") >= 0.2)
         .select("v1", "v2", "cos")
         .orderBy("v1", "v2").limit(200)
+    }),
+
+    // Cluster-outlier audit: each vector's cosine to ITS OWN label
+    // centroid, bottom-3 per label — the "which examples don't belong to
+    // their cluster" pass that catches mislabeled/junk embeddings before
+    // training. Reuses the prebuilt IVF centroid artifact; the per-vector
+    // reduction is a (label, pos) equi-join + grouped sum, one shuffle
+    // keyed by vec_id — no pairwise work anywhere, so it scales linearly
+    // in corpus size.
+    "s07_centroid_outliers" -> ((s, d) => {
+      val elems = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("label"),
+          posexplode(col("embedding")).as(Seq("pos", "v")))
+        .withColumn("v", col("v").cast("double"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("label").orderBy(col("cos").asc, col("vec_id").asc)
+      elems.join(ivfCentroids(s, d), Seq("label", "pos"))
+        .groupBy("label", "vec_id")
+        .agg(round(sum(col("v") * col("cv")) /
+          (sqrt(sum(col("v") * col("v"))) * sqrt(sum(col("cv") * col("cv")))), 6)
+          .as("cos"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select("label", "vec_id", "cos", "rn")
+        .orderBy("label", "rn")
     })
   )
 
@@ -350,6 +375,22 @@ object SimilarityOps {
          |  AND a.vec_id < b.vec_id
          |WHERE ${cosSql("a.embedding", "b.embedding", 4)} >= 0.2
          |ORDER BY v1, v2 LIMIT 200""".stripMargin
-    }
+    },
+    "s07_centroid_outliers" ->
+      """WITH elems AS (
+        |  SELECT vec_id, label, generate_subscripts(embedding, 1) AS pos,
+        |         CAST(unnest(embedding) AS DOUBLE) AS v
+        |  FROM embeddings),
+        |centroids AS (SELECT label, pos, avg(v) AS cv FROM elems GROUP BY label, pos),
+        |cos AS (
+        |  SELECT e.label, e.vec_id,
+        |    ROUND(SUM(e.v * c.cv) / (sqrt(SUM(e.v * e.v)) * sqrt(SUM(c.cv * c.cv))), 6) AS cos
+        |  FROM elems e JOIN centroids c ON e.label = c.label AND e.pos = c.pos
+        |  GROUP BY e.label, e.vec_id)
+        |SELECT label, vec_id, cos, rn FROM (
+        |  SELECT *, ROW_NUMBER() OVER (
+        |    PARTITION BY label ORDER BY cos ASC, vec_id ASC) AS rn
+        |  FROM cos)
+        |WHERE rn <= 3 ORDER BY label, rn""".stripMargin
   )
 }

@@ -155,6 +155,24 @@ object TextOps {
         .filter(col("rn") === 1)
         .select("doc_id", "tok", "tfidf_bp")
         .orderBy("doc_id").limit(200)
+    }),
+
+    // Per-doc average unigram log-probability — the cheap LM-fluency
+    // proxy quality filters rank on (a corpus-trained unigram model in
+    // place of a real LM; CCNet-style perplexity filtering, PAPERS.md).
+    // Same shuffle shape as t07: corpus token counts, token stream
+    // re-joined on the counts (vocab-sized side, broadcast-able), one
+    // grouped avg. ln in IEEE double on both engines (as t07 does).
+    "t08_unigram_logprob" -> ((s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), "\\s+")).as("tok"))
+      val cnt = toks.groupBy("tok").agg(count(lit(1)).as("c"))
+      val n = toks.agg(count(lit(1)).as("n_total"))
+      toks.join(cnt, "tok").crossJoin(broadcast(n))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tok"),
+          round(avg(log(col("c").cast("double") / col("n_total"))), 4).as("avg_logp"))
+        .orderBy("doc_id").limit(200)
     })
   )
 
@@ -230,6 +248,16 @@ object TextOps {
         |  SELECT *, ROW_NUMBER() OVER (
         |    PARTITION BY doc_id ORDER BY tfidf_bp DESC, tok ASC) AS rn
         |  FROM scored)
-        |WHERE rn = 1 ORDER BY doc_id LIMIT 200""".stripMargin
+        |WHERE rn = 1 ORDER BY doc_id LIMIT 200""".stripMargin,
+    "t08_unigram_logprob" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS tok
+        |  FROM documents),
+        |cnt AS (SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok),
+        |n AS (SELECT COUNT(*) AS n_total FROM toks)
+        |SELECT doc_id, COUNT(*) AS n_tok,
+        |  ROUND(AVG(ln(CAST(c AS DOUBLE) / n_total)), 4) AS avg_logp
+        |FROM toks JOIN cnt USING (tok) CROSS JOIN n
+        |GROUP BY doc_id ORDER BY doc_id LIMIT 200""".stripMargin
   )
 }

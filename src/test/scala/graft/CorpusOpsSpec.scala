@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Invariants of the round-4 corpus operators — incremental dedup (d14),
+  * centroid outliers (s07), unigram log-prob (t08) — at sf0.001.
+  * Value-exactness is the DuckDB oracle's job; these pin the structural
+  * properties the oracle can't state. */
+class CorpusOpsSpec extends SparkSpec {
+  private val sf = "/root/testdata/sf0.001"
+
+  test("d14 incremental dedup only drops batch docs against base matches") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val bound = math.floor(
+      docs.agg(max("doc_id")).head().getLong(0) * 0.8).toLong
+    val rows = operators.DedupOps.queries("d14_incremental_dedup")(spark, sf).collect()
+    rows.foreach { r =>
+      val (docId, matchId, jac) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+      assert(docId > bound, s"dropped doc $docId must come from the batch slice")
+      assert(matchId <= bound, s"match $matchId must come from the base corpus")
+      assert(jac >= 0.2, "only verified near-dups are dropped")
+    }
+    assert(rows.map(_.getLong(0)).distinct.length == rows.length,
+      "one best match per dropped batch doc")
+  }
+
+  test("s07 centroid outliers: 3 ranked rows per label, cosine ascending") {
+    val rows = operators.SimilarityOps.queries("s07_centroid_outliers")(spark, sf).collect()
+    val byLabel = rows.groupBy(_.getInt(0))
+    byLabel.foreach { case (label, rs) =>
+      assert(rs.length == 3, s"label $label must rank exactly 3 outliers")
+      assert(rs.map(_.getInt(3)).sorted.sameElements(Array(1, 2, 3)))
+      val cs = rs.sortBy(_.getInt(3)).map(_.getDouble(2))
+      assert(cs.zip(cs.tail).forall { case (a, b) => a <= b },
+        s"label $label: outlier rank must order by ascending cosine")
+      cs.foreach(c => assert(c >= -1.0001 && c <= 1.0001))
+    }
+  }
+
+  test("t08 unigram log-prob is negative and token-count-consistent") {
+    val rows = operators.TextOps.queries("t08_unigram_logprob")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(1) > 0)
+      assert(r.getDouble(2) < 0, "ln of a probability < 1 must be negative")
+    }
+  }
+
+  test("streaming dedup and stream-stream join match their batch twins") {
+    val ded = operators.EngineE2E.queries("e2e_stream_dedup")(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val seed = Tables.events(spark, sf).orderBy("event_id").limit(1000)
+    val batchDed = seed.groupBy("event_type")
+      .agg(countDistinct("user_id").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(ded == batchDed, "streaming dropDuplicates must equal batch distinct")
+
+    val joined = operators.EngineE2E.queries("e2e_stream_join")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val e = seed.filter(col("event_type") === "error")
+      .select(col("event_id").as("err_id"), col("user_id").as("uid"), col("ts").as("e_ts"))
+    val c = seed.filter(col("event_type") === "click")
+      .select(col("user_id").as("uid"), col("ts").as("c_ts"))
+    val batchJoin = e.join(c, Seq("uid"))
+      .filter(col("c_ts") > col("e_ts") - expr("INTERVAL 1 HOUR") &&
+        col("c_ts") <= col("e_ts"))
+      .groupBy("err_id").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(joined == batchJoin, "stream-stream interval join must equal batch join")
+  }
+}

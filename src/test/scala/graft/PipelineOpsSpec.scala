@@ -48,4 +48,24 @@ class PipelineOpsSpec extends SparkSpec {
         s"${r.getString(0)}: packing total_tokens must equal t03 ws_total")
     }
   }
+
+  test("p04 shard plan covers the corpus with bounded, stable shards") {
+    val run1 = operators.PipelineOps.queries("p04_shard_plan")(spark, sf).collect()
+    val run2 = operators.PipelineOps.queries("p04_shard_plan")(spark, sf).collect()
+    assert(run1.toSeq == run2.toSeq, "content-hash sharding must be reproducible")
+    assert(run1.forall(r => r.getLong(0) >= 0 && r.getLong(0) <= 15))
+    val total = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(run1.map(_.getLong(1)).sum == total, "every doc lands in exactly one shard")
+  }
+
+  test("p05 quantile gate keeps at least half of every source") {
+    val rows = operators.PipelineOps.queries("p05_quantile_filter")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, kept) = (r.getLong(1), r.getLong(2))
+      assert(kept <= n)
+      assert(kept * 2 >= n,
+        s"${r.getString(0)}: >= interpolated median must keep at least half ($kept of $n)")
+    }
+  }
 }
