@@ -372,20 +372,23 @@ object DedupOps {
     "d14_incremental_dedup" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val bound = docs.agg(floor(max("doc_id") * 0.8).cast("long").as("b"))
-      val withB = docs.crossJoin(broadcast(bound))
-      val base = withB.filter(col("doc_id") <= col("b")).drop("b")
-      val batch = withB.filter(col("doc_id") > col("b")).drop("b")
-      val baseBands = bandsOf(signatures(base))
+      // one signature pass over the corpus, materialized once, then split
+      // at the boundary — sketching is the scan-heavy stage, so it must
+      // not run per side (in production the base half IS a persisted
+      // artifact and only the batch slice is sketched fresh)
+      val sig = signatures(docs).crossJoin(broadcast(bound)).localCheckpoint(true)
+      val baseBands = bandsOf(sig.filter(col("doc_id") <= col("b")).drop("b"))
+      val batchBands = bandsOf(sig.filter(col("doc_id") > col("b")).drop("b"))
       val narrow = baseBands.groupBy("band", "h")
         .agg(count(lit(1)).as("width"))
         .filter(col("width") <= MaxBandWidth)
         .select("band", "h")
-      val cand = bandsOf(signatures(batch))
+      val cand = batchBands
         .select(col("doc_id").as("d2"), col("band"), col("h"))
         .join(baseBands.join(narrow, Seq("band", "h"))
           .select(col("doc_id").as("d1"), col("band"), col("h")),
           Seq("band", "h"))
-        .select("d1", "d2").distinct()
+        .select("d1", "d2").distinct().localCheckpoint(true)
       val candDocs = cand.select(col("d1").as("doc_id"))
         .union(cand.select(col("d2").as("doc_id"))).distinct()
       val sets = shingleSets(docs.join(candDocs, Seq("doc_id"), "left_semi"))

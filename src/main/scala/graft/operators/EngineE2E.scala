@@ -46,6 +46,17 @@ object EngineE2E {
       }
   }
 
+  /** Scope a stateful-streaming fixture to few shuffle partitions: each
+    * partition carries its own state-store provider(s) (a stream-stream
+    * join keeps four per partition), and a 1k-row fixture stream spends
+    * its time provisioning 32 of them rather than joining. Production
+    * streams size this to throughput; the fixture sizes it to the data. */
+  private def withShufflePartitions[T](s: SparkSession, n: Int)(f: => T): T = {
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", n.toString)
+    try f finally s.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   private def fixture(spark: SparkSession) = {
     val clock = new AtomicLong(T0)
     val root = java.nio.file.Files.createTempDirectory("graft-e2e").toString
@@ -334,25 +345,27 @@ object EngineE2E {
         .select("event_id", "ts", "event_type", "value")
       seed.write.parquet(s"$dir/input")
       val name = "sw_" + java.util.UUID.randomUUID().toString.replace("-", "")
-      val q = s.readStream.schema(s.read.parquet(s"$dir/input").schema)
-        .parquet(s"$dir/input")
-        // watermarks require TIMESTAMP (LTZ); session TZ is pinned UTC so
-        // the NTZ→LTZ cast is value-preserving
-        .withColumn("ts", col("ts").cast("timestamp"))
-        .withWatermark("ts", "1 hour")
-        .groupBy(window(col("ts"), "1 day"), col("event_type"))
-        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total_v"))
-        .writeStream.outputMode("append").format("memory").queryName(name).start()
-      try {
-        q.processAllAvailable()
-        seed.agg(date_add(max("ts").cast("date"), 3).cast("timestamp_ntz").as("ts"))
-          .withColumn("event_id", lit(-1L))
-          .withColumn("event_type", lit("sentinel"))
-          .withColumn("value", lit(0.0))
-          .select("event_id", "ts", "event_type", "value")
-          .write.mode("append").parquet(s"$dir/input")
-        q.processAllAvailable()
-      } finally q.stop()
+      withShufflePartitions(s, 4) {
+        val q = s.readStream.schema(s.read.parquet(s"$dir/input").schema)
+          .parquet(s"$dir/input")
+          // watermarks require TIMESTAMP (LTZ); session TZ is pinned UTC so
+          // the NTZ→LTZ cast is value-preserving
+          .withColumn("ts", col("ts").cast("timestamp"))
+          .withWatermark("ts", "1 hour")
+          .groupBy(window(col("ts"), "1 day"), col("event_type"))
+          .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total_v"))
+          .writeStream.outputMode("append").format("memory").queryName(name).start()
+        try {
+          q.processAllAvailable()
+          seed.agg(date_add(max("ts").cast("date"), 3).cast("timestamp_ntz").as("ts"))
+            .withColumn("event_id", lit(-1L))
+            .withColumn("event_type", lit("sentinel"))
+            .withColumn("value", lit(0.0))
+            .select("event_id", "ts", "event_type", "value")
+            .write.mode("append").parquet(s"$dir/input")
+          q.processAllAvailable()
+        } finally q.stop()
+      }
       s.table(name)
         .select(col("window.start").cast("date").as("day"),
           col("event_type"), col("n"), col("total_v"))
@@ -372,12 +385,14 @@ object EngineE2E {
         .select("event_id", "ts", "user_id", "event_type")
       seed.write.parquet(s"$dir/input")
       val name = "sd_" + java.util.UUID.randomUUID().toString.replace("-", "")
-      val q = s.readStream.schema(s.read.parquet(s"$dir/input").schema)
-        .parquet(s"$dir/input")
-        .select("user_id", "event_type")
-        .dropDuplicates("user_id", "event_type")
-        .writeStream.outputMode("append").format("memory").queryName(name).start()
-      try q.processAllAvailable() finally q.stop()
+      withShufflePartitions(s, 4) {
+        val q = s.readStream.schema(s.read.parquet(s"$dir/input").schema)
+          .parquet(s"$dir/input")
+          .select("user_id", "event_type")
+          .dropDuplicates("user_id", "event_type")
+          .writeStream.outputMode("append").format("memory").queryName(name).start()
+        try q.processAllAvailable() finally q.stop()
+      }
       s.table(name)
         .groupBy("event_type").agg(count(lit(1)).as("n_users"))
         .orderBy("event_type")
@@ -407,12 +422,14 @@ object EngineE2E {
           col("ts").as("e_ts"))
         .withWatermark("e_ts", "1 hour")
       val name = "sj_" + java.util.UUID.randomUUID().toString.replace("-", "")
-      val q = errors.join(clicks,
-          col("e_uid") === col("c_uid") &&
-            col("c_ts") > col("e_ts") - expr("INTERVAL 1 HOUR") &&
-            col("c_ts") <= col("e_ts"))
-        .writeStream.outputMode("append").format("memory").queryName(name).start()
-      try q.processAllAvailable() finally q.stop()
+      withShufflePartitions(s, 4) {
+        val q = errors.join(clicks,
+            col("e_uid") === col("c_uid") &&
+              col("c_ts") > col("e_ts") - expr("INTERVAL 1 HOUR") &&
+              col("c_ts") <= col("e_ts"))
+          .writeStream.outputMode("append").format("memory").queryName(name).start()
+        try q.processAllAvailable() finally q.stop()
+      }
       s.table(name)
         .groupBy("err_id").agg(count(lit(1)).as("n_clicks"))
         .orderBy("err_id")
