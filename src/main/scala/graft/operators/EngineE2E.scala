@@ -435,6 +435,68 @@ object EngineE2E {
         .orderBy("err_id")
     }),
 
+    // Streaming SESSION windows: gap-based session_window aggregation
+    // with a watermark — q25's sessionization as a continuous query
+    // (session state merges as events arrive; a session emits once the
+    // watermark passes its close). The sentinel row advances the
+    // watermark past every open session, the batch-side rollup drops it.
+    "e2e_stream_session" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft-e2e-ss").toString
+      val seed = Tables.events(s, d).orderBy("event_id").limit(1000)
+        .select("event_id", "ts", "user_id", "event_type")
+      seed.write.parquet(s"$dir/input")
+      val name = "ss_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      withShufflePartitions(s, 4) {
+        val q = s.readStream.schema(s.read.parquet(s"$dir/input").schema)
+          .parquet(s"$dir/input")
+          .withColumn("ts", col("ts").cast("timestamp"))
+          .withWatermark("ts", "1 hour")
+          .groupBy(col("user_id"), session_window(col("ts"), "1 hour"))
+          .agg(count(lit(1)).as("n"))
+          .writeStream.outputMode("append").format("memory").queryName(name).start()
+        try {
+          q.processAllAvailable()
+          seed.agg(date_add(max("ts").cast("date"), 3).cast("timestamp_ntz").as("ts"))
+            .withColumn("event_id", lit(-1L))
+            .withColumn("user_id", lit(-1L))
+            .withColumn("event_type", lit("sentinel"))
+            .select("event_id", "ts", "user_id", "event_type")
+            .write.mode("append").parquet(s"$dir/input")
+          q.processAllAvailable()
+        } finally q.stop()
+      }
+      s.table(name).filter(col("user_id") >= 0)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_sessions"), sum("n").as("n_events"))
+        .orderBy("user_id")
+    }),
+
+    // Bucketed CO-LOCATED join — the shuffle-elimination layout a 100 TB
+    // fact-fact join depends on: both sides written bucketBy(user_id)
+    // into catalog tables, so the join reads bucket-aligned splits and
+    // needs NO exchange on either side (asserted in EngineSpec with
+    // broadcast disabled). The result is checkpointed before the scratch
+    // tables drop.
+    "e2e_bucketed_join" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft-e2e-bk").toString
+      val tag = java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+      val (ta, tb) = (s"bk_ev_$tag", s"bk_err_$tag")
+      val ev = Tables.events(s, d).select("event_id", "user_id", "event_type", "value")
+      ev.write.mode("overwrite").option("path", s"$dir/a")
+        .bucketBy(8, "user_id").sortBy("user_id").saveAsTable(ta)
+      ev.filter(col("event_type") === "error")
+        .select(col("user_id"), col("value").as("err_value"))
+        .write.mode("overwrite").option("path", s"$dir/b")
+        .bucketBy(8, "user_id").sortBy("user_id").saveAsTable(tb)
+      val out = s.table(ta).join(s.table(tb), "user_id")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), round(sum("err_value"), 2).as("total_err"))
+        .orderBy("event_type")
+        .localCheckpoint(true)
+      s.sql(s"DROP TABLE IF EXISTS $ta"); s.sql(s"DROP TABLE IF EXISTS $tb")
+      out
+    }),
+
     // D7/D8: batch over the seed jobs → tracker folds completions → one
     // terminal status (partial-success when some jobs died).
     "e2e_batch_status" -> ((s, d) => {
@@ -568,6 +630,22 @@ object EngineE2E {
         |  AND c.ts > e.ts - INTERVAL 1 HOUR AND c.ts <= e.ts
         |WHERE e.event_type = 'error'
         |GROUP BY e.event_id ORDER BY err_id""".stripMargin,
+    "e2e_stream_session" ->
+      """WITH seed AS (SELECT * FROM events ORDER BY event_id LIMIT 1000),
+        |g AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL OR ts >= lag(ts) OVER w + INTERVAL 1 HOUR
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM seed WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT user_id, CAST(SUM(brk) AS BIGINT) AS n_sessions,
+        |  COUNT(*) AS n_events
+        |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "e2e_bucketed_join" ->
+      """SELECT a.event_type, COUNT(*) AS n, ROUND(SUM(b.err_value), 2) AS total_err
+        |FROM events a JOIN (
+        |  SELECT user_id, value AS err_value FROM events WHERE event_type = 'error') b
+        |  ON a.user_id = b.user_id
+        |GROUP BY a.event_type ORDER BY a.event_type""".stripMargin,
     "e2e_batch_status" ->
       s"""SELECT CASE
          |  WHEN (SELECT COUNT(*) FROM (SELECT * FROM events ORDER BY event_id LIMIT $SeedCount) WHERE event_type = 'error') = 0 THEN 'success'

@@ -46,6 +46,45 @@ class CorpusOpsSpec extends SparkSpec {
     }
   }
 
+  test("bucketed co-located join plans with no exchange on either side") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val dir = tmpDir("bk-spec")
+      val ev = Tables.events(spark, sf).select("event_id", "user_id", "event_type")
+      ev.write.mode("overwrite").option("path", s"$dir/a")
+        .bucketBy(8, "user_id").sortBy("user_id").saveAsTable("bk_spec_a")
+      ev.write.mode("overwrite").option("path", s"$dir/b")
+        .bucketBy(8, "user_id").sortBy("user_id").saveAsTable("bk_spec_b")
+      val joined = spark.table("bk_spec_a")
+        .join(spark.table("bk_spec_b"), "user_id")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"))
+      assert(!plan.contains("Exchange"),
+        s"bucket-aligned join must not shuffle either side:\n$plan")
+      assert(joined.count() > 0)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS bk_spec_a")
+      spark.sql("DROP TABLE IF EXISTS bk_spec_b")
+    }
+  }
+
+  test("streaming session windows match batch gap-sessionization") {
+    val stream = operators.EngineE2E.queries("e2e_stream_session")(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val seed = Tables.events(spark, sf).orderBy("event_id").limit(1000)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts", "event_id")
+    val batch = seed
+      .withColumn("brk", when(lag("ts", 1).over(w).isNull ||
+        col("ts") >= lag("ts", 1).over(w) + expr("INTERVAL 1 HOUR"), 1).otherwise(0))
+      .groupBy("user_id")
+      .agg(sum("brk").as("n_sessions"), count(lit(1)).as("n_events"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(stream == batch, "session_window must equal gap-based sessionization")
+  }
+
   test("streaming dedup and stream-stream join match their batch twins") {
     val ded = operators.EngineE2E.queries("e2e_stream_dedup")(spark, sf).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
