@@ -471,6 +471,32 @@ object EngineE2E {
         .orderBy("user_id")
     }),
 
+    // STREAM-STATIC enrichment join: the stream broadcast-joins a static
+    // dimension (per-micro-batch, stateless — no watermark, no join
+    // state), the lookup-table enrichment every event pipeline runs. The
+    // static side is re-resolvable per batch, so a dim refresh lands
+    // without restarting the stream.
+    "e2e_stream_enrich" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft-e2e-se").toString
+      val seed = Tables.events(s, d).orderBy("event_id").limit(1000)
+        .select("event_id", "user_id", "event_type", "value")
+      seed.write.parquet(s"$dir/input")
+      val dim = Tables.customer(s, d)
+        .select(col("c_custkey").as("user_id"), col("c_nationkey"))
+      val name = "se_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      withShufflePartitions(s, 4) {
+        val q = s.readStream.schema(s.read.parquet(s"$dir/input").schema)
+          .parquet(s"$dir/input")
+          .join(broadcast(dim), Seq("user_id"))
+          .writeStream.outputMode("append").format("memory").queryName(name).start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      s.table(name)
+        .groupBy("c_nationkey")
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total_v"))
+        .orderBy("c_nationkey")
+    }),
+
     // Bucketed CO-LOCATED join — the shuffle-elimination layout a 100 TB
     // fact-fact join depends on: both sides written bucketBy(user_id)
     // into catalog tables, so the join reads bucket-aligned splits and
@@ -640,6 +666,11 @@ object EngineE2E {
         |SELECT user_id, CAST(SUM(brk) AS BIGINT) AS n_sessions,
         |  COUNT(*) AS n_events
         |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "e2e_stream_enrich" ->
+      """WITH seed AS (SELECT * FROM events ORDER BY event_id LIMIT 1000)
+        |SELECT c.c_nationkey, COUNT(*) AS n, ROUND(SUM(value), 2) AS total_v
+        |FROM seed e JOIN customer c ON e.user_id = c.c_custkey
+        |GROUP BY c.c_nationkey ORDER BY c.c_nationkey""".stripMargin,
     "e2e_bucketed_join" ->
       """SELECT a.event_type, COUNT(*) AS n, ROUND(SUM(b.err_value), 2) AS total_err
         |FROM events a JOIN (

@@ -241,6 +241,24 @@ object PipelineOps {
           sum(when(col("n_tok") >= col("med"), 1L).otherwise(0L)).as("n_kept"),
           round(min("med"), 1).as("median_tok"))
         .orderBy("source")
+    }),
+
+    // Doc-length histogram, log2-bucketed — the distribution you inspect
+    // BEFORE choosing any length threshold (absolute or quantile). Bucket
+    // = floor(log2(tokens)), a scan-local integer expression; one grouped
+    // agg, engine-exact because the bucket edges are powers of two
+    // (log2 of an exact power is exact in IEEE double on both engines —
+    // and floor() beside a boundary only sees exact inputs).
+    "p06_length_histogram" -> ((s, d) => {
+      val nTok = size(regexp_extract_all(col("text"), lit("\\S+"), lit(0))).cast("double")
+      Tables.documents(s, d)
+        .withColumn("bucket",
+          floor(log2(greatest(nTok, lit(1.0)))).cast("long"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("n_chars")).as("min_chars"),
+          max(col("n_chars")).as("max_chars"))
+        .orderBy("bucket")
     })
   )
 
@@ -399,6 +417,16 @@ object PipelineOps {
         |  CAST(SUM(CASE WHEN n_tok >= med THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
         |  ROUND(MIN(med), 1) AS median_tok
         |FROM t JOIN med ON t.source = med.source
-        |GROUP BY t.source ORDER BY t.source""".stripMargin
+        |GROUP BY t.source ORDER BY t.source""".stripMargin,
+
+    "p06_length_histogram" ->
+      """SELECT
+        |  CAST(FLOOR(log2(greatest(
+        |    CAST(len(regexp_extract_all(text, '\S+', 0)) AS DOUBLE), 1.0))) AS BIGINT)
+        |    AS bucket,
+        |  COUNT(*) AS n_docs,
+        |  MIN(n_chars) AS min_chars,
+        |  MAX(n_chars) AS max_chars
+        |FROM documents GROUP BY bucket ORDER BY bucket""".stripMargin
   )
 }

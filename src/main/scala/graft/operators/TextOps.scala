@@ -173,6 +173,30 @@ object TextOps {
         .agg(count(lit(1)).as("n_tok"),
           round(avg(log(col("c").cast("double") / col("n_total"))), 4).as("avg_logp"))
         .orderBy("doc_id").limit(200)
+    }),
+
+    // Vocabulary coverage curve — what fraction of the token stream a
+    // top-N vocabulary covers (the number a tokenizer budget is designed
+    // against). One token-count agg; each coverage point is a top-k via
+    // orderBy+limit — TakeOrderedAndProject, partial top-k below the
+    // shuffle, never a global sort/window over the vocabulary. Ties break
+    // on the token string, identically on both engines.
+    "t09_vocab_coverage" -> ((s, d) => {
+      val cnt = Tables.documents(s, d)
+        .select(explode(split(col("text"), "\\s+")).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("c"))
+        .localCheckpoint(true) // one count pass feeds all three points
+      val n = cnt.agg(sum("c").as("n_total"))
+      Seq(10, 100, 1000).map { k =>
+        cnt.orderBy(col("c").desc, col("tok").asc).limit(k)
+          .agg(sum("c").as("covered"))
+          .withColumn("vocab_size", lit(k.toLong))
+      }.reduce(_.unionByName(_))
+        .crossJoin(broadcast(n))
+        .withColumn("coverage_bp",
+          floor(col("covered") * 10000.0 / col("n_total")).cast("long"))
+        .select("vocab_size", "covered", "coverage_bp")
+        .orderBy("vocab_size")
     })
   )
 
@@ -258,6 +282,22 @@ object TextOps {
         |SELECT doc_id, COUNT(*) AS n_tok,
         |  ROUND(AVG(ln(CAST(c AS DOUBLE) / n_total)), 4) AS avg_logp
         |FROM toks JOIN cnt USING (tok) CROSS JOIN n
-        |GROUP BY doc_id ORDER BY doc_id LIMIT 200""".stripMargin
+        |GROUP BY doc_id ORDER BY doc_id LIMIT 200""".stripMargin,
+    "t09_vocab_coverage" ->
+      """WITH cnt AS (
+        |  SELECT tok, COUNT(*) AS c FROM (
+        |    SELECT unnest(regexp_split_to_array(text, '\s+')) AS tok FROM documents)
+        |  GROUP BY tok),
+        |ranked AS (
+        |  SELECT ROW_NUMBER() OVER (ORDER BY c DESC, tok ASC) AS r,
+        |    SUM(c) OVER (ORDER BY c DESC, tok ASC ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM cnt),
+        |n AS (SELECT SUM(c) AS n_total FROM cnt)
+        |SELECT CAST(p.v AS BIGINT) AS vocab_size, CAST(cum AS BIGINT) AS covered,
+        |  CAST(FLOOR(cum * 10000.0 / n_total) AS BIGINT) AS coverage_bp
+        |FROM (SELECT 10 AS v UNION ALL SELECT 100 UNION ALL SELECT 1000) p
+        |JOIN ranked ON ranked.r = least(p.v, (SELECT MAX(r) FROM ranked))
+        |CROSS JOIN n
+        |ORDER BY vocab_size""".stripMargin
   )
 }

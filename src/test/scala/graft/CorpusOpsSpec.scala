@@ -85,6 +85,33 @@ class CorpusOpsSpec extends SparkSpec {
     assert(stream == batch, "session_window must equal gap-based sessionization")
   }
 
+  test("t09 vocab coverage is monotone and bounded") {
+    val rows = operators.TextOps.queries("t09_vocab_coverage")(spark, sf).collect()
+    assert(rows.length == 3)
+    val bps = rows.sortBy(_.getLong(0)).map(_.getLong(2))
+    assert(bps.zip(bps.tail).forall { case (a, b) => a <= b },
+      "coverage must not decrease with vocab size")
+    assert(bps.forall(bp => bp > 0 && bp <= 10000))
+  }
+
+  test("p06 length histogram partitions the corpus") {
+    val rows = operators.PipelineOps.queries("p06_length_histogram")(spark, sf).collect()
+    val total = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(rows.map(_.getLong(1)).sum == total, "every doc is in exactly one bucket")
+  }
+
+  test("stream-static enrichment matches the batch join") {
+    val stream = operators.EngineE2E.queries("e2e_stream_enrich")(spark, sf).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val seed = Tables.events(spark, sf).orderBy("event_id").limit(1000)
+    val dim = Tables.customer(spark, sf)
+      .select(col("c_custkey").as("user_id"), col("c_nationkey"))
+    val batch = seed.join(dim, "user_id")
+      .groupBy("c_nationkey").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(stream == batch, "per-micro-batch broadcast join must equal batch join")
+  }
+
   test("streaming dedup and stream-stream join match their batch twins") {
     val ded = operators.EngineE2E.queries("e2e_stream_dedup")(spark, sf).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
