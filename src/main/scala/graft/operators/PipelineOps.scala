@@ -143,12 +143,23 @@ object PipelineOps {
         .select(col("doc_id").as("c_id"))
       val s5 = trainDocs.join(contaminated, trainDocs("doc_id") === contaminated("c_id"), "left_anti")
 
-      val stages: Seq[(String, DataFrame)] = Seq(
-        "1_all" -> docs, "2_lang" -> s1, "3_quality" -> s2,
-        "4_exact_dedup" -> s3, "5_near_dedup" -> s4, "6_decontaminated" -> s5)
-      stages.map { case (name, df) =>
-        df.agg(count(lit(1)).as("n_docs")).withColumn("stage", lit(name))
-      }.reduce(_.unionByName(_)).select("stage", "n_docs").orderBy("stage")
+      // funnel counts: stages 1-3 are flag-sums over ONE corpus scan (the
+      // lang/quality regexes are the scan's cost — three separate counts
+      // paid it three times); stages 4-6 count their checkpointed frames.
+      val first3 = docs
+        .select(isEnglish.as("f_lang"), (isEnglish && qualityBp >= QualityMinBp).as("f_q"))
+        .agg(count(lit(1)).as("c1"),
+          sum(when(col("f_lang"), 1L).otherwise(0L)).as("c2"),
+          sum(when(col("f_q"), 1L).otherwise(0L)).as("c3"))
+        .localCheckpoint(true)
+      val head3 = Seq("1_all" -> "c1", "2_lang" -> "c2", "3_quality" -> "c3")
+        .map { case (n, c) => first3.select(lit(n).as("stage"), col(c).as("n_docs")) }
+      val tail3 = Seq("4_exact_dedup" -> s3, "5_near_dedup" -> s4, "6_decontaminated" -> s5)
+        .map { case (n, df) =>
+          df.agg(count(lit(1)).as("n_docs")).select(lit(n).as("stage"), col("n_docs"))
+        }
+      (head3 ++ tail3).reduce(_.unionByName(_))
+        .select("stage", "n_docs").orderBy("stage")
     }),
 
     // Deterministic weighted source mixing — the data-mixing pass that

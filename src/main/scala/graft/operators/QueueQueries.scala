@@ -294,6 +294,30 @@ object QueueQueries {
         .groupBy("err_id")
         .agg(count(col("click_id")).as("n_clicks"))
         .orderBy("err_id").limit(500)
+    }),
+
+    // SALTED skew join — the fix for a shuffle join whose key space is
+    // tiny/hot (here: event_type, 5 values — every key is a hot key, the
+    // worst case for a hash-partitioned join). The fact side gets
+    // salt = pmod(hash(event_id), 32); the dim side explodes over all 32
+    // salts; the join key becomes (event_type, salt), spreading each hot
+    // key over 32 partitions instead of pinning it to one straggler
+    // task. Results are salt-invariant, so the oracle is the plain join.
+    // (AQE's skewedJoin rewrite does this adaptively for sort-merge
+    // stragglers; explicit salting is the deterministic form that also
+    // covers aggregation skew.)
+    "q41_salted_join" -> ((s, d) => {
+      val SaltN = 32
+      val ev = events(s, d)
+      val dim = ev.groupBy("event_type")
+        .agg(round(avg("value"), 4).as("type_avg"))
+        .withColumn("salt", explode(array((0 until SaltN).map(lit): _*)))
+      val facts = ev.withColumn("salt", pmod(hash(col("event_id")), lit(SaltN)))
+      facts.join(dim, Seq("event_type", "salt"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("value") - col("type_avg")), 2).as("dev_sum"))
+        .orderBy("event_type")
     })
   )
 
@@ -393,6 +417,15 @@ object QueueQueries {
         |  ON c.event_type = 'click' AND c.user_id = e.user_id
         |  AND c.ts > e.ts - INTERVAL 1 HOUR AND c.ts <= e.ts
         |WHERE e.event_type = 'error'
-        |GROUP BY e.event_id ORDER BY err_id LIMIT 500""".stripMargin
+        |GROUP BY e.event_id ORDER BY err_id LIMIT 500""".stripMargin,
+    // the plain (unsalted) join — salting must not change any value
+    "q41_salted_join" ->
+      """WITH dim AS (
+        |  SELECT event_type, ROUND(AVG(value), 4) AS type_avg
+        |  FROM events GROUP BY event_type)
+        |SELECT e.event_type, COUNT(*) AS n,
+        |  ROUND(SUM(e.value - d.type_avg), 2) AS dev_sum
+        |FROM events e JOIN dim d ON e.event_type = d.event_type
+        |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin
   )
 }

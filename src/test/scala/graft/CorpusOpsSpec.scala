@@ -85,6 +85,21 @@ class CorpusOpsSpec extends SparkSpec {
     assert(stream == batch, "session_window must equal gap-based sessionization")
   }
 
+  test("q41 salting spreads every hot key across the salt space") {
+    val ev = Tables.events(spark, sf)
+    val saltN = 32
+    val perKey = ev.groupBy("event_type").count()
+      .agg(max("count")).head().getLong(0)
+    val perSalted = ev
+      .withColumn("salt", pmod(hash(col("event_id")), lit(saltN)))
+      .groupBy("event_type", "salt").count()
+      .agg(max("count")).head().getLong(0)
+    // the hottest (key, salt) shard must be a small fraction of the
+    // hottest unsalted key — the straggler the salt removes
+    assert(perSalted * 8 < perKey,
+      s"salting must spread hot keys: max/key=$perKey, max/(key,salt)=$perSalted")
+  }
+
   test("t09 vocab coverage is monotone and bounded") {
     val rows = operators.TextOps.queries("t09_vocab_coverage")(spark, sf).collect()
     assert(rows.length == 3)
