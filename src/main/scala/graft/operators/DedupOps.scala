@@ -125,17 +125,18 @@ object DedupOps {
     shingled(docs).groupBy(col("doc_id"))
       .agg(array_sort(collect_set(xxhash64(col("sh")))).as("shs"))
 
-  /** The full LSH→verify funnel (the d10 kernel): skew-guarded candidate
-    * pairs, then exact n-gram Jaccard over ONLY the candidate docs'
-    * shingle sets. Output is (d1, d2, jac) with jac >= 0.2 — the edge
-    * list both the d10 report and the d12 cluster pass consume. */
-  private[operators] def verifiedPairs(docs: DataFrame): DataFrame = {
-    val sig = signatures(docs).localCheckpoint(true)
-    val cand = guardedCandidatePairs(sig).localCheckpoint(true)
-    // shingle ONLY docs that appear in a candidate pair: the verify
-    // stage's input is the candidate subset, never the full corpus —
-    // at 100 TB that's the difference between re-scanning everything
-    // and touching a few permille of it.
+  /** Exact shingle-set intersections for a candidate-pair frame:
+    * (d1, d2, inter, n1, n2). Shingles ONLY docs that appear in a pair —
+    * the verify stage's input is the candidate subset, never the full
+    * corpus; at 100 TB that's the difference between re-scanning
+    * everything and touching a few permille of it. Every verify-shaped
+    * consumer (d10, d13, d14, p01) derives its own score from these
+    * columns so the Jaccard arithmetic lives in exactly one place. */
+  private[operators] def candidateIntersections(docs: DataFrame, candidates: DataFrame): DataFrame = {
+    // the candidate frame is consumed three times (candDocs twice, the
+    // verify join once) — materialize it here so no caller can
+    // accidentally re-run LSH candidate generation per consumption
+    val cand = candidates.localCheckpoint(true)
     val candDocs = cand.select(col("d1").as("doc_id"))
       .union(cand.select(col("d2").as("doc_id"))).distinct()
     val sets = shingleSets(docs.join(candDocs, Seq("doc_id"), "left_semi"))
@@ -146,8 +147,23 @@ object DedupOps {
       .withColumn("inter",
         graft.functions.ArrayFunctions.sorted_intersect_size(col("s1"), col("s2"))
           .cast("double"))
-      .withColumn("jac", round(col("inter") /
-        (size(col("s1")) + size(col("s2")) - col("inter")), 4))
+      .withColumn("n1", size(col("s1")))
+      .withColumn("n2", size(col("s2")))
+      .drop("s1", "s2")
+  }
+
+  /** Rounded Jaccard from a [[candidateIntersections]] row. */
+  private[operators] def jacCol: Column =
+    round(col("inter") / (col("n1") + col("n2") - col("inter")), 4)
+
+  /** The full LSH→verify funnel (the d10 kernel): skew-guarded candidate
+    * pairs, then exact n-gram Jaccard over ONLY the candidate docs'
+    * shingle sets. Output is (d1, d2, jac) with jac >= 0.2 — the edge
+    * list both the d10 report and the d12 cluster pass consume. */
+  private[operators] def verifiedPairs(docs: DataFrame): DataFrame = {
+    val sig = signatures(docs).localCheckpoint(true)
+    candidateIntersections(docs, guardedCandidatePairs(sig))
+      .withColumn("jac", jacCol)
       .filter(col("jac") >= 0.2)
       .select("d1", "d2", "jac")
   }
@@ -314,27 +330,23 @@ object DedupOps {
     // spends its budget on it. With 4 components the estimate quantizes
     // to multiples of 2500 bp; err_bp is the per-pair estimator error.
     "d13_sketch_error" -> ((s, d) => {
-      val sig = signatures(Tables.documents(s, d)).localCheckpoint(true)
+      val docs = Tables.documents(s, d)
+      val sig = signatures(docs).localCheckpoint(true)
       val cand = guardedCandidatePairs(sig)
       val a = sig.select(col("doc_id").as("d1") +:
         (1 to NumHashes).map(i => col(s"h$i").as(s"a$i")): _*)
       val b = sig.select(col("doc_id").as("d2") +:
         (1 to NumHashes).map(i => col(s"h$i").as(s"b$i")): _*)
-      val sets = shingleSets(Tables.documents(s, d)).localCheckpoint(true)
       val matches = (1 to NumHashes)
         .map(i => when(col(s"a$i") === col(s"b$i"), 1).otherwise(0))
         .reduce(_ + _)
-      cand.join(a, "d1").join(b, "d2")
+      candidateIntersections(docs, cand)
+        .join(a, "d1").join(b, "d2")
         .withColumn("est_bp",
           floor(matches * 10000.0 / NumHashes).cast("long"))
-        .join(sets.select(col("doc_id").as("d1"), col("shs").as("s1")), "d1")
-        .join(sets.select(col("doc_id").as("d2"), col("shs").as("s2")), "d2")
-        .withColumn("inter",
-          graft.functions.ArrayFunctions.sorted_intersect_size(col("s1"), col("s2"))
-            .cast("double"))
         .withColumn("exact_bp",
           floor(col("inter") * 10000.0 /
-            (size(col("s1")) + size(col("s2")) - col("inter"))).cast("long"))
+            (col("n1") + col("n2") - col("inter"))).cast("long"))
         .withColumn("err_bp", abs(col("est_bp") - col("exact_bp")))
         .select("d1", "d2", "est_bp", "exact_bp", "err_bp")
         .orderBy("d1", "d2").limit(200)
@@ -388,19 +400,9 @@ object DedupOps {
         .join(baseBands.join(narrow, Seq("band", "h"))
           .select(col("doc_id").as("d1"), col("band"), col("h")),
           Seq("band", "h"))
-        .select("d1", "d2").distinct().localCheckpoint(true)
-      val candDocs = cand.select(col("d1").as("doc_id"))
-        .union(cand.select(col("d2").as("doc_id"))).distinct()
-      val sets = shingleSets(docs.join(candDocs, Seq("doc_id"), "left_semi"))
-        .localCheckpoint(true)
-      cand
-        .join(sets.select(col("doc_id").as("d1"), col("shs").as("s1")), "d1")
-        .join(sets.select(col("doc_id").as("d2"), col("shs").as("s2")), "d2")
-        .withColumn("inter",
-          graft.functions.ArrayFunctions.sorted_intersect_size(col("s1"), col("s2"))
-            .cast("double"))
-        .withColumn("jac", round(col("inter") /
-          (size(col("s1")) + size(col("s2")) - col("inter")), 4))
+        .select("d1", "d2").distinct()
+      candidateIntersections(docs, cand)
+        .withColumn("jac", jacCol)
         .filter(col("jac") >= 0.2)
         .groupBy(col("d2").as("doc_id"))
         .agg(min(struct(col("d1"), col("jac"))).as("m"))

@@ -57,6 +57,56 @@ object EngineE2E {
     try f finally s.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
+  /** Seed rows for the e2e_stream_* fixtures (first 1000 events), written
+    * to a fresh input dir. Returns (seed, dir); the stream source is
+    * [[fileStream]] over the same dir. */
+  private def seedInput(s: SparkSession, d: String, cols: Seq[String]): (DataFrame, String) = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-e2e-stream").toString
+    val seed = Tables.events(s, d).orderBy("event_id").limit(1000)
+      .select(cols.map(col): _*)
+    seed.write.parquet(s"$dir/input")
+    (seed, dir)
+  }
+
+  private def fileStream(s: SparkSession, dir: String): DataFrame =
+    s.readStream.schema(s.read.parquet(s"$dir/input").schema).parquet(s"$dir/input")
+
+  /** Append one row 3 days past the seed's max ts — advances the
+    * watermark beyond every open window/session so append-mode state
+    * finalizes deterministically. `fills` supplies the non-ts columns;
+    * `order` must match the input schema's column order. */
+  private def appendSentinel(seed: DataFrame, dir: String,
+      fills: Seq[(String, Any)], order: Seq[String]): Unit =
+    fills.foldLeft(
+        seed.agg(date_add(max("ts").cast("date"), 3).cast("timestamp_ntz").as("ts"))) {
+        case (df, (c, v)) => df.withColumn(c, lit(v))
+      }
+      .select(order.map(col): _*)
+      .write.mode("append").parquet(s"$dir/input")
+
+  /** Run a streaming fixture to quiescence on few shuffle partitions,
+    * roll its memory sink up batch-side, checkpoint the (small) result
+    * and DROP the sink's temp view — bench invokes each fixture three
+    * times in one session, and undropped memory sinks would accumulate
+    * driver-resident copies of every run's results. */
+  private def drainAndRollup(s: SparkSession, name: String,
+      start: () => org.apache.spark.sql.streaming.StreamingQuery,
+      betweenBatches: Option[() => Unit] = None)(
+      rollup: DataFrame => DataFrame): DataFrame =
+    withShufflePartitions(s, 4) {
+      val q = start()
+      try {
+        q.processAllAvailable()
+        betweenBatches.foreach { f => f(); q.processAllAvailable() }
+      } finally q.stop()
+      val out = rollup(s.table(name)).localCheckpoint(true)
+      s.catalog.dropTempView(name)
+      out
+    }
+
+  private def sinkName(prefix: String): String =
+    prefix + java.util.UUID.randomUUID().toString.replace("-", "")
+
   private def fixture(spark: SparkSession) = {
     val clock = new AtomicLong(T0)
     val root = java.nio.file.Files.createTempDirectory("graft-e2e").toString
@@ -340,36 +390,24 @@ object EngineE2E {
     // deterministically; the sentinel's own window stays pending (its end
     // is beyond the final watermark) and never emits.
     "e2e_stream_window" -> ((s, d) => {
-      val dir = java.nio.file.Files.createTempDirectory("graft-e2e-sw").toString
-      val seed = Tables.events(s, d).orderBy("event_id").limit(1000)
-        .select("event_id", "ts", "event_type", "value")
-      seed.write.parquet(s"$dir/input")
-      val name = "sw_" + java.util.UUID.randomUUID().toString.replace("-", "")
-      withShufflePartitions(s, 4) {
-        val q = s.readStream.schema(s.read.parquet(s"$dir/input").schema)
-          .parquet(s"$dir/input")
+      val cols = Seq("event_id", "ts", "event_type", "value")
+      val (seed, dir) = seedInput(s, d, cols)
+      val name = sinkName("sw_")
+      drainAndRollup(s, name,
+        () => fileStream(s, dir)
           // watermarks require TIMESTAMP (LTZ); session TZ is pinned UTC so
           // the NTZ→LTZ cast is value-preserving
           .withColumn("ts", col("ts").cast("timestamp"))
           .withWatermark("ts", "1 hour")
           .groupBy(window(col("ts"), "1 day"), col("event_type"))
           .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total_v"))
-          .writeStream.outputMode("append").format("memory").queryName(name).start()
-        try {
-          q.processAllAvailable()
-          seed.agg(date_add(max("ts").cast("date"), 3).cast("timestamp_ntz").as("ts"))
-            .withColumn("event_id", lit(-1L))
-            .withColumn("event_type", lit("sentinel"))
-            .withColumn("value", lit(0.0))
-            .select("event_id", "ts", "event_type", "value")
-            .write.mode("append").parquet(s"$dir/input")
-          q.processAllAvailable()
-        } finally q.stop()
+          .writeStream.outputMode("append").format("memory").queryName(name).start(),
+        betweenBatches = Some(() => appendSentinel(seed, dir,
+          Seq("event_id" -> -1L, "event_type" -> "sentinel", "value" -> 0.0), cols))) {
+        _.select(col("window.start").cast("date").as("day"),
+            col("event_type"), col("n"), col("total_v"))
+          .orderBy("day", "event_type")
       }
-      s.table(name)
-        .select(col("window.start").cast("date").as("day"),
-          col("event_type"), col("n"), col("total_v"))
-        .orderBy("day", "event_type")
     }),
 
     // Streaming exact dedup: state-backed dropDuplicates on the key —
@@ -380,22 +418,16 @@ object EngineE2E {
     // order-insensitive by construction — and the batch-side rollup
     // below makes the checked result deterministic.
     "e2e_stream_dedup" -> ((s, d) => {
-      val dir = java.nio.file.Files.createTempDirectory("graft-e2e-sd").toString
-      val seed = Tables.events(s, d).orderBy("event_id").limit(1000)
-        .select("event_id", "ts", "user_id", "event_type")
-      seed.write.parquet(s"$dir/input")
-      val name = "sd_" + java.util.UUID.randomUUID().toString.replace("-", "")
-      withShufflePartitions(s, 4) {
-        val q = s.readStream.schema(s.read.parquet(s"$dir/input").schema)
-          .parquet(s"$dir/input")
+      val (_, dir) = seedInput(s, d, Seq("event_id", "ts", "user_id", "event_type"))
+      val name = sinkName("sd_")
+      drainAndRollup(s, name,
+        () => fileStream(s, dir)
           .select("user_id", "event_type")
           .dropDuplicates("user_id", "event_type")
-          .writeStream.outputMode("append").format("memory").queryName(name).start()
-        try q.processAllAvailable() finally q.stop()
+          .writeStream.outputMode("append").format("memory").queryName(name).start()) {
+        _.groupBy("event_type").agg(count(lit(1)).as("n_users"))
+          .orderBy("event_type")
       }
-      s.table(name)
-        .groupBy("event_type").agg(count(lit(1)).as("n_users"))
-        .orderBy("event_type")
     }),
 
     // Watermarked STREAM-STREAM interval join — q40's "clicks in the
@@ -406,12 +438,8 @@ object EngineE2E {
     // Inner matches emit as found (append mode); the batch-side rollup
     // keys the check on err_id so row order never matters.
     "e2e_stream_join" -> ((s, d) => {
-      val dir = java.nio.file.Files.createTempDirectory("graft-e2e-sj").toString
-      val seed = Tables.events(s, d).orderBy("event_id").limit(1000)
-        .select("event_id", "ts", "user_id", "event_type")
-      seed.write.parquet(s"$dir/input")
-      val schema = s.read.parquet(s"$dir/input").schema
-      def stream = s.readStream.schema(schema).parquet(s"$dir/input")
+      val (_, dir) = seedInput(s, d, Seq("event_id", "ts", "user_id", "event_type"))
+      def stream = fileStream(s, dir)
         .withColumn("ts", col("ts").cast("timestamp")) // NTZ→LTZ, UTC session
       val clicks = stream.filter(col("event_type") === "click")
         .select(col("event_id").as("click_id"), col("user_id").as("c_uid"),
@@ -421,18 +449,16 @@ object EngineE2E {
         .select(col("event_id").as("err_id"), col("user_id").as("e_uid"),
           col("ts").as("e_ts"))
         .withWatermark("e_ts", "1 hour")
-      val name = "sj_" + java.util.UUID.randomUUID().toString.replace("-", "")
-      withShufflePartitions(s, 4) {
-        val q = errors.join(clicks,
+      val name = sinkName("sj_")
+      drainAndRollup(s, name,
+        () => errors.join(clicks,
             col("e_uid") === col("c_uid") &&
               col("c_ts") > col("e_ts") - expr("INTERVAL 1 HOUR") &&
               col("c_ts") <= col("e_ts"))
-          .writeStream.outputMode("append").format("memory").queryName(name).start()
-        try q.processAllAvailable() finally q.stop()
+          .writeStream.outputMode("append").format("memory").queryName(name).start()) {
+        _.groupBy("err_id").agg(count(lit(1)).as("n_clicks"))
+          .orderBy("err_id")
       }
-      s.table(name)
-        .groupBy("err_id").agg(count(lit(1)).as("n_clicks"))
-        .orderBy("err_id")
     }),
 
     // Streaming SESSION windows: gap-based session_window aggregation
@@ -441,34 +467,23 @@ object EngineE2E {
     // watermark passes its close). The sentinel row advances the
     // watermark past every open session, the batch-side rollup drops it.
     "e2e_stream_session" -> ((s, d) => {
-      val dir = java.nio.file.Files.createTempDirectory("graft-e2e-ss").toString
-      val seed = Tables.events(s, d).orderBy("event_id").limit(1000)
-        .select("event_id", "ts", "user_id", "event_type")
-      seed.write.parquet(s"$dir/input")
-      val name = "ss_" + java.util.UUID.randomUUID().toString.replace("-", "")
-      withShufflePartitions(s, 4) {
-        val q = s.readStream.schema(s.read.parquet(s"$dir/input").schema)
-          .parquet(s"$dir/input")
+      val cols = Seq("event_id", "ts", "user_id", "event_type")
+      val (seed, dir) = seedInput(s, d, cols)
+      val name = sinkName("ss_")
+      drainAndRollup(s, name,
+        () => fileStream(s, dir)
           .withColumn("ts", col("ts").cast("timestamp"))
           .withWatermark("ts", "1 hour")
           .groupBy(col("user_id"), session_window(col("ts"), "1 hour"))
           .agg(count(lit(1)).as("n"))
-          .writeStream.outputMode("append").format("memory").queryName(name).start()
-        try {
-          q.processAllAvailable()
-          seed.agg(date_add(max("ts").cast("date"), 3).cast("timestamp_ntz").as("ts"))
-            .withColumn("event_id", lit(-1L))
-            .withColumn("user_id", lit(-1L))
-            .withColumn("event_type", lit("sentinel"))
-            .select("event_id", "ts", "user_id", "event_type")
-            .write.mode("append").parquet(s"$dir/input")
-          q.processAllAvailable()
-        } finally q.stop()
+          .writeStream.outputMode("append").format("memory").queryName(name).start(),
+        betweenBatches = Some(() => appendSentinel(seed, dir,
+          Seq("event_id" -> -1L, "user_id" -> -1L, "event_type" -> "sentinel"), cols))) {
+        _.filter(col("user_id") >= 0)
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_sessions"), sum("n").as("n_events"))
+          .orderBy("user_id")
       }
-      s.table(name).filter(col("user_id") >= 0)
-        .groupBy("user_id")
-        .agg(count(lit(1)).as("n_sessions"), sum("n").as("n_events"))
-        .orderBy("user_id")
     }),
 
     // STREAM-STATIC enrichment join: the stream broadcast-joins a static
@@ -477,24 +492,18 @@ object EngineE2E {
     // static side is re-resolvable per batch, so a dim refresh lands
     // without restarting the stream.
     "e2e_stream_enrich" -> ((s, d) => {
-      val dir = java.nio.file.Files.createTempDirectory("graft-e2e-se").toString
-      val seed = Tables.events(s, d).orderBy("event_id").limit(1000)
-        .select("event_id", "user_id", "event_type", "value")
-      seed.write.parquet(s"$dir/input")
+      val (_, dir) = seedInput(s, d, Seq("event_id", "user_id", "event_type", "value"))
       val dim = Tables.customer(s, d)
         .select(col("c_custkey").as("user_id"), col("c_nationkey"))
-      val name = "se_" + java.util.UUID.randomUUID().toString.replace("-", "")
-      withShufflePartitions(s, 4) {
-        val q = s.readStream.schema(s.read.parquet(s"$dir/input").schema)
-          .parquet(s"$dir/input")
+      val name = sinkName("se_")
+      drainAndRollup(s, name,
+        () => fileStream(s, dir)
           .join(broadcast(dim), Seq("user_id"))
-          .writeStream.outputMode("append").format("memory").queryName(name).start()
-        try q.processAllAvailable() finally q.stop()
+          .writeStream.outputMode("append").format("memory").queryName(name).start()) {
+        _.groupBy("c_nationkey")
+          .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total_v"))
+          .orderBy("c_nationkey")
       }
-      s.table(name)
-        .groupBy("c_nationkey")
-        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total_v"))
-        .orderBy("c_nationkey")
     }),
 
     // Bucketed CO-LOCATED join — the shuffle-elimination layout a 100 TB

@@ -106,17 +106,11 @@ object PipelineOps {
         .localCheckpoint(true) // shared by LSH sides + later stages
 
       // near-dup removal: verified pairs on the REDUCED corpus; the
-      // higher doc_id of each verified pair is dropped (d09 + d06 verify)
+      // higher doc_id of each verified pair is dropped (the d10 kernel:
+      // guarded candidates, exact Jaccard over candidate docs only)
       val cand = DedupOps.guardedCandidatePairs(DedupOps.signatures(s3))
-      val sets = DedupOps.shingleSets(s3)
-      val verified = cand
-        .join(sets.select(col("doc_id").as("d1"), col("shs").as("s1")), "d1")
-        .join(sets.select(col("doc_id").as("d2"), col("shs").as("s2")), "d2")
-        .withColumn("inter",
-          graft.functions.ArrayFunctions.sorted_intersect_size(col("s1"), col("s2"))
-            .cast("double"))
-        .withColumn("jac", round(col("inter") /
-          (size(col("s1")) + size(col("s2")) - col("inter")), 4))
+      val verified = DedupOps.candidateIntersections(s3, cand)
+        .withColumn("jac", DedupOps.jacCol)
         .filter(col("jac") >= NearDupJaccard)
         .select(col("d2").as("dup_id")).distinct()
       val s4 = s3.join(verified, s3("doc_id") === verified("dup_id"), "left_anti")

@@ -313,12 +313,30 @@ object QueueQueries {
         .agg(round(avg("value"), 4).as("type_avg"))
         .withColumn("salt", explode(array((0 until SaltN).map(lit): _*)))
       val facts = ev.withColumn("salt", pmod(hash(col("event_id")), lit(SaltN)))
-      facts.join(dim, Seq("event_type", "salt"))
+      // SHUFFLE_HASH hint: at test SF the 160-row dim would broadcast and
+      // the join would never hash-partition — the hint forces the
+      // partitioned-by-(key, salt) plan the operator exists to produce
+      // (in production the skewed side's dim is far past the broadcast
+      // threshold and this is the plan Catalyst picks unhinted).
+      facts.join(dim.hint("SHUFFLE_HASH"), Seq("event_type", "salt"))
         .groupBy("event_type")
         .agg(count(lit(1)).as("n"),
           round(sum(col("value") - col("type_avg")), 2).as("dev_sum"))
         .orderBy("event_type")
-    })
+    }),
+
+    // PIVOT — long→wide reshaping with an EXPLICIT value list (the only
+    // scale-safe form: an unlisted pivot first runs a distinct scan to
+    // discover columns, a driver round-trip a 100 TB plan shouldn't hide).
+    // Compiles to one grouped conditional agg — same shuffle as q01.
+    "q42_pivot" -> ((s, d) =>
+      events(s, d)
+        .withColumn("cohort", col("user_id") % 5)
+        .groupBy("cohort")
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .count()
+        .na.fill(0L)
+        .orderBy("cohort"))
   )
 
   val oracles: Map[String, String] = Map(
@@ -426,6 +444,14 @@ object QueueQueries {
         |SELECT e.event_type, COUNT(*) AS n,
         |  ROUND(SUM(e.value - d.type_avg), 2) AS dev_sum
         |FROM events e JOIN dim d ON e.event_type = d.event_type
-        |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin
+        |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin,
+    "q42_pivot" ->
+      """SELECT user_id % 5 AS cohort,
+        |  CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+        |  CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+        |  CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+        |  CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+        |  CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
+        |FROM events GROUP BY cohort ORDER BY cohort""".stripMargin
   )
 }
