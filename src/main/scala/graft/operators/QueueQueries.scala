@@ -336,7 +336,47 @@ object QueueQueries {
         .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
         .count()
         .na.fill(0L)
-        .orderBy("cohort"))
+        .orderBy("cohort")),
+
+    // Analytic window-function suite over one user_id sort: lag/lead
+    // deltas, running rank, quartile bucket and per-user running sum all
+    // share a SINGLE exchange+sort (plan-audited) — the one-pass shape
+    // that makes wide per-key session analytics affordable at scale.
+    "q43_window_suite" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      events(s, d)
+        // integer microseconds on both engines (unix_micros / epoch_us) —
+        // second-level arithmetic would truncate in Spark but round in
+        // DuckDB's double->BIGINT cast
+        .withColumn("prev_gap_us",
+          coalesce(unix_micros(col("ts").cast("timestamp")) -
+            unix_micros(lag(col("ts"), 1).over(w).cast("timestamp")), lit(-1L)))
+        .withColumn("next_type", coalesce(lead(col("event_type"), 1).over(w), lit("none")))
+        .withColumn("k", row_number().over(w))
+        .withColumn("quartile", ntile(4).over(w))
+        .withColumn("run_value", round(sum("value").over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2))
+        .filter(col("user_id") < 20)
+        .select("user_id", "event_id", "prev_gap_us", "next_type", "k",
+          "quartile", "run_value")
+        .orderBy("user_id", "k").limit(300)
+    }),
+
+    // UNPIVOT (wide→long): per-source token-budget columns melted back to
+    // (source, metric, value) rows — the inverse reshaping of q42, again
+    // scan-local (an Expand node, no shuffle beyond the feeding agg).
+    "q44_unpivot" -> ((s, d) => {
+      val wide = Tables.documents(s, d)
+        .groupBy("source")
+        .agg(count(lit(1)).cast("long").as("docs"),
+          sum(size(regexp_extract_all(col("text"), lit("\\S+"), lit(0))))
+            .cast("long").as("ws_tokens"),
+          sum("n_chars").cast("long").as("chars"))
+      wide.unpivot(Array(col("source")),
+          Array(col("docs"), col("ws_tokens"), col("chars")),
+          "metric", "v")
+        .orderBy("source", "metric")
+    })
   )
 
   val oracles: Map[String, String] = Map(
@@ -452,6 +492,29 @@ object QueueQueries {
         |  CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
         |  CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
         |  CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
-        |FROM events GROUP BY cohort ORDER BY cohort""".stripMargin
+        |FROM events GROUP BY cohort ORDER BY cohort""".stripMargin,
+    "q43_window_suite" ->
+      """SELECT user_id, event_id,
+        |  COALESCE(epoch_us(ts) - epoch_us(lag(ts) OVER w), -1) AS prev_gap_us,
+        |  COALESCE(lead(event_type) OVER w, 'none') AS next_type,
+        |  ROW_NUMBER() OVER w AS k,
+        |  NTILE(4) OVER w AS quartile,
+        |  ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS UNBOUNDED PRECEDING), 2) AS run_value
+        |FROM events
+        |WHERE user_id < 20
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY user_id, k LIMIT 300""".stripMargin,
+    "q44_unpivot" ->
+      """WITH wide AS (
+        |  SELECT source, CAST(COUNT(*) AS BIGINT) AS docs,
+        |    CAST(SUM(len(regexp_extract_all(text, '\S+', 0))) AS BIGINT) AS ws_tokens,
+        |    CAST(SUM(n_chars) AS BIGINT) AS chars
+        |  FROM documents GROUP BY source)
+        |SELECT source, metric, v FROM (
+        |  SELECT source, 'docs' AS metric, docs AS v FROM wide
+        |  UNION ALL SELECT source, 'ws_tokens', ws_tokens FROM wide
+        |  UNION ALL SELECT source, 'chars', chars FROM wide)
+        |ORDER BY source, metric""".stripMargin
   )
 }
