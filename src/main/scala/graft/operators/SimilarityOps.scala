@@ -236,6 +236,28 @@ object SimilarityOps {
         .orderBy("v1", "v2").limit(200)
     }),
 
+    // Int8-quantization audit: per-vector symmetric quantization
+    // (scale = 127/max|x|), then the cosine between each full-precision
+    // vector and its dequantized self — the loss figure that prices a
+    // vector-index compression (4× smaller, how much recall risk?)
+    // BEFORE a 100 TB index rebuild commits to it. Scan-local transforms,
+    // no joins, no shuffle beyond the final top-k. floor(x+0.5) rounding:
+    // decimal-round at .5 differs between engines, floor doesn't.
+    "s08_quantization_error" -> ((s, d) =>
+      Tables.embeddings(s, d)
+        .withColumn("v", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+        .withColumn("mx", greatest(expr(
+          "aggregate(v, CAST(0.0 AS DOUBLE), (a, x) -> greatest(a, abs(x)))"),
+          lit(1e-12)))
+        .withColumn("dq", expr(
+          "transform(v, x -> floor(x * 127.0 / mx + 0.5) * mx / 127.0)"))
+        .withColumn("cos_q", round(
+          expr("aggregate(zip_with(v, dq, (a, b) -> a * b), 0D, (acc, x) -> acc + x)") /
+            (sqrt(expr("aggregate(zip_with(v, v, (a, b) -> a * b), 0D, (acc, x) -> acc + x)")) *
+              sqrt(expr("aggregate(zip_with(dq, dq, (a, b) -> a * b), 0D, (acc, x) -> acc + x)"))), 6))
+        .select("vec_id", "cos_q")
+        .orderBy(col("cos_q").asc, col("vec_id").asc).limit(50)),
+
     // Cluster-outlier audit: each vector's cosine to ITS OWN label
     // centroid, bottom-3 per label — the "which examples don't belong to
     // their cluster" pass that catches mislabeled/junk embeddings before
@@ -376,6 +398,22 @@ object SimilarityOps {
          |WHERE ${cosSql("a.embedding", "b.embedding", 4)} >= 0.2
          |ORDER BY v1, v2 LIMIT 200""".stripMargin
     },
+    "s08_quantization_error" ->
+      """WITH t AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+        |    greatest(list_aggregate(
+        |      list_transform(embedding, x -> abs(CAST(x AS DOUBLE))), 'max'),
+        |      1e-12) AS mx
+        |  FROM embeddings),
+        |q AS (
+        |  SELECT vec_id, v,
+        |    list_transform(v, x -> FLOOR(x * 127.0 / mx + 0.5) * mx / 127.0) AS dq
+        |  FROM t)
+        |SELECT vec_id,
+        |  ROUND(list_dot_product(v, dq)
+        |    / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(dq, dq))), 6) AS cos_q
+        |FROM q ORDER BY cos_q ASC, vec_id ASC LIMIT 50""".stripMargin,
     "s07_centroid_outliers" ->
       """WITH elems AS (
         |  SELECT vec_id, label, generate_subscripts(embedding, 1) AS pos,
