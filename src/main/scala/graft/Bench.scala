@@ -75,13 +75,12 @@ object Bench {
   /** 100k no-op jobs, 1% throwing once then retried (maxRetries=1):
     * bulk enqueue → worker pass → promote retries → second pass.
     * Returns (seconds, jobs/sec over first-pass executions). */
-  def benchJobPipeline(spark: SparkSession): (Double, Double) = {
+  def benchJobPipeline(spark: SparkSession, n: Int = 100000): (Double, Double) = {
     import spark.implicits._
     JobRegistry.register("bench_noop", _ => "ok")
     JobRegistry.register("bench_flaky", _ => throw new RuntimeException("bench"))
     JobRegistry.registerBackoff("bench_instant", _ => 0)
 
-    val n = 100000
     val root = java.nio.file.Files.createTempDirectory("graft-bench").toString
     val backend = new ParquetBackend(spark, root)
     val clock = new java.util.concurrent.atomic.AtomicLong(1700000000000L)
@@ -92,7 +91,7 @@ object Bench {
     // Partition count follows data volume (12.5k jobs/slice), not core
     // count: 32 tasks over 20 MB is scheduling overhead, not parallelism.
     // A 100 TB backfill would arrive in thousands of such slices.
-    val jobs = spark.range(0, n, 1, 8).map { i =>
+    val jobs = spark.range(0, n, 1, math.max(8, n / 12500)).map { i =>
       Job(
         id = i.toString,
         executeFnSym = if (i % 100 == 0) "bench_flaky" else "bench_noop",

@@ -15,7 +15,13 @@ import org.apache.spark.sql.functions._
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val base = "/root/testdata/sf0.1"
-    val factor = 10
+    // arg 1: replication factor (default 10 → SCALING.md; any other value
+    // writes SCALING_<f>x.md — e.g. the 100× flagship spot check).
+    // arg 2: optional comma-separated query subset for focused runs.
+    val factor = if (args.nonEmpty) args(0).toInt else 10
+    val subset: Option[Set[String]] =
+      if (args.length > 1) Some(args(1).split(",").map(_.trim).toSet) else None
+    val outFile = if (factor == 10) "SCALING.md" else s"SCALING_${factor}x.md"
     val scaled = s"/tmp/graft-scale$factor"
     val spark = SparkSession.builder()
       .master("local[32]")
@@ -64,7 +70,7 @@ object ScaleProbe {
         .write.mode(SaveMode.Overwrite).parquet(s"$scaled/events.parquet")
     }
 
-    val probeQueries = Seq(
+    val allProbeQueries = Seq(
       "d01_dedup_exact", "d03_dedup_normalized", "d04_minhash_signatures",
       "d05_lsh_candidate_pairs", "d09_lsh_skew_guarded", "d06_ngram_jaccard",
       "d10_lsh_verified", "d07_simhash", "d08_embedding_neardup",
@@ -78,6 +84,7 @@ object ScaleProbe {
       "p06_length_histogram", "t09_vocab_coverage",
       "d13_sketch_error", "d14_incremental_dedup",
       "q38_asof_join", "q40_range_join", "q41_salted_join")
+    val probeQueries = subset.fold(allProbeQueries)(s => allProbeQueries.filter(s))
 
     def timeOnce(name: String, dir: String): Double = {
       val t0 = System.nanoTime()
@@ -111,12 +118,15 @@ object ScaleProbe {
     sb.append("The diagnostic quadratic forms (d05 unguarded, d06 all-same-source) now ")
     sb.append("take a FIXED doc_id-prefix input, so their cost is constant at any corpus ")
     sb.append("size (ratio ≈ 1) — the r2 verdict's gate-domination fix.\n\n")
-    sb.append("| query | 1× sec | 10× sec | ratio |\n|---|---|---|---|\n")
+    sb.append(s"| query | 1× sec | $factor× sec | ratio |\n|---|---|---|---|\n")
 
     // s03 first and only once cold: its first touch per corpus builds and
     // caches the IVF centroid table, so a best-of-2 would silently fold
     // the warm path into the "cold" row.
-    val s03Cold = (timeOnce("s03_ann_ivf", base), timeOnce("s03_ann_ivf", scaled))
+    val hasS03 = probeQueries.contains("s03_ann_ivf")
+    val s03Cold =
+      if (hasS03) (timeOnce("s03_ann_ivf", base), timeOnce("s03_ann_ivf", scaled))
+      else (0.0, 0.0)
     val rest = probeQueries.filterNot(_ == "s03_ann_ivf")
     (1 to 2).foreach { _ => rest.foreach { q => time(q, base); time(q, scaled) } }
 
@@ -131,7 +141,7 @@ object ScaleProbe {
     // s03 again per corpus: the IVF centroid table is a cached build
     // artifact, so a SECOND lookup pays only the query-side cost — the
     // 100 TB serving shape (build once, look up many).
-    locally {
+    if (hasS03) {
       val t1 = math.min(timeOnce("s03_ann_ivf", base), timeOnce("s03_ann_ivf", base))
       val t10 = math.min(timeOnce("s03_ann_ivf", scaled), timeOnce("s03_ann_ivf", scaled))
       sb.append(f"| s03_ann_ivf (centroids prebuilt) | $t1%.2f | $t10%.2f | ${t10 / t1}%.1f× |\n")
@@ -161,7 +171,7 @@ object ScaleProbe {
       require(sched.promoteDue() == n)
       (System.nanoTime() - t0) / 1e9
     }
-    sb.append("| probe | 1× sec | 10× sec | ratio | note |\n|---|---|---|---|---|\n")
+    sb.append("| probe | small | large | ratio | note |\n|---|---|---|---|---|\n")
     locally {
       val t1 = math.min(timePromote(100000), timePromote(100000))
       val t10 = math.min(timePromote(1000000), timePromote(1000000))
@@ -204,7 +214,18 @@ object ScaleProbe {
       println(f"PROBE trackPass: $t1%.2fs -> $t10%.2fs (${t10 / t1}%.1fx)")
     }
 
-    Files.writeString(Paths.get("SCALING.md"), sb.toString)
+    // the reference's own headline workload, 10× larger: 100k → 1M jobs
+    // through enqueue → execute → retry-promote → execute. Partitions
+    // follow volume inside benchJobPipeline, so throughput should HOLD
+    // (ratio ≈ 10 in time, ≈ 1 in jobs/s).
+    locally {
+      val (sec1, jps1) = Bench.benchJobPipeline(spark, 100000)
+      val (sec10, jps10) = Bench.benchJobPipeline(spark, 1000000)
+      sb.append(f"| job pipeline (100k → 1M jobs, 1%% failure+retry) | $sec1%.2f | $sec10%.2f | ${sec10 / sec1}%.1f× | jobs/s ${jps1}%.0f → ${jps10}%.0f |\n")
+      println(f"PROBE pipeline: $sec1%.2fs ($jps1%.0f j/s) -> $sec10%.2fs ($jps10%.0f j/s)")
+    }
+
+    Files.writeString(Paths.get(outFile), sb.toString)
     spark.stop()
   }
 }
