@@ -251,10 +251,13 @@ object SimilarityOps {
           lit(1e-12)))
         .withColumn("dq", expr(
           "transform(v, x -> floor(x * 127.0 / mx + 0.5) * mx / 127.0)"))
+        // denominator guarded like mx: a zero-norm vector would yield
+        // NULL here (non-ANSI divide) but NaN in DuckDB — divergent sorts
         .withColumn("cos_q", round(
           expr("aggregate(zip_with(v, dq, (a, b) -> a * b), 0D, (acc, x) -> acc + x)") /
-            (sqrt(expr("aggregate(zip_with(v, v, (a, b) -> a * b), 0D, (acc, x) -> acc + x)")) *
-              sqrt(expr("aggregate(zip_with(dq, dq, (a, b) -> a * b), 0D, (acc, x) -> acc + x)"))), 6))
+            greatest(sqrt(expr("aggregate(zip_with(v, v, (a, b) -> a * b), 0D, (acc, x) -> acc + x)")) *
+              sqrt(expr("aggregate(zip_with(dq, dq, (a, b) -> a * b), 0D, (acc, x) -> acc + x)")),
+              lit(1e-12)), 6))
         .select("vec_id", "cos_q")
         .orderBy(col("cos_q").asc, col("vec_id").asc).limit(50)),
 
@@ -412,7 +415,8 @@ object SimilarityOps {
         |  FROM t)
         |SELECT vec_id,
         |  ROUND(list_dot_product(v, dq)
-        |    / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(dq, dq))), 6) AS cos_q
+        |    / greatest(sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(dq, dq)),
+        |               1e-12), 6) AS cos_q
         |FROM q ORDER BY cos_q ASC, vec_id ASC LIMIT 50""".stripMargin,
     "s07_centroid_outliers" ->
       """WITH elems AS (

@@ -25,23 +25,20 @@ class DedupKernelSpec extends SparkSpec {
 
   test("verifiedPairs emits the exact reference Jaccard for every pair") {
     val base = "the quick brown fox jumps over the lazy dog again and again " * 4
-    val docs = Seq(
-      (0L, base),
-      (1L, base + "tail"),                       // near-dup of 0
-      (2L, base.replace("quick", "rapid")),      // near-dup of 0
-      (3L, "completely different content about spark shuffles and joins " * 4),
-      (4L, "completely different content about spark shuffles and joins " * 4 + "x"),
-      (5L, "unrelated third topic entirely, short and lonely document")
-    ).toDF("doc_id", "text")
+    val other = "completely different content about spark shuffles and joins " * 4
+    val texts = Seq(
+      base,
+      base + "tail",                  // near-dup of 0
+      base.replace("quick", "rapid"), // near-dup of 0
+      other,
+      other + "x",                    // near-dup of 3
+      "unrelated third topic entirely, short and lonely document")
+    val docs = texts.zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
 
     val got = DedupOps.verifiedPairs(docs).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
     assert(got.nonEmpty, "the seeded near-dups must surface as pairs")
-
-    val texts = Seq(base, base + "tail", base.replace("quick", "rapid"),
-      "completely different content about spark shuffles and joins " * 4,
-      "completely different content about spark shuffles and joins " * 4 + "x",
-      "unrelated third topic entirely, short and lonely document")
     got.foreach { case ((d1, d2), j) =>
       assert(d1 < d2, "pairs are ordered")
       val expected = jac(refShingles(texts(d1.toInt)), refShingles(texts(d2.toInt)))
