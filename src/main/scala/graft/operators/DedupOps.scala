@@ -77,15 +77,16 @@ object DedupOps {
     * every node takes the min of its own label and its neighbours'
     * labels; fixpoint = components labelled by their min doc_id.
     *
-    * Scale shape: one shuffle join per round keyed on the node id, and
-    * the round count is the graph DIAMETER — for near-dup graphs the
-    * skew guard bounds component fan-out, so diameters are single-digit
-    * and this converges in ~3-5 rounds regardless of corpus size (the
-    * O(log n) large-star/small-star alternation of Kiveris et al. is the
-    * upgrade path for adversarially-chained graphs). `localCheckpoint`
-    * truncates the lineage each round — without it the iterative plan
-    * re-executes every prior round on each action. The convergence probe
-    * is a scalar `isEmpty` on the changed-label set, not a data collect. */
+    * Scale shape: two shuffle joins per round keyed on the node id —
+    * neighbour-min propagation plus a pointer-jumping shortcut (label :=
+    * label-of-label), so the round count is O(log diameter), not the
+    * diameter itself (the DataFrame rendering of Kiveris et al.'s
+    * star-contraction acceleration; an adversarially-chained component of
+    * 10⁶ docs converges in ~20 rounds). Near-dup graphs under the skew
+    * guard converge in 2-4. `localCheckpoint` truncates the lineage each
+    * round — without it the iterative plan re-executes every prior round
+    * on each action. The convergence probe is a scalar `isEmpty` on the
+    * changed-label set, not a data collect. */
   private[operators] def connectedComponents(pairs: DataFrame, maxRounds: Int = 20): DataFrame = {
     val edges = pairs.select(col("d1").as("src"), col("d2").as("dst"))
       .union(pairs.select(col("d2").as("src"), col("d1").as("dst")))
@@ -99,8 +100,19 @@ object DedupOps {
       val viaNeighbour = edges
         .join(labels.withColumnRenamed("node", "src"), "src")
         .select(col("dst").as("node"), col("lbl"))
-      val next = labels.union(viaNeighbour)
+      val propagated = labels.union(viaNeighbour)
         .groupBy("node").agg(min("lbl").as("lbl"))
+      // pointer-jumping shortcut (Kiveris et al.'s star-contraction idea
+      // in its simplest DataFrame form): replace every label by ITS
+      // label, squaring the propagation distance per round — a chain of
+      // diameter d converges in O(log d) rounds instead of d. A label is
+      // itself a node id, and labels only decrease, so the left join
+      // keeps min-correctness (no parent row ⇒ label already a root).
+      val parents = propagated
+        .select(col("node").as("p_node"), col("lbl").as("p_lbl"))
+      val next = propagated
+        .join(parents, col("lbl") === col("p_node"), "left")
+        .select(col("node"), coalesce(col("p_lbl"), col("lbl")).as("lbl"))
         .localCheckpoint(true)
       done = next
         .join(labels.withColumnRenamed("lbl", "prev"), "node")

@@ -32,6 +32,16 @@ class DedupClusterSpec extends SparkSpec {
     assert(got.size == 10)
   }
 
+  test("pointer jumping converges a 200-node chain in O(log d) rounds") {
+    // diameter 199 — plain neighbour-min propagation needs 199 rounds and
+    // would throw past the default 20; label-of-label shortcutting
+    // squares the reach per round, so this converges in ~8.
+    val path = (0L until 199L).map(i => (i, i + 1))
+    val got = components(path: _*)
+    assert(got.size == 200)
+    assert(got.values.toSet == Set(0L), "the whole chain collapses to min id 0")
+  }
+
   test("d12 maps singleton docs to themselves") {
     val dir = "/root/testdata/sf0.001"
     val out = SparkEntry.queries("d12_dedup_clusters")(spark, dir)
