@@ -348,13 +348,18 @@ object EngineE2E {
       val root = java.nio.file.Files.createTempDirectory("graft-e2e-w").toString
       val backend = new ParquetBackend(s, root)
       backend.enqueue(seedJobs(s, d))
-      val worker = new graft.worker.GraftWorker(backend, s, root,
-        trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime("100 milliseconds"),
-        maintenanceIntervalMs = 200)
-      worker.start()
-      try {
-        require(worker.awaitDrained(120000), "worker failed to drain")
-      } finally worker.stop(graceful = true)
+      // the worker runs TWO streaming queries (consumer + tracker) whose
+      // per-partition state/commit overhead dwarfs the 100-job fixture at
+      // 32 shuffle partitions — scope down like the stream fixtures do
+      withShufflePartitions(s, 4) {
+        val worker = new graft.worker.GraftWorker(backend, s, root,
+          trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime("100 milliseconds"),
+          maintenanceIntervalMs = 200)
+        worker.start()
+        try {
+          require(worker.awaitDrained(120000), "worker failed to drain")
+        } finally worker.stop(graceful = true)
+      }
       backend.completions.toDF()
         .groupBy(col("terminalState").as("terminal_state"))
         .agg(count(lit(1)).as("n"))
