@@ -79,7 +79,7 @@ object ScaleProbe {
     val allProbeQueries = Seq(
       "d01_dedup_exact", "d03_dedup_normalized", "d04_minhash_signatures",
       "d05_lsh_candidate_pairs", "d09_lsh_skew_guarded", "d06_ngram_jaccard",
-      "d10_lsh_verified", "d07_simhash", "d08_embedding_neardup",
+      "d10_lsh_verified", "d12_dedup_clusters", "d07_simhash", "d08_embedding_neardup",
       "d11_contamination", "s01_cosine_topk", "s02_ann_signlsh", "s03_ann_ivf",
       "s04_ann_multiquery", "s06_ivf_recall_sweep", "s07_centroid_outliers",
       "t01_lang_id", "t02_quality_score", "t03_token_count",
