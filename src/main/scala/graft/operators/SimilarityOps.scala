@@ -11,9 +11,13 @@ import graft.Tables
   *  - s01: brute-force cosine top-k — the exact baseline; a broadcast of
   *    the query vector + one codegen'd `aggregate(zip_with(...))` pass,
   *    embarrassingly parallel over the corpus.
-  *  - s02: sign-bit LSH — bucket by the sign pattern of leading
-  *    dimensions; search only the query's bucket (candidate set shrinks
-  *    ~2^bits; an equi-join on the bucket key, shuffle-friendly).
+  *  - s02: multi-table random-hyperplane LSH — one 384-bit SimHash
+  *    signature per vector (graft.functions.RhpSignature) split into 64
+  *    tables of 6 bits; candidates = union of the query's buckets across
+  *    tables (an equi-join on (table, key)), pruned by a 384-bit Hamming
+  *    radius on the same signature, then exact-cosine re-ranked.
+  *    Measured on this corpus (s05 pins it): 86% recall@10 at ~7%
+  *    candidates at sf0.01; 96% / ~7% at sf0.1.
   *  - s03: IVF — coarse quantization by the `label` cluster column:
   *    pick the nearest centroid (computed as per-dimension means via
   *    posexplode + groupBy, all distributed), then scan only that list.
@@ -46,11 +50,37 @@ object SimilarityOps {
     round(dot(col("embedding"), col("qv")) /
       (norm(col("embedding")) * norm(col("qv"))), 6)
 
-  /** 6 leading-dimension sign bits — the sign-LSH bucket key shared by
-    * s02 (query-side candidate filter) and d08 (pairwise generator). */
+  /** 6 leading-dimension sign bits — the coarse sign bucket used by d08's
+    * pairwise near-dup generator (s02's ANN index uses the full
+    * random-hyperplane signature below instead). */
   private def bucketOf(e: Column): Column =
     concat((0 until 6).map(i =>
       when(element_at(e, i + 1) >= 0, lit("1")).otherwise(lit("0"))): _*)
+
+  import graft.functions.{LshFunctions, RhpPlanes}
+
+  /** Signature index artifact: (vec_id, label, embedding, sig), built ONCE
+    * per corpus and shared by s02/s05 — at 100 TB this is a prebuilt
+    * signature table (32 bytes of bits per 256-byte vector) written
+    * alongside the corpus, and the exploded (table, key) view below is a
+    * bucketed index so a query touches 64 buckets, never the corpus. */
+  private val sigCache =
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+
+  private[graft] def lshSigs(s: SparkSession, d: String): DataFrame =
+    sigCache.getOrElseUpdate(d, {
+      Tables.embeddings(s, d)
+        .withColumn("sig", LshFunctions.rhp_sig(col("embedding")))
+        .localCheckpoint(true)
+    })
+
+  /** The signature split into NumTables consecutive keys: rows of
+    * (vec_id, t, k) — the multi-table LSH index, equi-joinable on (t, k). */
+  private def tableKeys(sigs: DataFrame, idCols: Column*): DataFrame =
+    sigs.select(idCols :+ posexplode(expr(
+      s"transform(sequence(0, ${RhpPlanes.NumTables - 1}), " +
+        s"t -> substring(sig, t * ${RhpPlanes.BitsPerTable} + 1, ${RhpPlanes.BitsPerTable}))"))
+      .as(Seq("t", "k")): _*)
 
   /** IVF coarse index: per-label centroids, materialized ONCE per corpus
     * and reused by every s03 lookup — at 100 TB the centroid table is a
@@ -80,12 +110,26 @@ object SimilarityOps {
         .orderBy(col("cos").desc, col("vec_id").asc)
         .limit(10)),
 
-    // Sign-bit LSH: 6 leading-dimension sign bits → bucket; candidates =
-    // query's bucket only, then exact cosine within.
+    // Multi-table random-hyperplane LSH: candidates = vectors sharing >= 1
+    // of 64 6-bit signature buckets with the query (equi-join on (t, k) —
+    // the query side is 64 rows, broadcast), Hamming-pruned over the full
+    // 384 bits, exact-cosine re-ranked. Three-stage funnel: bucket lookup
+    // (sublinear at scale) → bit prune (32-byte sketches) → float re-rank
+    // (survivors only).
     "s02_ann_signlsh" -> ((s, d) => {
-      withQuery(s, d)
+      val sigs = lshSigs(s, d)
+      val q = sigs.filter(col("vec_id") === QueryId)
+        .select(col("sig").as("qsig"), col("embedding").as("qv"))
+      val qKeys = tableKeys(
+        sigs.filter(col("vec_id") === QueryId), col("vec_id").as("qid"))
+        .select("t", "k")
+      val candIds = tableKeys(sigs, col("vec_id"))
+        .join(broadcast(qKeys), Seq("t", "k"))
+        .select("vec_id").distinct()
+      sigs.join(broadcast(candIds), Seq("vec_id"))
+        .crossJoin(broadcast(q))
         .filter(col("vec_id") =!= QueryId)
-        .filter(bucketOf(col("embedding")) === bucketOf(col("qv")))
+        .filter(LshFunctions.rhp_hamming(col("sig"), col("qsig")) <= RhpPlanes.HamRadius)
         .withColumn("cos", cosCol)
         .select("vec_id", "cos")
         .orderBy(col("cos").desc, col("vec_id").asc)
@@ -140,36 +184,48 @@ object SimilarityOps {
         .orderBy("qid", "rn")
     }),
 
-    // ANN quality measurement: recall of the sign-LSH candidate filter
-    // against the exact top-10, per query — "measure, don't guess" for
-    // the approximate path. One corpus scan per side (broadcast query
-    // set), hit counting via left join on the exact set (tiny).
-    // Measured on this corpus: 0-10% recall@10 — 6 leading-dimension
-    // sign bits carry almost no cosine signal here, which is exactly why
-    // the label-aware IVF path (s03) is the serving default and s02 is a
-    // bucketing demonstration. The gate pins the measurement so a future
-    // "better" hash has to prove itself in this number.
+    // ANN quality gate: recall@10 AND candidate-set size of the s02
+    // multi-table LSH funnel, per query — "measure, don't guess" for the
+    // approximate path, with the floor the spec asserts (mean recall_bp
+    // >= 7000, every cand_bp <= 1000; see CorpusOpsSpec). Candidates are
+    // generated exactly as s02 does it (bucket union then Hamming prune);
+    // hits counted via left join on the exact top-10 (tiny).
     "s05_ann_recall" -> ((s, d) => {
-      val emb = Tables.embeddings(s, d)
-      val qs = emb.filter(col("vec_id") < 5)
-        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val sigs = lshSigs(s, d)
+      val qs = sigs.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("sig").as("qsig"), col("embedding").as("qv"))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("qid").orderBy(col("cos").desc, col("vec_id").asc)
-      val exact = emb.join(broadcast(qs), col("vec_id") =!= col("qid"))
+      val exact = sigs.join(broadcast(qs), col("vec_id") =!= col("qid"))
         .withColumn("cos", cosCol)
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") <= 10)
         .select(col("qid").as("x_qid"), col("vec_id").as("x_vid"))
-      val cands = emb.join(broadcast(qs), col("vec_id") =!= col("qid"))
-        .filter(bucketOf(col("embedding")) === bucketOf(col("qv")))
+      val qKeys = tableKeys(sigs.filter(col("vec_id") < 5), col("vec_id").as("qid"))
+      val cands = tableKeys(sigs, col("vec_id"))
+        .join(broadcast(qKeys), Seq("t", "k"))
+        .filter(col("vec_id") =!= col("qid"))
+        .select("qid", "vec_id").distinct()
+        .join(sigs.select(col("vec_id"), col("sig")), Seq("vec_id"))
+        .join(broadcast(qs.select(col("qid"), col("qsig"))), Seq("qid"))
+        .filter(LshFunctions.rhp_hamming(col("sig"), col("qsig")) <= RhpPlanes.HamRadius)
         .select(col("qid").as("c_qid"), col("vec_id").as("c_vid"))
-      exact.join(cands,
+      val hits = exact.join(cands,
           col("x_qid") === col("c_qid") && col("x_vid") === col("c_vid"), "left")
         .groupBy(col("x_qid").as("qid"))
         .agg(count(lit(1)).as("n_exact"),
           sum(when(col("c_vid").isNotNull, 1).otherwise(0)).as("n_hits"))
         .withColumn("recall_bp",
           floor(col("n_hits") * 10000.0 / col("n_exact")).cast("long"))
+      val candCounts = cands.groupBy(col("c_qid").as("qid"))
+        .agg(count(lit(1)).as("n_cand"))
+      val corpusN = sigs.agg(count(lit(1)).as("corpus_n"))
+      hits.join(candCounts, Seq("qid"), "left")
+        .withColumn("n_cand", coalesce(col("n_cand"), lit(0L)))
+        .crossJoin(broadcast(corpusN))
+        .withColumn("cand_bp",
+          floor(col("n_cand") * 10000.0 / col("corpus_n")).cast("long"))
+        .select("qid", "n_exact", "n_hits", "recall_bp", "n_cand", "cand_bp")
         .orderBy("qid")
     }),
 
@@ -297,14 +353,25 @@ object SimilarityOps {
          |SELECT vec_id, ${cosSql("embedding", "qv", 6)} AS cos
          |FROM embeddings, q WHERE vec_id <> $QueryId
          |ORDER BY cos DESC, vec_id ASC LIMIT 10""".stripMargin,
+    // The oracle states the SEMANTICS of the LSH funnel (bucket-union via
+    // EXISTS over the 64 key slices, Hamming via bit_count(xor)); the
+    // Spark side implements the same predicate as the scalable
+    // bucket-equi-join plan. Signatures are rebuilt bit-for-bit from the
+    // generated plane literal (graft.functions.RhpPlanes).
     "s02_ann_signlsh" -> {
-      def b(e: String) = (0 until 6)
-        .map(i => s"(CASE WHEN $e[${i + 1}] >= 0 THEN '1' ELSE '0' END)")
-        .mkString("concat(", ", ", ")")
-      s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = $QueryId)
-         |SELECT vec_id, ${cosSql("embedding", "qv", 6)} AS cos
-         |FROM embeddings, q
-         |WHERE vec_id <> $QueryId AND ${b("embedding")} = ${b("qv")}
+      import graft.functions.RhpPlanes.{BitsPerTable => B, HamRadius, NumTables}
+      s"""WITH sig AS (
+         |  SELECT vec_id, embedding,
+         |    ${graft.functions.RhpPlanes.duckdbSigExpr("embedding")} AS sig
+         |  FROM embeddings),
+         |q AS (SELECT sig AS qsig, embedding AS qv FROM sig WHERE vec_id = $QueryId)
+         |SELECT s.vec_id, ${cosSql("s.embedding", "q.qv", 6)} AS cos
+         |FROM sig s, q
+         |WHERE s.vec_id <> $QueryId
+         |  AND length(list_filter(range(0, $NumTables),
+         |        t -> substr(s.sig, CAST(t * $B + 1 AS INT), $B)
+         |           = substr(q.qsig, CAST(t * $B + 1 AS INT), $B))) > 0
+         |  AND bit_count(xor(s.sig::BIT, q.qsig::BIT)) <= $HamRadius
          |ORDER BY cos DESC, vec_id ASC LIMIT 5""".stripMargin
     },
     "s03_ann_ivf" ->
@@ -336,10 +403,12 @@ object SimilarityOps {
          |SELECT qid, vec_id, cos, rn FROM ranked WHERE rn <= 3
          |ORDER BY qid, rn""".stripMargin,
     "s05_ann_recall" -> {
-      def b(e: String) = (0 until 6)
-        .map(i => s"(CASE WHEN $e[${i + 1}] >= 0 THEN '1' ELSE '0' END)")
-        .mkString("concat(", ", ", ")")
-      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 5),
+      import graft.functions.RhpPlanes.{BitsPerTable => B, HamRadius, NumTables}
+      s"""WITH sig AS (
+         |  SELECT vec_id, embedding,
+         |    ${graft.functions.RhpPlanes.duckdbSigExpr("embedding")} AS sig
+         |  FROM embeddings),
+         |q AS (SELECT vec_id AS qid, sig AS qsig, embedding AS qv FROM sig WHERE vec_id < 5),
          |scored AS (
          |  SELECT q.qid, e.vec_id, ${cosSql("e.embedding", "q.qv", 6)} AS cos
          |  FROM embeddings e, q WHERE e.vec_id <> q.qid),
@@ -349,14 +418,26 @@ object SimilarityOps {
          |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id ASC) AS rn
          |    FROM scored) WHERE rn <= 10),
          |cands AS (
-         |  SELECT q.qid, e.vec_id FROM embeddings e, q
-         |  WHERE e.vec_id <> q.qid AND ${b("e.embedding")} = ${b("q.qv")})
-         |SELECT x.qid, COUNT(*) AS n_exact,
-         |  CAST(SUM(CASE WHEN c.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
-         |  CAST(FLOOR(SUM(CASE WHEN c.vec_id IS NOT NULL THEN 1 ELSE 0 END)
-         |    * 10000.0 / COUNT(*)) AS BIGINT) AS recall_bp
-         |FROM exact x LEFT JOIN cands c ON x.qid = c.qid AND x.vec_id = c.vec_id
-         |GROUP BY x.qid ORDER BY x.qid""".stripMargin
+         |  SELECT q.qid, s.vec_id FROM sig s, q
+         |  WHERE s.vec_id <> q.qid
+         |    AND length(list_filter(range(0, $NumTables),
+         |          t -> substr(s.sig, CAST(t * $B + 1 AS INT), $B)
+         |             = substr(q.qsig, CAST(t * $B + 1 AS INT), $B))) > 0
+         |    AND bit_count(xor(s.sig::BIT, q.qsig::BIT)) <= $HamRadius),
+         |n AS (SELECT COUNT(*) AS corpus_n FROM embeddings),
+         |hits AS (
+         |  SELECT x.qid, COUNT(*) AS n_exact,
+         |    CAST(SUM(CASE WHEN c.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+         |    CAST(FLOOR(SUM(CASE WHEN c.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+         |      * 10000.0 / COUNT(*)) AS BIGINT) AS recall_bp
+         |  FROM exact x LEFT JOIN cands c ON x.qid = c.qid AND x.vec_id = c.vec_id
+         |  GROUP BY x.qid),
+         |cc AS (SELECT qid, COUNT(*) AS n_cand FROM cands GROUP BY qid)
+         |SELECT h.qid, h.n_exact, h.n_hits, h.recall_bp,
+         |  COALESCE(cc.n_cand, 0) AS n_cand,
+         |  CAST(FLOOR(COALESCE(cc.n_cand, 0) * 10000.0 / n.corpus_n) AS BIGINT) AS cand_bp
+         |FROM hits h LEFT JOIN cc ON h.qid = cc.qid, n
+         |ORDER BY h.qid""".stripMargin
     },
     "s06_ivf_recall_sweep" ->
       s"""WITH elems AS (

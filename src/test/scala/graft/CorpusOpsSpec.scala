@@ -37,6 +37,24 @@ class CorpusOpsSpec extends SparkSpec {
     }
   }
 
+  test("s02/s05 multi-table LSH: recall floor >= 70%, candidates <= 10%") {
+    // sf0.01 (500 vectors): the smallest scale where a 10%-of-corpus
+    // candidate bound can even contain a top-10 (sf0.001 has 50 vectors).
+    val sf01 = "/root/testdata/sf0.01"
+    val rows = operators.SimilarityOps.queries("s05_ann_recall")(spark, sf01).collect()
+    assert(rows.length == 5, "one gate row per query vector")
+    val recalls = rows.map(_.getLong(3))
+    assert(recalls.sum / recalls.length >= 7000,
+      s"mean recall@10 must hold the 70% floor: got bp=${recalls.mkString(",")}")
+    rows.foreach { r =>
+      assert(r.getLong(5) <= 1000,
+        s"candidate set must stay <= 10% of corpus: got ${r.getLong(5)} bp")
+      assert(r.getLong(4) >= r.getLong(2), "hits can never exceed candidates")
+    }
+    val s02 = operators.SimilarityOps.queries("s02_ann_signlsh")(spark, sf01).collect()
+    assert(s02.length == 5, "s02 re-ranks its candidates to a full top-5")
+  }
+
   test("t08 unigram log-prob is negative and token-count-consistent") {
     val rows = operators.TextOps.queries("t08_unigram_logprob")(spark, sf).collect()
     assert(rows.nonEmpty)
