@@ -37,28 +37,36 @@ object Bench {
       catch { case _: Throwable => }
     }
 
-    // Best-of-2 per query, sampled as two FULL passes over the suite
-    // (criterium takes the best of many samples, reference
-    // perf/goose/core.clj:39-53). Whole-suite passes put minutes between
-    // the two samples of any one query, so a multi-minute host-contention
-    // window — observed on shared-host runs — degrades at most one of
-    // them; back-to-back samples would both land inside it.
+    // Median-of-3 per query, sampled as three FULL passes over the suite
+    // (criterium-style multi-sample, reference perf/goose/core.clj:39-53;
+    // the median — unlike best-of — is robust on BOTH sides, so one GC
+    // pause or one suspiciously-idle host window moves nothing). Whole-
+    // suite passes put minutes between any one query's samples, so a
+    // multi-minute host-contention window degrades at most one of them;
+    // back-to-back samples would all land inside it. `value` is the sum
+    // of medians (comparable round over round); `wall_sec` is the real
+    // elapsed time of the timed section, kept separate per the same
+    // measure-don't-guess rule the queries live under.
     def pass(): Seq[(String, Double)] =
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         name -> (System.nanoTime() - t0) / 1e9
       }
-    val (r1, pipe1) = (pass(), benchJobPipeline(spark))
-    val (r2, pipe2) = (pass(), benchJobPipeline(spark))
-    val results = r1.zip(r2).map { case ((n, a), (_, b)) => n -> math.min(a, b) }
-    val pipeline = Seq(pipe1, pipe2).minBy(_._1)
+    def median3(xs: Seq[Double]): Double = xs.sorted.apply(1)
+    val wall0 = System.nanoTime()
+    val samples = Seq.fill(3)((pass(), benchJobPipeline(spark)))
+    val wallSec = (System.nanoTime() - wall0) / 1e9
+    val names = samples.head._1.map(_._1)
+    val byQuery = samples.map(_._1.toMap)
+    val results = names.map(n => n -> median3(byQuery.map(_(n))))
+    val pipeline = samples.map(_._2).sortBy(_._1).apply(1)
 
     val all = results :+ ("pipeline_noop_100k" -> pipeline._1)
     def toJson(rows: Seq[(String, Double)]): String = {
       val qs = rows.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
       val total = all.map(_._2).sum
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"jobs_per_sec":${pipeline._2}%.0f,"n_queries":${all.size},"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"jobs_per_sec":${pipeline._2}%.0f,"n_queries":${all.size},"samples":3,"wall_sec":$wallSec%.1f,"sf":"$sfDir"}"""
     }
     // Full per-query detail → BENCH.json (env-overridable path). Stdout
     // gets a COMPACT line (slowest 10 queries only): the harness keeps a
