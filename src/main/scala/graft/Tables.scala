@@ -37,6 +37,17 @@ object Tables {
   def part(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "part")
   def nation(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "nation")
   def region(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "region")
-  def documents(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "documents")
+  /** documents, spread to the configured shuffle parallelism when the
+    * scan arrives under-split. The driver writes the corpus as ONE
+    * parquet row group, so every per-doc CPU kernel downstream (MinHash
+    * signatures, shingling, lang-ID regexes) would otherwise run as a
+    * single task on one core; the one tiny shuffle of raw docs is noise
+    * next to the per-doc work it parallelizes. A real 100 TB corpus
+    * arrives in thousands of splits and takes the no-op branch. */
+  def documents(spark: SparkSession, sfDir: String): DataFrame = {
+    val raw = table(spark, sfDir, "documents")
+    val target = spark.sessionState.conf.numShufflePartitions
+    if (raw.rdd.getNumPartitions * 2 < target) raw.repartition(target) else raw
+  }
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "embeddings")
 }

@@ -108,7 +108,13 @@ object PipelineOps {
       // near-dup removal: verified pairs on the REDUCED corpus; the
       // higher doc_id of each verified pair is dropped (the d10 kernel:
       // guarded candidates, exact Jaccard over candidate docs only)
-      val cand = DedupOps.guardedCandidatePairs(DedupOps.signatures(s3))
+      // signatures checkpointed BEFORE the candidate generator: its band
+      // frame is consumed twice (width census + guarded join), and a lazy
+      // signature plan would re-run the per-doc MinHash-md5 pass — the
+      // single most expensive projection in the funnel — once per
+      // consumption (the exact d10 discipline, DedupOps.scala:176)
+      val sig = DedupOps.signatures(s3).localCheckpoint(true)
+      val cand = DedupOps.guardedCandidatePairs(sig)
       val verified = DedupOps.candidateIntersections(s3, cand)
         .withColumn("jac", DedupOps.jacCol)
         .filter(col("jac") >= NearDupJaccard)
@@ -127,12 +133,17 @@ object PipelineOps {
       val evalShingles = contamShingled(docs.filter(col("source").isin(EvalSources: _*)))
         .select(xxhash64(col("sh")).as("esh")).distinct()
       val trainDocs = s4.filter(!col("source").isin(EvalSources: _*))
+      // the held-out shingle set is bounded by construction (eval corpora
+      // are small), so BROADCAST it: the training side then needs exactly
+      // one shuffle (the per-doc agg) instead of distinct + shuffle-join +
+      // agg; distinct-shingle ratios via countDistinct are value-identical
+      // to the old distinct-then-count form
       val contaminated = contamShingled(trainDocs)
-        .select(col("doc_id"), xxhash64(col("sh")).as("sh")).distinct()
-        .join(evalShingles, col("sh") === col("esh"), "left")
+        .select(col("doc_id"), xxhash64(col("sh")).as("sh"))
+        .join(broadcast(evalShingles), col("sh") === col("esh"), "left")
         .groupBy("doc_id")
-        .agg(round(sum(when(col("esh").isNotNull, 1).otherwise(0)).cast("double")
-          / count(lit(1)), 4).as("overlap"))
+        .agg(round(countDistinct(when(col("esh").isNotNull, col("sh"))).cast("double")
+          / countDistinct(col("sh")), 4).as("overlap"))
         .filter(col("overlap") >= ContaminationMax)
         .select(col("doc_id").as("c_id"))
       val s5 = trainDocs.join(contaminated, trainDocs("doc_id") === contaminated("c_id"), "left_anti")
@@ -145,9 +156,11 @@ object PipelineOps {
         .agg(count(lit(1)).as("c1"),
           sum(when(col("f_lang"), 1L).otherwise(0L)).as("c2"),
           sum(when(col("f_q"), 1L).otherwise(0L)).as("c3"))
-        .localCheckpoint(true)
-      val head3 = Seq("1_all" -> "c1", "2_lang" -> "c2", "3_quality" -> "c3")
-        .map { case (n, c) => first3.select(lit(n).as("stage"), col(c).as("n_docs")) }
+      // stack() pivots the one aggregate row into the three stage rows, so
+      // first3 is consumed ONCE — no checkpoint barrier, the scan just
+      // becomes one branch of the final union job
+      val head3 = Seq(first3.select(expr(
+        "stack(3, '1_all', c1, '2_lang', c2, '3_quality', c3) AS (stage, n_docs)")))
       val tail3 = Seq("4_exact_dedup" -> s3, "5_near_dedup" -> s4, "6_decontaminated" -> s5)
         .map { case (n, df) =>
           df.agg(count(lit(1)).as("n_docs")).select(lit(n).as("stage"), col("n_docs"))
