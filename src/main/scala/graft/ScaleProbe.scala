@@ -127,7 +127,10 @@ object ScaleProbe {
     sb.append("candidates) hold near-flat because the guard bounds per-key fan-out. ")
     sb.append("The diagnostic quadratic forms (d05 unguarded, d06 all-same-source) now ")
     sb.append("take a FIXED doc_id-prefix input, so their cost is constant at any corpus ")
-    sb.append("size (ratio ≈ 1) — the r2 verdict's gate-domination fix.\n\n")
+    sb.append("size (ratio ≈ 1) — the r2 verdict's gate-domination fix. ")
+    sb.append("Driver-bounded registries: `fireCron` collects the due cron registry and ")
+    sb.append("ENFORCES its design envelope (SchedulerEngine.DefaultMaxCronEntries = 10k ")
+    sb.append("schedules; past that it throws rather than balloon the driver heap).\n\n")
     sb.append(s"| query | 1× sec | $factor× sec | ratio |\n|---|---|---|---|\n")
 
     // s03 first and only once cold: its first touch per corpus builds and

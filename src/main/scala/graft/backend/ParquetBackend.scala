@@ -23,7 +23,9 @@ import org.apache.spark.sql.{Dataset, Encoder, SaveMode, SparkSession}
   * does this with its read-write gate. [[CommitLogBackend]] removes that
   * caveat via manifest snapshots at the cost of a commit-log protocol.
   */
-final class ParquetBackend(spark0: SparkSession, val root: String)
+/* not final: fault-injection fixtures (q45_orphan_recovery) override a
+ * single write to model a worker dying mid-commit */
+class ParquetBackend(spark0: SparkSession, val root: String)
     extends LogStructuredBackend(spark0) {
 
   override def capabilities: BrokerCapabilities = BrokerCapabilities(

@@ -17,9 +17,12 @@ import graft.Tables
   */
 object DedupOps {
 
-  private[operators] val ShingleLen = 8
-  private[operators] val NumHashes = 4
-  private[operators] val MaxBandWidth = 20
+  // private[graft]: the streaming near-dup twin (graft.streaming.
+  // StreamingAnalytics.streamingNearDedup) shares the sketch constants so
+  // its ingest-time filter and the batch backstop agree on signatures
+  private[graft] val ShingleLen = 8
+  private[graft] val NumHashes = 4
+  private[graft] val MaxBandWidth = 20
 
   /** Input bound for the two intentionally-quadratic diagnostic forms
     * (d05 unguarded LSH, d06 all-pairs Jaccard). Their cost grows with

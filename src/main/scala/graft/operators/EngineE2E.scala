@@ -50,7 +50,12 @@ object EngineE2E {
     * partition carries its own state-store provider(s) (a stream-stream
     * join keeps four per partition), and a 1k-row fixture stream spends
     * its time provisioning 32 of them rather than joining. Production
-    * streams size this to throughput; the fixture sizes it to the data. */
+    * streams size this to throughput; the fixture sizes it to the data.
+    *
+    * NOTE: mutates the session-global shuffle-partition conf around `f`,
+    * so fixtures must run strictly sequentially on the shared session —
+    * which Verify and Bench both do (one query at a time). Concurrent
+    * fixtures would need a cloned `spark.newSession()` instead. */
   private def withShufflePartitions[T](s: SparkSession, n: Int)(f: => T): T = {
     val prev = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", n.toString)
@@ -91,13 +96,15 @@ object EngineE2E {
     * driver-resident copies of every run's results. */
   private def drainAndRollup(s: SparkSession, name: String,
       start: () => org.apache.spark.sql.streaming.StreamingQuery,
-      betweenBatches: Option[() => Unit] = None)(
+      betweenBatches: Seq[() => Unit] = Nil,
+      afterDrain: org.apache.spark.sql.streaming.StreamingQuery => Unit = _ => ())(
       rollup: DataFrame => DataFrame): DataFrame =
     withShufflePartitions(s, 4) {
       val q = start()
       try {
         q.processAllAvailable()
         betweenBatches.foreach { f => f(); q.processAllAvailable() }
+        afterDrain(q)
       } finally q.stop()
       val out = rollup(s.table(name)).localCheckpoint(true)
       s.catalog.dropTempView(name)
@@ -366,6 +373,78 @@ object EngineE2E {
         .orderBy("terminal_state")
     }),
 
+    // D10 end-to-end through the oracle (the orphan check + replay that
+    // CrashRecoverySpec verifies by spec): worker A commits its first
+    // slice, then DIES at the completion commit of its second — the
+    // executions happened but the outcomes never landed, and A's
+    // checkpoint dies with it (reference orphan_checker.clj:9-40: jobs
+    // stuck in a dead worker's in-progress queue). Worker B — fresh
+    // checkpoint, same shared log — re-derives the unconsumed set
+    // (ready ∖ completions via the visibility filter) and replays EXACTLY
+    // the uncommitted jobs. Output per job: (executions, completions) —
+    // the recovered half shows n_exec=2 / n_done=1: at-least-once
+    // execution, exactly-once outcome. Execution counts come from a
+    // fixture-local registry counter (single-JVM local mode, the specs'
+    // TestFns shape); completions from the shared durable log.
+    "q45_orphan_recovery" -> ((s, d) => {
+      import s.implicits._
+      val clock = new AtomicLong(T0)
+      val root = java.nio.file.Files.createTempDirectory("graft-e2e-orphan").toString
+      val real = new ParquetBackend(s, root)
+      val armed = new java.util.concurrent.atomic.AtomicInteger(0)
+      // worker A's view of the same log: throws at the completion commit
+      // while armed — the CrashRecoverySpec fault injection, fixture-side
+      val dying = new ParquetBackend(s, root) {
+        override def recordCompletions(events: Dataset[CompletionEvent]): Unit = {
+          if (armed.getAndDecrement() > 0)
+            throw new RuntimeException("injected worker death at completion commit")
+          super.recordCompletions(events)
+        }
+      }
+      val execCounts = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+      JobRegistry.register("e2e_counted", args => {
+        execCounts.merge(args.head.toString, Integer.valueOf(1), (a, b) => a + b); "ok"
+      })
+      val retry = RetryOpts(maxRetries = 1, retryDelaySecFn = "e2e_instant")
+      val half = SeedCount / 2
+      val seed = Tables.events(s, d).orderBy("event_id").limit(SeedCount)
+        .select(col("event_id"))
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window.orderBy("event_id")))
+        .localCheckpoint(true)
+      def jobsWhere(cond: org.apache.spark.sql.Column): Dataset[Job] =
+        seed.filter(cond).select($"event_id".as[Long]).map { eid =>
+          Job(id = eid.toString, executeFnSym = "e2e_counted",
+            argsJson = s"""["$eid"]""", queue = "e2e", readyQueue = "e2e",
+            priority = 0, enqueuedAt = T0, scheduleRunAt = None, cronRunAt = None,
+            batchId = None, retryOpts = retry, state = None, seq = Job.nextSeq())
+        }
+      // phase 1: A consumes the first half and commits cleanly
+      real.enqueue(jobsWhere(col("rn") <= half))
+      val workerA = new WorkerEngine(dying, s, Nil, () => clock.get())
+      val qA = workerA.startStream(root, queryName = "orphan-A")
+      qA.processAllAvailable()
+      // phase 2: second half arrives; A executes it but dies at commit
+      armed.set(1)
+      real.enqueue(jobsWhere(col("rn") > half))
+      try qA.processAllAvailable() catch { case _: Throwable => () }
+      qA.stop()
+      // phase 3: B, fresh checkpoint, same log — replays only the orphans
+      val workerB = new WorkerEngine(real, s, Nil, () => clock.get())
+      val qB = workerB.startStream(root, queryName = "orphan-B")
+      try qB.processAllAvailable() finally qB.stop()
+      val execDf = {
+        import scala.jdk.CollectionConverters._
+        execCounts.asScala.toSeq.map { case (k, v) => (k.toLong, v.toInt) }
+      }.toDF("job_id", "n_exec")
+      val done = real.completions.toDF()
+        .groupBy(col("jobId").cast("long").as("job_id"))
+        .agg(count(lit(1)).as("n_done"))
+      execDf.join(done, Seq("job_id"))
+        .select(col("job_id"), col("n_exec"), col("n_done"))
+        .orderBy("job_id")
+    }),
+
     // S7 publisher confirms: async-mode publishes are staged durable but
     // invisible until the group ack (one manifest commit for all chunks)
     // — goose's async publisher-confirm strategy re-expressed as group
@@ -407,7 +486,7 @@ object EngineE2E {
           .groupBy(window(col("ts"), "1 day"), col("event_type"))
           .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total_v"))
           .writeStream.outputMode("append").format("memory").queryName(name).start(),
-        betweenBatches = Some(() => appendSentinel(seed, dir,
+        betweenBatches = Seq(() => appendSentinel(seed, dir,
           Seq("event_id" -> -1L, "event_type" -> "sentinel", "value" -> 0.0), cols))) {
         _.select(col("window.start").cast("date").as("day"),
             col("event_type"), col("n"), col("total_v"))
@@ -432,6 +511,60 @@ object EngineE2E {
           .writeStream.outputMode("append").format("memory").queryName(name).start()) {
         _.groupBy("event_type").agg(count(lit(1)).as("n_users"))
           .orderBy("event_type")
+      }
+    }),
+
+    // Streaming NEAR-dup dedup — the MinHash band-key ingest filter
+    // (StreamingAnalytics.streamingNearDedup): every doc gets the same
+    // salted-min signature as the batch d04/d05 operators (native
+    // MinHashMd5 expression, stateless in the stream), and docs sharing
+    // the leading (h1, h2) band within the watermark horizon dedup to
+    // their first arrival. The seed spaces 500 docs one second apart
+    // (span ≪ the 1-hour horizon, so every in-corpus dup is GUARANTEED
+    // dropped — deterministic for the oracle); two sentinel batches 3 and
+    // 6 days later then push the watermark past the whole corpus, and the
+    // fixture ASSERTS the state store evicted down to the sentinel keys
+    // (numRowsTotal ≤ 2) — the bounded-state property that lets this
+    // query run forever at firehose rates.
+    "e2e_stream_neardup" -> ((s, d) => {
+      val nDocs = 500
+      val dir = java.nio.file.Files.createTempDirectory("graft-e2e-neardup").toString
+      val rnW = org.apache.spark.sql.expressions.Window.orderBy("doc_id")
+      Tables.documents(s, d).orderBy("doc_id").limit(nDocs)
+        .select(col("doc_id"), col("text"))
+        .withColumn("rn", row_number().over(rnW))
+        .select(col("doc_id"), col("text"),
+          timestamp_millis(lit(T0) + col("rn") * 1000L).cast("timestamp_ntz").as("ts"))
+        .write.parquet(s"$dir/input")
+      def sentinel(id: Long, txt: String, days: Int): Unit = {
+        import s.implicits._
+        Seq((id, txt)).toDF("doc_id", "text")
+          .withColumn("ts",
+            timestamp_millis(lit(T0 + days * 86400000L)).cast("timestamp_ntz"))
+          .write.mode("append").parquet(s"$dir/input")
+      }
+      val name = sinkName("nd_")
+      drainAndRollup(s, name,
+        () => graft.streaming.StreamingAnalytics.streamingNearDedup(
+            fileStream(s, dir).withColumn("ts", col("ts").cast("timestamp")),
+            "text", "1 hour", bandWidth = 2)
+          .writeStream.outputMode("append").format("memory").queryName(name).start(),
+        betweenBatches = Seq(
+          () => sentinel(-1L, "sentinel-one", 3),
+          () => sentinel(-2L, "sentinel-two", 6)),
+        afterDrain = q => {
+          val last = q.recentProgress.filter(_.stateOperators.nonEmpty).lastOption
+            .getOrElse(throw new IllegalStateException(
+              "neardup stream reported no stateful progress"))
+          val rows = last.stateOperators.map(_.numRowsTotal).sum
+          if (rows > 2) throw new IllegalStateException(
+            s"neardup dedup state NOT bounded by the watermark: $rows state rows " +
+              "after the watermark passed the corpus (expected ≤ 2 sentinel keys)")
+        }) {
+        _.filter(col("doc_id") >= 0)
+          .agg(count(lit(1)).as("n_survivors"))
+          .select(lit(nDocs.toLong).as("n_in"), col("n_survivors"),
+            (lit(nDocs.toLong) - col("n_survivors")).as("n_dropped"))
       }
     }),
 
@@ -482,7 +615,7 @@ object EngineE2E {
           .groupBy(col("user_id"), session_window(col("ts"), "1 hour"))
           .agg(count(lit(1)).as("n"))
           .writeStream.outputMode("append").format("memory").queryName(name).start(),
-        betweenBatches = Some(() => appendSentinel(seed, dir,
+        betweenBatches = Seq(() => appendSentinel(seed, dir,
           Seq("event_id" -> -1L, "user_id" -> -1L, "event_type" -> "sentinel"), cols))) {
         _.filter(col("user_id") >= 0)
           .groupBy("user_id")
@@ -535,6 +668,47 @@ object EngineE2E {
         .localCheckpoint(true)
       s.sql(s"DROP TABLE IF EXISTS $ta"); s.sql(s"DROP TABLE IF EXISTS $tb")
       out
+    }),
+
+    // D8 linger retention end-to-end: two batches reach terminal status
+    // at T0; one hour later the maintenance tick's vacuum pass
+    // (GraftWorker.vacuumLingered — goose's EXPIRE linger-sec,
+    // redis/batch.clj:73-99) drops the short-linger batch's meta + status
+    // rows while the long-linger one survives untouched.
+    "q46_retention" -> ((s, d) => {
+      import s.implicits._
+      val (backend, worker, _, clock) = fixture(s)
+      val retry = RetryOpts(maxRetries = 1, retryDelaySecFn = "e2e_instant")
+      backend.putBatch(BatchMeta("linger-short", "e2e_noop", 60, "e2e", "e2e",
+        retry, SeedCount / 2, BatchStatus.InProgress, T0))
+      backend.putBatch(BatchMeta("linger-long", "e2e_noop", 7200, "e2e", "e2e",
+        retry, SeedCount - SeedCount / 2, BatchStatus.InProgress, T0))
+      val seed = Tables.events(s, d).orderBy("event_id").limit(SeedCount)
+        .select(col("event_id"))
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window.orderBy("event_id")))
+        .select($"event_id".as[Long], $"rn".as[Int])
+        .map { case (eid, rn) =>
+          Job(id = eid.toString, executeFnSym = "e2e_noop", argsJson = "[]",
+            queue = "e2e", readyQueue = "e2e", priority = 0, enqueuedAt = T0,
+            scheduleRunAt = None, cronRunAt = None,
+            batchId = Some(if (rn <= SeedCount / 2) "linger-short" else "linger-long"),
+            retryOpts = retry, state = None, seq = Job.nextSeq())
+        }
+      backend.enqueue(seed)
+      worker.runPass() // all succeed → both batches terminal at clock=T0
+      new BatchTracker(backend, s).trackPass()
+      clock.addAndGet(3600 * 1000L) // one hour: past 60s, within 7200s
+      val gw = new graft.worker.GraftWorker(backend, s, backend.root,
+        nowFn = () => clock.get())
+      val nVac = gw.vacuumLingered() // the maintenance tick's vacuum pass
+      val statusBatches = backend.batchStatusEvents.toDF()
+        .agg(countDistinct(col("batchId")).as("n_status_batches"))
+      backend.batches.toDF()
+        .select(col("id").as("batch_id"), col("lingerSec").as("linger_sec"))
+        .crossJoin(broadcast(Seq(nVac).toDF("n_vacuumed")))
+        .crossJoin(broadcast(statusBatches))
+        .orderBy("batch_id")
     }),
 
     // D7/D8: batch over the seed jobs → tracker folds completions → one
@@ -617,6 +791,22 @@ object EngineE2E {
          |UNION ALL
          |SELECT 'success', COUNT(*) FROM seed WHERE event_type <> 'error'
          |ORDER BY terminal_state""".stripMargin,
+    // the short-linger batch (60s) is vacuumed after the one-hour jump;
+    // the long-linger batch (7200s) survives with its status rows
+    "q46_retention" ->
+      """SELECT 'linger-long' AS batch_id, 7200 AS linger_sec,
+        |  1 AS n_vacuumed, CAST(1 AS BIGINT) AS n_status_batches""".stripMargin,
+    // the first half commits under worker A (one execution each); the
+    // second half is executed by A (uncommitted), then redelivered and
+    // committed by worker B — two executions, one completion
+    "q45_orphan_recovery" ->
+      s"""WITH seed AS (
+         |  SELECT event_id, ROW_NUMBER() OVER (ORDER BY event_id) AS rn
+         |  FROM (SELECT event_id FROM events ORDER BY event_id LIMIT $SeedCount))
+         |SELECT event_id AS job_id,
+         |  CAST(CASE WHEN rn <= ${SeedCount / 2} THEN 1 ELSE 2 END AS INT) AS n_exec,
+         |  CAST(1 AS BIGINT) AS n_done
+         |FROM seed ORDER BY job_id""".stripMargin,
     "q37_middleware_chain" ->
       s"""SELECT CAST(event_id AS BIGINT) AS job_id,
          |  CASE WHEN event_id % 7 = 0 THEN 'retrying' ELSE 'success' END AS terminal_state
@@ -662,6 +852,25 @@ object EngineE2E {
       """WITH seed AS (SELECT * FROM events ORDER BY event_id LIMIT 1000)
         |SELECT event_type, COUNT(DISTINCT user_id) AS n_users
         |FROM seed GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // survivors = distinct leading (h1, h2) MinHash bands over the seed
+    // corpus (every doc arrives within one watermark horizon, so the
+    // streaming filter's keep-first semantics reduce to DISTINCT-by-band;
+    // which doc survives per band is arrival order, so the rollup only
+    // counts). Signature CTE mirrors DedupOps.sigSqlCte at band width 2.
+    "e2e_stream_neardup" ->
+      """WITH seed AS (SELECT doc_id, text FROM documents ORDER BY doc_id LIMIT 500),
+        |sh AS (
+        |  SELECT doc_id, substr(text, CAST(g AS INT), 8) AS s
+        |  FROM (SELECT doc_id, text,
+        |          unnest(generate_series(1, greatest(length(text) - 7, 1))) AS g
+        |        FROM seed)),
+        |sig AS (
+        |  SELECT doc_id, min(md5('1' || s)) AS h1, min(md5('2' || s)) AS h2
+        |  FROM sh GROUP BY doc_id)
+        |SELECT CAST(500 AS BIGINT) AS n_in,
+        |  COUNT(DISTINCT h1 || '|' || h2) AS n_survivors,
+        |  500 - COUNT(DISTINCT h1 || '|' || h2) AS n_dropped
+        |FROM sig""".stripMargin,
     "e2e_stream_join" ->
       """WITH seed AS (SELECT * FROM events ORDER BY event_id LIMIT 1000)
         |SELECT e.event_id AS err_id, COUNT(*) AS n_clicks

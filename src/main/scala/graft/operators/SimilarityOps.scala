@@ -334,7 +334,10 @@ object SimilarityOps {
       elems.join(ivfCentroids(s, d), Seq("label", "pos"))
         .groupBy("label", "vec_id")
         .agg(round(sum(col("v") * col("cv")) /
-          (sqrt(sum(col("v") * col("v"))) * sqrt(sum(col("cv") * col("cv")))), 6)
+          // zero-norm guard as in s08: Spark yields NULL but DuckDB NaN
+          // on 0/0, and the two sort differently — clamp both engines
+          greatest(sqrt(sum(col("v") * col("v"))) * sqrt(sum(col("cv") * col("cv"))),
+            lit(1e-12)), 6)
           .as("cos"))
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") <= 3)
@@ -507,7 +510,7 @@ object SimilarityOps {
         |centroids AS (SELECT label, pos, avg(v) AS cv FROM elems GROUP BY label, pos),
         |cos AS (
         |  SELECT e.label, e.vec_id,
-        |    ROUND(SUM(e.v * c.cv) / (sqrt(SUM(e.v * e.v)) * sqrt(SUM(c.cv * c.cv))), 6) AS cos
+        |    ROUND(SUM(e.v * c.cv) / greatest(sqrt(SUM(e.v * e.v)) * sqrt(SUM(c.cv * c.cv)), 1e-12), 6) AS cos
         |  FROM elems e JOIN centroids c ON e.label = c.label AND e.pos = c.pos
         |  GROUP BY e.label, e.vec_id)
         |SELECT label, vec_id, cos, rn FROM (

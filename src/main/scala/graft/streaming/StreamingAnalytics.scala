@@ -46,6 +46,38 @@ object StreamingAnalytics {
       .withWatermark("ts", lateness)
       .dropDuplicatesWithinWatermark("fp")
 
+  /** Streaming NEAR-dup dedup — the ingest-time twin of the batch
+    * MinHash-LSH pass (d05/d09/d10): each doc gets the same salted-min
+    * signature the batch operators compute (via the native
+    * [[graft.functions.MinHashMd5]] expression — stateless, codegen,
+    * streaming-safe), and is dropped if an earlier doc within the
+    * watermark horizon shares its leading `bandWidth`-hash band. A pair
+    * with shingle-Jaccard J collides with probability J^bandWidth — the
+    * approximate high-precision ingest filter; the batch d10
+    * verify-over-candidates pass is the backstop for band misses and
+    * cross-horizon dups.
+    *
+    * State shape: ONE row per distinct band key within the horizon
+    * (`dropDuplicatesWithinWatermark` evicts keys once the watermark
+    * passes their event time), so state is bounded by ingest rate ×
+    * horizon, never by stream history — the only dedup shape that runs
+    * forever at firehose rates. Input needs an event-time column `ts`
+    * (already watermark-castable) and a text column named by `textCol`. */
+  def streamingNearDedup(
+      docs: DataFrame,
+      textCol: String = "text",
+      lateness: String = "10 minutes",
+      bandWidth: Int = 2): DataFrame = {
+    import graft.operators.DedupOps.ShingleLen
+    val banded = (1 to bandWidth).foldLeft(docs) { (df, i) =>
+      df.withColumn(s"h$i",
+        graft.functions.MinHashFunctions.minhash_md5(col(textCol), i.toString, ShingleLen))
+    }
+    banded
+      .withWatermark("ts", lateness)
+      .dropDuplicatesWithinWatermark("h1", (2 to bandWidth).map(i => s"h$i"): _*)
+  }
+
   /** Failure ratio per window+queue (conditional aggregation — the
     * streaming twin of the console's gauges). */
   def failureRates(

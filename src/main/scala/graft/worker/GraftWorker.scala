@@ -76,6 +76,18 @@ final class GraftWorker(
     }
   }
 
+  /** D8 linger retention on the compaction cadence: terminal batches past
+    * their lingerSec leave the metadata/status logs (goose: EXPIRE
+    * linger-sec NX on the batch hash, redis/batch.clj:73-99). A fold, so
+    * write-gated like compaction; returns the number vacuumed. */
+  def vacuumLingered(): Int = {
+    gate.writeLock().lock()
+    try mgmt.vacuumBatches(nowFn())
+    finally gate.writeLock().unlock()
+  }
+
+  private lazy val mgmt = new graft.api.ManagementApi(backend, spark)
+
   /** Fold every job log to its visible rows under the write gate — safe
     * to call while the stream runs; the next micro-batch simply sees the
     * folded (equivalent) state. */
@@ -131,8 +143,10 @@ final class GraftWorker(
             if (!streamingTracker) tracker.trackPass() // recovery/batch mode
             Metrics.publishGauges(backend, spark, metrics)
           } finally gate.readLock().unlock()
-          if (compactEveryTicks > 0 && tick % compactEveryTicks == 0 &&
-            logFileCount() > compactMinFiles) compactNow()
+          if (compactEveryTicks > 0 && tick % compactEveryTicks == 0) {
+            vacuumLingered()
+            if (logFileCount() > compactMinFiles) compactNow()
+          }
         } catch {
           case _: InterruptedException => // stopping
           case e: Throwable =>

@@ -21,7 +21,8 @@ import graft.model._
 final class SchedulerEngine(
     backend: QueueBackend,
     spark: SparkSession,
-    nowFn: () => Long = () => System.currentTimeMillis()) {
+    nowFn: () => Long = () => System.currentTimeMillis(),
+    maxCronEntries: Int = SchedulerEngine.DefaultMaxCronEntries) {
 
   import spark.implicits._
 
@@ -60,10 +61,21 @@ final class SchedulerEngine(
     * next-run time (reference redis/cron.clj:57-103). The registry is a
     * small keyed table (goose keeps it in one Redis HASH), so the
     * driver-side collect here is bounded by the number of *schedules*,
-    * never by job volume. */
+    * never by job volume — and that bound is ENFORCED: more than
+    * `maxCronEntries` due schedules fails loudly (like
+    * [[graft.operators.DedupOps]]'s connected-components round cap)
+    * rather than silently ballooning the driver heap. Job *volume* from
+    * cron fires is unbounded; only the schedule registry is capped. */
   def fireCron(): Int = synchronized {
     val now = nowFn()
-    val due = backend.cronEntries.filter($"nextRunAt" <= now).collect()
+    val dueDs = backend.cronEntries.filter($"nextRunAt" <= now)
+    val nDue = dueDs.count()
+    if (nDue > maxCronEntries)
+      throw new IllegalStateException(
+        s"fireCron: $nDue due cron entries exceed the driver-side registry bound " +
+          s"($maxCronEntries); a registry this size needs the distributed promoteDue " +
+          "shape, not a driver collect — raise maxCronEntries deliberately if so")
+    val due = dueDs.collect()
     if (due.isEmpty) return 0
     val jobs = due.map { e =>
       // cron-run-at = the fire time being honored (redis/cron.clj:83-87)
@@ -84,4 +96,11 @@ final class SchedulerEngine(
   /** One maintenance tick = scheduler + cron, goose's internal pool
     * (redis/worker.clj:81-84) collapsed into a single call. */
   def tick(): (Long, Int) = (promoteDue(), fireCron())
+}
+
+object SchedulerEngine {
+  /** Design envelope for the cron *schedule registry* (not job volume):
+    * goose keeps the whole registry in one Redis HASH; 10k schedules ≈
+    * a few MB collected, far past any real deployment's cron count. */
+  val DefaultMaxCronEntries: Int = 10000
 }

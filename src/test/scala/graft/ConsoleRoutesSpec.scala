@@ -95,4 +95,39 @@ class ConsoleRoutesSpec extends SparkSpec {
     assert(get(routes, "/cron").body == "[]")
     assert(get(routes, "/nonsense").status == 404)
   }
+
+  test("ConsoleServer serves the same route table over live HTTP") {
+    val (backend, client, worker, _, routes, _) = fixture()
+    client.performAsync("ok", "a")
+    client.performAsync("ok", "b")
+    val srv = new graft.api.ConsoleServer(backend, spark)
+    val port = srv.start()
+    try {
+      val http = java.net.http.HttpClient.newHttpClient()
+      def send(method: String, pathAndQuery: String) = {
+        val req = java.net.http.HttpRequest
+          .newBuilder(java.net.URI.create(s"http://127.0.0.1:$port$pathAndQuery"))
+          .method(method, java.net.http.HttpRequest.BodyPublishers.noBody())
+          .build()
+        http.send(req, java.net.http.HttpResponse.BodyHandlers.ofString())
+      }
+      // wire body ≡ the pure handler's body, route by route
+      val home = send("GET", "/")
+      assert(home.statusCode() == 200)
+      assert(home.body() == get(routes, "/").body)
+      assert(home.headers().firstValue("Content-Type").get.startsWith("application/json"))
+      val page = send("GET", "/enqueued/queue/test?page=0")
+      assert(page.statusCode() == 200 && page.body().contains("\"total\":2"))
+      assert(page.body() == get(routes, "/enqueued/queue/test", "page" -> "0").body)
+      assert(send("GET", "/enqueued/queue/test/job/nope").statusCode() == 404)
+      // a mutating action over the wire is visible to the engine
+      worker.runPass() // drain so the purge below counts from a known state
+      client.performAsync("ok", "c")
+      assert(send("DELETE", "/enqueued/queue/test").statusCode() == 200)
+      assert(get(routes, "/").body.contains("\"enqueued\":0"))
+      assert(send("GET", "/nonsense").statusCode() == 404)
+      // bad numeric param → handler's 400 contract over the wire
+      assert(send("GET", "/enqueued/queue/test?page=zap").statusCode() == 400)
+    } finally srv.stop()
+  }
 }

@@ -104,7 +104,10 @@ class CorpusOpsSpec extends SparkSpec {
   }
 
   test("q41 salting spreads every hot key across the salt space") {
-    val ev = Tables.events(spark, sf)
+    // sf0.01: the sf0.001 hottest key (~210 rows) is thinner than the
+    // ~8-rows-per-shard floor the statistical bound needs; one size up
+    // gives ~2k rows → ideal shard ~63, comfortably judgeable
+    val ev = Tables.events(spark, "/root/testdata/sf0.01")
     val saltN = 32
     val perKey = ev.groupBy("event_type").count()
       .agg(max("count")).head().getLong(0)
@@ -112,10 +115,16 @@ class CorpusOpsSpec extends SparkSpec {
       .withColumn("salt", pmod(hash(col("event_id")), lit(saltN)))
       .groupBy("event_type", "salt").count()
       .agg(max("count")).head().getLong(0)
-    // the hottest (key, salt) shard must be a small fraction of the
-    // hottest unsalted key — the straggler the salt removes
-    assert(perSalted * 8 < perKey,
-      s"salting must spread hot keys: max/key=$perKey, max/(key,salt)=$perSalted")
+    // the hottest (key, salt) shard must be close to the perfect 1/saltN
+    // split of the hottest unsalted key. The bound derives from the
+    // OBSERVED hot-key count (4× the ideal shard, a generous skew
+    // allowance), so a regenerated fixture with a thinner hottest key
+    // tightens/loosens the bound with it instead of flaking; below 8
+    // rows per shard the statistics are meaningless, so skip.
+    val ideal = (perKey + saltN - 1) / saltN
+    assume(ideal >= 8, s"hottest key too thin to judge salting (perKey=$perKey)")
+    assert(perSalted <= ideal * 4,
+      s"salting must spread hot keys: max/key=$perKey, max/(key,salt)=$perSalted, ideal=$ideal")
   }
 
   test("t09 vocab coverage is monotone and bounded") {

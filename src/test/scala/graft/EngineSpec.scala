@@ -193,6 +193,21 @@ class EngineSpec extends SparkSpec {
     assert(order.toArray.toSeq == Seq("outer-pre", "inner-pre", "inner-post", "outer-post"))
   }
 
+  test("cron: fireCron enforces the driver-side registry bound loudly") {
+    val (backend, client, _, _, _, clock) = fixture(
+      Instant.parse("2024-01-01T00:00:30Z").toEpochMilli)
+    (1 to 3).foreach(i =>
+      client.performEveryTz(s"tick-$i", "* * * * *", "UTC", "ok"))
+    clock.set(Instant.parse("2024-01-01T00:02:10Z").toEpochMilli)
+    val capped = new SchedulerEngine(backend, spark, () => clock.get(),
+      maxCronEntries = 2)
+    val e = intercept[IllegalStateException](capped.fireCron())
+    assert(e.getMessage.contains("registry bound"))
+    // under the default envelope the same registry fires fine
+    val ok = new SchedulerEngine(backend, spark, () => clock.get())
+    assert(ok.fireCron() == 3)
+  }
+
   test("cron: register, fire when due, advance next-run (cron integration)") {
     val (backend, client, worker, sched, api, clock) = fixture(
       Instant.parse("2024-01-01T00:00:30Z").toEpochMilli)
