@@ -236,6 +236,51 @@ object SimilarityOps {
     // cached centroid table; each exact hit is scored by the RANK of its
     // own list for that query, so all three depths fall out of one join
     // (crank <= nprobe), not three candidate scans.
+    // LSH table-count sweep — s06's tuning-table idea for the
+    // random-hyperplane index: recall@10 and candidate volume when only
+    // the first H of the 64 tables are consulted (H = 8/16/32/64). One
+    // candidate pass serves every depth: a candidate's tmin (FIRST table
+    // whose bucket matches) decides membership at each H (tmin < H), the
+    // same one-join trick s06 plays with centroid rank. The Hamming prune
+    // runs on the full signature at every depth, so r64 ≡ s05's recall —
+    // the sweep prices each halving of the index's table count.
+    "s09_lsh_table_sweep" -> ((s, d) => {
+      val hs = Seq(8, 16, 32, 64)
+      val sigs = lshSigs(s, d)
+      val qs = sigs.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("sig").as("qsig"), col("embedding").as("qv"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("qid").orderBy(col("cos").desc, col("vec_id").asc)
+      val exact = sigs.join(broadcast(qs), col("vec_id") =!= col("qid"))
+        .withColumn("cos", cosCol)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 10)
+        .select(col("qid").as("x_qid"), col("vec_id").as("x_vid"))
+      val qKeys = tableKeys(sigs.filter(col("vec_id") < 5), col("vec_id").as("qid"))
+      val tmin = tableKeys(sigs, col("vec_id"))
+        .join(broadcast(qKeys), Seq("t", "k"))
+        .filter(col("vec_id") =!= col("qid"))
+        .groupBy("qid", "vec_id").agg(min(col("t")).as("tmin"))
+        .join(sigs.select(col("vec_id"), col("sig")), Seq("vec_id"))
+        .join(broadcast(qs.select(col("qid"), col("qsig"))), Seq("qid"))
+        .filter(graft.functions.LshFunctions.rhp_hamming(col("sig"), col("qsig")) <=
+          graft.functions.RhpPlanes.HamRadius)
+        .select("qid", "vec_id", "tmin")
+      val rCols = hs.map(h =>
+        floor(sum(when(col("tmin") < h, 1).otherwise(0)) * 10000.0 / count(lit(1)))
+          .cast("long").as(s"r${h}_bp"))
+      val recalls = exact.join(tmin,
+          col("x_qid") === col("qid") && col("x_vid") === col("vec_id"), "left")
+        .groupBy(col("x_qid").as("qid"))
+        .agg(rCols.head, rCols.tail: _*)
+      val cCols = hs.map(h =>
+        sum(when(col("tmin") < h, 1L).otherwise(0L)).as(s"c$h"))
+      val candCounts = tmin.groupBy("qid").agg(cCols.head, cCols.tail: _*)
+      recalls.join(candCounts, Seq("qid"), "left")
+        .na.fill(0L, hs.map(h => s"c$h"))
+        .orderBy("qid")
+    }),
+
     "s06_ivf_recall_sweep" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       val qs = emb.filter(col("vec_id") < 5)
@@ -441,6 +486,50 @@ object SimilarityOps {
          |  CAST(FLOOR(COALESCE(cc.n_cand, 0) * 10000.0 / n.corpus_n) AS BIGINT) AS cand_bp
          |FROM hits h LEFT JOIN cc ON h.qid = cc.qid, n
          |ORDER BY h.qid""".stripMargin
+    },
+    "s09_lsh_table_sweep" -> {
+      import graft.functions.RhpPlanes.{BitsPerTable => B, HamRadius, NumTables}
+      def rbp(h: Int) =
+        s"""CAST(FLOOR(SUM(CASE WHEN t.tmin < $h THEN 1 ELSE 0 END)
+           |    * 10000.0 / COUNT(*)) AS BIGINT) AS r${h}_bp""".stripMargin
+      def cnt(h: Int) =
+        s"CAST(SUM(CASE WHEN tmin < $h THEN 1 ELSE 0 END) AS BIGINT) AS c$h"
+      s"""WITH sig AS (
+         |  SELECT vec_id, embedding,
+         |    ${graft.functions.RhpPlanes.duckdbSigExpr("embedding")} AS sig
+         |  FROM embeddings),
+         |q AS (SELECT vec_id AS qid, sig AS qsig, embedding AS qv FROM sig WHERE vec_id < 5),
+         |scored AS (
+         |  SELECT q.qid, e.vec_id, ${cosSql("e.embedding", "q.qv", 6)} AS cos
+         |  FROM embeddings e, q WHERE e.vec_id <> q.qid),
+         |exact AS (
+         |  SELECT qid, vec_id FROM (
+         |    SELECT qid, vec_id,
+         |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id ASC) AS rn
+         |    FROM scored) WHERE rn <= 10),
+         |tmin AS (
+         |  SELECT q.qid, s.vec_id,
+         |    list_min(list_filter(range(0, $NumTables),
+         |      t -> substr(s.sig, CAST(t * $B + 1 AS INT), $B)
+         |         = substr(q.qsig, CAST(t * $B + 1 AS INT), $B))) AS tmin
+         |  FROM sig s, q
+         |  WHERE s.vec_id <> q.qid
+         |    AND length(list_filter(range(0, $NumTables),
+         |          t -> substr(s.sig, CAST(t * $B + 1 AS INT), $B)
+         |             = substr(q.qsig, CAST(t * $B + 1 AS INT), $B))) > 0
+         |    AND bit_count(xor(s.sig::BIT, q.qsig::BIT)) <= $HamRadius),
+         |recalls AS (
+         |  SELECT x.qid,
+         |    ${Seq(8, 16, 32, 64).map(rbp).mkString(",\n    ")}
+         |  FROM exact x LEFT JOIN tmin t ON x.qid = t.qid AND x.vec_id = t.vec_id
+         |  GROUP BY x.qid),
+         |cc AS (
+         |  SELECT qid, ${Seq(8, 16, 32, 64).map(cnt).mkString(", ")}
+         |  FROM tmin GROUP BY qid)
+         |SELECT r.qid, r.r8_bp, r.r16_bp, r.r32_bp, r.r64_bp,
+         |  ${Seq(8, 16, 32, 64).map(h => s"COALESCE(cc.c$h, 0) AS c$h").mkString(", ")}
+         |FROM recalls r LEFT JOIN cc ON r.qid = cc.qid
+         |ORDER BY r.qid""".stripMargin
     },
     "s06_ivf_recall_sweep" ->
       s"""WITH elems AS (

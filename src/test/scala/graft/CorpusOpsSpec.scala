@@ -55,6 +55,23 @@ class CorpusOpsSpec extends SparkSpec {
     assert(s02.length == 5, "s02 re-ranks its candidates to a full top-5")
   }
 
+  test("s09 table sweep: recall and candidates monotone in H; r64 = s05 recall") {
+    val sf01 = "/root/testdata/sf0.01"
+    val sweep = operators.SimilarityOps.queries("s09_lsh_table_sweep")(spark, sf01)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val s05 = operators.SimilarityOps.queries("s05_ann_recall")(spark, sf01)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(sweep.size == 5)
+    sweep.foreach { case (qid, r) =>
+      val recalls = (1 to 4).map(r.getLong) // r8, r16, r32, r64
+      val cands = (5 to 8).map(r.getLong) // c8, c16, c32, c64
+      assert(recalls == recalls.sorted, s"recall must not drop as H grows: $recalls")
+      assert(cands == cands.sorted, s"candidates must not drop as H grows: $cands")
+      assert(recalls.last == s05(qid),
+        s"all 64 tables must reproduce s05's recall for q$qid")
+    }
+  }
+
   test("t08 unigram log-prob is negative and token-count-consistent") {
     val rows = operators.TextOps.queries("t08_unigram_logprob")(spark, sf).collect()
     assert(rows.nonEmpty)
