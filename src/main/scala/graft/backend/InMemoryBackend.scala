@@ -145,9 +145,14 @@ final class InMemoryBackend(spark: SparkSession) extends QueueBackend {
 
   override def deleteBatches(ids: Seq[String]): Unit = lock.synchronized {
     val drop = ids.toSet
+    vacuumedIds ++= drop // sticky: late status re-appends stay hidden
     batchMetas.filterInPlace(m => !drop.contains(m.id))
     statusEvents.filterInPlace(e => !drop.contains(e.batchId))
   }
+
+  private val vacuumedIds = mutable.Set[String]()
+  override def vacuumedBatchIds: Dataset[String] =
+    lock.synchronized(spark.createDataset(vacuumedIds.toSeq))
 
   private val decls = mutable.LinkedHashMap[String, QueueDecl]()
   override def declareQueue(decl: QueueDecl): Unit = {

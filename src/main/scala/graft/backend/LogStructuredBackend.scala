@@ -202,20 +202,37 @@ abstract class LogStructuredBackend(val spark: SparkSession) extends QueueBacken
   // ---------- batches ----------
 
   override def putBatch(meta: BatchMeta): Unit = appendSmall("batches", Seq(meta).toDS())
-  override def batches: Dataset[BatchMeta] = readLog[BatchMeta]("batches")
+  // readers anti-join the vacuum markers: the physical rewrite in
+  // deleteBatches bounds log size, but only the marker makes the delete
+  // DURABLE — a streaming tracker's replayed commit that lands after the
+  // rewrite is hidden again on the next read (see BatchVacuumMarker)
+  override def batches: Dataset[BatchMeta] =
+    readLog[BatchMeta]("batches")
+      .join(vacuumedBatchIds.toDF("v_bid"), $"id" === $"v_bid", "left_anti")
+      .as[BatchMeta]
 
   override def recordBatchStatus(events: Seq[BatchStatusEvent]): Unit =
     appendSmall("batch_status", events.toDS())
   override def batchStatusEvents: Dataset[BatchStatusEvent] =
     readLog[BatchStatusEvent]("batch_status")
+      .join(vacuumedBatchIds.toDF("v_bid"), $"batchId" === $"v_bid", "left_anti")
+      .as[BatchStatusEvent]
 
   override def deleteBatches(ids: Seq[String]): Unit = {
     if (ids.isEmpty) return
     beforeFold()
     val drop = ids.toSet
-    replaceLog("batches", batches.filter(m => !drop.contains(m.id)))
-    replaceLog("batch_status", batchStatusEvents.filter(e => !drop.contains(e.batchId)))
+    val now = System.currentTimeMillis()
+    // marker first (the durable delete), then the rewrite (the size bound)
+    appendSmall("batch_vacuums", ids.map(BatchVacuumMarker(_, now)).toDS())
+    replaceLog("batches",
+      readLog[BatchMeta]("batches").filter(m => !drop.contains(m.id)))
+    replaceLog("batch_status",
+      readLog[BatchStatusEvent]("batch_status").filter(e => !drop.contains(e.batchId)))
   }
+
+  override def vacuumedBatchIds: Dataset[String] =
+    readLog[BatchVacuumMarker]("batch_vacuums").select($"batchId").as[String]
 
   // ---------- worker registry ----------
 

@@ -18,6 +18,16 @@ final case class PurgeMarker(tbl: String, queue: String, seqAt: Long, at: Long)
   * reference redis/batch.clj:73-90). */
 final case class BatchStatusEvent(batchId: String, status: String, at: Long)
 
+/** Batch vacuum marker — the DELETE of a batch in log-structured form.
+  * A physical rewrite alone cannot delete durably: a streaming tracker's
+  * checkpointed state (or a mid-flight commit past its idempotency
+  * check) can re-append the batch's terminal status AFTER the rewrite,
+  * resurrecting it — and re-enqueueing its callback job. The marker
+  * makes the delete sticky: readers anti-join it, and the tracker's
+  * idempotent commit treats marked ids as already-terminal. One row per
+  * vacuumed batch, ever — the same role tombstones play for job rows. */
+final case class BatchVacuumMarker(batchId: String, at: Long)
+
 /** One append to the cron registry log — latest-wins per cronName on
   * read, the same (key, seq) pattern as the job tables. Replaces the
   * read-modify-overwrite snapshot (lost-update window under concurrent
@@ -98,8 +108,16 @@ trait QueueBackend {
   def batchStatusEvents: Dataset[BatchStatusEvent]
 
   /** Drop batch metadata + status rows for the given ids (the linger-TTL
-    * cleanup of redis/batch.clj:73-99, where EXPIRE does it for free). */
+    * cleanup of redis/batch.clj:73-99, where EXPIRE does it for free).
+    * Must be durable against late writers: implementations record a
+    * [[BatchVacuumMarker]] so a replayed tracker commit cannot
+    * resurrect the batch. */
   def deleteBatches(ids: Seq[String]): Unit
+
+  /** Ids of batches deleted by [[deleteBatches]] — consulted by the
+    * batch tracker's idempotent commit (a vacuumed batch is terminal
+    * forever; its callback must never re-fire). */
+  def vacuumedBatchIds: Dataset[String]
 
   // ---- queue declarations (reference rmq/queue.clj:29-48) ----
   /** Idempotent declare of a queue + its delivery envelope; redeclaring

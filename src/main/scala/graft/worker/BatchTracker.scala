@@ -250,10 +250,16 @@ final class BatchTracker(backend: QueueBackend, spark: SparkSession) {
     synchronized {
       if (terminals.isEmpty) return Nil
       val ids = terminals.map(_.batchId).distinct
+      // a vacuumed batch is terminal FOREVER: without this check, the
+      // linger vacuum wiping its status rows would make a replayed epoch
+      // (or the rewritten batches-log file re-delivered to the stream)
+      // re-commit the status and re-fire the callback job
+      val vacuumed = backend.vacuumedBatchIds.toDF("v_bid")
+        .filter($"v_bid".isin(ids: _*)).as[String].collect().toSet
       val already = backend.batchStatusEvents
         .filter($"batchId".isin(ids: _*))
         .filter(e => BatchStatus.terminal(e.status))
-        .select($"batchId").distinct().as[String].collect().toSet
+        .select($"batchId").distinct().as[String].collect().toSet ++ vacuumed
       val fresh = terminals.filterNot(t => already(t.batchId))
       if (fresh.nonEmpty) {
         val metaMap = backend.batches

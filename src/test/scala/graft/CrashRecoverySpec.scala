@@ -47,6 +47,7 @@ final class CrashingBackend(inner: QueueBackend, failMethod: String)
   def recordBatchStatus(events: Seq[BatchStatusEvent]): Unit = inner.recordBatchStatus(events)
   def batchStatusEvents: Dataset[BatchStatusEvent] = inner.batchStatusEvents
   def deleteBatches(ids: Seq[String]): Unit = inner.deleteBatches(ids)
+  def vacuumedBatchIds: Dataset[String] = inner.vacuumedBatchIds
   def declareQueue(decl: QueueDecl): Unit = inner.declareQueue(decl)
   def queueDecls: Dataset[QueueDecl] = inner.queueDecls
   def recordHeartbeat(hb: ProcessHeartbeat): Unit = inner.recordHeartbeat(hb)

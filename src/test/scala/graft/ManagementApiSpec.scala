@@ -138,6 +138,35 @@ class ManagementApiSpec extends SparkSpec {
     assert(backend.batchStatusEvents.count() == 0)
   }
 
+  test("maintenance tick vacuums lingered batches on the compaction cadence") {
+    val (backend, client, worker, _, _, clock) = fixture()
+    JobRegistry.register("mapi_cb2", _ => "cb")
+    val retry = RetryOpts(maxRetries = 0)
+    val c2 = new GraftClient(backend, spark, "test", retry, () => clock.get())
+    c2.performBatch(Seq(("ok", Seq[Any]())), "mapi_cb2", lingerSec = 60)
+    worker.runPass()
+    new graft.worker.BatchTracker(backend, spark).trackPass()
+    clock.addAndGet(3600 * 1000L) // well past the 60s linger
+    val gw = new graft.worker.GraftWorker(backend, spark, backend.root,
+      nowFn = () => clock.get(), maintenanceIntervalMs = 50,
+      compactEveryTicks = 1, compactMinFiles = Int.MaxValue) // vacuum tick, no compaction
+    gw.start()
+    try {
+      // poll OUTSIDE the worker's write gate, so a read can race the
+      // vacuum's log rewrite mid-swap — tolerate the transient
+      // FILE_NOT_EXIST and re-check (the engine's own readers hold the
+      // read lock; only this spec-side probe is gate-free)
+      def batchCount(): Long =
+        try backend.batches.count() catch { case _: Throwable => Long.MaxValue }
+      val deadline = System.currentTimeMillis() + 60000
+      while (batchCount() > 0 && System.currentTimeMillis() < deadline)
+        Thread.sleep(100)
+    } finally gw.stop()
+    assert(backend.batches.count() == 0,
+      "the maintenance tick must vacuum the expired batch without an explicit call")
+    assert(backend.batchStatusEvents.count() == 0)
+  }
+
   test("SQL views expose live collections (GraftSql)") {
     val (backend, client, worker, _, _, _) = fixture()
     client.performAsync("ok", "sql-a")
