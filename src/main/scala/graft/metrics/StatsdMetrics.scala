@@ -35,10 +35,21 @@ final class StatsdMetrics(
     s"sampleRate must be in (0, 1], got $sampleRate")
 
   @transient private lazy val channel = DatagramChannel.open()
-  @transient private lazy val target = new InetSocketAddress(host, port)
+  // not a lazy val: an InetSocketAddress caches an unresolved DNS lookup
+  // forever, and DatagramChannel.send with an unresolved address throws
+  // UnresolvedAddressException. Re-resolve until resolution succeeds,
+  // then cache.
+  @transient private var targetCache: InetSocketAddress = _
+  private def target: InetSocketAddress = {
+    var t = targetCache
+    if (t == null || t.isUnresolved) { t = new InetSocketAddress(host, port); targetCache = t }
+    t
+  }
 
   override def gauge(key: String, value: Double, extra: Map[String, String]): Unit =
-    send(line(key, num(value), "g", extra))
+    // non-finite gauges are dropped, not formatted: NaN/Inf have no statsd
+    // representation and a metrics call must never throw at a call site
+    if (java.lang.Double.isFinite(value)) send(line(key, num(value), "g", extra))
 
   override def increment(key: String, n: Long, extra: Map[String, String]): Unit =
     send(line(key, n.toString, "c", extra))
@@ -71,6 +82,10 @@ final class StatsdMetrics(
     if (enabled &&
         (sampleRate >= 1.0 ||
           ThreadLocalRandom.current().nextDouble() < sampleRate))
+      // fire-and-forget, like UDP itself: an unreachable/unresolvable
+      // aggregator (UnresolvedAddressException is NOT an IOException),
+      // a closed channel — none of it may escape into a worker's tick
+      // or an executor task
       try channel.send(ByteBuffer.wrap(s.getBytes(StandardCharsets.UTF_8)), target)
-      catch { case _: java.io.IOException => () } // fire-and-forget, like UDP itself
+      catch { case scala.util.control.NonFatal(_) => () }
 }

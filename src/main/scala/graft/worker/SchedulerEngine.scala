@@ -68,14 +68,16 @@ final class SchedulerEngine(
     * cron fires is unbounded; only the schedule registry is capped. */
   def fireCron(): Int = synchronized {
     val now = nowFn()
-    val dueDs = backend.cronEntries.filter($"nextRunAt" <= now)
-    val nDue = dueDs.count()
-    if (nDue > maxCronEntries)
+    // limit(max+1) enforces the bound in the SAME job as the collect: at
+    // most max+1 rows ever reach the driver, with no second scan and no
+    // count-then-collect window where the registry changes underneath
+    val due = backend.cronEntries.filter($"nextRunAt" <= now)
+      .limit(maxCronEntries + 1).collect()
+    if (due.length > maxCronEntries)
       throw new IllegalStateException(
-        s"fireCron: $nDue due cron entries exceed the driver-side registry bound " +
-          s"($maxCronEntries); a registry this size needs the distributed promoteDue " +
+        s"fireCron: more than $maxCronEntries due cron entries exceed the driver-side " +
+          "registry bound; a registry this size needs the distributed promoteDue " +
           "shape, not a driver collect — raise maxCronEntries deliberately if so")
-    val due = dueDs.collect()
     if (due.isEmpty) return 0
     val jobs = due.map { e =>
       // cron-run-at = the fire time being honored (redis/cron.clj:83-87)

@@ -67,6 +67,22 @@ class StatsdMetricsSpec extends AnyFunSuite {
     }
   }
 
+  test("fire-and-forget holds for unresolvable hosts and non-finite gauges") {
+    // unresolvable host: UnresolvedAddressException is NOT an IOException;
+    // the sink must swallow it, not fail the caller's task/tick
+    val dark = new StatsdMetrics("graft-no-such-host.invalid", 8125)
+    dark.gauge("x", 1.0); dark.increment("x", 1); dark.timing("x", 1)
+    dark.close()
+    withReceiver { (sock, port) =>
+      val sink = new StatsdMetrics("127.0.0.1", port)
+      sink.gauge("bad", Double.NaN) // dropped, no datagram, no throw
+      sink.gauge("bad", Double.PositiveInfinity)
+      sink.gauge("good", 1.0)
+      assert(recv(sock) == "graft.good:1|g", "non-finite gauges must be dropped")
+      sink.close()
+    }
+  }
+
   test("sink survives serialization into an executor closure (transient channel)") {
     withReceiver { (sock, port) =>
       val sink = new StatsdMetrics("127.0.0.1", port)
