@@ -197,8 +197,43 @@ object TextOps {
           floor(col("covered") * 10000.0 / col("n_total")).cast("long"))
         .select("vocab_size", "covered", "coverage_bp")
         .orderBy("vocab_size")
+    }),
+
+    // PII scan + redaction audit — the privacy-scrub stage a released
+    // training corpus runs last: count email / phone / IPv4 literals per
+    // doc and measure the post-redaction length. One codegen'd scan
+    // (regexp_count + nested regexp_replace), no shuffle before the
+    // top-k. The synthetic corpus carries no PII, so the fixture LACES
+    // deterministic PII into the text inside the query (as the
+    // multimodal ops synthesize their PNG bytes) — both engines scan the
+    // identical derived input, and the patterns stay in the
+    // RE2-compatible subset (char classes, bounded repeats, \b) so Java
+    // regex and DuckDB's RE2 count hit-for-hit.
+    "t10_pii_scan" -> ((s, d) => {
+      val did = col("doc_id").cast("string")
+      val laced = concat(col("text"),
+        when(col("doc_id") % 3 === 0,
+          concat(lit(" reach me at user"), did, lit("@example.com"))).otherwise(lit("")),
+        when(col("doc_id") % 5 === 0, lit(" call 555-123-4567")).otherwise(lit("")),
+        when(col("doc_id") % 7 === 0,
+          concat(lit(" host 10.0."), (col("doc_id") % 256).cast("string"), lit(".1")))
+          .otherwise(lit("")))
+      val redacted = regexp_replace(regexp_replace(regexp_replace(col("t"),
+        PiiEmail, "[EMAIL]"), PiiPhone, "[PHONE]"), PiiIp, "[IP]")
+      Tables.documents(s, d)
+        .select(col("doc_id"), laced.as("t"))
+        .select(col("doc_id"),
+          regexp_count(col("t"), lit(PiiEmail)).cast("long").as("n_email"),
+          regexp_count(col("t"), lit(PiiPhone)).cast("long").as("n_phone"),
+          regexp_count(col("t"), lit(PiiIp)).cast("long").as("n_ip"),
+          length(redacted).cast("long").as("len_redacted"))
+        .orderBy("doc_id").limit(200)
     })
   )
+
+  private val PiiEmail = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val PiiPhone = "\\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\\b"
+  private val PiiIp = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
 
   val oracles: Map[String, String] = Map(
     "t01_lang_id" -> {
@@ -298,6 +333,29 @@ object TextOps {
         |FROM (SELECT 10 AS v UNION ALL SELECT 100 UNION ALL SELECT 1000) p
         |JOIN ranked ON ranked.r = least(p.v, (SELECT MAX(r) FROM ranked))
         |CROSS JOIN n
-        |ORDER BY vocab_size""".stripMargin
+        |ORDER BY vocab_size""".stripMargin,
+
+    // same lacing, same RE2-subset patterns (DuckDB regexps ARE RE2;
+    // backslashes are literal inside DuckDB standard strings)
+    "t10_pii_scan" ->
+      s"""WITH pii AS (
+         |  SELECT doc_id,
+         |    text
+         |    || CASE WHEN doc_id % 3 = 0
+         |         THEN ' reach me at user' || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END
+         |    || CASE WHEN doc_id % 5 = 0 THEN ' call 555-123-4567' ELSE '' END
+         |    || CASE WHEN doc_id % 7 = 0
+         |         THEN ' host 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.1' ELSE '' END AS t
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(t, '$PiiEmail')) AS BIGINT) AS n_email,
+         |  CAST(len(regexp_extract_all(t, '$PiiPhone')) AS BIGINT) AS n_phone,
+         |  CAST(len(regexp_extract_all(t, '$PiiIp')) AS BIGINT) AS n_ip,
+         |  CAST(length(
+         |    regexp_replace(regexp_replace(regexp_replace(t,
+         |      '$PiiEmail', '[EMAIL]', 'g'),
+         |      '$PiiPhone', '[PHONE]', 'g'),
+         |      '$PiiIp', '[IP]', 'g')) AS BIGINT) AS len_redacted
+         |FROM pii ORDER BY doc_id LIMIT 200""".stripMargin
   )
 }

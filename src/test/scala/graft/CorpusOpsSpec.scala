@@ -72,6 +72,21 @@ class CorpusOpsSpec extends SparkSpec {
     }
   }
 
+  test("t10 PII scan finds exactly the laced hits and redaction shortens text") {
+    val rows = operators.TextOps.queries("t10_pii_scan")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val base = Tables.documents(spark, sf).select("doc_id", "n_chars").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      val (id, em, ph, ip) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(em == (if (id % 3 == 0) 1 else 0), s"doc $id email count")
+      assert(ph == (if (id % 5 == 0) 1 else 0), s"doc $id phone count")
+      assert(ip == (if (id % 7 == 0) 1 else 0), s"doc $id ip count")
+      if (em + ph + ip == 0) // unlaced docs redact to their original length
+        assert(r.getLong(4) == base(id), s"doc $id length must be untouched")
+    }
+  }
+
   test("t08 unigram log-prob is negative and token-count-consistent") {
     val rows = operators.TextOps.queries("t08_unigram_logprob")(spark, sf).collect()
     assert(rows.nonEmpty)
