@@ -514,6 +514,41 @@ object EngineE2E {
       }
     }),
 
+    // JSONL ingest — the wire format a 100 TB corpus usually ARRIVES in:
+    // a deterministic slice of documents is written as JSON lines (the
+    // sharded layout a crawler emits), a poison line is appended, and the
+    // read-back runs schema-on-read in PERMISSIVE mode so the corrupt
+    // record is QUARANTINED into its own column instead of killing the
+    // ingest. The gate proves content fidelity through the round-trip:
+    // md5-distinct text count (JSON escaping, unicode) and column sums
+    // must equal the parquet originals, with exactly one quarantined row.
+    "e2e_jsonl_ingest" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft-jsonl").toString
+      Tables.documents(s, d).orderBy("doc_id").limit(200)
+        .select("doc_id", "text", "lang", "source", "n_chars")
+        .coalesce(4) // sharded like a crawler drop, not one giant file
+        .write.json(s"$dir/docs")
+      java.nio.file.Files.writeString(
+        java.nio.file.Path.of(s"$dir/docs/zz-corrupt.json"), "{not valid json\n")
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(
+        "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG, " +
+          "_corrupt_record STRING")
+      val back = s.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(s"$dir/docs")
+        .localCheckpoint(true) // one read serves both branches below
+      val good = back.filter(col("_corrupt_record").isNull)
+      good.agg(
+          count(lit(1)).as("n_good"),
+          sum(col("doc_id")).as("sum_doc_id"),
+          sum(col("n_chars")).as("sum_n_chars"),
+          countDistinct(md5(col("text"))).as("n_unique_text"))
+        .crossJoin(broadcast(
+          back.filter(col("_corrupt_record").isNotNull)
+            .agg(count(lit(1)).as("n_quarantined"))))
+    }),
+
     // Streaming NEAR-dup dedup — the MinHash band-key ingest filter
     // (StreamingAnalytics.streamingNearDedup): every doc gets the same
     // salted-min signature as the batch d04/d05 operators (native
@@ -852,6 +887,16 @@ object EngineE2E {
       """WITH seed AS (SELECT * FROM events ORDER BY event_id LIMIT 1000)
         |SELECT event_type, COUNT(DISTINCT user_id) AS n_users
         |FROM seed GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // round-trip identity: the JSONL read-back must aggregate exactly as
+    // the parquet originals, plus the one quarantined poison line
+    "e2e_jsonl_ingest" ->
+      """WITH s AS (SELECT * FROM documents ORDER BY doc_id LIMIT 200)
+        |SELECT COUNT(*) AS n_good,
+        |  CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_n_chars,
+        |  COUNT(DISTINCT md5(text)) AS n_unique_text,
+        |  CAST(1 AS BIGINT) AS n_quarantined
+        |FROM s""".stripMargin,
     // survivors = distinct leading (h1, h2) MinHash bands over the seed
     // corpus (every doc arrives within one watermark horizon, so the
     // streaming filter's keep-first semantics reduce to DISTINCT-by-band;
