@@ -87,7 +87,8 @@ object ScaleProbe {
       "m01_media_decode", "m02_frame_sample",
       "m03_resize_plan", "p01_clean_corpus", "p02_source_mixing",
       "p03_pack_stats", "p04_shard_plan", "p05_quantile_filter",
-      "p06_length_histogram", "t09_vocab_coverage",
+      "p06_length_histogram", "t09_vocab_coverage", "t10_pii_scan",
+      "s09_lsh_table_sweep",
       "d13_sketch_error", "d14_incremental_dedup",
       "q38_asof_join", "q40_range_join", "q41_salted_join")
     subset.foreach { s =>
