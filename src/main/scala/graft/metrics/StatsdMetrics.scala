@@ -37,12 +37,24 @@ final class StatsdMetrics(
   @transient private lazy val channel = DatagramChannel.open()
   // not a lazy val: an InetSocketAddress caches an unresolved DNS lookup
   // forever, and DatagramChannel.send with an unresolved address throws
-  // UnresolvedAddressException. Re-resolve until resolution succeeds,
-  // then cache.
+  // UnresolvedAddressException. Re-resolve when unresolved — but rate-
+  // limited: a resolver outage makes each lookup BLOCK for its timeout,
+  // and per-send blocking would break the never-a-blocked-worker
+  // contract harder than the dropped metrics do. While unresolved,
+  // sends are skipped (see [[send]]).
+  private val ResolveRetryNanos = 10_000_000_000L // at most one DNS attempt per 10s
   @transient private var targetCache: InetSocketAddress = _
+  @transient private var nextResolveAt: Long = 0L
   private def target: InetSocketAddress = {
     var t = targetCache
-    if (t == null || t.isUnresolved) { t = new InetSocketAddress(host, port); targetCache = t }
+    if (t == null || t.isUnresolved) {
+      val now = System.nanoTime()
+      if (t == null || now - nextResolveAt >= 0) {
+        t = new InetSocketAddress(host, port)
+        targetCache = t
+        nextResolveAt = now + ResolveRetryNanos
+      }
+    }
     t
   }
 
@@ -83,9 +95,12 @@ final class StatsdMetrics(
         (sampleRate >= 1.0 ||
           ThreadLocalRandom.current().nextDouble() < sampleRate))
       // fire-and-forget, like UDP itself: an unreachable/unresolvable
-      // aggregator (UnresolvedAddressException is NOT an IOException),
-      // a closed channel — none of it may escape into a worker's tick
-      // or an executor task
-      try channel.send(ByteBuffer.wrap(s.getBytes(StandardCharsets.UTF_8)), target)
-      catch { case scala.util.control.NonFatal(_) => () }
+      // aggregator, a closed channel — none of it may escape into a
+      // worker's tick or an executor task. While the host is unresolved
+      // the metric is dropped outright (no send attempt, no exception).
+      try {
+        val t = target
+        if (!t.isUnresolved)
+          channel.send(ByteBuffer.wrap(s.getBytes(StandardCharsets.UTF_8)), t)
+      } catch { case scala.util.control.NonFatal(_) => () }
 }

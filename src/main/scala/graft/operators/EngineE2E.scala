@@ -526,7 +526,9 @@ object EngineE2E {
       val dir = java.nio.file.Files.createTempDirectory("graft-jsonl").toString
       Tables.documents(s, d).orderBy("doc_id").limit(200)
         .select("doc_id", "text", "lang", "source", "n_chars")
-        .coalesce(4) // sharded like a crawler drop, not one giant file
+        .repartition(4) // sharded like a crawler drop, not one giant file
+        // (repartition, not coalesce: the global limit above leaves ONE
+        // partition and coalesce can only shrink — it was a silent no-op)
         .write.json(s"$dir/docs")
       java.nio.file.Files.writeString(
         java.nio.file.Path.of(s"$dir/docs/zz-corrupt.json"), "{not valid json\n")
