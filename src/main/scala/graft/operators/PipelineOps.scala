@@ -90,6 +90,9 @@ object PipelineOps {
   /** Context length (in whitespace tokens) for the p03 packing plan. */
   private val ContextLen = 256L
 
+  /** p07 target sample size (docs) across all sources. */
+  private val MixTargetN = 200.0
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p01_clean_corpus" -> ((s, d) => {
       val docs = Tables.documents(s, d)
@@ -175,6 +178,40 @@ object PipelineOps {
     // kept rows, reproducible across reruns AND across engines — the
     // property a 100 TB ingest needs so that retries and backfills select
     // the same docs. One scan, map-side filter, one grouped agg.
+    // Temperature-scaled source mixing — the multilingual-LM rebalancing
+    // knob (sampling probability ∝ count^α, α = 0.5): big sources are
+    // downweighted, small ones upweighted, rates COMPUTED from the data
+    // rather than p02's fixed table. Engine-parity discipline: weights
+    // are sqrt(n) quantized to integers (×1e6, floored) so the
+    // cross-source sum is exact integer arithmetic — order-independent
+    // across Spark partial aggregation and DuckDB — and every float op
+    // after that is written in the same left-to-right order in both
+    // engines. Selection reuses p02's md5-prefix threshold (hex-string
+    // compare ≡ numeric compare), so the sample is deterministic across
+    // reruns AND engines. One agg + a broadcast of |sources| rows back
+    // onto the scan: map-side at any corpus size.
+    "p07_temperature_mix" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val counts = docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
+        .withColumn("w", floor(sqrt(col("n_docs")) * 1e6).cast("long"))
+      val totw = counts.agg(sum("w").as("totw"))
+      val rates = counts.crossJoin(broadcast(totw))
+        .withColumn("rate",
+          least(lit(MixTargetN) * col("w") / col("totw") / col("n_docs"), lit(1.0)))
+        .withColumn("thr", lower(lpad(conv(
+          least(floor(col("rate") * 4294967296.0), lit(4294967295.0))
+            .cast("long").cast("string"), 10, 16), 8, "0")))
+        .select("source", "n_docs", "rate", "thr")
+      docs.join(broadcast(rates), Seq("source"))
+        .withColumn("keep",
+          substring(md5(col("doc_id").cast("string")), 1, 8) < col("thr"))
+        .groupBy("source")
+        .agg(first("n_docs").as("n_docs"),
+          floor(first("rate") * 10000.0).cast("long").as("rate_bp"),
+          sum(when(col("keep"), 1L).otherwise(0L)).as("n_sampled"))
+        .orderBy("source")
+    }),
+
     "p02_source_mixing" -> ((s, d) => {
       val thr = MixWeights.foldRight(lit(thresholdHex(DefaultWeight)): Column) {
         case ((src, f), acc) =>
@@ -365,6 +402,29 @@ object PipelineOps {
          |  UNION ALL SELECT '6_decontaminated', COUNT(*) FROM s5)
          |ORDER BY stage""".stripMargin
     },
+
+    // identical op order everywhere floats appear; weight sum is integer
+    "p07_temperature_mix" ->
+      s"""WITH counts AS (
+         |  SELECT source, COUNT(*) AS n_docs,
+         |    CAST(FLOOR(sqrt(COUNT(*)) * 1000000.0) AS BIGINT) AS w
+         |  FROM documents GROUP BY source),
+         |tot AS (SELECT CAST(SUM(w) AS BIGINT) AS totw FROM counts),
+         |rates AS (
+         |  SELECT source, n_docs,
+         |    least($MixTargetN * w / totw / n_docs, 1.0) AS rate
+         |  FROM counts, tot),
+         |thr AS (
+         |  SELECT source, n_docs, rate,
+         |    printf('%08x', CAST(least(FLOOR(rate * 4294967296.0), 4294967295.0) AS BIGINT)) AS thr
+         |  FROM rates)
+         |SELECT t.source, t.n_docs,
+         |  CAST(FLOOR(t.rate * 10000.0) AS BIGINT) AS rate_bp,
+         |  CAST(SUM(CASE WHEN substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) < t.thr
+         |        THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
+         |FROM documents d JOIN thr t USING (source)
+         |GROUP BY t.source, t.n_docs, t.rate
+         |ORDER BY t.source""".stripMargin,
 
     "p02_source_mixing" -> {
       val thrCase = MixWeights.foldRight(s"'${thresholdHex(DefaultWeight)}'") {

@@ -58,6 +58,22 @@ class PipelineOpsSpec extends SparkSpec {
     assert(run1.map(_.getLong(1)).sum == total, "every doc lands in exactly one shard")
   }
 
+  test("p07 temperature mix hits its target and is deterministic across reruns") {
+    def run() = operators.PipelineOps.queries("p07_temperature_mix")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val a = run()
+    assert(a.sameElements(run()), "hash-threshold sampling must be rerun-stable")
+    val sampled = a.map(_._4).sum
+    val target = 200L
+    // each source's hash-threshold draw is binomial around rate*n; the
+    // total lands near the target (±30% covers the 20-source variance)
+    assert(math.abs(sampled - target) <= target * 3 / 10,
+      s"sampled $sampled docs, target $target")
+    a.foreach { case (src, n, rateBp, k) =>
+      assert(k <= n && rateBp <= 10000, s"$src: invalid rate/sample")
+    }
+  }
+
   test("p05 quantile gate keeps at least half of every source") {
     val rows = operators.PipelineOps.queries("p05_quantile_filter")(spark, sf).collect()
     assert(rows.nonEmpty)
