@@ -188,6 +188,46 @@ final class CommitLogBackend(
     moved
   }
 
+  // ---------- time travel (audit surface) ----------
+
+  /** Raw table contents AS OF manifest `version` — the lakehouse-style
+    * time-travel read, folding the same commit log the live path folds
+    * but stopping at `version`. The dividend of the manifest design
+    * (goose has no analog): "what did the queue hold when version v was
+    * the head?" for audits and incident forensics. Valid while the
+    * referenced data files still exist — [[vacuum]] deletes files
+    * unreferenced by the CURRENT snapshot, so the travel horizon is
+    * "since the last replace+vacuum", the same contract
+    * snapshot-isolated readers already get. Untyped on purpose: this is
+    * the audit path, not a broker read, and it sees physical rows
+    * (pre-visibility-fold). */
+  def readTableAt(tbl: String, version: Long): org.apache.spark.sql.DataFrame = {
+    val files = foldThrough(version)(tbl).map(f => s"$root/$tbl/$f")
+    if (files.isEmpty) spark.emptyDataFrame else spark.read.parquet(files: _*)
+  }
+
+  /** Fold add/replace records through `version` inclusive. No cache —
+    * time travel is cold-path. Torn commits are skipped exactly as the
+    * live fold skips them (they never happened). */
+  private def foldThrough(version: Long): Map[String, Vector[String]] = {
+    var state = Map.empty[String, Vector[String]].withDefaultValue(Vector.empty)
+    listCommits().filter(p => versionOf(p) <= version).foreach { p =>
+      val in = fs.open(p)
+      val lines = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+      val recs = lines.split('\n').filter(_.nonEmpty)
+      if (recs.lastOption.exists(_ == s"end\t${recs.length - 1}"))
+        recs.iterator.takeWhile(!_.startsWith("end\t")).foreach { line =>
+          line.split('\t') match {
+            case Array("add", tbl, file) => state += tbl -> (state(tbl) :+ file)
+            case Array("replace", tbl, rest @ _*) => state += tbl -> rest.toVector
+            case other => throw new IllegalStateException(
+              s"corrupt commit record in ${p.getName}: ${other.mkString("\t")}")
+          }
+        }
+    }
+    state
+  }
+
   // ---------- LogStructuredBackend primitives ----------
 
   override def dataFileCount(tbl: String): Int = snapshot()(tbl).size
