@@ -88,7 +88,7 @@ object ScaleProbe {
       "m03_resize_plan", "p01_clean_corpus", "p02_source_mixing",
       "p03_pack_stats", "p04_shard_plan", "p05_quantile_filter",
       "p06_length_histogram", "t09_vocab_coverage", "t10_pii_scan",
-      "s09_lsh_table_sweep",
+      "s09_lsh_table_sweep", "p07_temperature_mix",
       "d13_sketch_error", "d14_incremental_dedup",
       "q38_asof_join", "q40_range_join", "q41_salted_join")
     subset.foreach { s =>
