@@ -97,18 +97,32 @@ final class CommitLogBackend(
     val base = cached
     val newer = commits.filter(versionOf(_) > base.version)
     if (newer.isEmpty) return base.tables.withDefaultValue(Vector.empty)
+    val next = foldCommits(newer, base)
+    cached = next
+    next.tables.withDefaultValue(Vector.empty)
+  }
+
+  /** The ONE fold over commit files — shared by the live [[snapshot]]
+    * and the time-travel [[foldThrough]] so the torn-commit policy can
+    * never diverge between them: a commit is complete iff its
+    * `end <count>` trailer matches (the claim is an atomic CREATE, so a
+    * concurrent/crashed claimant's file can be observed before its
+    * payload is fully written); an incomplete commit older than
+    * [[CommitLogBackend.AbandonedCommitMs]] never happened and is
+    * skipped; a YOUNG incomplete commit is an in-flight writer and stops
+    * the fold at the settled prefix — never fold past it, or the result
+    * would be a state no reader ever saw (and one that silently changes
+    * once the writer finishes). */
+  private def foldCommits(commits: Seq[Path], base: LogState): LogState = {
     var state = base.tables.withDefaultValue(Vector.empty)
     var folded = base.version
-    val it = newer.iterator
+    val it = commits.iterator
     var stop = false
     while (it.hasNext && !stop) {
       val p = it.next()
       val in = fs.open(p)
       val lines = try new String(in.readAllBytes(), "UTF-8") finally in.close()
       val recs = lines.split('\n').filter(_.nonEmpty)
-      // a commit is complete iff its `end <count>` trailer matches: the
-      // claim is an atomic CREATE, so a concurrent/crashed claimant's file
-      // can be observed before its payload is fully written
       val complete = recs.lastOption.exists(_ == s"end\t${recs.length - 1}")
       if (!complete) {
         val ageMs = System.currentTimeMillis() - fs.getFileStatus(p).getModificationTime
@@ -132,8 +146,7 @@ final class CommitLogBackend(
         folded = versionOf(p)
       }
     }
-    cached = LogState(folded, state)
-    state.withDefaultValue(Vector.empty)
+    LogState(folded, state)
   }
 
   private def commit(records: Seq[String]): Unit = commitLock.synchronized {
@@ -200,33 +213,20 @@ final class CommitLogBackend(
     * "since the last replace+vacuum", the same contract
     * snapshot-isolated readers already get. Untyped on purpose: this is
     * the audit path, not a broker read, and it sees physical rows
-    * (pre-visibility-fold). */
+    * (pre-visibility-fold). A request spanning an in-flight (young,
+    * incomplete) commit folds only the settled prefix — identical
+    * stop-vs-skip policy to the live read, via the shared
+    * [[foldCommits]]. */
   def readTableAt(tbl: String, version: Long): org.apache.spark.sql.DataFrame = {
     val files = foldThrough(version)(tbl).map(f => s"$root/$tbl/$f")
     if (files.isEmpty) spark.emptyDataFrame else spark.read.parquet(files: _*)
   }
 
   /** Fold add/replace records through `version` inclusive. No cache —
-    * time travel is cold-path. Torn commits are skipped exactly as the
-    * live fold skips them (they never happened). */
-  private def foldThrough(version: Long): Map[String, Vector[String]] = {
-    var state = Map.empty[String, Vector[String]].withDefaultValue(Vector.empty)
-    listCommits().filter(p => versionOf(p) <= version).foreach { p =>
-      val in = fs.open(p)
-      val lines = try new String(in.readAllBytes(), "UTF-8") finally in.close()
-      val recs = lines.split('\n').filter(_.nonEmpty)
-      if (recs.lastOption.exists(_ == s"end\t${recs.length - 1}"))
-        recs.iterator.takeWhile(!_.startsWith("end\t")).foreach { line =>
-          line.split('\t') match {
-            case Array("add", tbl, file) => state += tbl -> (state(tbl) :+ file)
-            case Array("replace", tbl, rest @ _*) => state += tbl -> rest.toVector
-            case other => throw new IllegalStateException(
-              s"corrupt commit record in ${p.getName}: ${other.mkString("\t")}")
-          }
-        }
-    }
-    state
-  }
+    * time travel is cold-path. */
+  private def foldThrough(version: Long): Map[String, Vector[String]] =
+    foldCommits(listCommits().filter(p => versionOf(p) <= version),
+      LogState(0L, Map.empty)).tables.withDefaultValue(Vector.empty)
 
   // ---------- LogStructuredBackend primitives ----------
 

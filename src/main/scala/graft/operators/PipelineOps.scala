@@ -172,12 +172,6 @@ object PipelineOps {
         .select("stage", "n_docs").orderBy("stage")
     }),
 
-    // Deterministic weighted source mixing — the data-mixing pass that
-    // turns a raw crawl into a training mixture (Pile/Dolma-style per-
-    // source weights). Hash-threshold sampling: no RNG, no shuffle of the
-    // kept rows, reproducible across reruns AND across engines — the
-    // property a 100 TB ingest needs so that retries and backfills select
-    // the same docs. One scan, map-side filter, one grouped agg.
     // Temperature-scaled source mixing — the multilingual-LM rebalancing
     // knob (sampling probability ∝ count^α, α = 0.5): big sources are
     // downweighted, small ones upweighted, rates COMPUTED from the data
@@ -212,6 +206,12 @@ object PipelineOps {
         .orderBy("source")
     }),
 
+    // Deterministic weighted source mixing — the data-mixing pass that
+    // turns a raw crawl into a training mixture (Pile/Dolma-style per-
+    // source weights). Hash-threshold sampling: no RNG, no shuffle of the
+    // kept rows, reproducible across reruns AND across engines — the
+    // property a 100 TB ingest needs so that retries and backfills select
+    // the same docs. One scan, map-side filter, one grouped agg.
     "p02_source_mixing" -> ((s, d) => {
       val thr = MixWeights.foldRight(lit(thresholdHex(DefaultWeight)): Column) {
         case ((src, f), acc) =>
