@@ -168,7 +168,12 @@ abstract class LogStructuredBackend(val spark: SparkSession) extends QueueBacken
     * RMQ's PRECONDITION_FAILED on `queue.declare` with changed arguments
     * (reference rmq/queue.clj:29-48). Earliest declaration wins on read,
     * so two racing writers of the SAME envelope converge and a later
-    * conflicting one would have thrown here. */
+    * conflicting one would have thrown here.
+    *
+    * Driver-side bound: the collect below is over [[queueDecls]], which
+    * already resolves to ONE row per queue (earliest-wins window), and
+    * is filtered to one queue — so at most one row ever reaches the
+    * driver, regardless of registry size. */
   override def declareQueue(decl: QueueDecl): Unit = {
     QueueDecl.validate(decl)
     queueDecls.filter($"queue" === decl.queue).collect().headOption match {
