@@ -40,10 +40,28 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
+    // Scratch accounting: every fixture deletes its temp dirs on
+    // completion (EngineE2E.withScratch / Scratch.withDir) — snapshot the
+    // tmp root before the run so any dir that survives the run is caught
+    // and published as a loud sentinel instead of silently accumulating
+    // into the next pass's timings.
+    val tmpRoot = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
+    def scratchDirs(): Set[String] = {
+      val s = java.nio.file.Files.list(tmpRoot)
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.map(_.getFileName.toString)
+          .filter(n => n.startsWith("graft-") || n.startsWith("probe-")).toSet
+      } finally s.close()
+    }
+    val scratchBefore = scratchDirs()
+
     // Warm-up pass at the smallest SF: compiles every plan, loads parquet
     // footers, JITs codegen — measures engine speed, not JVM cold start.
+    val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR",
+      java.nio.file.Paths.get(sfDir).resolveSibling("sf0.001").toString)
     SparkEntry.queries.foreach { case (_, fn) =>
-      try fn(spark, "/root/testdata/sf0.001").count()
+      try fn(spark, warmDir).count()
       catch { case _: Throwable => }
     }
 
@@ -57,11 +75,21 @@ object Bench {
     // of medians (comparable round over round); `wall_sec` is the real
     // elapsed time of the timed section, kept separate per the same
     // measure-don't-guess rule the queries live under.
+    // A query that THROWS records the NEGATED elapsed time — a loud
+    // sentinel in the published artifact (a positive number would read
+    // as "ran fine in time-to-failure seconds").
+    val errors = scala.collection.mutable.LinkedHashSet.empty[String]
+    def timeQuery(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+        dir: String): (String, Double) = {
+      val t0 = System.nanoTime()
+      val ok = try { fn(spark, dir).count(); true }
+        catch { case _: Throwable => errors += name; false }
+      val sec = (System.nanoTime() - t0) / 1e9
+      name -> (if (ok) sec else -sec)
+    }
     def pass(): Seq[(String, Double)] =
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        name -> (System.nanoTime() - t0) / 1e9
+        timeQuery(name, fn, sfDir)
       }
     def median3(xs: Seq[Double]): Double = xs.sorted.apply(1)
     val wall0 = System.nanoTime()
@@ -80,15 +108,16 @@ object Bench {
     // BENCH.json as queries_sf001 so per-query scale sensitivity
     // (t(sf0.1)/t(sf0.01) drifting between rounds) is visible in the
     // official artifact, not only in the SCALING.md probes.
-    val sf001Dir = "/root/testdata/sf0.01"
+    // Path derived from sfDir (env-overridable) so a host without the
+    // default layout doesn't silently publish time-to-failure numbers.
+    val sf001Dir = sys.env.getOrElse("SPARK_GRAFT_SF001_DIR",
+      java.nio.file.Paths.get(sfDir).resolveSibling("sf0.01").toString)
     val fixtureNames = graft.operators.EngineE2E.queries.keySet
-    val sf001 = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filterNot { case (n, _) => fixtureNames(n) }
-      .map { case (name, fn) =>
-        val t0 = System.nanoTime()
-        try { fn(spark, sf001Dir).count() } catch { case _: Throwable => -1L }
-        name -> (System.nanoTime() - t0) / 1e9
-      }
+    val sf001 =
+      if (!java.nio.file.Files.isDirectory(java.nio.file.Paths.get(sf001Dir))) Nil
+      else SparkEntry.queries.toSeq.sortBy(_._1)
+        .filterNot { case (n, _) => fixtureNames(n) }
+        .map { case (name, fn) => timeQuery(name, fn, sf001Dir) }
 
     def qjson(rows: Seq[(String, Double)]): String =
       rows.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")

@@ -1,0 +1,35 @@
+package graft
+
+import java.nio.file.Files
+
+/** Scratch-directory lifecycle for engine fixtures and benches.
+  *
+  * Bench invokes every fixture three times per session and Verify once
+  * more; a leaked temp dir per invocation (~20 fixtures × 3 passes, plus
+  * streaming checkpoints and backend logs inside them) accumulates tens
+  * of directories of parquet + checkpoint state in the shared /tmp over
+  * one driver run — interference the official bench then measures as
+  * "engine time". Every fixture creation goes through [[withDir]], which
+  * guarantees deletion on completion; nothing may return a LAZY plan
+  * that still reads the scratch files (fixtures eagerly materialize via
+  * `localCheckpoint(true)` before the dir is removed).
+  */
+object Scratch {
+  def dir(prefix: String): String = Files.createTempDirectory(prefix).toString
+
+  /** Recursive best-effort delete — reclaiming a scratch dir must never
+    * turn a green fixture into an error path. */
+  def delete(root: String): Unit = {
+    def rec(f: java.io.File): Unit = {
+      val kids = f.listFiles()
+      if (kids != null) kids.foreach(rec)
+      f.delete(); ()
+    }
+    rec(new java.io.File(root))
+  }
+
+  def withDir[T](prefix: String)(f: String => T): T = {
+    val d = dir(prefix)
+    try f(d) finally delete(d)
+  }
+}

@@ -62,15 +62,23 @@ object EngineE2E {
     try f finally s.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
+  /** Run a fixture body against a scratch dir, EAGERLY materialize its
+    * result (localCheckpoint) so no lazy plan still references the
+    * scratch files, then delete the dir — Bench runs every fixture three
+    * times per session and leaked dirs otherwise accumulate as /tmp
+    * interference the official number then measures (VERDICT r5 #1). */
+  private def withScratch(prefix: String)(body: String => DataFrame): DataFrame =
+    graft.Scratch.withDir(prefix) { root => body(root).localCheckpoint(true) }
+
   /** Seed rows for the e2e_stream_* fixtures (first 1000 events), written
-    * to a fresh input dir. Returns (seed, dir); the stream source is
-    * [[fileStream]] over the same dir. */
-  private def seedInput(s: SparkSession, d: String, cols: Seq[String]): (DataFrame, String) = {
-    val dir = java.nio.file.Files.createTempDirectory("graft-e2e-stream").toString
+    * to `dir/input`; the stream source is [[fileStream]] over the same
+    * dir. */
+  private def seedInput(s: SparkSession, d: String, dir: String,
+      cols: Seq[String]): DataFrame = {
     val seed = Tables.events(s, d).orderBy("event_id").limit(1000)
       .select(cols.map(col): _*)
     seed.write.parquet(s"$dir/input")
-    (seed, dir)
+    seed
   }
 
   private def fileStream(s: SparkSession, dir: String): DataFrame =
@@ -114,9 +122,8 @@ object EngineE2E {
   private def sinkName(prefix: String): String =
     prefix + java.util.UUID.randomUUID().toString.replace("-", "")
 
-  private def fixture(spark: SparkSession) = {
+  private def fixture(spark: SparkSession, root: String) = {
     val clock = new AtomicLong(T0)
-    val root = java.nio.file.Files.createTempDirectory("graft-e2e").toString
     val backend = new ParquetBackend(spark, root)
     val worker = new WorkerEngine(backend, spark, Nil, () => clock.get())
     val sched = new SchedulerEngine(backend, spark, () => clock.get())
@@ -125,8 +132,8 @@ object EngineE2E {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // D1/S5/S6: enqueue → execute → completion log, one worker pass.
-    "e2e_worker_pass" -> ((s, d) => {
-      val (backend, worker, _, _) = fixture(s)
+    "e2e_worker_pass" -> ((s, d) => withScratch("graft-e2e") { root =>
+      val (backend, worker, _, _) = fixture(s, root)
       backend.enqueue(seedJobs(s, d))
       worker.runPass()
       backend.completions.toDF()
@@ -139,9 +146,8 @@ object EngineE2E {
     // (reference redis/worker.clj:46-55) — a deterministic gatekeeper
     // middleware rejects every 7th job BEFORE the function runs, sending
     // it down the retry path while the rest succeed untouched.
-    "q37_middleware_chain" -> ((s, d) => {
+    "q37_middleware_chain" -> ((s, d) => withScratch("graft-e2e-mw") { root =>
       val clock = new AtomicLong(T0)
-      val root = java.nio.file.Files.createTempDirectory("graft-e2e-mw").toString
       val backend = new ParquetBackend(s, root)
       val gatekeeper: WorkerCore.Middleware = next => job =>
         if (job.id.toLong % 7 == 0)
@@ -160,8 +166,8 @@ object EngineE2E {
 
     // D3/D4/D5: failures retry with backoff, promotion re-runs them, and
     // exhausted retries bury — two passes with a promotion between.
-    "e2e_retry_death" -> ((s, d) => {
-      val (backend, worker, sched, clock) = fixture(s)
+    "e2e_retry_death" -> ((s, d) => withScratch("graft-e2e") { root =>
+      val (backend, worker, sched, clock) = fixture(s, root)
       backend.enqueue(seedJobs(s, d))
       worker.runPass() // errors → retrying
       clock.addAndGet(1000)
@@ -176,9 +182,8 @@ object EngineE2E {
     // S5/D15: the same pass through the STREAMING worker — a Structured
     // Streaming file-source query over the ready log, drained with
     // processAllAvailable; completions must equal the batch-mode pass.
-    "e2e_streaming_worker" -> ((s, d) => {
-      val (backend, worker, _, _) = fixture(s)
-      val root = backend.root
+    "e2e_streaming_worker" -> ((s, d) => withScratch("graft-e2e") { root =>
+      val (backend, worker, _, _) = fixture(s, root)
       backend.enqueue(seedJobs(s, d))
       val q = worker.startStream(root,
         org.apache.spark.sql.streaming.Trigger.ProcessingTime("100 milliseconds"))
@@ -193,8 +198,8 @@ object EngineE2E {
     // the ready queue (client.clj:82-106, redis/scheduler.clj:12-20) —
     // here priority=1 beats every seed row in consume order. The one
     // client-created row carries a random UUID, mapped to job_id=-1.
-    "q19_pastdue_front" -> ((s, d) => {
-      val (backend, _, _, clock) = fixture(s)
+    "q19_pastdue_front" -> ((s, d) => withScratch("graft-e2e") { root =>
+      val (backend, _, _, clock) = fixture(s, root)
       backend.enqueue(seedJobs(s, d))
       val client = new graft.client.GraftClient(backend, s, "e2e",
         RetryOpts(maxRetries = 1, retryDelaySecFn = "e2e_instant"), () => clock.get())
@@ -211,9 +216,9 @@ object EngineE2E {
     // O2: scheduled page ascending by run-at with offset paging
     // (redis/api/scheduled_jobs.clj:42-45, ZRANGEBYSCORE window) — page 1
     // of the scheduled set, run-ats derived deterministically from ids.
-    "q28_scheduled_page" -> ((s, d) => {
+    "q28_scheduled_page" -> ((s, d) => withScratch("graft-e2e") { root =>
       import s.implicits._
-      val (backend, _, _, _) = fixture(s)
+      val (backend, _, _, _) = fixture(s, root)
       backend.schedule(seedJobs(s, d).map(j =>
         j.copy(scheduleRunAt = Some(T0 + (j.id.toLong % 97) * 1000))))
       backend.scheduledJobs.toDF()
@@ -253,9 +258,9 @@ object EngineE2E {
     // A5/F9: global-workers-count — latest heartbeat per process within
     // TTL (redis/heartbeat.clj:16-20); each process also has an OLDER
     // stale beat, so the max-per-process step is exercised.
-    "q30_workers_alive" -> ((s, d) => {
+    "q30_workers_alive" -> ((s, d) => withScratch("graft-e2e") { root =>
       import s.implicits._
-      val (backend, _, _, _) = fixture(s)
+      val (backend, _, _, _) = fixture(s, root)
       val beats = Tables.events(s, d).select($"user_id".as[Long]).distinct()
         .flatMap(u => Seq(
           ProcessHeartbeat(s"w$u", "e2e", T0 - u * 1000),
@@ -269,9 +274,9 @@ object EngineE2E {
     // then one past-due enqueue per queue — the priority-1 front bump is
     // kept on classic queues and clamped to 0 on quorum queues (RMQ
     // ignores priority on quorum queues, reference rmq/queue.clj:19-28).
-    "q31_queue_decls" -> ((s, d) => {
+    "q31_queue_decls" -> ((s, d) => withScratch("graft-e2e") { root =>
       import s.implicits._
-      val (backend, _, _, clock) = fixture(s)
+      val (backend, _, _, clock) = fixture(s, root)
       val types = Tables.events(s, d).select($"event_type".as[String])
         .distinct().collect().sorted
       types.foreach { t =>
@@ -299,9 +304,9 @@ object EngineE2E {
     // F2: find-by-pattern — an arbitrary typed predicate over the ready
     // set with a limit (reference redis/api/enqueued_jobs.clj via
     // commands.clj:205-210: lazy scan + filter + take).
-    "q32_find_by_pattern" -> ((s, d) => {
+    "q32_find_by_pattern" -> ((s, d) => withScratch("graft-e2e") { root =>
       import s.implicits._
-      val (backend, _, _, _) = fixture(s)
+      val (backend, _, _, _) = fixture(s, root)
       backend.enqueue(seedJobs(s, d))
       val api = new graft.api.ManagementApi(backend, s)
       val hits = api.enqueuedFindByPattern("e2e", j => j.id.toLong % 11 == 0, SeedCount)
@@ -310,9 +315,9 @@ object EngineE2E {
 
     // F6: cron find-by-name — HGET by key (reference redis/cron.clj:26-27);
     // registered through the client so next-run stamping is exercised too.
-    "q33_cron_find_by_name" -> ((s, d) => {
+    "q33_cron_find_by_name" -> ((s, d) => withScratch("graft-e2e") { root =>
       import s.implicits._
-      val (backend, _, _, clock) = fixture(s)
+      val (backend, _, _, clock) = fixture(s, root)
       clock.set(java.time.Instant.parse("2024-01-01T00:00:30Z").toEpochMilli)
       val client = new graft.client.GraftClient(backend, s, "e2e",
         RetryOpts(maxRetries = 1, retryDelaySecFn = "e2e_instant"), () => clock.get())
@@ -327,9 +332,9 @@ object EngineE2E {
     // D13: batch delete — every pending job of one batch tombstoned via
     // the distributed anti-join path, batch keys dropped (reference
     // redis/api/batch.clj:11-38, "documented-expensive" in goose).
-    "q34_batch_delete" -> ((s, d) => {
+    "q34_batch_delete" -> ((s, d) => withScratch("graft-e2e") { root =>
       import s.implicits._
-      val (backend, _, _, _) = fixture(s)
+      val (backend, _, _, _) = fixture(s, root)
       val seed = Tables.events(s, d).orderBy("event_id").limit(SeedCount)
         .select($"event_id".as[Long], $"event_type".as[String]).collect()
       val client = new graft.client.GraftClient(backend, s, "e2e",
@@ -351,8 +356,7 @@ object EngineE2E {
     // ticks (scheduler promotion, batch tracking, heartbeat) started,
     // drained, and gracefully stopped (reference redis/worker.clj:22-88).
     // Completion history must match the two-pass batch-mode result.
-    "q35_worker_lifecycle" -> ((s, d) => {
-      val root = java.nio.file.Files.createTempDirectory("graft-e2e-w").toString
+    "q35_worker_lifecycle" -> ((s, d) => withScratch("graft-e2e-w") { root =>
       val backend = new ParquetBackend(s, root)
       backend.enqueue(seedJobs(s, d))
       // the worker runs TWO streaming queries (consumer + tracker) whose
@@ -386,10 +390,9 @@ object EngineE2E {
     // execution, exactly-once outcome. Execution counts come from a
     // fixture-local registry counter (single-JVM local mode, the specs'
     // TestFns shape); completions from the shared durable log.
-    "q45_orphan_recovery" -> ((s, d) => {
+    "q45_orphan_recovery" -> ((s, d) => withScratch("graft-e2e-orphan") { root =>
       import s.implicits._
       val clock = new AtomicLong(T0)
-      val root = java.nio.file.Files.createTempDirectory("graft-e2e-orphan").toString
       val real = new ParquetBackend(s, root)
       val armed = new java.util.concurrent.atomic.AtomicInteger(0)
       // worker A's view of the same log: throws at the completion commit
@@ -450,9 +453,8 @@ object EngineE2E {
     // — goose's async publisher-confirm strategy re-expressed as group
     // commit (reference rmq/publisher_confirms.clj:26-29,
     // rmq/commands.clj:25-39).
-    "q36_async_confirms" -> ((s, d) => {
+    "q36_async_confirms" -> ((s, d) => withScratch("graft-e2e-cl") { root =>
       import s.implicits._
-      val root = java.nio.file.Files.createTempDirectory("graft-e2e-cl").toString
       val backend = new graft.backend.CommitLogBackend(s, root,
         graft.backend.ConfirmMode.Async(maxBuffered = 1000))
       seedJobs(s, d).collect().grouped(20).foreach(chunk =>
@@ -473,9 +475,9 @@ object EngineE2E {
     // advances the watermark so every seed window finalizes
     // deterministically; the sentinel's own window stays pending (its end
     // is beyond the final watermark) and never emits.
-    "e2e_stream_window" -> ((s, d) => {
+    "e2e_stream_window" -> ((s, d) => withScratch("graft-e2e-stream") { dir =>
       val cols = Seq("event_id", "ts", "event_type", "value")
-      val (seed, dir) = seedInput(s, d, cols)
+      val seed = seedInput(s, d, dir, cols)
       val name = sinkName("sw_")
       drainAndRollup(s, name,
         () => fileStream(s, dir)
@@ -501,8 +503,8 @@ object EngineE2E {
     // stream length). The memory sink holds the deduped KEY SET —
     // order-insensitive by construction — and the batch-side rollup
     // below makes the checked result deterministic.
-    "e2e_stream_dedup" -> ((s, d) => {
-      val (_, dir) = seedInput(s, d, Seq("event_id", "ts", "user_id", "event_type"))
+    "e2e_stream_dedup" -> ((s, d) => withScratch("graft-e2e-stream") { dir =>
+      seedInput(s, d, dir, Seq("event_id", "ts", "user_id", "event_type"))
       val name = sinkName("sd_")
       drainAndRollup(s, name,
         () => fileStream(s, dir)
@@ -522,8 +524,7 @@ object EngineE2E {
     // ingest. The gate proves content fidelity through the round-trip:
     // md5-distinct text count (JSON escaping, unicode) and column sums
     // must equal the parquet originals, with exactly one quarantined row.
-    "e2e_jsonl_ingest" -> ((s, d) => {
-      val dir = java.nio.file.Files.createTempDirectory("graft-jsonl").toString
+    "e2e_jsonl_ingest" -> ((s, d) => withScratch("graft-jsonl") { dir =>
       Tables.documents(s, d).orderBy("doc_id").limit(200)
         .select("doc_id", "text", "lang", "source", "n_chars")
         .repartition(4) // sharded like a crawler drop, not one giant file
@@ -563,9 +564,8 @@ object EngineE2E {
     // fixture ASSERTS the state store evicted down to the sentinel keys
     // (numRowsTotal ≤ 2) — the bounded-state property that lets this
     // query run forever at firehose rates.
-    "e2e_stream_neardup" -> ((s, d) => {
+    "e2e_stream_neardup" -> ((s, d) => withScratch("graft-e2e-neardup") { dir =>
       val nDocs = 500
-      val dir = java.nio.file.Files.createTempDirectory("graft-e2e-neardup").toString
       val rnW = org.apache.spark.sql.expressions.Window.orderBy("doc_id")
       Tables.documents(s, d).orderBy("doc_id").limit(nDocs)
         .select(col("doc_id"), col("text"))
@@ -612,8 +612,8 @@ object EngineE2E {
     // stream's history — the only join shape that runs forever at scale.
     // Inner matches emit as found (append mode); the batch-side rollup
     // keys the check on err_id so row order never matters.
-    "e2e_stream_join" -> ((s, d) => {
-      val (_, dir) = seedInput(s, d, Seq("event_id", "ts", "user_id", "event_type"))
+    "e2e_stream_join" -> ((s, d) => withScratch("graft-e2e-stream") { dir =>
+      seedInput(s, d, dir, Seq("event_id", "ts", "user_id", "event_type"))
       def stream = fileStream(s, dir)
         .withColumn("ts", col("ts").cast("timestamp")) // NTZ→LTZ, UTC session
       val clicks = stream.filter(col("event_type") === "click")
@@ -641,9 +641,9 @@ object EngineE2E {
     // (session state merges as events arrive; a session emits once the
     // watermark passes its close). The sentinel row advances the
     // watermark past every open session, the batch-side rollup drops it.
-    "e2e_stream_session" -> ((s, d) => {
+    "e2e_stream_session" -> ((s, d) => withScratch("graft-e2e-stream") { dir =>
       val cols = Seq("event_id", "ts", "user_id", "event_type")
-      val (seed, dir) = seedInput(s, d, cols)
+      val seed = seedInput(s, d, dir, cols)
       val name = sinkName("ss_")
       drainAndRollup(s, name,
         () => fileStream(s, dir)
@@ -666,8 +666,8 @@ object EngineE2E {
     // state), the lookup-table enrichment every event pipeline runs. The
     // static side is re-resolvable per batch, so a dim refresh lands
     // without restarting the stream.
-    "e2e_stream_enrich" -> ((s, d) => {
-      val (_, dir) = seedInput(s, d, Seq("event_id", "user_id", "event_type", "value"))
+    "e2e_stream_enrich" -> ((s, d) => withScratch("graft-e2e-stream") { dir =>
+      seedInput(s, d, dir, Seq("event_id", "user_id", "event_type", "value"))
       val dim = Tables.customer(s, d)
         .select(col("c_custkey").as("user_id"), col("c_nationkey"))
       val name = sinkName("se_")
@@ -687,8 +687,7 @@ object EngineE2E {
     // needs NO exchange on either side (asserted in EngineSpec with
     // broadcast disabled). The result is checkpointed before the scratch
     // tables drop.
-    "e2e_bucketed_join" -> ((s, d) => {
-      val dir = java.nio.file.Files.createTempDirectory("graft-e2e-bk").toString
+    "e2e_bucketed_join" -> ((s, d) => withScratch("graft-e2e-bk") { dir =>
       val tag = java.util.UUID.randomUUID().toString.replace("-", "").take(8)
       val (ta, tb) = (s"bk_ev_$tag", s"bk_err_$tag")
       val ev = Tables.events(s, d).select("event_id", "user_id", "event_type", "value")
@@ -712,9 +711,9 @@ object EngineE2E {
     // (GraftWorker.vacuumLingered — goose's EXPIRE linger-sec,
     // redis/batch.clj:73-99) drops the short-linger batch's meta + status
     // rows while the long-linger one survives untouched.
-    "q46_retention" -> ((s, d) => {
+    "q46_retention" -> ((s, d) => withScratch("graft-e2e") { root =>
       import s.implicits._
-      val (backend, worker, _, clock) = fixture(s)
+      val (backend, worker, _, clock) = fixture(s, root)
       val retry = RetryOpts(maxRetries = 1, retryDelaySecFn = "e2e_instant")
       backend.putBatch(BatchMeta("linger-short", "e2e_noop", 60, "e2e", "e2e",
         retry, SeedCount / 2, BatchStatus.InProgress, T0))
@@ -750,9 +749,9 @@ object EngineE2E {
 
     // D7/D8: batch over the seed jobs → tracker folds completions → one
     // terminal status (partial-success when some jobs died).
-    "e2e_batch_status" -> ((s, d) => {
+    "e2e_batch_status" -> ((s, d) => withScratch("graft-e2e") { root =>
       import s.implicits._
-      val (backend, worker, sched, clock) = fixture(s)
+      val (backend, worker, sched, clock) = fixture(s, root)
       val bid = "e2e-batch"
       val seed = seedJobs(s, d).map(_.copy(batchId = Some(bid)))
       backend.putBatch(BatchMeta(bid, "e2e_noop", 60, "e2e", "e2e",
