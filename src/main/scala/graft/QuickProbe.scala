@@ -19,12 +19,19 @@ object QuickProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    names.foreach { name =>
-      (1 to 2).foreach { pass =>
-        val t0 = System.nanoTime()
-        SparkEntry.queries(name)(spark, sfDir).count()
-        println(f"PROBE $name pass$pass ${(System.nanoTime() - t0) / 1e9}%.2f s")
-      }
+    names.foreach {
+      // pseudo-query: the per-call enqueue micro-bench, standalone
+      case "__enqueue" =>
+        (1 to 2).foreach { pass =>
+          val (syncRate, bufRate) = Bench.benchEnqueue(spark)
+          println(f"PROBE enqueue pass$pass sync=$syncRate%.0f/s buffered=$bufRate%.0f/s")
+        }
+      case name =>
+        (1 to 2).foreach { pass =>
+          val t0 = System.nanoTime()
+          SparkEntry.queries(name)(spark, sfDir).count()
+          println(f"PROBE $name pass$pass ${(System.nanoTime() - t0) / 1e9}%.2f s")
+        }
     }
     spark.stop()
   }

@@ -11,8 +11,9 @@ import java.nio.file.Files
   * one driver run — interference the official bench then measures as
   * "engine time". Every fixture creation goes through [[withDir]], which
   * guarantees deletion on completion; nothing may return a LAZY plan
-  * that still reads the scratch files (fixtures eagerly materialize via
-  * `localCheckpoint(true)` before the dir is removed).
+  * that still reads the scratch files (fixtures eagerly collect their
+  * bounded rollups into a LocalRelation before the dir is removed — see
+  * EngineE2E.localized).
   */
 object Scratch {
   def dir(prefix: String): String = Files.createTempDirectory(prefix).toString

@@ -28,7 +28,9 @@ object ClientOpts {
   * in the hot path (goose measured 40% throughput cost of always-on
   * instrumentation, specs.clj:241-248).
   */
-final class GraftClient(
+/* not final: [[BufferingClient]] overrides the [[submitReady]] seam to
+ * group-commit the fire-and-forget path */
+class GraftClient(
     backend: QueueBackend,
     spark: SparkSession,
     defaultQueue: String = "default",
@@ -36,6 +38,15 @@ final class GraftClient(
     nowFn: () => Long = () => System.currentTimeMillis()) {
 
   import spark.implicits._
+
+  /** The ONE write path for ready-queue submissions from this client —
+    * [[performAsync]] and past-due [[performAt]] land here. Sync by
+    * default: the job is visible-and-durable on return (goose's Redis
+    * LPUSH semantics, reference client.clj:60-80). [[BufferingClient]]
+    * overrides this with a size/interval-bounded group commit (goose's
+    * RMQ async publisher-confirm semantics). */
+  protected def submitReady(jobs: Seq[Job]): Unit =
+    backend.enqueue(jobs.toDS().coalesce(1))
 
   private def validateQueue(q: String): Unit = {
     require(q.nonEmpty && q.length < 200, s"queue name must be 1..199 chars: '$q'")
@@ -90,7 +101,7 @@ final class GraftClient(
     * from one client (reference client.clj:30-58). */
   def performAsync(opts: ClientOpts, fnSym: String, args: Any*): String = {
     val job = applyDecl(validated(fnSym, args, opts))
-    backend.enqueue(Seq(job).toDS().coalesce(1))
+    submitReady(Seq(job))
     job.id
   }
 
@@ -104,7 +115,7 @@ final class GraftClient(
     val job = validated(fnSym, args, opts)
     val runAt = at.toEpochMilli
     if (runAt <= nowFn()) {
-      backend.enqueue(Seq(applyDecl(job.copy(priority = 1))).toDS().coalesce(1))
+      submitReady(Seq(applyDecl(job.copy(priority = 1))))
     } else {
       backend.schedule(Seq(job.copy(scheduleRunAt = Some(runAt))).toDS().coalesce(1))
     }

@@ -56,19 +56,40 @@ object EngineE2E {
     * so fixtures must run strictly sequentially on the shared session —
     * which Verify and Bench both do (one query at a time). Concurrent
     * fixtures would need a cloned `spark.newSession()` instead. */
-  private def withShufflePartitions[T](s: SparkSession, n: Int)(f: => T): T = {
-    val prev = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", n.toString)
-    try f finally s.conf.set("spark.sql.shuffle.partitions", prev)
+  private def withConf[T](s: SparkSession, kvs: (String, String)*)(f: => T): T = {
+    val prev = kvs.map { case (k, _) => k -> s.conf.getOption(k) }
+    kvs.foreach { case (k, v) => s.conf.set(k, v) }
+    try f finally prev.foreach { case (k, old) =>
+      old.fold(s.conf.unset(k))(v => s.conf.set(k, v))
+    }
   }
 
-  /** Run a fixture body against a scratch dir, EAGERLY materialize its
-    * result (localCheckpoint) so no lazy plan still references the
+  private def withShufflePartitions[T](s: SparkSession, n: Int)(f: => T): T =
+    withConf(s, "spark.sql.shuffle.partitions" -> n.toString)(f)
+
+  /** Eagerly materialize a (small) fixture rollup to the DRIVER and
+    * rebuild it as a LocalRelation. Two lifetimes end at once: no lazy
+    * plan references the scratch files (the dir can be deleted), and no
+    * block-manager state survives the call (r6's eager
+    * `localCheckpoint(true)` here left ~60 checkpointed results per
+    * bench session whose blocks were freed only by driver GC — that
+    * storage-memory pressure landed on whatever ran LAST, which is how
+    * the sf0.01 tail pass regressed +50% in BENCH_r06). Fixture results
+    * are bounded rollups (≤ a few hundred rows), so driver collection is
+    * the right tool — the 100 TB path is the fixture's INTERNAL engine
+    * run, not its assertion rollup. */
+  private def localized(df: DataFrame): DataFrame = {
+    val rows = java.util.Arrays.asList(df.collect(): _*)
+    df.sparkSession.createDataFrame(rows, df.schema)
+  }
+
+  /** Run a fixture body against a scratch dir, eagerly materialize its
+    * result via [[localized]] so no lazy plan still references the
     * scratch files, then delete the dir — Bench runs every fixture three
     * times per session and leaked dirs otherwise accumulate as /tmp
     * interference the official number then measures (VERDICT r5 #1). */
   private def withScratch(prefix: String)(body: String => DataFrame): DataFrame =
-    graft.Scratch.withDir(prefix) { root => body(root).localCheckpoint(true) }
+    graft.Scratch.withDir(prefix) { root => localized(body(root)) }
 
   /** Seed rows for the e2e_stream_* fixtures (first 1000 events), written
     * to `dir/input`; the stream source is [[fileStream]] over the same
@@ -98,23 +119,33 @@ object EngineE2E {
       .write.mode("append").parquet(s"$dir/input")
 
   /** Run a streaming fixture to quiescence on few shuffle partitions,
-    * roll its memory sink up batch-side, checkpoint the (small) result
-    * and DROP the sink's temp view — bench invokes each fixture three
-    * times in one session, and undropped memory sinks would accumulate
-    * driver-resident copies of every run's results. */
+    * roll its memory sink up batch-side, [[localized]]-materialize the
+    * (small) result and DROP the sink's temp view — bench invokes each
+    * fixture three times in one session, and undropped memory sinks
+    * would accumulate driver-resident copies of every run's results. */
   private def drainAndRollup(s: SparkSession, name: String,
       start: () => org.apache.spark.sql.streaming.StreamingQuery,
       betweenBatches: Seq[() => Unit] = Nil,
       afterDrain: org.apache.spark.sql.streaming.StreamingQuery => Unit = _ => ())(
       rollup: DataFrame => DataFrame): DataFrame =
-    withShufflePartitions(s, 4) {
+    // Every streaming fixture runs under the RocksDB state-store
+    // provider — the provider a 100 TB/day deployment would run (state
+    // spills off-heap instead of growing the executor heap), so the
+    // oracle gate exercises the production configuration, not the
+    // HDFS-backed in-memory default the tests would otherwise silently
+    // pin (VERDICT r6 carry-over: the scaladoc claimed RocksDB, nothing
+    // ran it).
+    withConf(s,
+      "spark.sql.shuffle.partitions" -> "4",
+      "spark.sql.streaming.stateStore.providerClass" ->
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider") {
       val q = start()
       try {
         q.processAllAvailable()
         betweenBatches.foreach { f => f(); q.processAllAvailable() }
         afterDrain(q)
       } finally q.stop()
-      val out = rollup(s.table(name)).localCheckpoint(true)
+      val out = localized(rollup(s.table(name)))
       s.catalog.dropTempView(name)
       out
     }
@@ -427,11 +458,19 @@ object EngineE2E {
       val workerA = new WorkerEngine(dying, s, Nil, () => clock.get())
       val qA = workerA.startStream(root, queryName = "orphan-A")
       qA.processAllAvailable()
-      // phase 2: second half arrives; A executes it but dies at commit
+      // phase 2: second half arrives; A executes it but dies at commit.
+      // The INJECTED death is expected — silence Spark's stream-failure
+      // stack trace for the drain window so the ~40-line trace doesn't
+      // land in the driver's captured log tail (it once pushed the bench
+      // JSON line out of the harness's bounded window).
       armed.set(1)
       real.enqueue(jobsWhere(col("rn") > half))
+      s.sparkContext.setLogLevel("OFF")
       try qA.processAllAvailable() catch { case _: Throwable => () }
-      qA.stop()
+      finally {
+        qA.stop()
+        s.sparkContext.setLogLevel("ERROR")
+      }
       // phase 3: B, fresh checkpoint, same log — replays only the orphans
       val workerB = new WorkerEngine(real, s, Nil, () => clock.get())
       val qB = workerB.startStream(root, queryName = "orphan-B")
@@ -697,11 +736,10 @@ object EngineE2E {
         .select(col("user_id"), col("value").as("err_value"))
         .write.mode("overwrite").option("path", s"$dir/b")
         .bucketBy(8, "user_id").sortBy("user_id").saveAsTable(tb)
-      val out = s.table(ta).join(s.table(tb), "user_id")
+      val out = localized(s.table(ta).join(s.table(tb), "user_id")
         .groupBy("event_type")
         .agg(count(lit(1)).as("n"), round(sum("err_value"), 2).as("total_err"))
-        .orderBy("event_type")
-        .localCheckpoint(true)
+        .orderBy("event_type"))
       s.sql(s"DROP TABLE IF EXISTS $ta"); s.sql(s"DROP TABLE IF EXISTS $tb")
       out
     }),
@@ -765,10 +803,57 @@ object EngineE2E {
       val tracker = new BatchTracker(backend, s)
       tracker.trackPass()
       backend.batchStatusEvents.toDF().select(col("status")).orderBy("status")
+    }),
+
+    // Manifest time travel, oracle-gated (VERDICT r5/r6 carry-over: the
+    // CommitLogBackend.readTableAt audit path was spec-only): 10 sync
+    // appends of 10 jobs each — 10 manifest versions — then the queue is
+    // read AS OF the 5th and the 10th version. The as-of-5 audit must
+    // see EXACTLY the first 50 jobs (nothing from later commits), the
+    // as-of-head one all 100 — the lakehouse "what did the queue hold at
+    // version v" forensics read, gated on content (id sums), not just
+    // counts.
+    "q47_time_travel" -> ((s, d) => withScratch("graft-e2e-tt") { root =>
+      import s.implicits._
+      val backend = new graft.backend.CommitLogBackend(s, root)
+      val retry = RetryOpts(maxRetries = 1, retryDelaySecFn = "e2e_instant")
+      val ids = Tables.events(s, d).orderBy("event_id").limit(SeedCount)
+        .select($"event_id".as[Long]).collect().toSeq // bounded: 100 ids
+      val versions = ids.grouped(SeedCount / 10).map { slice =>
+        backend.enqueue(slice.map(eid =>
+          Job(id = eid.toString, executeFnSym = "e2e_noop", argsJson = "[]",
+            queue = "e2e", readyQueue = "e2e", priority = 0, enqueuedAt = T0,
+            scheduleRunAt = None, cronRunAt = None, batchId = None,
+            retryOpts = retry, state = None, seq = Job.nextSeq())).toDS()
+          .coalesce(1))
+        backend.logVersion // version claimed by THIS append
+      }.toVector
+      def auditAt(idx: Int): DataFrame =
+        backend.readTableAt("ready", versions(idx - 1))
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("id").cast("long")).as("id_sum"),
+            max(col("id").cast("long")).as("max_id"))
+          .withColumn("version_idx", lit(idx))
+      auditAt(5).unionByName(auditAt(10))
+        .select("version_idx", "n_rows", "id_sum", "max_id")
+        .orderBy("version_idx")
     })
   )
 
   val oracles: Map[String, String] = Map(
+    "q47_time_travel" ->
+      s"""WITH seed AS (
+         |  SELECT event_id, row_number() OVER (ORDER BY event_id) AS rn
+         |  FROM (SELECT * FROM events ORDER BY event_id LIMIT $SeedCount))
+         |SELECT 5 AS version_idx, COUNT(*) AS n_rows,
+         |  CAST(SUM(event_id) AS BIGINT) AS id_sum,
+         |  CAST(MAX(event_id) AS BIGINT) AS max_id
+         |FROM seed WHERE rn <= ${SeedCount / 2}
+         |UNION ALL
+         |SELECT 10, COUNT(*), CAST(SUM(event_id) AS BIGINT),
+         |  CAST(MAX(event_id) AS BIGINT)
+         |FROM seed
+         |ORDER BY version_idx""".stripMargin,
     "q19_pastdue_front" ->
       s"""WITH seed AS (SELECT event_id FROM (SELECT * FROM events ORDER BY event_id LIMIT $SeedCount)),
          |front AS (

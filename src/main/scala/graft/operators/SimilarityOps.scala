@@ -281,6 +281,52 @@ object SimilarityOps {
         .orderBy("qid")
     }),
 
+    // Hamming-prune radius sweep — the OTHER knob of the s02 funnel
+    // (s09 prices the table count; this prices the bit-prune
+    // tightness): recall@10 and surviving-candidate volume when the
+    // full-signature Hamming gate runs at radius R ∈ {150, 165, 180,
+    // 192} over 384 bits (165 is the production HamRadius; 192 is the
+    // random-pair expectation, i.e. "prune off"). ONE candidate pass
+    // computes each candidate's exact Hamming distance; every radius
+    // falls out of the same join via `ham <= R` — the s09/s06
+    // one-join-many-depths trick.
+    "s10_hamming_sweep" -> ((s, d) => {
+      val rs = Seq(150, 165, 180, 192)
+      val sigs = lshSigs(s, d)
+      val qs = sigs.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("sig").as("qsig"), col("embedding").as("qv"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("qid").orderBy(col("cos").desc, col("vec_id").asc)
+      val exact = sigs.join(broadcast(qs), col("vec_id") =!= col("qid"))
+        .withColumn("cos", cosCol)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 10)
+        .select(col("qid").as("x_qid"), col("vec_id").as("x_vid"))
+      val qKeys = tableKeys(sigs.filter(col("vec_id") < 5), col("vec_id").as("qid"))
+      val ham = tableKeys(sigs, col("vec_id"))
+        .join(broadcast(qKeys), Seq("t", "k"))
+        .filter(col("vec_id") =!= col("qid"))
+        .select("qid", "vec_id").distinct()
+        .join(sigs.select(col("vec_id"), col("sig")), Seq("vec_id"))
+        .join(broadcast(qs.select(col("qid"), col("qsig"))), Seq("qid"))
+        .withColumn("ham",
+          graft.functions.LshFunctions.rhp_hamming(col("sig"), col("qsig")))
+        .select("qid", "vec_id", "ham")
+      val rCols = rs.map(r =>
+        floor(sum(when(col("ham") <= r, 1).otherwise(0)) * 10000.0 / count(lit(1)))
+          .cast("long").as(s"r${r}_bp"))
+      val recalls = exact.join(ham,
+          col("x_qid") === col("qid") && col("x_vid") === col("vec_id"), "left")
+        .groupBy(col("x_qid").as("qid"))
+        .agg(rCols.head, rCols.tail: _*)
+      val cCols = rs.map(r =>
+        sum(when(col("ham") <= r, 1L).otherwise(0L)).as(s"c$r"))
+      val candCounts = ham.groupBy("qid").agg(cCols.head, cCols.tail: _*)
+      recalls.join(candCounts, Seq("qid"), "left")
+        .na.fill(0L, rs.map(r => s"c$r"))
+        .orderBy("qid")
+    }),
+
     "s06_ivf_recall_sweep" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       val qs = emb.filter(col("vec_id") < 5)
@@ -528,6 +574,48 @@ object SimilarityOps {
          |  FROM tmin GROUP BY qid)
          |SELECT r.qid, r.r8_bp, r.r16_bp, r.r32_bp, r.r64_bp,
          |  ${Seq(8, 16, 32, 64).map(h => s"COALESCE(cc.c$h, 0) AS c$h").mkString(", ")}
+         |FROM recalls r LEFT JOIN cc ON r.qid = cc.qid
+         |ORDER BY r.qid""".stripMargin
+    },
+    "s10_hamming_sweep" -> {
+      import graft.functions.RhpPlanes.{BitsPerTable => B, NumTables}
+      val rs = Seq(150, 165, 180, 192)
+      def rbp(r: Int) =
+        s"""CAST(FLOOR(SUM(CASE WHEN c.ham <= $r THEN 1 ELSE 0 END)
+           |    * 10000.0 / COUNT(*)) AS BIGINT) AS r${r}_bp""".stripMargin
+      def cnt(r: Int) =
+        s"CAST(SUM(CASE WHEN ham <= $r THEN 1 ELSE 0 END) AS BIGINT) AS c$r"
+      s"""WITH sig AS (
+         |  SELECT vec_id, embedding,
+         |    ${graft.functions.RhpPlanes.duckdbSigExpr("embedding")} AS sig
+         |  FROM embeddings),
+         |q AS (SELECT vec_id AS qid, sig AS qsig, embedding AS qv FROM sig WHERE vec_id < 5),
+         |scored AS (
+         |  SELECT q.qid, e.vec_id, ${cosSql("e.embedding", "q.qv", 6)} AS cos
+         |  FROM embeddings e, q WHERE e.vec_id <> q.qid),
+         |exact AS (
+         |  SELECT qid, vec_id FROM (
+         |    SELECT qid, vec_id,
+         |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id ASC) AS rn
+         |    FROM scored) WHERE rn <= 10),
+         |cand AS (
+         |  SELECT q.qid, s.vec_id,
+         |    bit_count(xor(s.sig::BIT, q.qsig::BIT)) AS ham
+         |  FROM sig s, q
+         |  WHERE s.vec_id <> q.qid
+         |    AND length(list_filter(range(0, $NumTables),
+         |          t -> substr(s.sig, CAST(t * $B + 1 AS INT), $B)
+         |             = substr(q.qsig, CAST(t * $B + 1 AS INT), $B))) > 0),
+         |recalls AS (
+         |  SELECT x.qid,
+         |    ${rs.map(rbp).mkString(",\n    ")}
+         |  FROM exact x LEFT JOIN cand c ON x.qid = c.qid AND x.vec_id = c.vec_id
+         |  GROUP BY x.qid),
+         |cc AS (
+         |  SELECT qid, ${rs.map(cnt).mkString(", ")}
+         |  FROM cand GROUP BY qid)
+         |SELECT r.qid, ${rs.map(r => s"r.r${r}_bp").mkString(", ")},
+         |  ${rs.map(r => s"COALESCE(cc.c$r, 0) AS c$r").mkString(", ")}
          |FROM recalls r LEFT JOIN cc ON r.qid = cc.qid
          |ORDER BY r.qid""".stripMargin
     },

@@ -177,5 +177,45 @@ class CapabilityMatrixSpec extends SparkSpec {
       assert(c.api.enqueuedSize("test") == 1)
       assert(c.api.enqueuedFindById("test", a).isDefined)
     }
+
+    // BufferingClient: the async-publisher-confirm envelope, spec-enforced
+    // (reference rmq/publisher_confirms.clj:20-29 semantics — a job is
+    // visible/durable only after the flush that carries it).
+    test(s"[$name] buffered enqueue: size bound, staleness bound, ordered flush, drains on close") {
+      TestFns.reset()
+      val clock = new java.util.concurrent.atomic.AtomicLong(1700000000000L)
+      val backend = mk()
+      val retry = RetryOpts(maxRetries = 1, retryDelaySecFn = "instant")
+      val client = new graft.client.BufferingClient(backend, spark, "test",
+        retry, () => clock.get(), flushEvery = 5, flushIntervalMs = 200)
+      // below both bounds: accepted but invisible (the confirm window)
+      (1 to 4).foreach(i => client.performAsync("ok", i))
+      assert(client.pending == 4)
+      assert(backend.readyJobs.count() == 0)
+      // size bound: 5th call lands the whole group in one append
+      client.performAsync("ok", 5)
+      assert(client.pending == 0)
+      assert(backend.readyJobs.count() == 5)
+      // flushes preserve call order (seq is assigned at accept time)
+      val seqs = backend.readyJobs.collect().sortBy(_.seq).map(_.argsJson)
+      assert(seqs.sameElements((1 to 5).map(i => s"[$i]")))
+      // staleness bound: a call past flushIntervalMs flushes immediately
+      client.performAsync("ok", 6)
+      assert(client.pending == 1)
+      clock.addAndGet(250)
+      client.performAsync("ok", 7)
+      assert(client.pending == 0)
+      assert(backend.readyJobs.count() == 7)
+      // close() drains the tail like an RMQ channel close
+      client.performAsync("ok", 8)
+      assert(client.pending == 1)
+      client.close()
+      assert(client.pending == 0)
+      assert(backend.readyJobs.count() == 8)
+      // flushed jobs are real jobs: worker consumes each exactly once
+      val worker = new WorkerEngine(backend, spark, Nil, () => clock.get())
+      assert(worker.runPass().succeeded == 8)
+      assert(worker.runPass().succeeded == 0)
+    }
   }
 }
