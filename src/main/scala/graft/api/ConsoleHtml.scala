@@ -1,0 +1,174 @@
+package graft.api
+
+import org.apache.spark.sql.SparkSession
+import graft.backend.QueueBackend
+import graft.model._
+import graft.worker.BatchTracker
+
+/** Server-rendered console pages — the HTML face of the same
+  * [[ManagementApi]] data the JSON routes serve (reference
+  * console.clj:63-110 `layout`/`html5` + the hiccup views under
+  * brokers/redis/console/pages/: home, enqueued, scheduled, dead, cron,
+  * batch). String templates, zero dependencies: the reference renders
+  * hiccup behind ring/jetty; here the JDK http server (ConsoleServer)
+  * mounts this under the `/console` prefix next to the JSON tree.
+  *
+  * Read pages only — actions (purge/prioritise/replay/delete) stay on
+  * the JSON routes, which the reference also exposes as form POSTs over
+  * the same handlers. Every page is a driver-side bounded read (a page
+  * of 10 jobs, the cron registry, one batch's progress) — console
+  * traffic is human-scale, none of the data plane passes through here.
+  */
+final class ConsoleHtml(backend: QueueBackend, spark: SparkSession) {
+
+  private val api = new ManagementApi(backend, spark)
+  private val tracker = new BatchTracker(backend, spark)
+
+  private def page(params: Map[String, String]): Int =
+    params.get("page").map(_.toInt).getOrElse(0)
+
+  /** Route one GET under the html tree ("" or "/", "enqueued",
+    * "enqueued/queue/:q", "scheduled", "dead", "cron", "batch?id=").
+    * None = unknown page (the server 404s). */
+  def handle(req: ConsoleRequest): Option[ConsoleResponse] = {
+    val segs = req.path.split('/').toList.filter(_.nonEmpty)
+    val p = req.params
+    if (req.method != "GET") return None
+    val body = segs match {
+      case Nil => Some(homePage())
+      case "enqueued" :: Nil => Some(enqueuedIndex())
+      case "enqueued" :: "queue" :: q :: Nil => Some(queuePage(q, page(p)))
+      case "scheduled" :: Nil => Some(jobsPage("Scheduled",
+        api.scheduledSize(), api.scheduledPage(page(p)), page(p), "scheduled"))
+      case "dead" :: Nil => Some(jobsPage("Dead",
+        api.deadSize(), api.deadPage(page(p)), page(p), "dead"))
+      case "cron" :: Nil => Some(cronPage())
+      case "batch" :: Nil => p.get("id").map(batchPage)
+      case _ => None
+    }
+    body.map(b => ConsoleResponse(200, b))
+  }
+
+  // ---------- pages ----------
+
+  private def homePage(): String = {
+    val stats = api.homeStats()
+    val tiles = Seq("enqueued", "scheduled", "dead", "cron").map { k =>
+      val href = s"/console/$k"
+      s"""<div class="tile"><a href="${esc(href)}">
+         |<span class="n">${stats.getOrElse(k, 0L)}</span>
+         |<span class="k">${esc(k)}</span></a></div>""".stripMargin
+    }.mkString
+    layout("Home",
+      s"""<h1>graft console</h1><div class="tiles">$tiles</div>
+         |<p class="muted">total jobs: ${stats.values.sum}</p>""".stripMargin)
+  }
+
+  private def enqueuedIndex(): String = {
+    val rows = api.listQueues().map { q =>
+      s"""<tr><td><a href="/console/enqueued/queue/${esc(q)}">${esc(q)}</a></td>
+         |<td class="num">${api.enqueuedSize(q)}</td></tr>""".stripMargin
+    }.mkString
+    layout("Enqueued",
+      s"""<h1>Enqueued queues</h1>
+         |<table><tr><th>queue</th><th>size</th></tr>$rows</table>""".stripMargin)
+  }
+
+  private def queuePage(q: String, pg: Int): String = {
+    val jobs = api.enqueuedPage(q, pg)
+    layout(s"Enqueued — $q",
+      s"""<h1>Queue <code>${esc(q)}</code></h1>
+         |<p class="muted">${api.enqueuedSize(q)} jobs</p>
+         |${jobTable(jobs)}${pager(s"/console/enqueued/queue/${esc(q)}", pg)}""".stripMargin)
+  }
+
+  private def jobsPage(title: String, total: Long, jobs: Seq[Job],
+      pg: Int, slug: String): String =
+    layout(title,
+      s"""<h1>$title jobs</h1><p class="muted">$total total</p>
+         |${jobTable(jobs)}${pager(s"/console/$slug", pg)}""".stripMargin)
+
+  private def cronPage(): String = {
+    val rows = api.cronList().map { e =>
+      s"""<tr><td>${esc(e.cronName)}</td><td><code>${esc(e.cronSchedule)}</code></td>
+         |<td>${esc(e.timezone)}</td><td>${ts(e.nextRunAt)}</td></tr>""".stripMargin
+    }.mkString
+    layout("Cron",
+      s"""<h1>Cron schedules</h1>
+         |<table><tr><th>name</th><th>schedule</th><th>timezone</th>
+         |<th>next run</th></tr>$rows</table>""".stripMargin)
+  }
+
+  private def batchPage(id: String): String =
+    tracker.progressOf(id) match {
+      case None => layout("Batch", s"<h1>Batch</h1><p>no batch ${esc(id)}</p>")
+      case Some(prog) =>
+        val rows = Seq(
+          "status" -> esc(prog.status), "total" -> prog.total.toString,
+          "enqueued" -> prog.enqueuedCount.toString,
+          "success" -> prog.succeeded.size.toString,
+          "retrying" -> prog.retrying.size.toString,
+          "dead" -> prog.dead.size.toString)
+          .map { case (k, v) => s"<tr><th>$k</th><td>$v</td></tr>" }.mkString
+        layout(s"Batch $id",
+          s"<h1>Batch <code>${esc(id)}</code></h1><table>$rows</table>")
+    }
+
+  // ---------- rendering helpers ----------
+
+  private def jobTable(jobs: Seq[Job]): String = {
+    val rows = jobs.map { j =>
+      val when = j.scheduleRunAt.map(ts).getOrElse(ts(j.enqueuedAt))
+      val err = j.state.map(s => esc(s.error)).getOrElse("")
+      s"""<tr><td><code>${esc(j.id)}</code></td><td>${esc(j.executeFnSym)}</td>
+         |<td><code>${esc(j.argsJson)}</code></td><td>${esc(j.queue)}</td>
+         |<td>$when</td><td>${j.state.map(_.retryCount).getOrElse(0)}</td>
+         |<td class="err">$err</td></tr>""".stripMargin
+    }.mkString
+    s"""<table><tr><th>id</th><th>fn</th><th>args</th><th>queue</th>
+       |<th>at</th><th>retries</th><th>error</th></tr>$rows</table>""".stripMargin
+  }
+
+  private def pager(base: String, pg: Int): String = {
+    val prev = if (pg > 0) s"""<a href="$base?page=${pg - 1}">&laquo; prev</a>""" else ""
+    s"""<div class="pager">$prev <span>page $pg</span>
+       |<a href="$base?page=${pg + 1}">next &raquo;</a></div>""".stripMargin
+  }
+
+  private def ts(ms: Long): String =
+    java.time.Instant.ofEpochMilli(ms).toString
+
+  /** HTML-escape untrusted strings (job args/errors/queue names). */
+  private def esc(s: String): String = s.flatMap {
+    case '&' => "&amp;"
+    case '<' => "&lt;"
+    case '>' => "&gt;"
+    case '"' => "&quot;"
+    case '\'' => "&#39;"
+    case c => c.toString
+  }
+
+  private def layout(title: String, body: String): String = {
+    val nav = Seq("" -> "Home", "enqueued" -> "Enqueued",
+      "scheduled" -> "Scheduled", "dead" -> "Dead", "cron" -> "Cron")
+      .map { case (slug, label) =>
+        s"""<a href="/console/$slug">$label</a>"""
+      }.mkString(" ")
+    s"""<!DOCTYPE html>
+       |<html lang="en"><head><meta charset="utf-8">
+       |<title>${esc(title)} · graft</title>
+       |<style>
+       |body{font-family:system-ui,sans-serif;margin:2rem;color:#222}
+       |nav{margin-bottom:1.5rem}nav a{margin-right:1rem;text-decoration:none}
+       |table{border-collapse:collapse;width:100%}
+       |th,td{border:1px solid #ddd;padding:.4rem .6rem;text-align:left;font-size:.9rem}
+       |th{background:#f5f5f5}.num{text-align:right}
+       |.tiles{display:flex;gap:1rem}.tile a{display:block;padding:1rem 1.5rem;
+       |border:1px solid #ddd;border-radius:6px;text-decoration:none;color:inherit}
+       |.tile .n{display:block;font-size:1.6rem;font-weight:600}
+       |.muted{color:#777}.err{color:#a00;max-width:24rem;overflow-wrap:anywhere}
+       |.pager{margin-top:1rem}code{background:#f5f5f5;padding:0 .2rem}
+       |</style></head>
+       |<body><nav>$nav</nav>$body</body></html>""".stripMargin
+  }
+}

@@ -24,19 +24,43 @@ final class ConsoleServer(
     bindPort: Int = 0) {
 
   private val routes = new ConsoleRoutes(backend, spark)
+  private val html = new ConsoleHtml(backend, spark)
   private val server =
     HttpServer.create(new InetSocketAddress("127.0.0.1", bindPort), 0)
 
   server.createContext("/", (ex: HttpExchange) => {
-    val resp =
+    val path = ex.getRequestURI.getPath
+    // `/console/*` serves the server-rendered pages (reference
+    // console.clj `app-handler` mounts the hiccup views the same way,
+    // at a route prefix beside the data handlers); everything else is
+    // the JSON route table.
+    val htmlPage = Option(path)
+      .filter(p => p == "/console" || p.startsWith("/console/"))
+      .map { p =>
+        val sub = p.stripPrefix("/console")
+        try html.handle(ConsoleRequest(
+            ex.getRequestMethod.toUpperCase, if (sub.isEmpty) "/" else sub,
+            params(ex)))
+          .getOrElse(ConsoleResponse(404, "<!DOCTYPE html><html><body><h1>not found</h1></body></html>"))
+        catch {
+          case e: Throwable =>
+            ConsoleResponse(500, s"<!DOCTYPE html><html><body><h1>error</h1><pre>${e.toString
+              .replace("&", "&amp;").replace("<", "&lt;")}</pre></body></html>")
+        }
+      }
+    val resp = htmlPage.getOrElse {
       try routes.handle(ConsoleRequest(
-        ex.getRequestMethod.toUpperCase, ex.getRequestURI.getPath, params(ex)))
+        ex.getRequestMethod.toUpperCase, path, params(ex)))
       catch { // handle() maps known faults to 400; anything else is a 500
         case e: Throwable =>
           ConsoleResponse(500, s"""{"error":${ConsoleServer.jstr(e.toString)}}""")
       }
+    }
+    val contentType =
+      if (htmlPage.isDefined) "text/html; charset=utf-8"
+      else "application/json; charset=utf-8"
     val bytes = resp.body.getBytes(StandardCharsets.UTF_8)
-    ex.getResponseHeaders.add("Content-Type", "application/json; charset=utf-8")
+    ex.getResponseHeaders.add("Content-Type", contentType)
     ex.sendResponseHeaders(resp.status, bytes.length)
     val os = ex.getResponseBody
     try os.write(bytes) finally os.close()

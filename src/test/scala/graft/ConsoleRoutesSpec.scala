@@ -130,4 +130,48 @@ class ConsoleRoutesSpec extends SparkSpec {
       assert(send("GET", "/enqueued/queue/test?page=zap").statusCode() == 400)
     } finally srv.stop()
   }
+
+  test("ConsoleServer renders HTML pages under /console alongside JSON") {
+    val (backend, client, worker, sched, _, clock) = fixture()
+    // bury one for the dead page FIRST — the passes drain the ready queue
+    client.performAsync("boom")
+    worker.runPass(); clock.addAndGet(1000); sched.promoteDue(); worker.runPass()
+    // then the display jobs the pages render
+    client.performAsync("ok", "<b>xss</b>")
+    client.performAsync("ok", "b")
+    client.performAt(java.time.Instant.ofEpochMilli(clock.get() + 60000), "ok")
+    client.performEveryTz("tick", "*/5 * * * *", "UTC", "ok")
+    val srv = new graft.api.ConsoleServer(backend, spark)
+    val port = srv.start()
+    try {
+      val http = java.net.http.HttpClient.newHttpClient()
+      def page(pathAndQuery: String) = {
+        val req = java.net.http.HttpRequest
+          .newBuilder(java.net.URI.create(s"http://127.0.0.1:$port$pathAndQuery"))
+          .GET().build()
+        http.send(req, java.net.http.HttpResponse.BodyHandlers.ofString())
+      }
+      val home = page("/console")
+      assert(home.statusCode() == 200)
+      assert(home.headers().firstValue("Content-Type").get.startsWith("text/html"))
+      assert(home.body().startsWith("<!DOCTYPE html>"))
+      assert(home.body().contains("graft console"))
+      val queues = page("/console/enqueued")
+      assert(queues.statusCode() == 200 && queues.body().contains("/console/enqueued/queue/test"))
+      val q = page("/console/enqueued/queue/test?page=0")
+      assert(q.statusCode() == 200 && q.body().contains("ok"))
+      // untrusted args are HTML-escaped, never raw markup
+      assert(q.body().contains("&lt;b&gt;xss&lt;/b&gt;") && !q.body().contains("<b>xss</b>"))
+      val sched0 = page("/console/scheduled")
+      assert(sched0.statusCode() == 200 && sched0.body().contains("Scheduled jobs"))
+      val dead = page("/console/dead")
+      assert(dead.statusCode() == 200 && dead.body().contains("1 total"))
+      val cron = page("/console/cron")
+      assert(cron.statusCode() == 200 && cron.body().contains("*/5 * * * *"))
+      assert(page("/console/nope").statusCode() == 404)
+      // JSON tree is untouched beside the HTML one
+      assert(page("/enqueued").headers().firstValue("Content-Type").get
+        .startsWith("application/json"))
+    } finally srv.stop()
+  }
 }
