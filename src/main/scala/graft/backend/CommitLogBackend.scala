@@ -3,6 +3,7 @@ package graft.backend
 import java.util.UUID
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{Dataset, Encoder, SaveMode, SparkSession}
+import graft.model.{Job, QueueDecl}
 
 /** Manifest-commit-log binding of [[LogStructuredBackend]] — the second
   * real broker behind the seam (goose's Redis vs RabbitMQ split,
@@ -56,7 +57,18 @@ object ConfirmMode {
 final class CommitLogBackend(
     spark0: SparkSession,
     val root: String,
-    confirmMode: ConfirmMode = ConfirmMode.Sync)
+    confirmMode: ConfirmMode = ConfirmMode.Sync,
+    /** RMQ's `mandatory` publish flag (reference rmq/commands.clj
+      * publishes against declared queues; return_listener.clj:1-20
+      * handles what the broker can't route). Off by default — the
+      * routability check reads the declaration registry, a cost only
+      * opted-into deployments should pay. */
+    mandatoryRouting: Boolean = false,
+    /** Invoked once per unroutable job when [[mandatoryRouting]] is on —
+      * the basic.return callback (reply 312 NO_ROUTE). Default logs, as
+      * the reference's sample handler does. */
+    returnListener: CommitLogBackend.ReturnedJob => Unit =
+      CommitLogBackend.defaultReturnListener)
     extends LogStructuredBackend(spark0) {
 
   override def capabilities: BrokerCapabilities = BrokerCapabilities(
@@ -316,6 +328,61 @@ final class CommitLogBackend(
 
   /** Number of commits in the log (diagnostics / tests). */
   def logVersion: Long = listCommits().lastOption.map(versionOf).getOrElse(0L)
+
+  // ---------- mandatory routing (basic.return) ----------
+
+  /** Declared-queue cache for the routability check. Declares are rare
+    * control-plane events; refreshed on local [[declareQueue]] and once
+    * per enqueue that observes a miss (so a cross-process declare is
+    * picked up before a job is wrongly returned). */
+  @volatile private var declaredCache: Option[Set[String]] = None
+
+  private def declaredNames(refresh: Boolean): Set[String] = {
+    import spark.implicits._
+    if (refresh || declaredCache.isEmpty)
+      declaredCache = Some(
+        queueDecls.select(org.apache.spark.sql.functions.col("queue"))
+          .as[String].collect().toSet)
+    declaredCache.get
+  }
+
+  override def declareQueue(decl: QueueDecl): Unit = {
+    super.declareQueue(decl)
+    declaredCache = None
+  }
+
+  /** With [[mandatoryRouting]] on, jobs whose `readyQueue` has no
+    * declaration do NOT land — each is handed to [[returnListener]] as a
+    * basic.return (312 NO_ROUTE), like an RMQ mandatory publish. The
+    * returned set is driver-collected, so it is BOUNDED loudly: more
+    * than [[CommitLogBackend.MaxReturnedJobs]] unroutable jobs in one
+    * append throws instead of ballooning the driver — at that point the
+    * caller's routing is systematically wrong, not exceptional. */
+  override def enqueue(jobs: Dataset[Job]): Unit =
+    if (!mandatoryRouting) super.enqueue(jobs)
+    else {
+      import org.apache.spark.sql.functions.col
+      def unroutable(declared: Set[String]) =
+        jobs.filter(!col("readyQueue").isInCollection(declared))
+      // re-check on a miss: the cache may predate another process's declare
+      var declared = declaredNames(refresh = false)
+      var returned = unroutable(declared).take(CommitLogBackend.MaxReturnedJobs + 1)
+      if (returned.nonEmpty) {
+        declared = declaredNames(refresh = true)
+        returned = unroutable(declared).take(CommitLogBackend.MaxReturnedJobs + 1)
+      }
+      if (returned.length > CommitLogBackend.MaxReturnedJobs)
+        throw new IllegalStateException(
+          s"over ${CommitLogBackend.MaxReturnedJobs} unroutable jobs in one " +
+            "append — systematic misroute, refusing to return them one by one " +
+            s"(declared queues: ${declared.toSeq.sorted.mkString(", ")})")
+      if (returned.isEmpty) super.enqueue(jobs)
+      else {
+        super.enqueue(jobs.filter(col("readyQueue").isInCollection(declared)))
+        returned.foreach(j => returnListener(CommitLogBackend.ReturnedJob(
+          replyCode = 312, replyText = "NO_ROUTE", routingKey = j.readyQueue, job = j)))
+      }
+    }
 }
 
 object CommitLogBackend {
@@ -323,4 +390,18 @@ object CommitLogBackend {
     * is treated as a dead claimant and skipped — the commit never
     * happened. Younger ones block the fold briefly (writer in flight). */
   val AbandonedCommitMs: Long = 10L * 60 * 1000
+
+  /** Driver-side bound on basic.returns per append (see enqueue). */
+  val MaxReturnedJobs: Int = 10000
+
+  /** The basic.return payload (reference return_listener.clj:14-20
+    * wrapper fields, minus AMQP wire details that have no analog). */
+  final case class ReturnedJob(
+      replyCode: Int, replyText: String, routingKey: String, job: Job)
+
+  /** Sample handler for unroutable jobs (return_listener.clj:7-10). */
+  def defaultReturnListener(r: ReturnedJob): Unit =
+    System.err.println(
+      s"[graft] job returned: ${r.replyCode} ${r.replyText} " +
+        s"queue='${r.routingKey}' id=${r.job.id}")
 }

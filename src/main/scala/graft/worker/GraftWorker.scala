@@ -47,7 +47,14 @@ final class GraftWorker(
       * worker per queue; None consumes everything. Maintenance duties
       * (scheduler, tracker, compaction) stay global — they are
       * coordinator work, not consumer work. */
-    queue: Option[String] = None) {
+    queue: Option[String] = None,
+    /** Invoked with the failure description when one of THIS worker's
+      * streaming queries dies abruptly — i.e. terminates with an
+      * exception while the worker is running, not during [[stop]]
+      * (goose's shutdown listener fires only when the shutdown was not
+      * `.isInitiatedByApplication`, reference shutdown_listener.clj:4-8).
+      * Default logs, as the reference's sample handler does. */
+    shutdownListener: String => Unit = GraftWorker.defaultShutdownListener) {
 
   private val sinkName = s"graft-worker-${java.util.UUID.randomUUID()}"
   graft.metrics.MetricsRegistry.register(sinkName, metrics)
@@ -125,11 +132,28 @@ final class GraftWorker(
     try body finally gate.readLock().unlock()
   }
 
+  @volatile private var termWatch: org.apache.spark.sql.streaming.StreamingQueryListener = _
+
   def start(): this.type = {
     require(running.compareAndSet(false, true), "worker already started")
     query = engine.startStream(root, trigger)
     if (streamingTracker)
       trackerQuery = tracker.startStream(root, trigger, withReadGate _)
+    // abrupt-death watch: only THIS worker's queries, only while running
+    // (stop() flips `running` before stopping the queries, so an
+    // application-initiated shutdown never fires the listener)
+    val watched = Set(query.runId) ++ Option(trackerQuery).map(_.runId)
+    termWatch = new org.apache.spark.sql.streaming.StreamingQueryListener {
+      override def onQueryStarted(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryProgress(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit = ()
+      override def onQueryTerminated(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit =
+        if (watched.contains(e.runId) && running.get())
+          e.exception.foreach(shutdownListener)
+    }
+    spark.streams.addListener(termWatch)
     maintenance = new Thread(() => {
       var tick = 0L
       while (running.get()) {
@@ -181,6 +205,7 @@ final class GraftWorker(
     if (trackerQuery != null) trackerQuery.stop()
     query.awaitTermination(10000)
     if (trackerQuery != null) trackerQuery.awaitTermination(10000)
+    if (termWatch != null) { spark.streams.removeListener(termWatch); termWatch = null }
   }
 
   /** Block until the engine is fully drained (test/drain-mode helper).
@@ -229,4 +254,11 @@ final class GraftWorker(
     }
     false
   }
+}
+
+object GraftWorker {
+  /** Sample handler for abrupt stream death not initiated by the
+    * application (reference shutdown_listener.clj:4-8). */
+  def defaultShutdownListener(cause: String): Unit =
+    System.err.println(s"[graft-worker] stream shut down due to error: $cause")
 }
