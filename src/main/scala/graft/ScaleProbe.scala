@@ -17,15 +17,20 @@ object ScaleProbe {
     val base = "/root/testdata/sf0.1"
     // arg 1: replication factor (default 10 → SCALING.md; any other value
     // writes SCALING_<f>x.md — e.g. the 100× flagship spot check).
-    // arg 2: optional comma-separated query subset for focused runs.
+    // arg 2: optional comma-separated query subset for focused runs, or
+    // the literal "engine" to run ONLY the engine-side probes (promote/
+    // track/pipeline/orphan) without the 40-query sweep.
     val factor = if (args.nonEmpty) args(0).toInt else 10
+    val engineOnly = args.length > 1 && args(1).trim == "engine"
     val subset: Option[Set[String]] =
-      if (args.length > 1) Some(args(1).split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      if (args.length > 1 && !engineOnly)
+        Some(args(1).split(",").map(_.trim).filter(_.nonEmpty).toSet)
       else None
-    // a focused (subset) run at the default factor must never overwrite
-    // the canonical full SCALING.md with a partial table
+    // a focused (subset/engine) run at the default factor must never
+    // overwrite the canonical full SCALING.md with a partial table
     val outFile =
-      if (factor == 10 && subset.isEmpty) "SCALING.md"
+      if (engineOnly) "SCALING_engine_partial.md"
+      else if (factor == 10 && subset.isEmpty) "SCALING.md"
       else if (subset.isEmpty) s"SCALING_${factor}x.md"
       else s"SCALING_${factor}x_partial.md"
     val scaled = s"/tmp/graft-scale$factor"
@@ -40,9 +45,10 @@ object ScaleProbe {
     spark.sparkContext.setLogLevel("ERROR")
 
     // Build each scaled table once (guarded PER TABLE — a scratch dir
-    // left by an earlier revision may predate newer tables).
+    // left by an earlier revision may predate newer tables). The
+    // engine-only mode synthesizes its own jobs and needs none of them.
     val copies = spark.range(factor).withColumnRenamed("id", "copy")
-    if (!Files.exists(Paths.get(s"$scaled/documents.parquet"))) {
+    if (!engineOnly && !Files.exists(Paths.get(s"$scaled/documents.parquet"))) {
       val docs = spark.read.parquet(s"$base/documents.parquet")
       val nDocs = docs.count()
       docs.crossJoin(copies)
@@ -51,7 +57,7 @@ object ScaleProbe {
         .repartition(32)
         .write.mode(SaveMode.Overwrite).parquet(s"$scaled/documents.parquet")
     }
-    if (!Files.exists(Paths.get(s"$scaled/embeddings.parquet"))) {
+    if (!engineOnly && !Files.exists(Paths.get(s"$scaled/embeddings.parquet"))) {
       val emb = spark.read.parquet(s"$base/embeddings.parquet")
       val nVec = emb.count()
       emb.crossJoin(copies)
@@ -64,7 +70,7 @@ object ScaleProbe {
     // users keeps per-user event density constant, so the join probes
     // (q38 asof, q40 banded range) measure data growth, not artificial
     // key densification. ts stays nanos-long (Tables.events normalizes).
-    if (!Files.exists(Paths.get(s"$scaled/events.parquet"))) {
+    if (!engineOnly && !Files.exists(Paths.get(s"$scaled/events.parquet"))) {
       val ev = spark.read.parquet(s"$base/events.parquet")
       val nEv = ev.count()
       val nUsers = ev.agg(max("user_id")).head().getLong(0) + 1
@@ -95,7 +101,9 @@ object ScaleProbe {
       val unknown = s -- allProbeQueries.toSet
       require(unknown.isEmpty, s"unknown probe name(s): ${unknown.mkString(", ")}")
     }
-    val probeQueries = subset.fold(allProbeQueries)(s => allProbeQueries.filter(s))
+    val probeQueries =
+      if (engineOnly) Seq.empty[String]
+      else subset.fold(allProbeQueries)(s => allProbeQueries.filter(s))
 
     def timeOnce(name: String, dir: String): Double = {
       val t0 = System.nanoTime()
@@ -171,9 +179,8 @@ object ScaleProbe {
     // promoteDue at 1× vs 10× due backlog: fully distributed (enqueue +
     // Dataset tombstone, no driver collect of victim ids) ⇒ wall time
     // must track ~linearly in rows, with flat driver memory.
-    def timePromote(n: Int): Double = {
+    def timePromote(n: Int): Double = graft.Scratch.withDir(s"probe-due-$n") { root =>
       import spark.implicits._
-      val root = Files.createTempDirectory(s"probe-due-$n").toString
       val backend = new graft.backend.ParquetBackend(spark, root)
       val t0v = 1700000000000L
       val retry = graft.model.RetryOpts()
@@ -200,9 +207,9 @@ object ScaleProbe {
     // trackPass with a CONSTANT active-batch load while terminal history
     // grows 10×: already-terminal batches are anti-joined out before the
     // fold, so per-tick cost must stay near-flat.
-    def timeTrackPass(historyEvents: Int): Double = {
+    def timeTrackPass(historyEvents: Int): Double =
+        graft.Scratch.withDir(s"probe-track-$historyEvents") { root =>
       import spark.implicits._
-      val root = Files.createTempDirectory(s"probe-track-$historyEvents").toString
       val backend = new graft.backend.ParquetBackend(spark, root)
       val t0v = 1700000000000L
       val nb = 100 // terminal batches carrying the history
@@ -246,6 +253,52 @@ object ScaleProbe {
       val (sec10, jps10) = if (a10._1 <= b10._1) a10 else b10
       sb.append(f"| job pipeline (100k → 1M jobs, 1%% failure+retry) | $sec1%.2f | $sec10%.2f | ${sec10 / sec1}%.1f× | jobs/s ${jps1}%.0f → ${jps10}%.0f |\n")
       println(f"PROBE pipeline: $sec1%.2fs ($jps1%.0f j/s) -> $sec10%.2fs ($jps10%.0f j/s)")
+    }
+
+    // D10 orphan recovery at scale: a crashed worker's unconsumed
+    // attempts are exactly the ready rows with no (id, attempt)
+    // completion record, and recovery is an ordinary pass over that
+    // anti-join (q45 gates the semantics; this prices them). A crash
+    // before the completion commit — mid-execution or at the commit
+    // itself — leaves the identical log state: jobs present, completions
+    // absent. Two axes, separately:
+    //  - history 10× at CONSTANT orphan load ⇒ near-flat (the anti-join
+    //    prunes consumed rows scan-side; recovery doesn't reread history
+    //    proportionally),
+    //  - orphans 100× at constant history ⇒ grows with orphan count —
+    //    the axis recovery SHOULD scale with.
+    def timeOrphanRecovery(history: Int, orphans: Int): Double =
+      graft.Scratch.withDir(s"probe-orphan-$history-$orphans") { root =>
+        import spark.implicits._
+        graft.model.JobRegistry.register("probe_noop", _ => "ok")
+        val t0v = 1700000000000L
+        val backend = new graft.backend.ParquetBackend(spark, root)
+        val retry = graft.model.RetryOpts()
+        def jobs(from: Int, n: Int) =
+          spark.range(from, from + n, 1, math.max(4, n / 12500)).map { i =>
+            graft.model.Job(
+              id = i.toString, executeFnSym = "probe_noop", argsJson = "[]",
+              queue = "q", readyQueue = "q", priority = 0, enqueuedAt = t0v,
+              scheduleRunAt = None, cronRunAt = None, batchId = None,
+              retryOpts = retry, state = None, seq = graft.model.Job.nextSeq())
+          }
+        val worker = new graft.worker.WorkerEngine(backend, spark, Nil, () => t0v)
+        backend.enqueue(jobs(0, history))
+        require(worker.runPass().succeeded == history) // the consumed past
+        backend.enqueue(jobs(history, orphans)) // the crashed pass's attempts
+        val t0 = System.nanoTime()
+        require(worker.runPass().succeeded == orphans) // replay ONLY orphans
+        (System.nanoTime() - t0) / 1e9
+      }
+    locally {
+      val h1 = math.min(timeOrphanRecovery(50000, 100), timeOrphanRecovery(50000, 100))
+      val h10 = math.min(timeOrphanRecovery(500000, 100), timeOrphanRecovery(500000, 100))
+      sb.append(f"| orphan recovery (100 orphans; 50k → 500k completed history) | $h1%.2f | $h10%.2f | ${h10 / h1}%.1f× | cost tracks orphans, not history |\n")
+      println(f"PROBE orphanHistory: $h1%.2fs -> $h10%.2fs (${h10 / h1}%.1fx)")
+      val o1 = math.min(timeOrphanRecovery(50000, 100), timeOrphanRecovery(50000, 100))
+      val o10 = math.min(timeOrphanRecovery(50000, 10000), timeOrphanRecovery(50000, 10000))
+      sb.append(f"| orphan recovery (50k history; 100 → 10k orphans) | $o1%.2f | $o10%.2f | ${o10 / o1}%.1f× | the axis recovery should scale with |\n")
+      println(f"PROBE orphanCount: $o1%.2fs -> $o10%.2fs (${o10 / o1}%.1fx)")
     }
     } // subset.isEmpty
 
