@@ -297,8 +297,53 @@ object ScaleProbe {
       println(f"PROBE orphanHistory: $h1%.2fs -> $h10%.2fs (${h10 / h1}%.1fx)")
       val o1 = math.min(timeOrphanRecovery(50000, 100), timeOrphanRecovery(50000, 100))
       val o10 = math.min(timeOrphanRecovery(50000, 10000), timeOrphanRecovery(50000, 10000))
-      sb.append(f"| orphan recovery (50k history; 100 → 10k orphans) | $o1%.2f | $o10%.2f | ${o10 / o1}%.1f× | the axis recovery should scale with |\n")
+      sb.append(f"| orphan recovery (50k history; 100 → 10k orphans) | $o1%.2f | $o10%.2f | ${o10 / o1}%.1f× | 100× the orphans for ${o10 / o1}%.1f× the wall — per-orphan cost amortizes |\n")
       println(f"PROBE orphanCount: $o1%.2fs -> $o10%.2fs (${o10 / o1}%.1fx)")
+    }
+
+    // RocksDB state store at 100k → 1M distinct streaming-dedup keys:
+    // the oracle-gated streaming fixtures run under this provider
+    // (EngineE2E.drainAndRollup) at fixture cardinality; this prices it
+    // at state sizes where the default HDFS-backed provider would hold
+    // the whole map in executor heap. dropDuplicates keeps ONE state row
+    // per distinct key, so 1M keys ⇒ 1M-entry RocksDB state across the
+    // stream's partitions — per-key cost should hold ~flat (time ratio
+    // ≈ 10 at 10× keys), with state off-heap, which is exactly the
+    // property the 100 TB/day scaladoc claim rests on.
+    def timeRocksState(nKeys: Int): Double =
+      graft.Scratch.withDir(s"probe-rocks-$nKeys") { root =>
+        spark.range(0, nKeys, 1, 32)
+          .selectExpr("id AS k",
+            "timestamp_seconds(1700000000 + id % 3600) AS ts")
+          .write.parquet(s"$root/in")
+        val confs = Seq(
+          "spark.sql.shuffle.partitions" -> "8",
+          "spark.sql.streaming.stateStore.providerClass" ->
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+        confs.foreach { case (k, v) => spark.conf.set(k, v) }
+        try {
+          val t0 = System.nanoTime()
+          val q = spark.readStream
+            .schema("k LONG, ts TIMESTAMP")
+            .parquet(s"$root/in")
+            .withWatermark("ts", "2 hours")
+            .dropDuplicates("k")
+            .writeStream
+            .format("noop")
+            .option("checkpointLocation", s"$root/ckpt")
+            .start()
+          try q.processAllAvailable() finally q.stop()
+          (System.nanoTime() - t0) / 1e9
+        } finally prev.foreach { case (k, old) =>
+          old.fold(spark.conf.unset(k))(v => spark.conf.set(k, v))
+        }
+      }
+    locally {
+      val r1 = math.min(timeRocksState(100000), timeRocksState(100000))
+      val r10 = math.min(timeRocksState(1000000), timeRocksState(1000000))
+      sb.append(f"| streaming dedup state, RocksDB provider (100k → 1M distinct keys) | $r1%.2f | $r10%.2f | ${r10 / r1}%.1f× | off-heap state, one row per key |\n")
+      println(f"PROBE rocksState: $r1%.2fs -> $r10%.2fs (${r10 / r1}%.1fx)")
     }
     } // subset.isEmpty
 
