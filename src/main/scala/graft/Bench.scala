@@ -206,9 +206,9 @@ object Bench {
     * BASELINE.md, perf/goose/redis/load.clj:57-62):
     *
     *  - sync: N sequential [[graft.client.GraftClient.performAsync]]
-    *    calls, each a visible-and-durable one-row append — the honest
-    *    cost of Spark-job-per-call, published so the gap is measured,
-    *    not guessed.
+    *    calls, each a visible-and-durable one-row append through the
+    *    direct-parquet latency path ([[graft.backend.DirectParquetAppend]]),
+    *    published so the per-call cost is measured, not guessed.
     *  - buffered: N calls through [[graft.client.BufferingClient]]
     *    (group commit, RMQ async-confirm semantics) + final flush.
     *

@@ -29,6 +29,41 @@ object BenchProfile {
     // tiny warmup
     spark.range(10).map(_ + 1).count()
 
+    if (args.contains("direct")) {
+      graft.Scratch.withDir("graft-direct-prof") { root =>
+        val enc = implicitly[org.apache.spark.sql.Encoder[Job]]
+        val retry0 = RetryOpts()
+        val j = Job("x", "bench_noop", "[]", "q", "q", 0, 1L, None, None, None, retry0, None, 1L)
+        def t(name: String, reps: Int)(f: => Unit): Unit = {
+          val t0 = System.nanoTime()
+          (1 to reps).foreach(_ => f)
+          println(f"DIRECT $name: ${(System.nanoTime() - t0) / 1e6 / reps}%.2f ms/op over $reps")
+        }
+        t("newHadoopConf", 50)(spark.sessionState.newHadoopConf())
+        t("exprEncoder+serializer", 50) {
+          val e = org.apache.spark.sql.catalyst.encoders.ExpressionEncoder(
+            enc.asInstanceOf[org.apache.spark.sql.catalyst.encoders.AgnosticEncoder[Job]])
+          e.createSerializer()(j)
+        }
+        t("full append 1 row", 50)(
+          graft.backend.DirectParquetAppend.append(spark, enc, s"$root/t", Seq(j.copy(seq = Job.nextSeq()))))
+        t("append again (warm)", 200)(
+          graft.backend.DirectParquetAppend.append(spark, enc, s"$root/t", Seq(j.copy(seq = Job.nextSeq()))))
+
+      }
+      spark.stop()
+      return
+    }
+
+    if (args.contains("enqueue")) {
+      (1 to 3).foreach { i =>
+        val (s, b) = Bench.benchEnqueue(spark)
+        println(f"ENQUEUE[$i] percall=$s%.0f buffered=$b%.0f jobs/s")
+      }
+      spark.stop()
+      return
+    }
+
     val n = 100000
     graft.Scratch.withDir("graft-prof") { root =>
     val backend = new ParquetBackend(spark, root)

@@ -68,8 +68,8 @@ final class ManagementApi(backend: QueueBackend, spark: SparkSession) {
     // append-first, tombstone-second: a crash in between leaves a
     // transient duplicate (collapsed by the (id, attempt) dedupe), never
     // a lost job. The reverse order can delete without re-appending.
-    backend.enqueue(present.map(j =>
-      j.copy(priority = bump, enqueuedAt = now, seq = Job.nextSeq())).toSeq.toDS().coalesce(1))
+    backend.enqueueRows(present.map(j =>
+      j.copy(priority = bump, enqueuedAt = now, seq = Job.nextSeq())).toSeq)
     backend.tombstone("ready", present.map(j => (j.id, j.seq)).toSeq, "prioritise")
     present.length
   }
@@ -110,10 +110,10 @@ final class ManagementApi(backend: QueueBackend, spark: SparkSession) {
     if (present.isEmpty) return 0
     val now = System.currentTimeMillis()
     // append-first, tombstone-second (see enqueuedPrioritise)
-    backend.enqueue(present.map { j =>
+    backend.enqueueRows(present.map { j =>
       j.copy(queue = j.readyOrRetryQueue, readyQueue = j.readyOrRetryQueue,
         priority = 1, enqueuedAt = now, seq = Job.nextSeq())
-    }.toSeq.toDS().coalesce(1))
+    }.toSeq)
     backend.tombstone("scheduled", present.map(j => (j.id, j.seq)).toSeq, "prioritise")
     present.length
   }
@@ -173,7 +173,7 @@ final class ManagementApi(backend: QueueBackend, spark: SparkSession) {
         queue = j.readyOrRetryQueue, readyQueue = j.readyOrRetryQueue, state = st)
     }
     // append-first, tombstone-second (see enqueuedPrioritise)
-    backend.enqueue(replayed.toDS().coalesce(1))
+    backend.enqueueRows(replayed)
     backend.tombstone("dead", jobs.map(j => (j.id, j.seq)), "replay")
     replayed
   }

@@ -383,6 +383,28 @@ final class CommitLogBackend(
           replyCode = 312, replyText = "NO_ROUTE", routingKey = j.readyQueue, job = j)))
       }
     }
+
+  /** Per-call analog of the mandatory-routing [[enqueue]] override: the
+    * rows are driver-held, so the routability check is a Set lookup
+    * instead of a Spark filter — same basic.return semantics, same
+    * re-check-on-miss, same [[CommitLogBackend.MaxReturnedJobs]] bound. */
+  override def enqueueRows(jobs: Seq[Job]): Unit =
+    if (!mandatoryRouting) super.enqueueRows(jobs)
+    else {
+      var declared = declaredNames(refresh = false)
+      // re-check on a miss: the cache may predate another process's declare
+      if (jobs.exists(j => !declared(j.readyQueue)))
+        declared = declaredNames(refresh = true)
+      val (routable, returned) = jobs.partition(j => declared(j.readyQueue))
+      if (returned.length > CommitLogBackend.MaxReturnedJobs)
+        throw new IllegalStateException(
+          s"over ${CommitLogBackend.MaxReturnedJobs} unroutable jobs in one " +
+            "append — systematic misroute, refusing to return them one by one " +
+            s"(declared queues: ${declared.toSeq.sorted.mkString(", ")})")
+      if (routable.nonEmpty) super.enqueueRows(routable)
+      returned.foreach(j => returnListener(CommitLogBackend.ReturnedJob(
+        replyCode = 312, replyText = "NO_ROUTE", routingKey = j.readyQueue, job = j)))
+    }
 }
 
 object CommitLogBackend {

@@ -46,6 +46,12 @@ final class InMemoryBackend(spark: SparkSession) extends QueueBackend {
     val rows = jobs.collect()
     lock.synchronized { scheduled ++= rows }
   }
+  // per-call path: the rows are already driver-side — no Spark at all
+  // (the Redis-LPUSH latency envelope, exactly)
+  override def enqueueRows(jobs: Seq[Job]): Unit =
+    lock.synchronized { ready ++= jobs }
+  override def scheduleRows(jobs: Seq[Job]): Unit =
+    lock.synchronized { scheduled ++= jobs }
   override def bury(jobs: Dataset[Job]): Unit = {
     val rows = jobs.collect()
     lock.synchronized { dead ++= rows }

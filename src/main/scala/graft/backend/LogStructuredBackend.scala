@@ -47,20 +47,34 @@ abstract class LogStructuredBackend(val spark: SparkSession) extends QueueBacken
   protected def appendSmall[T](tbl: String, ds: Dataset[T]): Unit =
     appendLog(tbl, ds.coalesce(1))
 
+  /** Small row sets the DRIVER already holds (client per-call enqueue,
+    * control-plane markers: tombstones, cron upserts, queue decls,
+    * heartbeats). Default lands them through the distributed append;
+    * bindings whose storage supports a cheap atomic one-file write
+    * override this to skip the Spark-job round-trip entirely
+    * ([[ParquetBackend]] via [[DirectParquetAppend]], ~2 ms vs
+    * ~100 ms — the reference's per-call enqueue is a ~2 ms Redis LPUSH,
+    * BASELINE.md). Same visibility/durability contract as
+    * [[appendSmall]]: the rows are visible and durable on return. */
+  protected def appendSmallRows[T: Encoder](tbl: String, rows: Seq[T]): Unit =
+    if (rows.nonEmpty) appendSmall(tbl, rows.toDS())
+
   // ---------- appends ----------
   // Bulk paths stay fully distributed (one file per task); driver-side
-  // Seq-based callers pre-coalesce their tiny row sets.
+  // Seq-based callers route through appendSmallRows.
 
   override def enqueue(jobs: Dataset[Job]): Unit = appendLog("ready", jobs)
   override def schedule(jobs: Dataset[Job]): Unit = appendLog("scheduled", jobs)
+  override def enqueueRows(jobs: Seq[Job]): Unit = appendSmallRows("ready", jobs)
+  override def scheduleRows(jobs: Seq[Job]): Unit = appendSmallRows("scheduled", jobs)
   override def bury(jobs: Dataset[Job]): Unit = appendLog("dead", jobs)
   override def recordCompletions(events: Dataset[CompletionEvent]): Unit =
     appendLog("completions", events)
 
   override def tombstone(tbl: String, victims: Seq[(String, Long)], reason: String): Unit = {
     val now = System.currentTimeMillis()
-    appendSmall("tombstones",
-      victims.map { case (id, seq) => Tombstone(tbl, id, seq, reason, now) }.toDS())
+    appendSmallRows("tombstones",
+      victims.map { case (id, seq) => Tombstone(tbl, id, seq, reason, now) })
   }
 
   override def tombstone(tbl: String, victims: Dataset[(String, Long)], reason: String): Unit = {
@@ -72,8 +86,8 @@ abstract class LogStructuredBackend(val spark: SparkSession) extends QueueBacken
   override def purge(tbl: String, queue: String): Unit = {
     if (tbl == "ready") {
       // marker purge: O(1) write, like DEL — rows appended later survive.
-      appendSmall("purges",
-        Seq(PurgeMarker(tbl, queue, Job.nextSeq(), System.currentTimeMillis())).toDS())
+      appendSmallRows("purges",
+        Seq(PurgeMarker(tbl, queue, Job.nextSeq(), System.currentTimeMillis())))
     } else {
       // scheduled/dead hold future/terminal rows, so purge materializes
       // the victim versions — distributed end-to-end (admin op, but the
@@ -151,12 +165,12 @@ abstract class LogStructuredBackend(val spark: SparkSession) extends QueueBacken
   /** Idempotent upsert keyed by cronName (reference redis/cron.clj:38-50:
     * registering an existing name replaces the entry) — one log append. */
   override def upsertCron(entries: Seq[CronEntry]): Unit =
-    appendSmall("cron",
-      entries.map(e => CronLogRecord("put", e.cronName, Some(e), Job.nextSeq())).toDS())
+    appendSmallRows("cron",
+      entries.map(e => CronLogRecord("put", e.cronName, Some(e), Job.nextSeq())))
 
   override def deleteCron(names: Seq[String]): Unit =
-    appendSmall("cron",
-      names.map(n => CronLogRecord("del", n, None, Job.nextSeq())).toDS())
+    appendSmallRows("cron",
+      names.map(n => CronLogRecord("del", n, None, Job.nextSeq())))
 
   override def purgeCron(): Unit =
     replaceLog("cron", spark.emptyDataset[CronLogRecord])
@@ -185,7 +199,7 @@ abstract class LogStructuredBackend(val spark: SparkSession) extends QueueBacken
             s"replicationFactor=${existing.replicationFactor}); " +
             s"redeclare requested (type=${decl.queueType}, maxPriority=${decl.maxPriority}, " +
             s"replicationFactor=${decl.replicationFactor})")
-      case None => appendSmall("queue_decls", Seq(decl).toDS())
+      case None => appendSmallRows("queue_decls", Seq(decl))
     }
   }
 
@@ -206,7 +220,7 @@ abstract class LogStructuredBackend(val spark: SparkSession) extends QueueBacken
 
   // ---------- batches ----------
 
-  override def putBatch(meta: BatchMeta): Unit = appendSmall("batches", Seq(meta).toDS())
+  override def putBatch(meta: BatchMeta): Unit = appendSmallRows("batches", Seq(meta))
   // readers anti-join the vacuum markers: the physical rewrite in
   // deleteBatches bounds log size, but only the marker makes the delete
   // DURABLE — a streaming tracker's replayed commit that lands after the
@@ -217,7 +231,7 @@ abstract class LogStructuredBackend(val spark: SparkSession) extends QueueBacken
       .as[BatchMeta]
 
   override def recordBatchStatus(events: Seq[BatchStatusEvent]): Unit =
-    appendSmall("batch_status", events.toDS())
+    appendSmallRows("batch_status", events)
   override def batchStatusEvents: Dataset[BatchStatusEvent] =
     readLog[BatchStatusEvent]("batch_status")
       .join(vacuumedBatchIds.toDF("v_bid"), $"batchId" === $"v_bid", "left_anti")
@@ -229,7 +243,7 @@ abstract class LogStructuredBackend(val spark: SparkSession) extends QueueBacken
     val drop = ids.toSet
     val now = System.currentTimeMillis()
     // marker first (the durable delete), then the rewrite (the size bound)
-    appendSmall("batch_vacuums", ids.map(BatchVacuumMarker(_, now)).toDS())
+    appendSmallRows("batch_vacuums", ids.map(BatchVacuumMarker(_, now)))
     replaceLog("batches",
       readLog[BatchMeta]("batches").filter(m => !drop.contains(m.id)))
     replaceLog("batch_status",
@@ -242,7 +256,7 @@ abstract class LogStructuredBackend(val spark: SparkSession) extends QueueBacken
   // ---------- worker registry ----------
 
   override def recordHeartbeat(hb: ProcessHeartbeat): Unit =
-    appendSmall("heartbeats", Seq(hb).toDS())
+    appendSmallRows("heartbeats", Seq(hb))
   override def recordHeartbeats(hbs: Dataset[ProcessHeartbeat]): Unit =
     appendLog("heartbeats", hbs)
   override def heartbeats: Dataset[ProcessHeartbeat] =

@@ -74,6 +74,17 @@ trait QueueBackend {
   // ---- appends (client / worker side) ----
   def enqueue(jobs: Dataset[Job]): Unit
   def schedule(jobs: Dataset[Job]): Unit
+
+  /** Per-call latency path: a small row set the driver already holds
+    * (client `performAsync` / past-due `performAt`). Identical
+    * visibility-and-durability contract to [[enqueue]]; bindings with
+    * cheap atomic one-file appends skip the distributed-job round-trip
+    * (goose's per-call enqueue is a ~2 ms Redis LPUSH — BASELINE.md;
+    * reference client.clj:60-80). */
+  def enqueueRows(jobs: Seq[Job]): Unit
+
+  /** [[schedule]]'s per-call latency analog (client `performAt`). */
+  def scheduleRows(jobs: Seq[Job]): Unit
   def bury(jobs: Dataset[Job]): Unit
   def recordCompletions(events: Dataset[CompletionEvent]): Unit
   def tombstone(tbl: String, victims: Seq[(String, Long)], reason: String): Unit

@@ -9,11 +9,11 @@ import graft.model.{Job, RetryOpts}
   * rmq/publisher_confirms.clj:20-29: publish now, confirm later; goose
   * measured ~40× async-over-sync publish throughput, BASELINE.md).
   *
-  * [[GraftClient.performAsync]] costs one Spark write job per call on the
-  * base client — one scheduler round-trip plus one tiny file per job,
-  * O(10–100 ms) against the reference's 2 ms Redis LPUSH. This decorator
+  * [[GraftClient.performAsync]] costs one durable one-file append per
+  * call on the base client (the direct-parquet latency path, ~5-10 ms)
+  * against the reference's 2 ms in-memory Redis LPUSH. This decorator
   * buffers validated jobs driver-side and lands the buffer as ONE
-  * distributed append when either bound trips:
+  * append when either bound trips:
   *
   *  - `flushEvery` jobs accumulate (size bound), or
   *  - `flushIntervalMs` elapsed since the last flush at the next call
@@ -72,7 +72,7 @@ final class BufferingClient(
       buf.clear()
       b
     }
-    if (batch.nonEmpty) backend.enqueue(batch.toDS().coalesce(1))
+    if (batch.nonEmpty) backend.enqueueRows(batch)
     lastFlushAt = nowFn()
     batch.size
   }

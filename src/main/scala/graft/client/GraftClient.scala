@@ -46,7 +46,7 @@ class GraftClient(
     * overrides this with a size/interval-bounded group commit (goose's
     * RMQ async publisher-confirm semantics). */
   protected def submitReady(jobs: Seq[Job]): Unit =
-    backend.enqueue(jobs.toDS().coalesce(1))
+    backend.enqueueRows(jobs)
 
   private def validateQueue(q: String): Unit = {
     require(q.nonEmpty && q.length < 200, s"queue name must be 1..199 chars: '$q'")
@@ -117,7 +117,7 @@ class GraftClient(
     if (runAt <= nowFn()) {
       submitReady(Seq(applyDecl(job.copy(priority = 1))))
     } else {
-      backend.schedule(Seq(job.copy(scheduleRunAt = Some(runAt))).toDS().coalesce(1))
+      backend.scheduleRows(Seq(job.copy(scheduleRunAt = Some(runAt))))
     }
     job.id
   }
@@ -173,7 +173,7 @@ class GraftClient(
     }
     backend.putBatch(BatchMeta(batchId, callbackFnSym, lingerSec, queue,
       queue, retry, rows.size, BatchStatus.InProgress, nowFn()))
-    backend.enqueue(rows.toDS().coalesce(1))
+    backend.enqueueRows(rows)
     batchId
   }
 

@@ -22,6 +22,8 @@ final class CrashingBackend(inner: QueueBackend, failMethod: String)
 
   def enqueue(jobs: Dataset[Job]): Unit = { maybeFail("enqueue"); inner.enqueue(jobs) }
   def schedule(jobs: Dataset[Job]): Unit = { maybeFail("schedule"); inner.schedule(jobs) }
+  def enqueueRows(jobs: Seq[Job]): Unit = { maybeFail("enqueue"); inner.enqueueRows(jobs) }
+  def scheduleRows(jobs: Seq[Job]): Unit = { maybeFail("schedule"); inner.scheduleRows(jobs) }
   def bury(jobs: Dataset[Job]): Unit = { maybeFail("bury"); inner.bury(jobs) }
   def recordCompletions(events: Dataset[CompletionEvent]): Unit = {
     maybeFail("recordCompletions"); inner.recordCompletions(events)
