@@ -257,7 +257,24 @@ final class CommitLogBackend(
   override protected def appendLog[T](tbl: String, ds: Dataset[T]): Unit = {
     val files = stage(tbl, ds) // part files are durable from here on
     if (files.isEmpty) return
-    val records = files.map(f => s"add\t$tbl\t$f")
+    confirmOrBuffer(files.map(f => s"add\t$tbl\t$f"))
+  }
+
+  /** Per-call latency path: the manifest makes this SIMPLER than the
+    * directory-listing binding — a data file is invisible until its
+    * add-record commits, so the direct write lands in place (no rename
+    * dance) and visibility is the commit itself. Same crash window as
+    * [[stage]]: a file without a committed add-record is garbage for
+    * [[vacuum]], never a visible row. */
+  override protected def appendSmallRows[T: Encoder](tbl: String, rows: Seq[T]): Unit =
+    if (rows.nonEmpty) {
+      val name = s"data-${UUID.randomUUID()}-0.parquet"
+      DirectParquetAppend.appendAs(spark, implicitly[Encoder[T]],
+        s"$root/$tbl", name, rows)
+      confirmOrBuffer(Seq(s"add\t$tbl\t$name"))
+    }
+
+  private def confirmOrBuffer(records: Seq[String]): Unit =
     confirmMode match {
       case ConfirmMode.Sync => commit(records)
       case ConfirmMode.Async(maxBuffered) =>
@@ -267,7 +284,6 @@ final class CommitLogBackend(
         }
         if (due) waitForConfirms()
     }
-  }
 
   /** Group-commit every buffered append in ONE manifest version — the
     * wait-for-confirms barrier (reference rmq/commands.clj:54-56). No-op
@@ -328,6 +344,9 @@ final class CommitLogBackend(
 
   /** Number of commits in the log (diagnostics / tests). */
   def logVersion: Long = listCommits().lastOption.map(versionOf).getOrElse(0L)
+
+  override def sweepStaging(olderThanMs: Long): Int =
+    DirectParquetAppend.sweepStaging(fs, new Path(root), olderThanMs)
 
   // ---------- mandatory routing (basic.return) ----------
 

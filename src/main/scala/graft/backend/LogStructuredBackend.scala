@@ -43,6 +43,12 @@ abstract class LogStructuredBackend(val spark: SparkSession) extends QueueBacken
     * storage (Hadoop FS listing / manifest), never java.io.File. */
   def dataFileCount(tbl: String): Int
 
+  /** Reclaim stale direct-append staging leftovers (a crashed writer's
+    * invisible files — see [[DirectParquetAppend.sweepStaging]]). Runs
+    * on GraftWorker's compaction cadence. Bindings without a staging
+    * area return 0. */
+  def sweepStaging(olderThanMs: Long): Int = 0
+
   /** Small driver-side row sets (client API calls) write one file. */
   protected def appendSmall[T](tbl: String, ds: Dataset[T]): Unit =
     appendLog(tbl, ds.coalesce(1))

@@ -57,6 +57,9 @@ class ParquetBackend(spark0: SparkSession, val root: String)
     else 0
   }
 
+  override def sweepStaging(olderThanMs: Long): Int =
+    DirectParquetAppend.sweepStaging(fs, new Path(root), olderThanMs)
+
   override protected def readLog[T: Encoder](tbl: String): Dataset[T] =
     if (exists(tbl)) spark.read.parquet(dir(tbl)).as[T]
     else spark.emptyDataset[T]

@@ -169,6 +169,13 @@ final class GraftWorker(
           } finally gate.readLock().unlock()
           if (compactEveryTicks > 0 && tick % compactEveryTicks == 0) {
             vacuumLingered()
+            backend match {
+              // reclaim crashed direct-append staging files; age gate
+              // mirrors the abandoned-commit policy (dead claimant)
+              case lsb: graft.backend.LogStructuredBackend =>
+                lsb.sweepStaging(graft.backend.CommitLogBackend.AbandonedCommitMs)
+              case _ =>
+            }
             if (logFileCount() > compactMinFiles) compactNow()
           }
         } catch {

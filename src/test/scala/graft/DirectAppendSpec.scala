@@ -93,10 +93,50 @@ class DirectAppendSpec extends SparkSpec {
     assert(backend.cronEntries.count() == 1)
   }
 
+  test("CommitLogBackend: per-call append commits a manifest version per call") {
+    val root = tmpDir("graft-direct")
+    val backend = new graft.backend.CommitLogBackend(spark, root)
+    val v0 = backend.logVersion
+    backend.enqueueRows(Seq(job(1)))
+    backend.enqueueRows(Seq(job(2)))
+    assert(backend.logVersion == v0 + 2) // one durable commit per call
+    assert(backend.readyJobs.collect().map(_.id).toSet == Set("j1", "j2"))
+    // vacuum must not eat committed direct files
+    assert(backend.vacuum() == 0)
+    assert(backend.readyJobs.count() == 2)
+  }
+
+  test("CommitLogBackend async confirms: direct appends buffer until the barrier") {
+    val root = tmpDir("graft-direct")
+    val backend = new graft.backend.CommitLogBackend(spark, root,
+      confirmMode = graft.backend.ConfirmMode.Async(maxBuffered = 100))
+    backend.enqueueRows(Seq(job(1)))
+    backend.enqueueRows(Seq(job(2)))
+    assert(backend.readyJobs.count() == 0) // invisible pre-confirm
+    assert(backend.waitForConfirms() == 2)
+    assert(backend.readyJobs.collect().map(_.id).toSet == Set("j1", "j2"))
+  }
+
   test("empty row set is a no-op (no file, no directory churn)") {
     val root = tmpDir("graft-direct")
     val backend = new ParquetBackend(spark, root)
     backend.enqueueRows(Nil)
     assert(backend.dataFileCount("ready") == 0)
+  }
+
+  test("sweepStaging reclaims stale crash leftovers, keeps young files") {
+    val root = tmpDir("graft-direct")
+    val backend = new ParquetBackend(spark, root)
+    backend.enqueueRows(Seq(job(1))) // creates .staging
+
+    val stale = new java.io.File(s"$root/.staging/part-stale.parquet")
+    val young = new java.io.File(s"$root/.staging/part-young.parquet")
+    Seq(stale, young).foreach { f => f.createNewFile(); () }
+    assert(stale.setLastModified(System.currentTimeMillis() - 3600000))
+
+    assert(backend.sweepStaging(olderThanMs = 600000) == 1)
+    assert(!stale.exists() && young.exists())
+    // visible data untouched
+    assert(backend.readyJobs.count() == 1)
   }
 }
