@@ -345,6 +345,41 @@ object ScaleProbe {
       sb.append(f"| streaming dedup state, RocksDB provider (100k → 1M distinct keys) | $r1%.2f | $r10%.2f | ${r10 / r1}%.1f× | off-heap state, one row per key |\n")
       println(f"PROBE rocksState: $r1%.2fs -> $r10%.2fs (${r10 / r1}%.1fx)")
     }
+
+    // Per-call tiny-file accumulation: the direct-append latency path's
+    // failure mode at scale is not write speed but READ amplification —
+    // K one-row part files per table until compaction folds them. Price
+    // the visible-set read at K accumulated per-call files, then after
+    // one compact() — the number that justifies the worker's
+    // file-count-pressure compaction policy (compactMinFiles).
+    locally {
+      graft.Scratch.withDir("probe-tinyfiles") { root =>
+        val backend = new graft.backend.ParquetBackend(spark, root)
+        val t0v = 1700000000000L
+        val retry = graft.model.RetryOpts()
+        var i = 0
+        val w0 = System.nanoTime()
+        while (i < 2000) {
+          backend.enqueueRows(Seq(graft.model.Job(
+            id = i.toString, executeFnSym = "noop", argsJson = "[]",
+            queue = "q", readyQueue = "q", priority = 0, enqueuedAt = t0v,
+            scheduleRunAt = None, cronRunAt = None, batchId = None,
+            retryOpts = retry, state = None, seq = graft.model.Job.nextSeq())))
+          i += 1
+        }
+        val perCallMs = (System.nanoTime() - w0) / 1e6 / 2000
+        def timeRead(): Double = {
+          val t0 = System.nanoTime()
+          require(backend.readyJobs.count() == 2000)
+          (System.nanoTime() - t0) / 1e9
+        }
+        val rBefore = math.min(timeRead(), timeRead())
+        backend.compact("ready")
+        val rAfter = math.min(timeRead(), timeRead())
+        sb.append(f"| per-call tiny-file read amplification (2k one-row files → one compact) | $rBefore%.2f | $rAfter%.2f | ${rBefore / rAfter}%.1f× recovered | append ~$perCallMs%.1f ms/call; compaction is the policy that caps K |\n")
+        println(f"PROBE tinyFiles: read $rBefore%.2fs -> $rAfter%.2fs after compact (append $perCallMs%.1f ms/call)")
+      }
+    }
     } // subset.isEmpty
 
     Files.writeString(Paths.get(outFile), sb.toString)
