@@ -45,6 +45,35 @@ object Bench {
     // tmp root before the run so any dir that survives the run is caught
     // and published as a loud sentinel instead of silently accumulating
     // into the next pass's timings.
+    // Host-condition telemetry: this bench runs on a shared VM whose
+    // EFFECTIVE core count varies with hypervisor overcommit (measured
+    // swinging between ~11 and ~32 of 32 visible cores within one day,
+    // inflating every wall time ~1.5× uniformly). Publish a measured
+    // parallel-throughput figure at start and end of the run so
+    // round-over-round comparisons can separate engine regressions from
+    // host weather: effective_cores ≈ threads × serial_time / parallel_time
+    // for a fixed CPU-bound loop.
+    def effectiveCores(): Double = {
+      def burn(): Long = {
+        var s = 0L; var i = 0
+        while (i < 20000000) { s += i * 31 + (i ^ s); i += 1 }
+        s
+      }
+      burn() // JIT warm
+      val serial = { val t0 = System.nanoTime(); burn(); (System.nanoTime() - t0) / 1e9 }
+      val threads = Runtime.getRuntime.availableProcessors()
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
+      try {
+        val t0 = System.nanoTime()
+        (1 to threads).map(_ => pool.submit(new java.util.concurrent.Callable[Long] {
+          def call(): Long = burn()
+        })).foreach(_.get())
+        val parallel = (System.nanoTime() - t0) / 1e9
+        threads * serial / parallel
+      } finally pool.shutdown()
+    }
+    val coresBefore = effectiveCores()
+
     val tmpRoot = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
     def scratchDirs(): Set[String] = {
       val s = java.nio.file.Files.list(tmpRoot)
@@ -147,9 +176,10 @@ object Bench {
     // scratch dirs that survived the run (every producer routes through
     // Scratch.withDir — a non-empty list here is a leak regression).
     val leakedScratch = (scratchDirs() -- scratchBefore).toSeq.sorted
+    val coresAfter = effectiveCores()
     def toJson(rows: Seq[(String, Double)], withSf001Detail: Boolean): String = {
       val extra = if (withSf001Detail) f""","queries_sf001":${qjson(sf001)}""" else ""
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${qjson(rows)},"jobs_per_sec":${pipeline._2}%.0f,"enqueue_percall_jobs_sec":$enqSync%.0f,"enqueue_buffered_jobs_sec":$enqBuf%.0f,"n_queries":${all.size},"samples":3,"wall_sec":$wallSec%.1f,"total_sf001":$totalSf001%.3f,"sf001_skipped":$sf001Skipped,"errored":${sjson(errors)},"leaked_scratch":${sjson(leakedScratch)},"stored_rdds_per_pass":${storedPerPass.mkString("[", ",", "]")},"sf":"$sfDir"$extra}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${qjson(rows)},"jobs_per_sec":${pipeline._2}%.0f,"enqueue_percall_jobs_sec":$enqSync%.0f,"enqueue_buffered_jobs_sec":$enqBuf%.0f,"n_queries":${all.size},"samples":3,"wall_sec":$wallSec%.1f,"total_sf001":$totalSf001%.3f,"sf001_skipped":$sf001Skipped,"errored":${sjson(errors)},"leaked_scratch":${sjson(leakedScratch)},"stored_rdds_per_pass":${storedPerPass.mkString("[", ",", "]")},"effective_cores":[$coresBefore%.1f,$coresAfter%.1f],"sf":"$sfDir"$extra}"""
     }
     // Full per-query detail → BENCH.json (env-overridable path). Stdout
     // gets a COMPACT line (slowest 10 queries only): the harness keeps a
