@@ -124,6 +124,16 @@ class DirectAppendSpec extends SparkSpec {
     assert(backend.dataFileCount("ready") == 0)
   }
 
+  test("append recovers when a cached table dir was deleted out from under it") {
+    val root = tmpDir("graft-direct")
+    val backend = new ParquetBackend(spark, root)
+    backend.enqueueRows(Seq(job(1))) // populates the dir cache
+    // external teardown: the whole table dir vanishes
+    graft.Scratch.delete(s"$root/ready")
+    backend.enqueueRows(Seq(job(2))) // cache is stale → retry path
+    assert(backend.readyJobs.collect().map(_.id).toSet == Set("j2"))
+  }
+
   test("sweepStaging reclaims stale crash leftovers, keeps young files") {
     val root = tmpDir("graft-direct")
     val backend = new ParquetBackend(spark, root)
