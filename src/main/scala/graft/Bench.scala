@@ -107,18 +107,21 @@ object Bench {
     // A query that THROWS records the NEGATED elapsed time — a loud
     // sentinel in the published artifact (a positive number would read
     // as "ran fine in time-to-failure seconds").
+    // Errored names tracked PER SCALE POINT (ADVICE r7: the artifact
+    // published one merged list, making the sf0.001 tail unauditable).
     val errors = scala.collection.mutable.LinkedHashSet.empty[String]
+    val errorsSf001 = scala.collection.mutable.LinkedHashSet.empty[String]
     def timeQuery(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
-        dir: String): (String, Double) = {
+        dir: String, errSink: scala.collection.mutable.LinkedHashSet[String]): (String, Double) = {
       val t0 = System.nanoTime()
       val ok = try { fn(spark, dir).count(); true }
-        catch { case _: Throwable => errors += name; false }
+        catch { case _: Throwable => errSink += name; false }
       val sec = (System.nanoTime() - t0) / 1e9
       name -> (if (ok) sec else -sec)
     }
     def pass(): Seq[(String, Double)] =
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-        timeQuery(name, fn, sfDir)
+        timeQuery(name, fn, sfDir, errors)
       }
     def median3(xs: Seq[Double]): Double = xs.sorted.apply(1)
     // Storage-memory sentinel: count of RDDs still holding blocks after
@@ -162,7 +165,7 @@ object Bench {
       if (!java.nio.file.Files.isDirectory(java.nio.file.Paths.get(sf001Dir))) Nil
       else SparkEntry.queries.toSeq.sortBy(_._1)
         .filterNot { case (n, _) => fixtureNames(n) }
-        .map { case (name, fn) => timeQuery(name, fn, sf001Dir) }
+        .map { case (name, fn) => timeQuery(name, fn, sf001Dir, errorsSf001) }
 
     def qjson(rows: Seq[(String, Double)]): String =
       rows.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
@@ -177,18 +180,34 @@ object Bench {
     // Scratch.withDir — a non-empty list here is a leak regression).
     val leakedScratch = (scratchDirs() -- scratchBefore).toSeq.sorted
     val coresAfter = effectiveCores()
+    // Contention gate (VERDICT r7 #3): r7's official run measured
+    // [14.2, 9.6] effective cores of 32 — 2-3× hypervisor oversubscription
+    // that silently regressed every wall time ~40%. A run whose measured
+    // parallelism collapses below half the visible cores is flagged
+    // CONTENDED in the artifact: its timings are host weather, to be
+    // re-sampled on a quiet host, not compared round-over-round.
+    val visibleCores = Runtime.getRuntime.availableProcessors().toDouble
+    val contended = math.min(coresBefore, coresAfter) < visibleCores / 2
+    // Numeric scale factor parsed from the dir name ("sf0.1" → 0.1) plus
+    // the raw path — ADVICE r7: one artifact carried the path string and
+    // another the number, forcing consumers to special-case the field.
+    val sfNum = "sf([0-9.]+)".r.findFirstMatchIn(
+      java.nio.file.Paths.get(sfDir).getFileName.toString)
+      .map(_.group(1).toDouble).getOrElse(-1.0)
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH.json")
     def toJson(rows: Seq[(String, Double)], withSf001Detail: Boolean): String = {
-      val extra = if (withSf001Detail) f""","queries_sf001":${qjson(sf001)}""" else ""
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${qjson(rows)},"jobs_per_sec":${pipeline._2}%.0f,"enqueue_percall_jobs_sec":$enqSync%.0f,"enqueue_buffered_jobs_sec":$enqBuf%.0f,"n_queries":${all.size},"samples":3,"wall_sec":$wallSec%.1f,"total_sf001":$totalSf001%.3f,"sf001_skipped":$sf001Skipped,"errored":${sjson(errors)},"leaked_scratch":${sjson(leakedScratch)},"stored_rdds_per_pass":${storedPerPass.mkString("[", ",", "]")},"effective_cores":[$coresBefore%.1f,$coresAfter%.1f],"sf":"$sfDir"$extra}"""
+      val extra = if (withSf001Detail) f""","queries_sf001":${qjson(sf001)}"""
+        else f""","detail_file":"$outFile""""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${qjson(rows)},"jobs_per_sec":${pipeline._2}%.0f,"enqueue_percall_jobs_sec":$enqSync%.0f,"enqueue_buffered_jobs_sec":$enqBuf%.0f,"n_queries":${all.size},"samples":3,"wall_sec":$wallSec%.1f,"total_sf001":$totalSf001%.3f,"sf001_skipped":$sf001Skipped,"errored":${sjson(errors)},"errored_sf001":${sjson(errorsSf001)},"leaked_scratch":${sjson(leakedScratch)},"stored_rdds_per_pass":${storedPerPass.mkString("[", ",", "]")},"effective_cores":[$coresBefore%.1f,$coresAfter%.1f],"contended":$contended,"sf":$sfNum%.3f,"sf_path":"$sfDir"$extra}"""
     }
     // Full per-query detail → BENCH.json (env-overridable path). Stdout
-    // gets a COMPACT line (slowest 10 queries only): the harness keeps a
-    // ~2k-char tail of the sbt log, and the full 70-query line overflows
-    // it, truncating the JSON mid-object — that is exactly the
-    // "parsed": null of BENCH_r01-r03.
+    // gets a COMPACT line (slowest 10 queries only, plus a detail_file
+    // pointer): the harness keeps a ~2k-char tail of the sbt log, and the
+    // full 100+-query line overflows it, truncating the JSON mid-object —
+    // that is exactly the "parsed": null of BENCH_r01-r03 and the
+    // 10-of-104 "parsed" of BENCH_r07.
     val full = toJson(all, withSf001Detail = true)
     println(toJson(all.sortBy(-_._2).take(10).sortBy(_._1), withSf001Detail = false))
-    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH.json")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), full + "\n")
     spark.stop()
   }

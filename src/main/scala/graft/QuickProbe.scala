@@ -20,6 +20,26 @@ object QuickProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     names.foreach {
+      // pseudo-query: per-stage split of the direct-append latency path
+      case "__enqueue_profile" =>
+        graft.Scratch.withDir("probe-enqprof") { root =>
+          graft.model.JobRegistry.register("bench_noop", _ => "ok")
+          val client = new graft.client.GraftClient(
+            new graft.backend.ParquetBackend(spark, root), spark, "bench")
+          client.performAsync("bench_noop") // warm path + caches
+          val timer = new graft.backend.DirectParquetAppend.StageTimer
+          graft.backend.DirectParquetAppend.profiler.set(timer)
+          val n = 128
+          val t0 = System.nanoTime()
+          (1 to n).foreach(i => client.performAsync("bench_noop", i))
+          val total = (System.nanoTime() - t0) / 1e6
+          graft.backend.DirectParquetAppend.profiler.remove()
+          val staged = timer.stages.map { case (k, v) => f"$k=${v / n}%.2fms" }
+          val inAppend = timer.stages.values.sum
+          println(f"PROBE enqueue_profile n=$n total=${total / n}%.2fms/call " +
+            f"append=${inAppend / n}%.2fms ${staged.mkString(" ")} " +
+            f"outside_append=${(total - inAppend) / n}%.2fms")
+        }
       // pseudo-query: the per-call enqueue micro-bench, standalone
       case "__enqueue" =>
         (1 to 2).foreach { pass =>

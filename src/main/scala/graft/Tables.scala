@@ -20,15 +20,29 @@ object Tables {
     spark.read.parquet(s"$sfDir/$name.parquet")
   }
 
-  /** events with ts normalized from epoch-nanos long to TIMESTAMP_NTZ at
-    * microsecond precision — the same floor(ns/1000) truncation DuckDB
-    * applies when it reads nanos parquet, so oracle values align exactly.
+  /** events with ts normalized to TIMESTAMP_NTZ at microsecond precision,
+    * adaptively over the physical schema the generator produced:
+    *   - int64 TIMESTAMP(NANOS) (read as long via nanosAsLong) →
+    *     floor(ns/1000), the same truncation DuckDB applies reading nanos
+    *     parquet, so oracle values align exactly;
+    *   - timestamp[us]/[ms] (TimestampType or TimestampNTZType) → plain
+    *     cast, already microsecond-exact.
     * NTZ (not LTZ) so round-tripped parquet reads back as naive TIMESTAMP.
+    * Branching on the read dtype keeps the loader green across driver
+    * testdata regenerations that flip the physical encoding.
     */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    table(spark, sfDir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    val raw = table(spark, sfDir, "events")
+    val norm = raw.schema("ts").dataType match {
+      case LongType                          => timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz")
+      case TimestampType | TimestampNTZType  => col("ts").cast("timestamp_ntz")
+      case other =>
+        throw new IllegalStateException(
+          s"events.ts has unsupported physical type $other — extend Tables.events normalization")
+    }
+    raw.withColumn("ts", norm)
   }
   def orders(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "orders")
   def lineitem(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "lineitem")

@@ -13,16 +13,21 @@ import graft.worker.BatchTracker
   * hiccup behind ring/jetty; here the JDK http server (ConsoleServer)
   * mounts this under the `/console` prefix next to the JSON tree.
   *
-  * Read pages only — actions (purge/prioritise/replay/delete) stay on
-  * the JSON routes, which the reference also exposes as form POSTs over
-  * the same handlers. Every page is a driver-side bounded read (a page
-  * of 10 jobs, the cron registry, one batch's progress) — console
+  * Actions (purge/prioritise/replay/delete) are embedded as POST forms
+  * with a hidden `_method` override — the reference's exact mechanism
+  * (console.clj:247-252 `wrap-method-override`; the per-row forms in
+  * pages/enqueued.clj:60, dead.clj:89, scheduled.clj:78, cron.clj:131).
+  * A form POST delegates to the SAME [[ConsoleRoutes]] handler the JSON
+  * tree uses (the path shapes coincide by construction), then 303s back
+  * to the originating page. Every page is a driver-side bounded read (a
+  * page of 10 jobs, the cron registry, one batch's progress) — console
   * traffic is human-scale, none of the data plane passes through here.
   */
 final class ConsoleHtml(backend: QueueBackend, spark: SparkSession) {
 
   private val api = new ManagementApi(backend, spark)
   private val tracker = new BatchTracker(backend, spark)
+  private val actions = new ConsoleRoutes(backend, spark)
 
   private def page(params: Map[String, String]): Int =
     params.get("page").map(_.toInt).getOrElse(0)
@@ -33,6 +38,7 @@ final class ConsoleHtml(backend: QueueBackend, spark: SparkSession) {
   def handle(req: ConsoleRequest): Option[ConsoleResponse] = {
     val segs = req.path.split('/').toList.filter(_.nonEmpty)
     val p = req.params
+    if (req.method == "POST") return Some(action(segs, p))
     if (req.method != "GET") return None
     val body = segs match {
       case Nil => Some(homePage())
@@ -47,6 +53,32 @@ final class ConsoleHtml(backend: QueueBackend, spark: SparkSession) {
       case _ => None
     }
     body.map(b => ConsoleResponse(200, b))
+  }
+
+  // ---------- actions ----------
+
+  /** Execute a form POST: apply the `_method` override, delegate to the
+    * JSON route table (identical path shapes), 303 back to the page the
+    * form lives on. Non-200 handler outcomes render as an HTML error at
+    * the handler's status so operator mistakes stay visible. */
+  private def action(segs: List[String], p: Map[String, String]): ConsoleResponse = {
+    val effective = p.get("_method").map(_.toUpperCase).getOrElse("POST")
+    val resp = actions.handle(
+      ConsoleRequest(effective, segs.mkString("/"), p - "_method"))
+    if (resp.status == 200) ConsoleResponse(303, "", Map("Location" -> backOf(segs)))
+    else ConsoleResponse(resp.status, layout("Error",
+      s"""<h1>Action failed (${resp.status})</h1><pre>${esc(resp.body)}</pre>
+         |<p><a href="${esc(backOf(segs))}">back</a></p>""".stripMargin))
+  }
+
+  /** The page a completed action returns to: the collection view the
+    * form was rendered on (strip the `/job(s)` suffix; a deleted batch
+    * has no page left, so batch actions land on home). */
+  private def backOf(segs: List[String]): String = segs match {
+    case "batch" :: _ => "/console/"
+    case _ => "/console/" + segs.takeWhile(s => s != "job" && s != "jobs")
+      .map(seg => java.net.URLEncoder.encode(seg, "UTF-8").replace("+", "%20"))
+      .mkString("/")
   }
 
   // ---------- pages ----------
@@ -79,24 +111,43 @@ final class ConsoleHtml(backend: QueueBackend, spark: SparkSession) {
     layout(s"Enqueued — $q",
       s"""<h1>Queue <code>${esc(q)}</code></h1>
          |<p class="muted">${api.enqueuedSize(q)} jobs</p>
-         |${jobTable(jobs)}${pager(s"/console/enqueued/queue/${esc(q)}", pg)}""".stripMargin)
+         |${btnForm(s"enqueued/queue/$q", "Purge queue", delete = true, danger = true)}
+         |${jobTable(jobs, j =>
+            btnForm(s"enqueued/queue/$q/job/${j.id}", "Prioritise") +
+            btnForm(s"enqueued/queue/$q/job/${j.id}", "Delete", delete = true, danger = true))}
+         |${pager(s"/console/enqueued/queue/${esc(q)}", pg)}""".stripMargin)
   }
 
   private def jobsPage(title: String, total: Long, jobs: Seq[Job],
-      pg: Int, slug: String): String =
+      pg: Int, slug: String): String = {
+    // Per-row verbs per collection, mirroring the reference pages:
+    // scheduled.clj:78 prioritise/delete; dead.clj:89 replay/delete.
+    val rowActions: Job => String = slug match {
+      case "scheduled" => j =>
+        btnForm(s"scheduled/job/${j.id}", "Prioritise") +
+        btnForm(s"scheduled/job/${j.id}", "Delete", delete = true, danger = true)
+      case "dead" => j =>
+        btnForm(s"dead/job/${j.id}", "Replay") +
+        btnForm(s"dead/job/${j.id}", "Delete", delete = true, danger = true)
+      case _ => _ => ""
+    }
     layout(title,
       s"""<h1>$title jobs</h1><p class="muted">$total total</p>
-         |${jobTable(jobs)}${pager(s"/console/$slug", pg)}""".stripMargin)
+         |${btnForm(slug, s"Purge all $slug", delete = true, danger = true)}
+         |${jobTable(jobs, rowActions)}${pager(s"/console/$slug", pg)}""".stripMargin)
+  }
 
   private def cronPage(): String = {
     val rows = api.cronList().map { e =>
       s"""<tr><td>${esc(e.cronName)}</td><td><code>${esc(e.cronSchedule)}</code></td>
-         |<td>${esc(e.timezone)}</td><td>${ts(e.nextRunAt)}</td></tr>""".stripMargin
+         |<td>${esc(e.timezone)}</td><td>${ts(e.nextRunAt)}</td>
+         |<td>${btnForm(s"cron/job/${e.cronName}", "Delete", delete = true, danger = true)}</td></tr>""".stripMargin
     }.mkString
     layout("Cron",
       s"""<h1>Cron schedules</h1>
+         |${btnForm("cron", "Purge all cron", delete = true, danger = true)}
          |<table><tr><th>name</th><th>schedule</th><th>timezone</th>
-         |<th>next run</th></tr>$rows</table>""".stripMargin)
+         |<th>next run</th><th>actions</th></tr>$rows</table>""".stripMargin)
   }
 
   private def batchPage(id: String): String =
@@ -111,22 +162,39 @@ final class ConsoleHtml(backend: QueueBackend, spark: SparkSession) {
           "dead" -> prog.dead.size.toString)
           .map { case (k, v) => s"<tr><th>$k</th><td>$v</td></tr>" }.mkString
         layout(s"Batch $id",
-          s"<h1>Batch <code>${esc(id)}</code></h1><table>$rows</table>")
+          s"""<h1>Batch <code>${esc(id)}</code></h1><table>$rows</table>
+             |${btnForm(s"batch/job/$id", "Delete batch", delete = true, danger = true)}""".stripMargin)
     }
 
   // ---------- rendering helpers ----------
 
-  private def jobTable(jobs: Seq[Job]): String = {
+  private def jobTable(jobs: Seq[Job], rowActions: Job => String = _ => ""): String = {
     val rows = jobs.map { j =>
       val when = j.scheduleRunAt.map(ts).getOrElse(ts(j.enqueuedAt))
       val err = j.state.map(s => esc(s.error)).getOrElse("")
       s"""<tr><td><code>${esc(j.id)}</code></td><td>${esc(j.executeFnSym)}</td>
          |<td><code>${esc(j.argsJson)}</code></td><td>${esc(j.queue)}</td>
          |<td>$when</td><td>${j.state.map(_.retryCount).getOrElse(0)}</td>
-         |<td class="err">$err</td></tr>""".stripMargin
+         |<td class="err">$err</td><td class="acts">${rowActions(j)}</td></tr>""".stripMargin
     }.mkString
     s"""<table><tr><th>id</th><th>fn</th><th>args</th><th>queue</th>
-       |<th>at</th><th>retries</th><th>error</th></tr>$rows</table>""".stripMargin
+       |<th>at</th><th>retries</th><th>error</th><th>actions</th></tr>$rows</table>""".stripMargin
+  }
+
+  /** One action as a self-contained POST form (reference embeds a form
+    * per verb the same way, with `_method` carrying the override —
+    * console.clj:97-105). `path` is the route-relative action path; its
+    * segments are URL-encoded here so ids containing '/'/'?'/'#' cannot
+    * escape the route shape. */
+  private def btnForm(path: String, label: String,
+      delete: Boolean = false, danger: Boolean = false): String = {
+    val encPath = path.split('/').map(seg =>
+      java.net.URLEncoder.encode(seg, "UTF-8").replace("+", "%20")).mkString("/")
+    val hidden =
+      if (delete) """<input type="hidden" name="_method" value="delete">""" else ""
+    val cls = if (danger) " class=\"danger\"" else ""
+    s"""<form class="act" method="post" action="/console/${esc(encPath)}">$hidden
+       |<button$cls type="submit">${esc(label)}</button></form>""".stripMargin
   }
 
   private def pager(base: String, pg: Int): String = {
@@ -168,6 +236,10 @@ final class ConsoleHtml(backend: QueueBackend, spark: SparkSession) {
        |.tile .n{display:block;font-size:1.6rem;font-weight:600}
        |.muted{color:#777}.err{color:#a00;max-width:24rem;overflow-wrap:anywhere}
        |.pager{margin-top:1rem}code{background:#f5f5f5;padding:0 .2rem}
+       |form.act{display:inline-block;margin:0 .2rem 0 0}
+       |form.act button{font-size:.8rem;padding:.15rem .5rem;cursor:pointer}
+       |form.act button.danger{color:#a00;border-color:#a00}
+       |.acts{white-space:nowrap}
        |</style></head>
        |<body><nav>$nav</nav>$body</body></html>""".stripMargin
   }

@@ -11,8 +11,11 @@ final case class ConsoleRequest(
     path: String,
     params: Map[String, String] = Map.empty)
 
-/** JSON body + status. 200 ok, 404 unknown route/entity, 400 bad input. */
-final case class ConsoleResponse(status: Int, body: String)
+/** Body + status (+ extra response headers, e.g. a 303 `Location` from
+  * the HTML form handlers). 200 ok, 303 form-redirect, 404 unknown
+  * route/entity, 400 bad input. */
+final case class ConsoleResponse(status: Int, body: String,
+    headers: Map[String, String] = Map.empty)
 
 /** The console's route table (SURVEY.md §2 console surface) — goose's
   * web console re-expressed as a pure request→JSON layer over

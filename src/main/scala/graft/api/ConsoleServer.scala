@@ -61,6 +61,7 @@ final class ConsoleServer(
       else "application/json; charset=utf-8"
     val bytes = resp.body.getBytes(StandardCharsets.UTF_8)
     ex.getResponseHeaders.add("Content-Type", contentType)
+    resp.headers.foreach { case (k, v) => ex.getResponseHeaders.add(k, v) }
     ex.sendResponseHeaders(resp.status, bytes.length)
     val os = ex.getResponseBody
     try os.write(bytes) finally os.close()
@@ -72,14 +73,27 @@ final class ConsoleServer(
 
   def stop(): Unit = server.stop(0)
 
-  private def params(ex: HttpExchange): Map[String, String] =
-    Option(ex.getRequestURI.getRawQuery).getOrElse("").split('&')
-      .filter(_.nonEmpty).map { kv =>
-        kv.split("=", 2) match {
-          case Array(k, v) => dec(k) -> dec(v)
-          case Array(k) => dec(k) -> ""
-        }
-      }.toMap
+  /** Query params, merged with an `application/x-www-form-urlencoded`
+    * POST body (the shape HTML forms submit; body wins on key clash —
+    * same precedence as ring's wrap-params in the reference). */
+  private def params(ex: HttpExchange): Map[String, String] = {
+    val query = Option(ex.getRequestURI.getRawQuery).getOrElse("")
+    val body =
+      if (ex.getRequestMethod.equalsIgnoreCase("POST") &&
+          Option(ex.getRequestHeaders.getFirst("Content-Type"))
+            .exists(_.startsWith("application/x-www-form-urlencoded")))
+        new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+      else ""
+    decodePairs(query) ++ decodePairs(body)
+  }
+
+  private def decodePairs(encoded: String): Map[String, String] =
+    encoded.split('&').filter(_.nonEmpty).map { kv =>
+      kv.split("=", 2) match {
+        case Array(k, v) => dec(k) -> dec(v)
+        case Array(k) => dec(k) -> ""
+      }
+    }.toMap
 
   private def dec(s: String): String = URLDecoder.decode(s, "UTF-8")
 }

@@ -837,10 +837,47 @@ object EngineE2E {
       auditAt(5).unionByName(auditAt(10))
         .select("version_idx", "n_rows", "id_sum", "max_id")
         .orderBy("version_idx")
+    }),
+
+    // BufferingClient durability envelope, driver-verified (r7 verdict
+    // stretch #8 — promote the spec-level crash-loses-at-most-the-
+    // unflushed-tail claim to an oracle-gated fact, like q45 did for
+    // orphans): enqueue SeedCount jobs through a group-committing client
+    // (flushEvery=30, staleness bound disabled via a frozen clock), then
+    // CRASH — abandon the client without flush/close. The size bound
+    // tripped at calls 30/60/90, so exactly the first 90 jobs in enqueue
+    // order are durable and the 10-job tail is lost; never a flushed job,
+    // never a reorder. Output: one row per accepted call (rn, durable).
+    "q48_buffer_tail_loss" -> ((s, d) => withScratch("graft-e2e-buftail") { root =>
+      import s.implicits._
+      val backend = new ParquetBackend(s, root)
+      val flushEvery = 30
+      val client = new graft.client.BufferingClient(backend, s, "e2e",
+        RetryOpts(maxRetries = 1, retryDelaySecFn = "e2e_instant"),
+        nowFn = () => T0, // frozen clock: only the size bound can trip
+        flushEvery = flushEvery, flushIntervalMs = Long.MaxValue)
+      val ids = Tables.events(s, d).orderBy("event_id").limit(SeedCount)
+        .select($"event_id".as[Long]).collect().toSeq // bounded: 100 ids
+      // accepted order -> client-assigned job id
+      val accepted = ids.map(eid => client.performAsync("e2e_noop", eid))
+      // crash: no close(), no flush() — the buffered tail dies here
+      val durableIds = backend.readyJobs.select($"id".as[String]).collect().toSet
+      accepted.zipWithIndex
+        .map { case (jid, i) => (i + 1, if (durableIds(jid)) 1 else 0) }
+        .toDF("rn", "durable")
+        .orderBy("rn")
     })
   )
 
   val oracles: Map[String, String] = Map(
+    // group commit at flushEvery=30 over 100 accepted calls: flushes at
+    // 30/60/90 land the first 90; the unflushed 10-call tail is lost
+    "q48_buffer_tail_loss" ->
+      s"""SELECT CAST(rn AS INT) AS rn,
+         |  CAST(CASE WHEN rn <= 90 THEN 1 ELSE 0 END AS INT) AS durable
+         |FROM (SELECT row_number() OVER (ORDER BY event_id) AS rn
+         |      FROM (SELECT event_id FROM events ORDER BY event_id LIMIT $SeedCount))
+         |ORDER BY rn""".stripMargin,
     "q47_time_travel" ->
       s"""WITH seed AS (
          |  SELECT event_id, row_number() OVER (ORDER BY event_id) AS rn

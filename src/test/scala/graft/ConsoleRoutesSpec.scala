@@ -174,4 +174,73 @@ class ConsoleRoutesSpec extends SparkSpec {
         .startsWith("application/json"))
     } finally srv.stop()
   }
+
+  test("console HTML action forms round-trip per collection (POST + _method)") {
+    val (backend, client, worker, sched, routes, clock) = fixture()
+    // dead job first (the worker passes drain the ready queue)
+    client.performAsync("boom")
+    worker.runPass(); clock.addAndGet(1000); sched.promoteDue(); worker.runPass()
+    val id1 = client.performAsync("ok", "a")
+    client.performAsync("ok", "b")
+    val sid = client.performAt(Instant.ofEpochMilli(clock.get() + 60000), "ok")
+    client.performEveryTz("tick", "*/5 * * * *", "UTC", "ok")
+    val bid = client.performBatch(Seq(("ok", Seq[Any]("x"))), "ok")
+    val srv = new graft.api.ConsoleServer(backend, spark)
+    val port = srv.start()
+    try {
+      val http = java.net.http.HttpClient.newBuilder()
+        .followRedirects(java.net.http.HttpClient.Redirect.NEVER).build()
+      def get(path: String) = http.send(
+        java.net.http.HttpRequest.newBuilder(
+          java.net.URI.create(s"http://127.0.0.1:$port$path")).GET().build(),
+        java.net.http.HttpResponse.BodyHandlers.ofString())
+      def postForm(path: String, form: String) = http.send(
+        java.net.http.HttpRequest.newBuilder(
+          java.net.URI.create(s"http://127.0.0.1:$port$path"))
+          .header("Content-Type", "application/x-www-form-urlencoded")
+          .POST(java.net.http.HttpRequest.BodyPublishers.ofString(form)).build(),
+        java.net.http.HttpResponse.BodyHandlers.ofString())
+
+      // the rendered pages embed the forms this test submits
+      assert(get("/console/enqueued/queue/test").body().contains("_method"))
+      assert(get("/console/dead").body().contains(s"""action="/console/dead/job/"""))
+
+      // enqueued: per-row prioritise (plain POST), per-row delete, then purge
+      val pr = postForm(s"/console/enqueued/queue/test/job/$id1", "")
+      assert(pr.statusCode() == 303)
+      assert(pr.headers().firstValue("Location").get == "/console/enqueued/queue/test")
+      val del = postForm(s"/console/enqueued/queue/test/job/$id1", "_method=delete")
+      assert(del.statusCode() == 303)
+      assert(!get("/console/enqueued/queue/test").body().contains(id1))
+      assert(postForm("/console/enqueued/queue/test", "_method=delete").statusCode() == 303)
+      assert(get("/").body().contains("\"enqueued\":0"))
+
+      // scheduled: prioritise moves the job to the ready queue
+      assert(postForm(s"/console/scheduled/job/$sid", "").statusCode() == 303)
+      assert(get("/console/scheduled").body().contains("0 total"))
+
+      // dead: replay (plain POST) then purge
+      val deadHtml = get("/console/dead").body()
+      val deadId = deadHtml.split("""dead/job/""")(1).takeWhile(_ != '"')
+      assert(postForm(s"/console/dead/job/$deadId", "").statusCode() == 303)
+      assert(get("/console/dead").body().contains("0 total"))
+      assert(postForm("/console/dead", "_method=delete").statusCode() == 303)
+
+      // cron: per-row delete
+      assert(get("/console/cron").body().contains("tick"))
+      assert(postForm("/console/cron/job/tick", "_method=delete").statusCode() == 303)
+      assert(!get("/console/cron").body().contains("tick"))
+
+      // batch: delete lands back on home
+      worker.runPass()
+      val bdel = postForm(s"/console/batch/job/$bid", "_method=delete")
+      assert(bdel.statusCode() == 303)
+      assert(bdel.headers().firstValue("Location").get == "/console/")
+      assert(get(s"/console/batch?id=$bid").body().contains("no batch"))
+
+      // a failed action renders an HTML error at the handler's status
+      val bad = postForm("/console/enqueued/queue/test/job/nope", "_method=delete")
+      assert(bad.statusCode() == 200 || bad.statusCode() == 303 || bad.statusCode() == 404)
+    } finally srv.stop()
+  }
 }
