@@ -41,11 +41,29 @@ import org.apache.spark.sql.types.StructType
   */
 object DirectParquetAppend {
 
-  private final class RowBuilder(file: org.apache.parquet.io.OutputFile)
+  private final class RowBuilder(file: org.apache.parquet.io.OutputFile,
+      support: WriteSupport[InternalRow])
       extends ParquetWriter.Builder[InternalRow, RowBuilder](file) {
     override def self(): RowBuilder = this
     override def getWriteSupport(conf: Configuration): WriteSupport[InternalRow] =
-      new ParquetWriteSupport
+      support
+  }
+
+  /** `ParquetWriteSupport.init` re-parses the schema JSON out of the conf
+    * and rebuilds the whole field-writer closure tree on EVERY writer
+    * build — measured ~half of the per-call writer_build stage. The
+    * parse is deterministic per conf, so memoize the WriteContext after
+    * the first init and return it for every subsequent writer built over
+    * the same support. The support instance carries per-file state
+    * (recordConsumer, set by prepareForWrite), so one instance serves one
+    * writer at a time — appendAs serializes build→write→close on the
+    * encoder's serializer monitor, which all same-schema appends share. */
+  private final class MemoInitWriteSupport extends ParquetWriteSupport {
+    private var ctx: WriteSupport.WriteContext = _
+    override def init(configuration: Configuration): WriteSupport.WriteContext = {
+      if (ctx == null) ctx = super.init(configuration)
+      ctx
+    }
   }
 
   /** OutputFile over an EXPLICIT FileSystem handle. The stock
@@ -126,9 +144,12 @@ object DirectParquetAppend {
 
   /** newHadoopConf copies the full session conf (~1 ms) — cached per
     * (schema, parquet-write-conf fingerprint) so a session conf change
-    * between appends still takes effect. */
+    * between appends still takes effect. The memoized write support
+    * rides the same key: its cached WriteContext is valid exactly as
+    * long as this conf is. */
   private val confCache =
-    new java.util.concurrent.ConcurrentHashMap[(StructType, String), Configuration]()
+    new java.util.concurrent.ConcurrentHashMap[
+      (StructType, String), (Configuration, MemoInitWriteSupport)]()
 
   private def confFingerprint(spark: SparkSession): String = {
     val sqlConf = spark.sessionState.conf
@@ -184,8 +205,8 @@ object DirectParquetAppend {
       (ee.createSerializer(), ee.schema)
     })
     val toRow = toRowAny.asInstanceOf[ExpressionEncoder.Serializer[T]]
-    val conf = confCache.computeIfAbsent((schema, confFingerprint(spark)),
-      _ => writerConf(spark, schema))
+    val (conf, support) = confCache.computeIfAbsent((schema, confFingerprint(spark)),
+      _ => (writerConf(spark, schema), new MemoInitWriteSupport))
     val fs = writeFs(new Path(dir), conf)
 
     val stagingDir = new Path(new Path(dir).getParent, ".staging")
@@ -193,19 +214,23 @@ object DirectParquetAppend {
     ensureDir(fs, stagingDir)
     if (prof != null) prof.mark("resolve")
 
-    // Small-row-set writer: row-group/page buffers sized for a few-KB
-    // file, not the 128 MB distributed default.
-    val writer = new RowBuilder(new FsOutputFile(fs, staged))
-      .withConf(conf)
-      .withCompressionCodec(codec(spark))
-      .withRowGroupSize(1L << 20)
-      .withPageSize(16 << 10)
-      .withDictionaryPageSize(16 << 10)
-      .build()
-    if (prof != null) prof.mark("writer_build")
-    try toRow.synchronized {
-      rows.foreach(r => writer.write(toRow(r)))
-    } finally writer.close()
+    // Build→write→close under the serializer monitor: the serializer's
+    // row buffer AND the shared write support's per-file recordConsumer
+    // both allow exactly one in-flight writer per schema.
+    toRow.synchronized {
+      // Small-row-set writer: row-group/page buffers sized for a few-KB
+      // file, not the 128 MB distributed default.
+      val writer = new RowBuilder(new FsOutputFile(fs, staged), support)
+        .withConf(conf)
+        .withCompressionCodec(codec(spark))
+        .withRowGroupSize(1L << 20)
+        .withPageSize(16 << 10)
+        .withDictionaryPageSize(16 << 10)
+        .build()
+      if (prof != null) prof.mark("writer_build")
+      try rows.foreach(r => writer.write(toRow(r)))
+      finally writer.close()
+    }
     if (prof != null) prof.mark("write_close")
 
     val target = new Path(dir)
