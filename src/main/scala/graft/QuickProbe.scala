@@ -46,6 +46,58 @@ object QuickProbe {
           }
           spark.conf.set("spark.sql.parquet.compression.codec", "snappy")
         }
+      // pseudo-query: console page render latency against a 1M-row
+      // backend (r7 verdict stretch #9) — each page is a driver-side
+      // Spark action whose pagination must stay limit-pushed; p50 over
+      // 9 live-HTTP GETs per page.
+      case "__console_load" =>
+        graft.Scratch.withDir("probe-console") { root =>
+          import spark.implicits._
+          import graft.model._
+          JobRegistry.register("probe_noop", _ => "ok")
+          JobRegistry.registerBackoff("probe_instant", _ => 0)
+          val backend = new graft.backend.ParquetBackend(spark, root)
+          val retry = RetryOpts(maxRetries = 1, retryDelaySecFn = "probe_instant")
+          val n = 1000000
+          def mkJobs(range: org.apache.spark.sql.Dataset[java.lang.Long],
+              schedAt: Option[Long]) =
+            range.map { i =>
+              Job(id = i.toString, executeFnSym = "probe_noop", argsJson = "[]",
+                queue = s"q${i % 8}", readyQueue = s"q${i % 8}",
+                priority = 0, enqueuedAt = 1700000000000L + i,
+                scheduleRunAt = schedAt.map(_ + i), cronRunAt = None,
+                batchId = None, retryOpts = retry, state = None,
+                seq = Job.nextSeq())
+            }
+          backend.enqueue(mkJobs(spark.range(0, n, 1, 32), None))
+          backend.schedule(mkJobs(spark.range(n, n + 100000, 1, 8),
+            Some(1800000000000L)))
+          backend.bury(mkJobs(spark.range(n + 200000, n + 250000, 1, 8), None))
+          backend.upsertCron((1 to 50).map(i =>
+            CronEntry(s"cron$i", "*/5 * * * *", "UTC",
+              JobDescription(s"fn$i", "[]", "default", "default", 0, RetryOpts()),
+              1700000000000L)))
+          val srv = new graft.api.ConsoleServer(backend, spark)
+          val port = srv.start()
+          try {
+            val http = java.net.http.HttpClient.newHttpClient()
+            val pages = Seq("/console", "/console/enqueued",
+              "/console/enqueued/queue/q0?page=3", "/console/scheduled?page=3",
+              "/console/dead?page=3", "/console/cron")
+            pages.foreach { p =>
+              val times = (1 to 9).map { _ =>
+                val t0 = System.nanoTime()
+                val resp = http.send(java.net.http.HttpRequest.newBuilder(
+                    java.net.URI.create(s"http://127.0.0.1:$port$p")).GET().build(),
+                  java.net.http.HttpResponse.BodyHandlers.ofString())
+                require(resp.statusCode() == 200, s"$p -> ${resp.statusCode()}")
+                (System.nanoTime() - t0) / 1e3
+              }.sorted
+              println(f"PROBE console_load $p p50=${times(4) / 1000}%.0fms " +
+                f"min=${times.head / 1000}%.0fms max=${times.last / 1000}%.0fms")
+            }
+          } finally srv.stop()
+        }
       // pseudo-query: the per-call enqueue micro-bench, standalone
       case "__enqueue" =>
         (1 to 2).foreach { pass =>

@@ -97,9 +97,12 @@ final class ConsoleHtml(backend: QueueBackend, spark: SparkSession) {
   }
 
   private def enqueuedIndex(): String = {
-    val rows = api.listQueues().map { q =>
+    // ONE grouped scan for every queue's size — listQueues() + a count
+    // per queue is N+1 Spark actions, measured p50 8.1 s vs 1.5 s
+    // against a 1M-row backend (QuickProbe __console_load).
+    val rows = api.queueGauges().toSeq.sortBy(_._1).map { case (q, size) =>
       s"""<tr><td><a href="/console/enqueued/queue/${esc(q)}">${esc(q)}</a></td>
-         |<td class="num">${api.enqueuedSize(q)}</td></tr>""".stripMargin
+         |<td class="num">$size</td></tr>""".stripMargin
     }.mkString
     layout("Enqueued",
       s"""<h1>Enqueued queues</h1>

@@ -306,12 +306,21 @@ object DedupOps {
     // the shingle, so it shuffles by shingle hash and scales horizontally.
     "d11_contamination" -> ((s, d) => {
       val evalSrcs = Seq("src0", "src1")
+      // Shingles reduce to 8-byte xxhash64 keys AT THE SCAN, before any
+      // exchange: the distinct/join shuffles then carry longs instead of
+      // shingle strings (~3× smaller rows, cheaper hashing/compares) —
+      // the same hashed-shingle membership Dolma/SlimPajama-style decon
+      // passes ship. Collision risk at 64 bits is ~n²/2⁶⁵ (≪1e-7 even at
+      // 100M distinct shingles); a collision could only inflate overlap,
+      // never hide contamination. Measured at 100×: 35.3s → (see
+      // SCALING_100x.md) on the same host.
       val sh = shingled(Tables.documents(s, d))
+        .select(col("doc_id"), col("source"), xxhash64(col("sh")).as("shh"))
       val evalSh = sh.filter(col("source").isin(evalSrcs: _*))
-        .select(col("doc_id"), col("sh")).distinct()
+        .select(col("doc_id"), col("shh")).distinct()
       val trainSh = sh.filter(!col("source").isin(evalSrcs: _*))
-        .select(col("sh")).distinct().withColumn("hit", lit(1))
-      evalSh.join(trainSh, Seq("sh"), "left_outer")
+        .select(col("shh")).distinct().withColumn("hit", lit(1))
+      evalSh.join(trainSh, Seq("shh"), "left_outer")
         .groupBy("doc_id")
         .agg(round(sum(coalesce(col("hit"), lit(0))).cast("double") /
           count(lit(1)).cast("double"), 4).as("overlap"))
