@@ -182,12 +182,14 @@ object Bench {
     val coresAfter = effectiveCores()
     // Contention gate (VERDICT r7 #3): r7's official run measured
     // [14.2, 9.6] effective cores of 32 — 2-3× hypervisor oversubscription
-    // that silently regressed every wall time ~40%. A run whose measured
-    // parallelism collapses below half the visible cores is flagged
+    // that silently regressed every wall time ~40%. A run where BOTH
+    // endpoint samples collapse below half the visible cores is flagged
     // CONTENDED in the artifact: its timings are host weather, to be
-    // re-sampled on a quiet host, not compared round-over-round.
+    // re-sampled on a quiet host, not compared round-over-round. (One
+    // low sample — e.g. the start probe landing in JVM warm-up — is not
+    // conclusive; both samples are published for finer judgement.)
     val visibleCores = Runtime.getRuntime.availableProcessors().toDouble
-    val contended = math.min(coresBefore, coresAfter) < visibleCores / 2
+    val contended = math.max(coresBefore, coresAfter) < visibleCores / 2
     // Numeric scale factor parsed from the dir name ("sf0.1" → 0.1) plus
     // the raw path — ADVICE r7: one artifact carried the path string and
     // another the number, forcing consumers to special-case the field.

@@ -19,8 +19,12 @@ object Scratch {
   def dir(prefix: String): String = Files.createTempDirectory(prefix).toString
 
   /** Recursive best-effort delete — reclaiming a scratch dir must never
-    * turn a green fixture into an error path. */
+    * turn a green fixture into an error path. WAL writers under the dir
+    * close first: each holds an open FileChannel, and hundreds of
+    * fixture backends per test/bench session would otherwise leak a
+    * file descriptor per table WAL. */
   def delete(root: String): Unit = {
+    graft.backend.WalStore.closeUnder(root)
     def rec(f: java.io.File): Unit = {
       val kids = f.listFiles()
       if (kids != null) kids.foreach(rec)

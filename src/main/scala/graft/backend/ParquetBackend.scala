@@ -3,6 +3,7 @@ package graft.backend
 import java.util.UUID
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{Dataset, Encoder, SaveMode, SparkSession}
+import graft.model.Job
 
 /** Directory-listing binding of [[LogStructuredBackend]]: each table is a
   * parquet directory, appends are parquet part-file writes, and
@@ -60,41 +61,128 @@ class ParquetBackend(spark0: SparkSession, val root: String)
   override def sweepStaging(olderThanMs: Long): Int =
     DirectParquetAppend.sweepStaging(fs, new Path(root), olderThanMs)
 
+  /** Serializes a reader's (parquet listing, WAL decode) snapshot
+    * against a WAL→parquet fold, so a reader can never see a folded row
+    * twice (listed file + still-in-WAL) or zero times (pre-fold listing
+    * + post-fold WAL). Lock order everywhere: walFoldLock → table
+    * writeLock → TableWal monitor. */
+  private val walFoldLocks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private def foldLock(tbl: String): Object =
+    walFoldLocks.computeIfAbsent(tbl, _ => new Object)
+
+  /** Current visible rows: the parquet log UNION the WAL tail (the
+    * per-call latency path, [[WalStore]]) as a LocalRelation. The WAL
+    * decode is driver-side and bounded: [[WalStore.MaxRecords]] forces a
+    * fold, and compaction truncates. */
   override protected def readLog[T: Encoder](tbl: String): Dataset[T] =
-    if (exists(tbl)) spark.read.parquet(dir(tbl)).as[T]
-    else spark.emptyDataset[T]
+    foldLock(tbl).synchronized {
+      val base =
+        if (exists(tbl)) spark.read.parquet(dir(tbl)).as[T]
+        else spark.emptyDataset[T]
+      val tail = WalStore.rows(root, tbl, implicitly[Encoder[T]])
+      if (tail.isEmpty) base
+      else base.unionByName(spark.createDataset(tail))
+    }
 
   override protected def appendLog[T](tbl: String, ds: Dataset[T]): Unit = {
     val lock = writeLocks.computeIfAbsent(tbl, _ => new Object)
     lock.synchronized { ds.write.mode(SaveMode.Append).parquet(dir(tbl)) }
   }
 
-  /** Driver-held small appends skip the Spark job entirely: one
-    * parquet-hadoop file write through Spark's own ParquetWriteSupport,
-    * staged invisible and renamed in ([[DirectParquetAppend]]) — ~2 ms
-    * against the distributed path's ~100 ms commit protocol. The lock
-    * serializes against a concurrent [[replaceLog]] dir swap (a rename
-    * into a directory mid-swap would land the file in the retired
-    * generation and lose it). */
+  /** Tables a STRUCTURED STREAMING consumer reads as a parquet FILE
+    * source ([[graft.worker.WorkerEngine.startStream]] on `ready`,
+    * [[graft.worker.BatchTracker.metaStream]] on `batches`). Their
+    * per-call appends must materialize a parquet file — a WAL row would
+    * be invisible to a running stream until some fold happened. */
+  private val StreamedTables = Set("ready", "batches")
+
+  /** Driver-held small appends. Two lanes:
+    *
+    *  - [[StreamedTables]] → one direct parquet file
+    *    ([[DirectParquetAppend]], ~5-9 ms): the engine's contract is
+    *    that a returned `performAsync`/`putBatch` is promptly visible
+    *    to a running streaming consumer. The parquet file IS the
+    *    stream-visibility token; its writer-construction cost is the
+    *    documented per-call floor (SCALING.md r8 profile).
+    *  - every other table (scheduled jobs, tombstones, cron upserts,
+    *    heartbeats, queue decls, batch status) → the [[WalStore]] WAL:
+    *    one buffered file write (~tens of µs, Redis-AOF durability
+    *    class). These tables are only ever read through [[readLog]]
+    *    (WAL-inclusive), so visibility is immediate; the heartbeat
+    *    tick alone stops costing one parquet file per second per
+    *    worker. Past [[WalStore.MaxRecords]] the append folds first,
+    *    so the per-read decode stays bounded even with no worker
+    *    running compaction.
+    *
+    * The table lock serializes against a concurrent [[replaceLog]] dir
+    * swap. */
   override protected def appendSmallRows[T: Encoder](tbl: String, rows: Seq[T]): Unit =
     if (rows.nonEmpty) {
-      val lock = writeLocks.computeIfAbsent(tbl, _ => new Object)
-      lock.synchronized {
-        DirectParquetAppend.append(spark, implicitly[Encoder[T]], dir(tbl), rows)
+      val enc = implicitly[Encoder[T]]
+      if (StreamedTables(tbl)) {
+        val lock = writeLocks.computeIfAbsent(tbl, _ => new Object)
+        lock.synchronized {
+          DirectParquetAppend.append(spark, enc, dir(tbl), rows)
+        }
+      } else {
+        if (WalStore.recordCount(root, tbl, enc) + rows.size > WalStore.MaxRecords)
+          drainWal(tbl, enc)
+        val lock = writeLocks.computeIfAbsent(tbl, _ => new Object)
+        lock.synchronized {
+          WalStore.append(root, tbl, enc, rows,
+            force = spark.conf.getOption("graft.wal.fsync").contains("true"))
+        }
       }
     }
 
-  /** Write the replacement as a fresh directory, then swap via renames. */
+  /** Fold the WAL tail into one parquet part file and truncate it —
+    * called from the worker's maintenance tick (streaming visibility)
+    * and from the record-count cap. Atomic vs readers via the fold
+    * lock; atomic vs per-call appends via the TableWal monitor held
+    * across decode→write→truncate. */
+  private def drainWal[T](tbl: String, enc: Encoder[T]): Unit =
+    foldLock(tbl).synchronized {
+      if (WalStore.hasRecords(root, tbl)) {
+        val lock = writeLocks.computeIfAbsent(tbl, _ => new Object)
+        lock.synchronized {
+          val wal = WalStore.forTable(root, tbl, enc)
+          wal.synchronized {
+            val rows = WalStore.rows(root, tbl, enc)
+            if (rows.nonEmpty)
+              DirectParquetAppend.append(spark, enc, dir(tbl), rows)
+            wal.truncate()
+          }
+        }
+      }
+    }
+
+  /** Fold the job-table WALs on the maintenance cadence — not needed
+    * for correctness (their readers are WAL-inclusive [[readLog]]; the
+    * ready lane writes parquet directly), but it keeps the driver-side
+    * decode short and lets compaction see an honest file count. */
+  override def drainLatencyPath(): Unit = {
+    import spark.implicits._
+    drainWal("scheduled", implicitly[Encoder[Job]])
+  }
+
+  /** Write the replacement as a fresh directory, then swap via renames.
+    * The replacement rows were computed from a WAL-inclusive read (and
+    * are materialized by the caller before this runs), so the WAL
+    * truncates with the swap — under the fold lock, so no reader
+    * assembles a half-folded snapshot. */
   override protected def replaceLog[T](tbl: String, rows: Dataset[T]): Unit = {
-    val lock = writeLocks.computeIfAbsent(tbl, _ => new Object)
-    lock.synchronized {
-      val tmp = s"$root/.rw-${UUID.randomUUID()}"
-      rows.write.mode(SaveMode.Overwrite).parquet(tmp)
-      val old = new Path(dir(tbl))
-      val bak = new Path(s"$root/.old-${UUID.randomUUID()}")
-      if (fs.exists(old)) fs.rename(old, bak)
-      fs.rename(new Path(tmp), old)
-      fs.delete(bak, true)
+    val tmp = s"$root/.rw-${UUID.randomUUID()}"
+    rows.write.mode(SaveMode.Overwrite).parquet(tmp)
+    foldLock(tbl).synchronized {
+      val lock = writeLocks.computeIfAbsent(tbl, _ => new Object)
+      lock.synchronized {
+        val old = new Path(dir(tbl))
+        val bak = new Path(s"$root/.old-${UUID.randomUUID()}")
+        if (fs.exists(old)) fs.rename(old, bak)
+        fs.rename(new Path(tmp), old)
+        fs.delete(bak, true)
+        WalStore.truncate(root, tbl, rows.encoder)
+      }
     }
   }
 }

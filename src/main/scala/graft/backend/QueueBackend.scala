@@ -146,4 +146,11 @@ trait QueueBackend {
 
   // ---- maintenance ----
   def compact(tbl: String): Unit
+
+  /** Fold any per-call latency-path buffer (e.g. [[ParquetBackend]]'s
+    * WAL tail) into the storage the FILE-BASED streaming consumer reads.
+    * Batch reads are latency-path-inclusive already; this only advances
+    * stream visibility. Default: nothing to fold. Runs on GraftWorker's
+    * maintenance cadence. */
+  def drainLatencyPath(): Unit = ()
 }

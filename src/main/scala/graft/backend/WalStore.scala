@@ -1,0 +1,258 @@
+package graft.backend
+
+import java.io.RandomAccessFile
+import java.nio.ByteBuffer
+import java.nio.channels.FileChannel
+import java.nio.file.{Files, Paths}
+import java.util.zip.CRC32
+import org.apache.spark.sql.Encoder
+import org.apache.spark.sql.catalyst.encoders.{AgnosticEncoder, ExpressionEncoder}
+import org.apache.spark.sql.catalyst.expressions.UnsafeRow
+
+/** Write-ahead row log for the per-call latency path.
+  *
+  * [[DirectParquetAppend]] made a one-row append cost one parquet FILE
+  * (~9 ms/call — the floor is parquet writer construction, SCALING.md
+  * r8 profile). The reference's per-call enqueue is a ~2 ms Redis LPUSH
+  * (BASELINE.md; perf/goose/redis/load.clj:57-62) — an in-memory list
+  * append whose durability is Redis AOF `everysec`, i.e. page-cache
+  * durable vs process crash, fsync'd by the OS within seconds. This WAL
+  * is the same durability class for the same seam: one buffered file
+  * write per call (tens of µs), records visible to every reader
+  * immediately (readers decode the tail driver-side), folded into
+  * parquet by the SAME compaction that already bounds the table's file
+  * count, truncated only inside `replaceLog` — whose callers already
+  * serialize against readers (the documented ParquetBackend compaction
+  * contract), so the fold introduces no new visibility race.
+  *
+  * File format (`root/.wal/<tbl>.wal`):
+  * {{{
+  *   header:  magic "GWAL1" | numFields int32 | schemaHash int32
+  *   record:  len int32 | crc32 int32 | payload (UnsafeRow bytes)
+  * }}}
+  * A torn tail (crash mid-append) fails the len/crc check; open() scans
+  * to the last valid record and truncates there, so a crashed process
+  * loses at most its final in-flight record — never a completed append.
+  *
+  * Rows are stored as Spark's own UnsafeRow bytes (the encoder's
+  * serializer output), so encode is one projection + memcpy and decode
+  * is pointTo + the cached deserializer — no JSON, no reflection per
+  * record. The schema hash pins the bytes to the encoder schema; a
+  * mismatch on open fails loudly (schema drift defense, not silent
+  * misreads).
+  *
+  * Writers are JVM-global per (root, tbl) — fixtures build several
+  * backend instances over one root (q45's dying/real pair), and two
+  * channels on one file would interleave. All appends to one table
+  * serialize on its writer.
+  */
+object WalStore {
+
+  private val Magic = Array[Byte]('G', 'W', 'A', 'L', '1')
+  private val HeaderLen = Magic.length + 8
+  /** Past this many live WAL records, per-call appends fall back to the
+    * direct-parquet path so an unworked backend (no compaction running)
+    * still has a bounded driver-side decode cost per read. */
+  val MaxRecords = 16384
+
+  final class TableWal(path: java.nio.file.Path, numFields: Int, schemaHash: Int) {
+    private var channel: FileChannel = _
+    private var count = 0
+    private val crc = new CRC32
+
+    // open + recover: validate header (or write one), scan to the last
+    // valid record, truncate any torn tail
+    {
+      Files.createDirectories(path.getParent)
+      val raf = new RandomAccessFile(path.toFile, "rw")
+      channel = raf.getChannel
+      if (channel.size() < HeaderLen) {
+        channel.truncate(0)
+        val h = ByteBuffer.allocate(HeaderLen)
+        h.put(Magic).putInt(numFields).putInt(schemaHash).flip()
+        while (h.hasRemaining) channel.write(h)
+      } else {
+        val h = ByteBuffer.allocate(HeaderLen)
+        channel.read(h, 0)
+        h.flip()
+        val m = new Array[Byte](Magic.length)
+        h.get(m)
+        require(java.util.Arrays.equals(m, Magic), s"$path: not a graft WAL")
+        val nf = h.getInt
+        val sh = h.getInt
+        require(nf == numFields && sh == schemaHash,
+          s"$path: WAL schema (fields=$nf hash=$sh) does not match the current " +
+            s"encoder (fields=$numFields hash=$schemaHash) — compact or remove the WAL")
+        var pos = HeaderLen.toLong
+        val end = channel.size()
+        var valid = true
+        while (valid && pos + 8 <= end) {
+          val rh = ByteBuffer.allocate(8)
+          channel.read(rh, pos)
+          rh.flip()
+          val len = rh.getInt
+          val expect = rh.getInt
+          if (len <= 0 || pos + 8 + len > end) valid = false
+          else {
+            val payload = ByteBuffer.allocate(len)
+            channel.read(payload, pos + 8)
+            crc.reset(); crc.update(payload.array(), 0, len)
+            if (crc.getValue.toInt != expect) valid = false
+            else { pos += 8 + len; count += 1 }
+          }
+        }
+        channel.truncate(pos)
+        channel.position(pos)
+      }
+    }
+
+    def size: Int = synchronized(count)
+
+    /** Append one serialized row; buffered write (Redis-AOF-class
+      * durability), `force=true` opts into fsync-per-append. */
+    def append(rowBytes: Array[Byte], force: Boolean): Unit = synchronized {
+      crc.reset(); crc.update(rowBytes)
+      val buf = ByteBuffer.allocate(8 + rowBytes.length)
+      buf.putInt(rowBytes.length).putInt(crc.getValue.toInt).put(rowBytes).flip()
+      channel.position(channel.size())
+      while (buf.hasRemaining) channel.write(buf)
+      if (force) channel.force(false)
+      count += 1
+    }
+
+    /** Decode every live record (driver-side; bounded by [[MaxRecords]]
+      * plus the compaction cadence). */
+    def readAll(): Seq[Array[Byte]] = synchronized {
+      val out = Vector.newBuilder[Array[Byte]]
+      var pos = HeaderLen.toLong
+      val end = channel.size()
+      while (pos + 8 <= end) {
+        val rh = ByteBuffer.allocate(8)
+        channel.read(rh, pos)
+        rh.flip()
+        val len = rh.getInt
+        rh.getInt // crc validated on open; in-process appends are trusted
+        val payload = ByteBuffer.allocate(len)
+        channel.read(payload, pos + 8)
+        out += payload.array()
+        pos += 8 + len
+      }
+      out.result()
+    }
+
+    /** Drop every record (post-compaction fold). */
+    def truncate(): Unit = synchronized {
+      channel.truncate(HeaderLen.toLong)
+      channel.position(HeaderLen.toLong)
+      count = 0
+    }
+
+    /** fsync (once per batch, not per record). */
+    def sync(): Unit = synchronized(channel.force(false))
+
+    def close(): Unit = synchronized {
+      try channel.close() catch { case _: java.io.IOException => () }
+    }
+  }
+
+  private val writers =
+    new java.util.concurrent.ConcurrentHashMap[String, TableWal]()
+
+  private def exprEncoder[T](enc: Encoder[T]): ExpressionEncoder[T] = enc match {
+    case e: ExpressionEncoder[_] => e.asInstanceOf[ExpressionEncoder[T]]
+    case a: AgnosticEncoder[_] => ExpressionEncoder(a.asInstanceOf[AgnosticEncoder[T]])
+    case other =>
+      throw new IllegalArgumentException(s"unsupported encoder ${other.getClass.getName}")
+  }
+
+  /** Serializer + deserializer + schema, cached per encoder (the same
+    * reasoning as [[DirectParquetAppend.serializerCache]]: building
+    * either side costs ~40 ms of reflection + codegen). */
+  private val codecCache = new java.util.concurrent.ConcurrentHashMap[
+    Encoder[_],
+    (ExpressionEncoder.Serializer[_], ExpressionEncoder.Deserializer[_],
+      org.apache.spark.sql.types.StructType)]()
+
+  private def codec[T](enc: Encoder[T]) = {
+    val c = codecCache.computeIfAbsent(enc, { e =>
+      val ee = exprEncoder(e.asInstanceOf[Encoder[T]])
+      val bound = ee.resolveAndBind()
+      (bound.createSerializer(), bound.createDeserializer(), ee.schema)
+    })
+    (c._1.asInstanceOf[ExpressionEncoder.Serializer[T]],
+      c._2.asInstanceOf[ExpressionEncoder.Deserializer[T]],
+      c._3)
+  }
+
+  def walPath(root: String, tbl: String): java.nio.file.Path =
+    Paths.get(root, ".wal", s"$tbl.wal")
+
+  def forTable[T](root: String, tbl: String, enc: Encoder[T]): TableWal = {
+    val (_, _, schema) = codec(enc)
+    val p = walPath(root, tbl)
+    writers.computeIfAbsent(p.toAbsolutePath.toString,
+      _ => new TableWal(p, schema.fields.length, schema.json.hashCode))
+  }
+
+  /** True if a WAL with live records exists for this table (read path
+    * probe that must not CREATE the file). */
+  def hasRecords(root: String, tbl: String): Boolean = {
+    val key = walPath(root, tbl).toAbsolutePath.toString
+    val w = writers.get(key)
+    if (w != null) w.size > 0
+    else Files.exists(Paths.get(key)) && Files.size(Paths.get(key)) > HeaderLen
+  }
+
+  /** Append rows; serializer reuses an internal buffer so serialization
+    * and the channel write share the writer's monitor. */
+  def append[T](root: String, tbl: String, enc: Encoder[T], rows: Seq[T],
+      force: Boolean): Unit = {
+    val (ser, _, _) = codec(enc)
+    val w = forTable(root, tbl, enc)
+    w.synchronized {
+      rows.foreach { r =>
+        val bytes = ser(r) match {
+          case u: UnsafeRow => u.getBytes
+          case other => throw new IllegalStateException(
+            s"encoder serializer produced ${other.getClass.getName}, expected UnsafeRow")
+        }
+        w.append(bytes, force = false)
+      }
+      if (force) w.sync()
+    }
+  }
+
+  /** Decode all live rows of one table (empty if no WAL). */
+  def rows[T](root: String, tbl: String, enc: Encoder[T]): Seq[T] = {
+    if (!hasRecords(root, tbl)) return Nil
+    val (_, deser, schema) = codec(enc)
+    val w = forTable(root, tbl, enc)
+    val nf = schema.fields.length
+    w.readAll().map { bytes =>
+      val row = new UnsafeRow(nf)
+      row.pointTo(bytes, bytes.length)
+      deser(row)
+    }
+  }
+
+  def recordCount(root: String, tbl: String, enc: Encoder[_]): Int =
+    if (!hasRecords(root, tbl)) 0 else forTable(root, tbl, enc).size
+
+  /** Drop all records (called at the end of `replaceLog`, after the
+    * replacement rows — computed from a read that INCLUDED the WAL —
+    * are durably swapped in). */
+  def truncate(root: String, tbl: String, enc: Encoder[_]): Unit =
+    if (hasRecords(root, tbl)) forTable(root, tbl, enc).truncate()
+
+  /** Close and deregister every writer under `root` — scratch-dir
+    * teardown ([[graft.Scratch.delete]]); a writer per fixture backend
+    * would otherwise leak its file descriptor for the session. */
+  def closeUnder(root: String): Unit = {
+    val prefix = Paths.get(root).toAbsolutePath.toString + java.io.File.separator
+    val it = writers.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.getKey.startsWith(prefix)) { e.getValue.close(); it.remove() }
+    }
+  }
+}

@@ -163,6 +163,10 @@ final class GraftWorker(
           try {
             backend.recordHeartbeat(
               graft.model.ProcessHeartbeat(processId, queue.getOrElse("*"), nowFn())) // D9
+            // fold the per-call WAL tail to parquet so the file-source
+            // consumer stream sees per-call enqueues (batch reads are
+            // WAL-inclusive already)
+            backend.drainLatencyPath()
             scheduler.tick()
             if (!streamingTracker) tracker.trackPass() // recovery/batch mode
             Metrics.publishGauges(backend, spark, metrics)

@@ -72,7 +72,11 @@ class GraftWorkerSpec extends SparkSpec {
         if (d.isDirectory) d.listFiles((_, n) => n.endsWith(".parquet")).length else 0
       }.sum
     val filesBefore = fileCount()
-    assert(filesBefore >= 25)
+    // 24 per-call ready appends, one parquet file each (stream lane);
+    // the scheduled job rides the WAL, not a file
+    assert(filesBefore >= 24)
+    assert(graft.backend.WalStore.recordCount(root, "scheduled",
+      org.apache.spark.sql.Encoders.product[graft.model.Job]) == 1)
 
     val worker = new GraftWorker(backend, spark, root,
       maintenanceIntervalMs = 100, compactEveryTicks = 2, compactMinFiles = 8)

@@ -1,0 +1,152 @@
+package graft
+
+import java.nio.file.{Files, Paths, StandardOpenOption}
+import java.time.Instant
+import graft.backend.{ParquetBackend, WalStore}
+import graft.client.GraftClient
+import graft.model._
+import graft.worker.SchedulerEngine
+
+/** The per-call WAL latency path ([[WalStore]] + ParquetBackend wiring).
+  *
+  * Lane contract: `ready` stays direct parquet (the consumer stream is a
+  * parquet file source — the file IS the stream-visibility token); every
+  * other small-append table (scheduled, tombstones, cron, heartbeats,
+  * batch status) lands on the WAL and is read WAL-inclusively through
+  * `readLog`. Covered here: durability + reopen, torn-tail recovery,
+  * schema pinning, fold semantics (drain / cap / compaction), and an
+  * engine path (scheduler promotion) consuming WAL-resident rows. */
+class WalStoreSpec extends SparkSpec {
+
+  private val JobEnc = org.apache.spark.sql.Encoders.product[Job]
+  private val T0 = 1700000000000L
+
+  private def freshBackend() = {
+    TestFns.reset()
+    val root = tmpDir("graft-wal")
+    (root, new ParquetBackend(spark, root))
+  }
+
+  private def clientOn(backend: ParquetBackend, now: () => Long) =
+    new GraftClient(backend, spark, "w",
+      RetryOpts(maxRetries = 0, retryDelaySecFn = "instant"), now)
+
+  test("per-call schedule lands on the WAL, is readable, and survives reopen") {
+    val (root, backend) = freshBackend()
+    val client = clientOn(backend, () => T0)
+    val ids = (1 to 25).map(i =>
+      client.performAt(Instant.ofEpochMilli(T0 + 60000 + i), "ok", i))
+    // no parquet file yet — the rows live on the WAL
+    assert(backend.dataFileCount("scheduled") == 0)
+    assert(WalStore.recordCount(root, "scheduled", JobEnc) == 25)
+    val visible = backend.scheduledJobs.collect().map(_.id).toSet
+    assert(ids.forall(visible), "WAL rows must be batch-visible immediately")
+
+    // a NEW backend instance over the same root reads the same rows
+    val reopened = new ParquetBackend(spark, root)
+    assert(reopened.scheduledJobs.count() == 25)
+  }
+
+  test("ready lane stays direct parquet (stream-visibility token)") {
+    val (root, backend) = freshBackend()
+    val client = clientOn(backend, () => T0)
+    client.performAsync("ok", 1)
+    assert(backend.dataFileCount("ready") == 1,
+      "a per-call ready enqueue must be a parquet file the consumer stream can list")
+    assert(WalStore.recordCount(root, "ready", JobEnc) == 0)
+  }
+
+  test("heartbeats ride the WAL: no parquet file per tick") {
+    val (root, backend) = freshBackend()
+    (1 to 50).foreach(i => backend.recordHeartbeat(ProcessHeartbeat(s"w$i", "q", i)))
+    assert(backend.dataFileCount("heartbeats") == 0)
+    assert(backend.heartbeats.count() == 50)
+    assert(WalStore.recordCount(root, "heartbeats",
+      org.apache.spark.sql.Encoders.product[ProcessHeartbeat]) == 50)
+  }
+
+  test("drainLatencyPath folds the scheduled WAL into parquet exactly once") {
+    val (root, backend) = freshBackend()
+    val client = clientOn(backend, () => T0)
+    (1 to 10).foreach(i =>
+      client.performAt(Instant.ofEpochMilli(T0 + 60000 + i), "ok", i))
+    backend.drainLatencyPath()
+    assert(backend.dataFileCount("scheduled") == 1)
+    assert(WalStore.recordCount(root, "scheduled", JobEnc) == 0)
+    assert(backend.scheduledJobs.count() == 10, "no loss, no duplication across the fold")
+    backend.drainLatencyPath() // idempotent on empty WAL
+    assert(backend.dataFileCount("scheduled") == 1)
+    // post-fold appends start a fresh tail
+    client.performAt(Instant.ofEpochMilli(T0 + 70000), "ok", 11)
+    assert(backend.scheduledJobs.count() == 11)
+  }
+
+  test("scheduler promotes WAL-resident scheduled jobs without a drain") {
+    val (_, backend) = freshBackend()
+    val clock = new java.util.concurrent.atomic.AtomicLong(T0)
+    val client = clientOn(backend, () => clock.get())
+    (1 to 5).foreach(i =>
+      client.performAt(Instant.ofEpochMilli(T0 + 1000 + i), "ok", i))
+    clock.set(T0 + 60000) // all due now
+    val sched = new SchedulerEngine(backend, spark, () => clock.get())
+    sched.promoteDue()
+    assert(backend.readyJobs.count() == 5, "due WAL rows must promote")
+    assert(backend.scheduledJobs.count() == 0,
+      "promotion tombstones (also WAL-resident) must hide the promoted rows")
+  }
+
+  test("torn tail: a crash mid-record loses only the in-flight record") {
+    val (root, backend) = freshBackend()
+    val client = clientOn(backend, () => T0)
+    (1 to 8).foreach(i =>
+      client.performAt(Instant.ofEpochMilli(T0 + 60000 + i), "ok", i))
+    // simulate a crashed process: drop the writer, then corrupt the tail
+    WalStore.closeUnder(root)
+    val wal = Paths.get(root, ".wal", "scheduled.wal")
+    Files.write(wal, Array[Byte](42, 0, 0, 1, 7, 7), StandardOpenOption.APPEND)
+    // a fresh process (registry emptied by closeUnder) recovers to the
+    // last valid record and keeps appending
+    assert(new ParquetBackend(spark, root).scheduledJobs.count() == 8)
+    client.performAt(Instant.ofEpochMilli(T0 + 70000), "ok", 9)
+    assert(backend.scheduledJobs.count() == 9)
+  }
+
+  test("schema drift on an existing WAL fails loudly, not with misreads") {
+    val (root, _) = freshBackend()
+    import spark.implicits._
+    WalStore.append(root, "probe", implicitly[org.apache.spark.sql.Encoder[(Long, String)]],
+      Seq((1L, "a")), force = false)
+    WalStore.closeUnder(root)
+    val e = intercept[IllegalArgumentException] {
+      WalStore.rows(root, "probe",
+        implicitly[org.apache.spark.sql.Encoder[(Long, String, Long)]])
+    }
+    assert(e.getMessage.contains("does not match"))
+  }
+
+  test("record-count cap folds before appending (bounded read decode)") {
+    val (root, backend) = freshBackend()
+    val retry = RetryOpts(maxRetries = 0, retryDelaySecFn = "instant")
+    def mk(i: Int) = Job(id = s"j$i", executeFnSym = "ok", argsJson = "[]",
+      queue = "w", readyQueue = "w", priority = 0, enqueuedAt = 1L,
+      scheduleRunAt = Some(T0 + 60000 + i), cronRunAt = None, batchId = None,
+      retryOpts = retry, state = None, seq = Job.nextSeq())
+    // two appends that together cross the cap: the second folds first
+    backend.scheduleRows((1 to WalStore.MaxRecords - 5).map(mk))
+    assert(backend.dataFileCount("scheduled") == 0)
+    backend.scheduleRows((1 to 10).map(i => mk(WalStore.MaxRecords + i)))
+    assert(backend.dataFileCount("scheduled") == 1, "cap crossing must fold the old tail")
+    assert(WalStore.recordCount(root, "scheduled", JobEnc) == 10)
+    assert(backend.scheduledJobs.count() == WalStore.MaxRecords + 5)
+  }
+
+  test("compaction truncates the WAL with the visible fold (no double rows)") {
+    val (root, backend) = freshBackend()
+    val client = clientOn(backend, () => T0)
+    (1 to 12).foreach(i =>
+      client.performAt(Instant.ofEpochMilli(T0 + 60000 + i), "ok", i))
+    backend.compact("scheduled")
+    assert(WalStore.recordCount(root, "scheduled", JobEnc) == 0)
+    assert(backend.scheduledJobs.count() == 12)
+  }
+}
