@@ -98,6 +98,44 @@ object QuickProbe {
             }
           } finally srv.stop()
         }
+      // pseudo-query: client-side cost split of one performAsync/performAt
+      // call (everything OUTSIDE the storage append)
+      case "__client_profile" =>
+        graft.Scratch.withDir("probe-cliprof") { root =>
+          import graft.model._
+          JobRegistry.register("bench_noop", _ => "ok")
+          val backend = new graft.backend.ParquetBackend(spark, root)
+          val client = new graft.client.GraftClient(backend, spark, "bench")
+          (1 to 32).foreach(i => client.performAsync("bench_noop", -i)) // warm
+          val n = 512
+          def time(label: String)(f: Int => Unit): Unit = {
+            val t0 = System.nanoTime()
+            (1 to n).foreach(f)
+            println(f"PROBE client_profile $label ${(System.nanoTime() - t0) / 1e6 / n}%.3fms")
+          }
+          time("args_roundtrip")(i =>
+            ArgsSerializers.active.roundTripConsistent(Seq(i)))
+          time("job_build")(i => Job("bench_noop", Seq(i), "bench", RetryOpts()))
+          time("next_seq")(_ => Job.nextSeq())
+          time("wal_append_scheduled")(i =>
+            backend.scheduleRows(Seq(Job("bench_noop", Seq(i), "bench", RetryOpts())
+              .copy(scheduleRunAt = Some(1900000000000L + i)))))
+          val hoistedEnc = org.apache.spark.sql.Encoders.product[Job]
+          val tmpl = Job("bench_noop", Seq(1), "bench", RetryOpts())
+          time("wal_raw_hoisted_encoder")(i =>
+            graft.backend.WalStore.append(root, "probe_raw", hoistedEnc,
+              Seq(tmpl.copy(id = i.toString)), force = false))
+          time("conf_lookup")(_ =>
+            spark.conf.getOption("graft.wal.fsync"))
+          time("implicit_encoder_resolution") { _ =>
+            import spark.implicits._
+            implicitly[org.apache.spark.sql.Encoder[Job]]; ()
+          }
+          time("full_perform_at")(i =>
+            client.performAt(java.time.Instant.ofEpochMilli(1900000000000L + i),
+              "bench_noop", i))
+          time("full_perform_async_ready")(i => client.performAsync("bench_noop", i))
+        }
       // pseudo-query: the per-call enqueue micro-bench, standalone
       case "__enqueue" =>
         (1 to 2).foreach { pass =>

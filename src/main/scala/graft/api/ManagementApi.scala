@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.backend.QueueBackend
 import graft.model._
+import graft.model.ModelEncoders._
 
 /** Management/console query surface over live engine tables — the data
   * behind goose's console and per-collection APIs (SURVEY.md §2.2-2.4;

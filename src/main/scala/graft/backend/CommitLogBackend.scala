@@ -4,6 +4,7 @@ import java.util.UUID
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{Dataset, Encoder, SaveMode, SparkSession}
 import graft.model.{Job, QueueDecl}
+import graft.model.ModelEncoders._
 
 /** Manifest-commit-log binding of [[LogStructuredBackend]] — the second
   * real broker behind the seam (goose's Redis vs RabbitMQ split,

@@ -3,6 +3,7 @@ package graft.backend
 import scala.collection.mutable
 import org.apache.spark.sql.{Dataset, SparkSession}
 import graft.model._
+import graft.model.ModelEncoders._
 
 /** Driver-local in-memory [[QueueBackend]] — the second broker behind the
   * seam, playing the role RabbitMQ plays for goose (broker.clj's protocol

@@ -3,6 +3,7 @@ package graft.backend
 import org.apache.spark.sql.{Dataset, Encoder, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.model._
+import graft.model.ModelEncoders._
 
 /** The log-structured queue engine, abstracted over HOW logs are stored.
   *

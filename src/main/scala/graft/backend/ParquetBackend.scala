@@ -1,5 +1,6 @@
 package graft.backend
 
+import graft.model.ModelEncoders._
 import java.util.UUID
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{Dataset, Encoder, SaveMode, SparkSession}

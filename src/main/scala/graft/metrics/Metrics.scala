@@ -1,5 +1,6 @@
 package graft.metrics
 
+import graft.model.ModelEncoders._
 import java.util.concurrent.ConcurrentHashMap
 import java.util.concurrent.atomic.LongAdder
 import org.apache.spark.sql.SparkSession

@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import graft.backend.{BatchStatusEvent, QueueBackend}
 import graft.model._
+import graft.model.ModelEncoders._
 
 /** Progress state for one batch — goose's 4 job-id sets
   * (redis/batch.clj:14-19) kept as keyed state. Sets (not counts) so a

@@ -1,5 +1,6 @@
 package graft.worker
 
+import graft.model.ModelEncoders._
 import java.util.concurrent.atomic.AtomicBoolean
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.streaming.Trigger

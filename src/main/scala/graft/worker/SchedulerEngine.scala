@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.backend.QueueBackend
 import graft.cron.CronSchedule
 import graft.model._
+import graft.model.ModelEncoders._
 
 /** The scheduler + cron maintenance passes (SURVEY.md §2.5 D5/D6).
   *

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Dataset, SparkSession}
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import graft.backend.QueueBackend
 import graft.model._
+import graft.model.ModelEncoders._
 
 /** One executed job with its decided next action — computed ON THE
   * EXECUTOR so retry/death handling is distributed (no driver loop). */
