@@ -136,6 +136,99 @@ object QuickProbe {
               "bench_noop", i))
           time("full_perform_async_ready")(i => client.performAsync("bench_noop", i))
         }
+      // pseudo-query: noise-free A/B of the MinHash digest kernel over
+      // the real corpus texts — an inline MessageDigest+substring+hex
+      // reference loop vs the shipped MinHashMd5 expression eval — plus
+      // a 32-thread pass. Host contention swamps 100× wall-clock A/Bs
+      // (observed ±40% between back-to-back ScaleProbe runs); this pins
+      // the kernel-level throughput those runs can't resolve.
+      //
+      // Recorded negative result (r8): a hand-rolled allocation-free
+      // single-block MD5 (RFC 1321, min tracked as two longs, no
+      // substring/hex/digest allocs) measured EQUAL to this
+      // MessageDigest path warm single-threaded (~4.8M digests/s/core
+      // both) and ~20% SLOWER warm under 32 threads (0.63-0.66 s vs
+      // 0.77-0.80 s here) — HotSpot's intrinsified MD5 plus
+      // escape-analysis of the per-shingle allocations already wins,
+      // so the simpler kernel stays. Don't re-attempt without beating
+      // these numbers on this probe.
+      case "__minhash_kernel" =>
+        val texts = graft.Tables.documents(spark, sfDir)
+          .select("text").limit(2000).collect().map(_.getString(0))
+        val salts = Seq("1", "2", "3", "4")
+        def refKernel(): Long = {
+          val digest = java.security.MessageDigest.getInstance("MD5")
+          val hex = "0123456789abcdef".toCharArray
+          var acc = 0L
+          for (text <- texts; salt <- salts) {
+            val n = math.max(text.codePointCount(0, text.length) - 7, 1)
+            var min: String = null
+            var ci = 0
+            var k = 0
+            while (k < n) {
+              val end =
+                try text.offsetByCodePoints(ci, 8)
+                catch { case _: IndexOutOfBoundsException => text.length }
+              digest.reset()
+              digest.update(salt.getBytes("UTF-8"))
+              digest.update(text.substring(ci, end).getBytes("UTF-8"))
+              val d = digest.digest()
+              val out = new Array[Char](32)
+              var i = 0
+              while (i < 16) {
+                out(2 * i) = hex((d(i) >> 4) & 0xf)
+                out(2 * i + 1) = hex(d(i) & 0xf)
+                i += 1
+              }
+              val h = new String(out)
+              if (min == null || h.compareTo(min) < 0) min = h
+              if (k + 1 < n) ci = text.offsetByCodePoints(ci, 1)
+              k += 1
+            }
+            acc += min.length
+          }
+          acc
+        }
+        def exprKernel(): Long = {
+          val exprs = salts.map(s => graft.functions.MinHashMd5(
+            org.apache.spark.sql.catalyst.expressions.Literal("x"), s, 8))
+          var acc = 0L
+          for (text <- texts; e <- exprs)
+            acc += e.nullSafeEval(
+              org.apache.spark.unsafe.types.UTF8String.fromString(text))
+              .asInstanceOf[org.apache.spark.unsafe.types.UTF8String].numBytes()
+          acc
+        }
+        val nShingles = texts.map(t =>
+          math.max(t.codePointCount(0, t.length) - 7, 1).toLong).sum * salts.size
+        (1 to 3).foreach { pass =>
+          val t0 = System.nanoTime(); val a = refKernel()
+          val refS = (System.nanoTime() - t0) / 1e9
+          val t1 = System.nanoTime(); val b = exprKernel()
+          val exprS = (System.nanoTime() - t1) / 1e9
+          require(a == b, s"kernel outputs diverge: $a vs $b")
+          println(f"PROBE minhash_kernel pass$pass docs=${texts.length} " +
+            f"digests=$nShingles ref=$refS%.2fs expr=$exprS%.2fs " +
+            f"(${refS / exprS}%.1fx, ${nShingles / exprS / 1e6}%.1fM digests/s/core)")
+        }
+        // 32-way parallel pass: single-thread timing hides the
+        // allocation difference (escape analysis + per-thread TLAB);
+        // under executor-like parallelism the old kernel's 5 heap
+        // allocations per shingle contend on GC where the new kernel
+        // allocates nothing per shingle.
+        def par(f: () => Long): Double = {
+          val t0 = System.nanoTime()
+          val threads = (1 to 32).map(_ => new Thread(() => { f(); () }))
+          threads.foreach(_.start()); threads.foreach(_.join())
+          (System.nanoTime() - t0) / 1e9
+        }
+        (1 to 3).foreach { pass =>
+          val refS = par(refKernel _)
+          val exprS = par(exprKernel _)
+          println(f"PROBE minhash_kernel_par32 pass$pass " +
+            f"ref=$refS%.2fs expr=$exprS%.2fs (${refS / exprS}%.1fx, " +
+            f"${32 * nShingles / exprS / 1e6}%.0fM digests/s aggregate)")
+        }
       // pseudo-query: the per-call enqueue micro-bench, standalone
       case "__enqueue" =>
         (1 to 2).foreach { pass =>

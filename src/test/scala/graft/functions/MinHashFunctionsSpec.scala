@@ -20,6 +20,32 @@ class MinHashFunctionsSpec extends SparkSpec {
     assert(joined.filter(col("h_ref") =!= col("h_nat")).count() == 0)
   }
 
+  test("non-ASCII and supplementary codepoints match the composable form") {
+    // é = 2 UTF-8 bytes, 🦆 = 4 bytes (surrogate pair in UTF-16): shingle
+    // windows count CODEPOINTS, exactly like substr()
+    val docs = Seq(
+      (1L, "héllo wörld, ça va? déjà vu encore une fois"),
+      (2L, "duck 🦆 pond 🦆🦆 with many ducks swimming"),
+      (3L, "日本語のテキストです。これは短い文章。"),
+      (4L, ""),
+      (5L, "éé")
+    ).toDF("doc_id", "text")
+    val composable = docs
+      .withColumn("g", explode(sequence(lit(1), greatest(length(col("text")) - 7, lit(1)))))
+      .withColumn("sh", col("text").substr(col("g"), lit(8)))
+      .groupBy("doc_id")
+      .agg(min(md5(concat(lit("2"), col("sh")))).as("h_ref"))
+    val native = docs.select(col("doc_id"), minhash_md5(col("text"), "2", 8).as("h_nat"))
+    val joined = composable.join(native, "doc_id")
+    assert(joined.count() == 5) // empty text still yields one (empty) shingle
+    assert(joined.filter(col("h_ref") =!= col("h_nat")).count() == 0)
+    // empty text: md5(salt) by both the spec'd semantics and the native path
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val emptyRef = md.digest("2".getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    val emptyNat = native.filter(col("doc_id") === 4L).collect()(0).getString(1)
+    assert(emptyNat == emptyRef)
+  }
+
   test("short and empty-ish texts produce the whole-text shingle") {
     val df = Seq((1L, "abc"), (2L, "exactly8!")).toDF("doc_id", "text")
     val r = df.select(col("doc_id"), minhash_md5(col("text"), "1", 8).as("h")).collect()
