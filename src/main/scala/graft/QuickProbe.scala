@@ -229,6 +229,46 @@ object QuickProbe {
             f"ref=$refS%.2fs expr=$exprS%.2fs (${refS / exprS}%.1fx, " +
             f"${32 * nShingles / exprS / 1e6}%.0fM digests/s aggregate)")
         }
+      // pseudo-query: per-ACTION decomposition of a multi-action query
+      // ("__stages=<name>"). Funnel queries (p01) and iterative ones
+      // (d12) run several Spark jobs — localCheckpoint barriers, loop
+      // rounds, the final collect; a single wall-clock number can't say
+      // which stage moved. A QueryExecutionListener splits the wall per
+      // action with the executed plan's head, no operator-code changes.
+      case s if s.startsWith("__stages=") =>
+        val name = s.stripPrefix("__stages=")
+        val acc = new java.util.concurrent.ConcurrentLinkedQueue[(String, Double, String)]
+        val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+          override def onSuccess(funcName: String,
+              qe: org.apache.spark.sql.execution.QueryExecution,
+              durationNs: Long): Unit = {
+            val head = qe.executedPlan.toString.linesIterator
+              .filter(l => l.nonEmpty && !l.startsWith("AdaptiveSparkPlan"))
+              .map(_.replaceAll("^[-+*: ]+", "")).take(2).mkString(" <- ")
+            acc.add((funcName, durationNs / 1e9,
+              if (head.length > 110) head.take(110) + "…" else head))
+          }
+          override def onFailure(funcName: String,
+              qe: org.apache.spark.sql.execution.QueryExecution,
+              error: Exception): Unit =
+            acc.add((s"$funcName FAILED", 0.0, error.toString.take(110)))
+        }
+        (1 to 2).foreach { pass =>
+          acc.clear()
+          spark.listenerManager.register(listener)
+          val t0 = System.nanoTime()
+          SparkEntry.queries(name)(spark, sfDir).count()
+          val total = (System.nanoTime() - t0) / 1e9
+          // listener events fire asynchronously after the action returns
+          Thread.sleep(1500)
+          spark.listenerManager.unregister(listener)
+          val actions = acc.toArray(Array.empty[(String, Double, String)])
+          println(f"PROBE stages $name pass$pass total=$total%.2fs " +
+            f"actions=${actions.length} listed=${actions.map(_._2).sum}%.2fs")
+          actions.sortBy(-_._2).take(12).foreach { case (fn, sec, head) =>
+            println(f"PROBE   stage $fn%-18s $sec%6.2fs  $head")
+          }
+        }
       // pseudo-query: the per-call enqueue micro-bench, standalone
       case "__enqueue" =>
         (1 to 2).foreach { pass =>

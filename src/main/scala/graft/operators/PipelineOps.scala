@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
+import graft.functions.RegexpFunctions.regexp_count_fast
 
 /** The composed training-data cleaning pipeline — the operator a 100 TB
   * pretraining run actually calls, chaining the individual kernels
@@ -50,7 +51,7 @@ object PipelineOps {
     "fr" -> "\\b(le|la|les|des|est|une|et)\\b")
 
   private def scoreCol(pat: String): Column =
-    size(regexp_extract_all(lower(col("text")), lit(pat), lit(1)))
+    regexp_count_fast(lower(col("text")), pat)
 
   /** t01's argmax language heuristic as a single predicate: doc is 'en'. */
   private def isEnglish: Column = {
@@ -60,8 +61,8 @@ object PipelineOps {
 
   /** t02's quality score in basis points. */
   private def qualityBp: Column = {
-    val nTok = size(regexp_extract_all(col("text"), lit("\\S+"), lit(0))).cast("double")
-    val nPunct = size(regexp_extract_all(col("text"), lit("[^a-zA-Z0-9\\s]"), lit(0))).cast("double")
+    val nTok = regexp_count_fast(col("text"), "\\S+").cast("double")
+    val nPunct = regexp_count_fast(col("text"), "[^a-zA-Z0-9\\s]").cast("double")
     val nStop = scoreCol(langPatterns.head._2).cast("double")
     floor(
       (least(col("n_chars") / 500.0, lit(1.0)) * 0.4
@@ -218,7 +219,7 @@ object PipelineOps {
           when(col("source") === src, thresholdHex(f)).otherwise(acc)
       }
       val keep = substring(md5(col("doc_id").cast("string")), 1, 8) < thr
-      val nTok = size(regexp_extract_all(col("text"), lit("\\S+"), lit(0)))
+      val nTok = regexp_count_fast(col("text"), "\\S+")
       Tables.documents(s, d)
         .withColumn("keep", keep).withColumn("n_tok", nTok)
         .groupBy("source")
@@ -241,7 +242,7 @@ object PipelineOps {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("source").orderBy("doc_id")
         .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-      val nTok = size(regexp_extract_all(col("text"), lit("\\S+"), lit(0))).cast("long")
+      val nTok = regexp_count_fast(col("text"), "\\S+").cast("long")
       Tables.documents(s, d)
         .withColumn("n_tok", nTok)
         .withColumn("cum", sum(col("n_tok")).over(w))
@@ -267,7 +268,7 @@ object PipelineOps {
     // per shard. One scan, one grouped agg — shard assignment is a
     // scan-local expression, so at scale this is `write.partitionBy`.
     "p04_shard_plan" -> ((s, d) => {
-      val nTok = size(regexp_extract_all(col("text"), lit("\\S+"), lit(0))).cast("long")
+      val nTok = regexp_count_fast(col("text"), "\\S+").cast("long")
       Tables.documents(s, d)
         .withColumn("shard",
           conv(substring(md5(col("doc_id").cast("string")), 32, 1), 16, 10).cast("long"))
@@ -286,7 +287,7 @@ object PipelineOps {
     // engines), broadcast back onto the scan; integer token counts make
     // the median exactly representable, so the >= compare is engine-safe.
     "p05_quantile_filter" -> ((s, d) => {
-      val nTok = size(regexp_extract_all(col("text"), lit("\\S+"), lit(0))).cast("double")
+      val nTok = regexp_count_fast(col("text"), "\\S+").cast("double")
       val docs = Tables.documents(s, d).withColumn("n_tok", nTok)
       val med = docs.groupBy("source")
         .agg(expr("percentile(n_tok, 0.5)").as("med"))
@@ -305,7 +306,7 @@ object PipelineOps {
     // (log2 of an exact power is exact in IEEE double on both engines —
     // and floor() beside a boundary only sees exact inputs).
     "p06_length_histogram" -> ((s, d) => {
-      val nTok = size(regexp_extract_all(col("text"), lit("\\S+"), lit(0))).cast("double")
+      val nTok = regexp_count_fast(col("text"), "\\S+").cast("double")
       Tables.documents(s, d)
         .withColumn("bucket",
           floor(log2(greatest(nTok, lit(1.0)))).cast("long"))

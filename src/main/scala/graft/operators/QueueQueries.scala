@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
+import graft.functions.RegexpFunctions.regexp_count_fast
 
 /** The goose console/API query surface (SURVEY.md §2.2-2.4), re-expressed
   * as declarative Spark plans over the driver test tables.
@@ -369,7 +370,7 @@ object QueueQueries {
       val wide = Tables.documents(s, d)
         .groupBy("source")
         .agg(count(lit(1)).cast("long").as("docs"),
-          sum(size(regexp_extract_all(col("text"), lit("\\S+"), lit(0))))
+          sum(regexp_count_fast(col("text"), "\\S+"))
             .cast("long").as("ws_tokens"),
           sum("n_chars").cast("long").as("chars"))
       wide.unpivot(Array(col("source")),

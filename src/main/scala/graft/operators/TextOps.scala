@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
+import graft.functions.RegexpFunctions.regexp_count_fast
 
 /** Text-analysis operators over `documents`: language-ID (stopword n-gram
   * heuristic), quality scoring, token counting (whitespace + BPE-ish
@@ -22,7 +23,7 @@ object TextOps {
     "fr" -> "\\b(le|la|les|des|est|une|et)\\b")
 
   private def scoreCol(pat: String): Column =
-    size(regexp_extract_all(lower(col("text")), lit(pat), lit(1)))
+    regexp_count_fast(lower(col("text")), pat)
 
   private def scoreSql(pat: String): String =
     s"len(regexp_extract_all(lower(text), '$pat', 1))"
@@ -54,8 +55,8 @@ object TextOps {
     // Quality score: length, punctuation-density and stopword-ratio
     // heuristics combined; the shape of a C4/Gopher-style quality filter.
     "t02_quality_score" -> ((s, d) => {
-      val nTok = size(regexp_extract_all(col("text"), lit(WsTok), lit(0))).cast("double")
-      val nPunct = size(regexp_extract_all(col("text"), lit("[^a-zA-Z0-9\\s]"), lit(0))).cast("double")
+      val nTok = regexp_count_fast(col("text"), WsTok).cast("double")
+      val nPunct = regexp_count_fast(col("text"), "[^a-zA-Z0-9\\s]").cast("double")
       val nStop = scoreCol(langPatterns.head._2).cast("double")
       // score in basis points via FLOOR: decimal ROUND at an exact .5
       // boundary differs between Spark (BigDecimal HALF_UP) and DuckDB
@@ -74,8 +75,8 @@ object TextOps {
     // per source — the budget accounting pass of a training pipeline.
     "t03_token_count" -> ((s, d) =>
       Tables.documents(s, d)
-        .withColumn("ws_tokens", size(regexp_extract_all(col("text"), lit(WsTok), lit(0))))
-        .withColumn("bpe_tokens", size(regexp_extract_all(col("text"), lit(BpeTok), lit(0))))
+        .withColumn("ws_tokens", regexp_count_fast(col("text"), WsTok))
+        .withColumn("bpe_tokens", regexp_count_fast(col("text"), BpeTok))
         .groupBy("source")
         .agg(count(lit(1)).as("n_docs"),
           sum("ws_tokens").as("ws_total"),
@@ -223,9 +224,9 @@ object TextOps {
       Tables.documents(s, d)
         .select(col("doc_id"), laced.as("t"))
         .select(col("doc_id"),
-          regexp_count(col("t"), lit(PiiEmail)).cast("long").as("n_email"),
-          regexp_count(col("t"), lit(PiiPhone)).cast("long").as("n_phone"),
-          regexp_count(col("t"), lit(PiiIp)).cast("long").as("n_ip"),
+          regexp_count_fast(col("t"), PiiEmail).cast("long").as("n_email"),
+          regexp_count_fast(col("t"), PiiPhone).cast("long").as("n_phone"),
+          regexp_count_fast(col("t"), PiiIp).cast("long").as("n_ip"),
           length(redacted).cast("long").as("len_redacted"))
         .orderBy("doc_id").limit(200)
     })
