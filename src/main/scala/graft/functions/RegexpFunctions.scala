@@ -78,10 +78,15 @@ private[functions] object FastCount {
   }
 
   /** `\b(w1|w2|...)\b` with ASCII-letter alternatives: a match is a
-    * maximal `\w`-run equal to one alternative (the run's edges ARE the
-    * word boundaries; an alternative inside a longer word has word
-    * characters adjacent, so java regex rejects it too). Matched by
-    * length bucket + regionMatches — no per-token allocation. */
+    * maximal word-character run equal to one alternative (the run's
+    * edges ARE the word boundaries; an alternative inside a longer word
+    * has word characters adjacent, so java regex rejects it too).
+    * Boundary semantics follow the JDK's quirk exactly: `\b` is
+    * UNICODE-aware (`_` or `Character.isLetterOrDigit`) even though
+    * `\w` stays ASCII — so "aĸ" is ONE word run, not a match for
+    * `\ba\b` (property-tested against java.util.regex, which is how
+    * this footgun was found). Matched by length bucket + regionMatches
+    * — no per-token allocation. */
   final class WordAlts(words: Seq[String]) extends Counter {
     private[this] val byLen: Array[Array[String]] = {
       val max = words.map(_.length).max
@@ -89,30 +94,35 @@ private[functions] object FastCount {
       words.groupBy(_.length).foreach { case (l, ws) => a(l) = ws.toArray }
       a
     }
-    @inline private def isWord(ch: Char): Boolean =
-      (ch >= 'a' && ch <= 'z') || (ch >= 'A' && ch <= 'Z') ||
-        (ch >= '0' && ch <= '9') || ch == '_'
+    @inline private def isWordCp(cp: Int): Boolean =
+      cp == '_' || Character.isLetterOrDigit(cp)
     def count(s: String): Int = {
       var i = 0
       var c = 0
       val n = s.length
       while (i < n) {
-        if (isWord(s.charAt(i))) {
-          var j = i + 1
-          while (j < n && isWord(s.charAt(j))) j += 1
-          val len = j - i
+        val cp = s.codePointAt(i)
+        if (isWordCp(cp)) {
+          val start = i
+          var j = i
+          var jcp = cp
+          while (j < n && isWordCp(jcp)) {
+            j += Character.charCount(jcp)
+            if (j < n) jcp = s.codePointAt(j)
+          }
+          val len = j - start
           if (len < byLen.length) {
             val cands = byLen(len)
             var k = 0
             var hit = false
             while (k < cands.length && !hit) {
-              if (s.regionMatches(i, cands(k), 0, len)) hit = true
+              if (s.regionMatches(start, cands(k), 0, len)) hit = true
               k += 1
             }
             if (hit) c += 1
           }
           i = j
-        } else i += 1
+        } else i += Character.charCount(cp)
       }
       c
     }
@@ -158,6 +168,8 @@ private[functions] object FastCount {
 
   /** Parse a character-class pattern body into a [[Cls]]; null when the
     * shape is outside the supported subset (then regex handles it). */
+  private[functions] def parseClassPattern(p: String): Cls = parseClass(p)
+
   private def parseClass(p: String): Cls = {
     val ascii = new Array[Boolean](128)
     var above = false
@@ -291,4 +303,72 @@ case class RegexpCountFast(child: Expression, pattern: String)
 object RegexpFunctions {
   def regexp_count_fast(text: Column, pattern: String): Column =
     ColumnBridge.column(RegexpCountFast(ColumnBridge.expression(text), pattern))
+
+  def regexp_replace_runs_fast(text: Column, pattern: String, replacement: String): Column =
+    ColumnBridge.column(RegexpReplaceRunsFast(ColumnBridge.expression(text), pattern, replacement))
+}
+
+/** `regexp_replace(text, "[class]+", literal)` as one codepoint scan —
+  * each maximal run of class members becomes the literal replacement,
+  * everything else copies through. Exactly java's `replaceAll` for this
+  * shape (greedy `X+` matches are the maximal runs; the replacement is
+  * literal, no group references). Exists for the same reason as
+  * [[RegexpCountFast]]: the d03 normalization class `[^a-z0-9 ]+` is a
+  * negated union, the shape that collapses ~26× under executor
+  * concurrency in java.util.regex (measurement in [[FastCount]]).
+  * Patterns outside the `[class]+` subset fall back to a per-thread
+  * cached Matcher `replaceAll`.
+  */
+case class RegexpReplaceRunsFast(child: Expression, pattern: String, replacement: String)
+    extends UnaryExpression with Serializable {
+
+  override def dataType: DataType = org.apache.spark.sql.types.StringType
+
+  // the fast path requires a bare greedy class run: "<class>+"
+  @transient private lazy val cls: FastCount.Cls =
+    if (pattern.endsWith("+") && !pattern.endsWith("\\+"))
+      FastCount.parseClassPattern(pattern.substring(0, pattern.length - 1))
+    else null
+  @transient private lazy val compiled = Pattern.compile(pattern)
+  @transient private lazy val localMatcher =
+    ThreadLocal.withInitial[java.util.regex.Matcher](() => compiled.matcher(""))
+
+  def replaceRuns(s: UTF8String): UTF8String = {
+    val str = s.toString
+    val c = cls
+    if (c == null)
+      return UTF8String.fromString(
+        localMatcher.get().reset(str).replaceAll(
+          java.util.regex.Matcher.quoteReplacement(replacement)))
+    val n = str.length
+    val sb = new java.lang.StringBuilder(n)
+    var i = 0
+    var in = false
+    while (i < n) {
+      val cp = str.codePointAt(i)
+      if (c.has(cp)) {
+        if (!in) sb.append(replacement)
+        in = true
+      } else {
+        sb.appendCodePoint(cp)
+        in = false
+      }
+      i += Character.charCount(cp)
+    }
+    UTF8String.fromString(sb.toString)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    replaceRuns(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("regexpReplaceRunsFast", this,
+      classOf[RegexpReplaceRunsFast].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.replaceRuns($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): RegexpReplaceRunsFast =
+    copy(child = newChild)
+
+  override def prettyName: String = "regexp_replace_runs_fast"
 }

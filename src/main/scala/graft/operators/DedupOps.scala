@@ -228,7 +228,7 @@ object DedupOps {
     "d03_dedup_normalized" -> ((s, d) =>
       Tables.documents(s, d).agg(
         count(lit(1)).as("n_docs"),
-        countDistinct(regexp_replace(lower(col("text")), "[^a-z0-9 ]+", ""))
+        countDistinct(graft.functions.RegexpFunctions.regexp_replace_runs_fast(lower(col("text")), "[^a-z0-9 ]+", ""))
           .as("n_norm_unique"))),
 
     // MinHash signatures (verifiable): per-doc salted-min sketch.

@@ -102,6 +102,37 @@ class RegexpFunctionsSpec extends SparkSpec {
     assert(result.passed, result.status.toString)
   }
 
+  test("replace-runs equals java replaceAll on corpus and adversarial cases") {
+    val texts = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("text").as[String].collect().toSeq ++ Seq(
+      "", " ", "ABC def!", "héllo wörld", "🦆du_ck🦆🦆", "a1 b2-c3...", "日本語123")
+    for ((pat, rep) <- Seq(("[^a-z0-9 ]+", ""), ("[^a-z0-9 ]+", "_"), ("\\s+", " "))) {
+      val expr = RegexpReplaceRunsFast(
+        org.apache.spark.sql.catalyst.expressions.Literal("x"), pat, rep)
+      val compiled = java.util.regex.Pattern.compile(pat)
+      for (t <- texts; tl <- Seq(t, t.toLowerCase)) {
+        val expected = compiled.matcher(tl).replaceAll(rep)
+        val got = expr.replaceRuns(
+          org.apache.spark.unsafe.types.UTF8String.fromString(tl)).toString
+        assert(got == expected, s"pattern <$pat> on <${tl.take(40)}>")
+      }
+    }
+    // property trial over random strings
+    val charGen = Gen.frequency(
+      8 -> Gen.alphaNumChar, 4 -> Gen.const(' '),
+      2 -> Gen.oneOf(".,!?-_@#%&*()".toSeq),
+      1 -> Gen.oneOf('é', '中', '\t'), 1 -> Gen.const('\ud83e'))
+    val strGen = Gen.listOf(charGen).map(_.mkString)
+    val prop = Prop.forAll(strGen) { (s: String) =>
+      val expr = RegexpReplaceRunsFast(
+        org.apache.spark.sql.catalyst.expressions.Literal("x"), "[^a-z0-9 ]+", "")
+      expr.replaceRuns(org.apache.spark.unsafe.types.UTF8String.fromString(s)).toString ==
+        java.util.regex.Pattern.compile("[^a-z0-9 ]+").matcher(s).replaceAll("")
+    }
+    val result = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(300), prop)
+    assert(result.passed, result.status.toString)
+  }
+
   test("counts match the composable size(regexp_extract_all(...)) in a plan") {
     val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
     val joined = docs.select(
