@@ -432,6 +432,39 @@ object DedupOps {
         .agg(min(struct(col("d1"), col("jac"))).as("m"))
         .select(col("doc_id"), col("m.d1").as("match_id"), col("m.jac").as("jac"))
         .orderBy("doc_id").limit(200)
+    }),
+
+    // Dedup-rate vs Jaccard-threshold curve — the "choose your threshold"
+    // audit run BEFORE a corpus-wide dedup commits to a τ (Lee et al.
+    // 2022, "Deduplicating Training Data Makes Language Models Better",
+    // tune exactly this knob: too low deletes distinct documents, too
+    // high ships duplicates into training). ONE candidate+verify pass
+    // (the d10 kernel, un-thresholded) prices every τ at once: per
+    // threshold, the surviving pair count and the documents a keep-first
+    // policy would drop (a doc is dropped iff it is the greater member of
+    // ≥1 pair at or above τ). Integer basis points end-to-end — floor to
+    // jac_bp at the pair, integer compares per τ — so both engines agree
+    // exactly. Cost beyond d10: one conditional-aggregate pass over the
+    // candidate pairs (8 sums + 8 conditional distinct counts), constant
+    // in corpus size given the candidates.
+    "d16_threshold_sweep" -> ((s, d) => {
+      val taus = (2 to 9).map(_ * 1000)
+      val docs = Tables.documents(s, d)
+      val sig = signatures(docs).localCheckpoint(true)
+      val pairs = candidateIntersections(docs, guardedCandidatePairs(sig))
+        .withColumn("jac_bp",
+          floor(col("inter") * 10000.0 /
+            (col("n1") + col("n2") - col("inter"))).cast("long"))
+      val aggs = taus.flatMap(t => Seq(
+        sum(when(col("jac_bp") >= t, 1L).otherwise(0L)).as(s"p$t"),
+        countDistinct(when(col("jac_bp") >= t, col("d2"))).as(s"r$t")))
+      pairs.agg(aggs.head, aggs.tail: _*)
+        .select(explode(array(taus.map(t => struct(
+          lit(t.toLong).as("tau_bp"),
+          coalesce(col(s"p$t"), lit(0L)).as("n_pairs"),
+          col(s"r$t").as("n_docs_removed"))): _*)).as("x"))
+        .select("x.*")
+        .orderBy("tau_bp")
     })
   )
 
@@ -603,6 +636,29 @@ object DedupOps {
          |  SELECT d2 AS doc_id, d1 AS match_id, jac,
          |    ROW_NUMBER() OVER (PARTITION BY d2 ORDER BY d1) AS rn
          |  FROM ver WHERE jac >= 0.2)
-         |WHERE rn = 1 ORDER BY doc_id LIMIT 200""".stripMargin
+         |WHERE rn = 1 ORDER BY doc_id LIMIT 200""".stripMargin,
+    "d16_threshold_sweep" ->
+      s"""WITH $sigSqlCte,
+         |bands AS (
+         |  ${(1 to NumHashes).map(i => s"SELECT doc_id, $i AS band, h$i AS h FROM sig")
+              .mkString("\n  UNION ALL\n  ")}),
+         |narrow AS (SELECT band, h FROM bands GROUP BY band, h HAVING COUNT(*) <= $MaxBandWidth),
+         |guarded AS (SELECT b.doc_id, b.band, b.h FROM bands b JOIN narrow n ON b.band = n.band AND b.h = n.h),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+         |  FROM guarded a JOIN guarded b ON a.band = b.band AND a.h = b.h
+         |  WHERE a.doc_id < b.doc_id),
+         |sets AS (SELECT doc_id, list_distinct(list(s)) AS shs FROM sh GROUP BY doc_id),
+         |pairs AS (
+         |  SELECT c.d1, c.d2,
+         |    CAST(FLOOR(CAST(len(list_intersect(a.shs, b.shs)) AS DOUBLE) * 10000.0
+         |      / (len(a.shs) + len(b.shs) - len(list_intersect(a.shs, b.shs)))) AS BIGINT) AS jac_bp
+         |  FROM cand c JOIN sets a ON c.d1 = a.doc_id JOIN sets b ON c.d2 = b.doc_id),
+         |taus AS (SELECT CAST(unnest([2000, 3000, 4000, 5000, 6000, 7000, 8000, 9000]) AS BIGINT) AS tau_bp)
+         |SELECT t.tau_bp,
+         |  COUNT(p.d1) AS n_pairs,
+         |  COUNT(DISTINCT p.d2) AS n_docs_removed
+         |FROM taus t LEFT JOIN pairs p ON p.jac_bp >= t.tau_bp
+         |GROUP BY t.tau_bp ORDER BY t.tau_bp""".stripMargin
   )
 }

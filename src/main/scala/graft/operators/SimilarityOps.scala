@@ -100,6 +100,24 @@ object SimilarityOps {
         .localCheckpoint(true)
     })
 
+  /** Per-vector cosine to its own label centroid — the (label, pos)
+    * equi-join + grouped-sum reduction s07 introduced, shared with d15's
+    * keep policy. Linear in corpus size (one row per (vector, dim), one
+    * shuffle keyed by vec_id); round(6) so both engines agree bit-for-bit
+    * on the comparisons built from it. */
+  private def centroidCos(s: SparkSession, d: String): DataFrame = {
+    val elems = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"),
+        posexplode(col("embedding")).as(Seq("pos", "v")))
+      .withColumn("v", col("v").cast("double"))
+    elems.join(ivfCentroids(s, d), Seq("label", "pos"))
+      .groupBy("label", "vec_id")
+      .agg(round(sum(col("v") * col("cv")) /
+        greatest(sqrt(sum(col("v") * col("v"))) * sqrt(sum(col("cv") * col("cv"))),
+          lit(1e-12)), 6)
+        .as("ccos"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Brute-force cosine top-k (exact baseline).
     "s01_cosine_topk" -> ((s, d) =>
@@ -416,24 +434,64 @@ object SimilarityOps {
     // keyed by vec_id — no pairwise work anywhere, so it scales linearly
     // in corpus size.
     "s07_centroid_outliers" -> ((s, d) => {
-      val elems = Tables.embeddings(s, d)
-        .select(col("vec_id"), col("label"),
-          posexplode(col("embedding")).as(Seq("pos", "v")))
-        .withColumn("v", col("v").cast("double"))
+      // zero-norm guard inside centroidCos, as in s08: Spark yields NULL
+      // but DuckDB NaN on 0/0, and the two sort differently
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("label").orderBy(col("cos").asc, col("vec_id").asc)
-      elems.join(ivfCentroids(s, d), Seq("label", "pos"))
-        .groupBy("label", "vec_id")
-        .agg(round(sum(col("v") * col("cv")) /
-          // zero-norm guard as in s08: Spark yields NULL but DuckDB NaN
-          // on 0/0, and the two sort differently — clamp both engines
-          greatest(sqrt(sum(col("v") * col("v"))) * sqrt(sum(col("cv") * col("cv"))),
-            lit(1e-12)), 6)
-          .as("cos"))
+      centroidCos(s, d).withColumnRenamed("ccos", "cos")
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") <= 3)
         .select("label", "vec_id", "cos", "rn")
         .orderBy("label", "rn")
+    }),
+
+    // Semantic dedup (SemDeDup, Abbas et al. 2023, arXiv:2303.09540):
+    // within each cluster, embedding pairs above a cosine threshold are
+    // semantic duplicates; from each pair the member CLOSER to the
+    // cluster centroid is pruned (the paper's keep-low-centroid-similarity
+    // policy — survivors are the diverse examples). Output: the per-label
+    // prune summary a pipeline reviews before committing the prune.
+    //
+    // Scale shape, stage by stage: cluster assignment is a prebuilt
+    // artifact (here the label column — at 100 TB a k-means/IVF
+    // assignment, cf. ivfCentroids); candidate pairs come from the
+    // (label, sign-bucket) equi-join — d08's generator, never per-cluster
+    // all-pairs (SemDeDup's dense per-cluster pairwise doesn't survive
+    // web-scale clusters; the bucket prefilter is the same recall trade
+    // every LSH near-dup pass makes); the centroid-cosine keep policy is
+    // linear (one grouped reduction per vector, shared with s07).
+    "d15_semantic_dedup" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+        .withColumn("bkt", bucketOf(col("embedding")))
+      val l = emb.select(col("label"), col("bkt"),
+        col("vec_id").as("v1"), col("embedding").as("e1"))
+      val r = emb.select(col("label"), col("bkt"),
+        col("vec_id").as("v2"), col("embedding").as("e2"))
+      val pairs = l.join(r, Seq("label", "bkt")).filter(col("v1") < col("v2"))
+        .withColumn("cos", round(dot(col("e1"), col("e2")) /
+          (norm(col("e1")) * norm(col("e2"))), 4))
+        .filter(col("cos") >= 0.2)
+        .select("label", "v1", "v2")
+      val cc = centroidCos(s, d)
+      val removed = pairs
+        .join(cc.select(col("vec_id").as("v1"), col("ccos").as("c1")), "v1")
+        .join(cc.select(col("vec_id").as("v2"), col("ccos").as("c2")), "v2")
+        // prune the pair member nearer its centroid; rounded-6 cosines
+        // (gate-proven identical cross-engine via s07) make the compare
+        // deterministic, vec_id breaks exact ties
+        .withColumn("rm",
+          when(col("c1") > col("c2"), col("v1"))
+            .when(col("c2") > col("c1"), col("v2"))
+            .otherwise(greatest(col("v1"), col("v2"))))
+        .select(col("label"), col("rm")).distinct()
+        .groupBy("label").agg(count(lit(1)).as("n_removed"))
+      Tables.embeddings(s, d)
+        .groupBy("label").agg(count(lit(1)).as("n_vecs"))
+        .join(removed, Seq("label"), "left_outer")
+        .select(col("label"), col("n_vecs"),
+          coalesce(col("n_removed"), lit(0L)).as("n_removed"),
+          (col("n_vecs") - coalesce(col("n_removed"), lit(0L))).as("n_kept"))
+        .orderBy("label")
     })
   )
 
@@ -694,6 +752,42 @@ object SimilarityOps {
         |  SELECT *, ROW_NUMBER() OVER (
         |    PARTITION BY label ORDER BY cos ASC, vec_id ASC) AS rn
         |  FROM cos)
-        |WHERE rn <= 3 ORDER BY label, rn""".stripMargin
+        |WHERE rn <= 3 ORDER BY label, rn""".stripMargin,
+    "d15_semantic_dedup" -> {
+      def b(e: String) = (0 until 6)
+        .map(i => s"(CASE WHEN $e[${i + 1}] >= 0 THEN '1' ELSE '0' END)")
+        .mkString("concat(", ", ", ")")
+      s"""WITH elems AS (
+         |  SELECT vec_id, label, generate_subscripts(embedding, 1) AS pos,
+         |         CAST(unnest(embedding) AS DOUBLE) AS v
+         |  FROM embeddings),
+         |centroids AS (SELECT label, pos, avg(v) AS cv FROM elems GROUP BY label, pos),
+         |cc AS (
+         |  SELECT e.label, e.vec_id,
+         |    ROUND(SUM(e.v * c.cv) / greatest(sqrt(SUM(e.v * e.v)) * sqrt(SUM(c.cv * c.cv)), 1e-12), 6) AS ccos
+         |  FROM elems e JOIN centroids c ON e.label = c.label AND e.pos = c.pos
+         |  GROUP BY e.label, e.vec_id),
+         |pairs AS (
+         |  SELECT a.label, a.vec_id AS v1, b.vec_id AS v2
+         |  FROM embeddings a JOIN embeddings b
+         |    ON a.label = b.label AND ${b("a.embedding")} = ${b("b.embedding")}
+         |    AND a.vec_id < b.vec_id
+         |  WHERE ${cosSql("a.embedding", "b.embedding", 4)} >= 0.2),
+         |removed AS (
+         |  SELECT label, COUNT(*) AS n_removed FROM (
+         |    SELECT DISTINCT p.label,
+         |      CASE WHEN c1.ccos > c2.ccos THEN p.v1
+         |           WHEN c2.ccos > c1.ccos THEN p.v2
+         |           ELSE greatest(p.v1, p.v2) END AS rm
+         |    FROM pairs p
+         |    JOIN cc c1 ON p.v1 = c1.vec_id
+         |    JOIN cc c2 ON p.v2 = c2.vec_id)
+         |  GROUP BY label)
+         |SELECT e.label, COUNT(*) AS n_vecs,
+         |  COALESCE(MAX(r.n_removed), 0) AS n_removed,
+         |  COUNT(*) - COALESCE(MAX(r.n_removed), 0) AS n_kept
+         |FROM embeddings e LEFT JOIN removed r ON e.label = r.label
+         |GROUP BY e.label ORDER BY e.label""".stripMargin
+    }
   )
 }

@@ -37,6 +37,41 @@ class CorpusOpsSpec extends SparkSpec {
     }
   }
 
+  test("d15 semantic dedup: books balance and the diversity anchor survives") {
+    val sf01 = "/root/testdata/sf0.01"
+    val rows = operators.SimilarityOps.queries("d15_semantic_dedup")(spark, sf01).collect()
+    val emb = spark.read.parquet(s"$sf01/embeddings.parquet")
+    val nLabels = emb.select("label").distinct().count()
+    assert(rows.length == nLabels, "one summary row per cluster")
+    assert(rows.map(r => r.getLong(1)).sum == emb.count(), "n_vecs partitions the corpus")
+    rows.foreach { r =>
+      val (nVecs, nRemoved, nKept) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(nRemoved + nKept == nVecs, s"label ${r.getInt(0)}: books must balance")
+      // each pair prunes its member NEARER the centroid, so the label's
+      // farthest-from-centroid vector wins every comparison and survives
+      assert(nKept >= 1, s"label ${r.getInt(0)}: the diversity anchor survives")
+    }
+    assert(rows.map(_.getLong(2)).sum > 0, "the sf0.01 corpus has semantic dups to prune")
+  }
+
+  test("d16 threshold sweep: monotone non-increasing in tau, one row per tau") {
+    val sf01 = "/root/testdata/sf0.01"
+    val rows = operators.DedupOps.queries("d16_threshold_sweep")(spark, sf01).collect()
+    assert(rows.map(_.getLong(0)).sameElements((2 to 9).map(_ * 1000L)),
+      "one row per threshold, ascending")
+    val pairs = rows.map(_.getLong(1))
+    val removed = rows.map(_.getLong(2))
+    assert(pairs.zip(pairs.tail).forall { case (a, b) => a >= b },
+      "raising tau can only shrink the surviving pair set")
+    assert(removed.zip(removed.tail).forall { case (a, b) => a >= b },
+      "raising tau can only shrink the removal set")
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1),
+        "every removed doc needs at least one surviving pair")
+    }
+    assert(pairs.head > 0, "the sf0.01 corpus has verified near-dup pairs at tau=0.2")
+  }
+
   test("s02/s05 multi-table LSH: recall floor >= 70%, candidates <= 10%") {
     // sf0.01 (500 vectors): the smallest scale where a 10%-of-corpus
     // candidate bound can even contain a top-10 (sf0.001 has 50 vectors).
