@@ -24,6 +24,33 @@ object DedupOps {
   private[graft] val NumHashes = 4
   private[graft] val MaxBandWidth = 20
 
+  /** Held-out sources treated as the eval set by the contamination
+    * passes (d11, d17, and p01's decontamination stage). */
+  private[operators] val EvalSources = Seq("src0", "src1")
+
+  /** Decontamination artifact, built ONCE per corpus dir (the s03
+    * centroid pattern): the distinct eval (doc_id, shingle-hash) rows
+    * plus a serialized Bloom sketch over the hash keys. At 100 TB the
+    * eval set is fixed while the training corpus churns daily, so the
+    * sketch is a persisted build artifact (~1.2 bytes/key at 1% fpp)
+    * shipped to every decontamination run — never recomputed per query. */
+  private val decontamCache =
+    scala.collection.concurrent.TrieMap.empty[String, (DataFrame, Array[Byte])]
+
+  private[operators] def evalShingleArtifact(
+      s: SparkSession, d: String): (DataFrame, Array[Byte]) =
+    decontamCache.getOrElseUpdate(d, {
+      val evalSh = shingled(Tables.documents(s, d))
+        .filter(col("source").isin(EvalSources: _*))
+        .select(col("doc_id"), xxhash64(col("sh")).as("shh"))
+        .distinct().localCheckpoint(true)
+      val n = math.max(evalSh.count(), 1L)
+      // distributed treeAggregate build; 1% fpp — a false positive only
+      // costs one extra row into the exact verify join, never wrongness
+      val bf = evalSh.stat.bloomFilter("shh", n, 0.01)
+      (evalSh, graft.functions.BloomFunctions.serialize(bf))
+    })
+
   /** Input bound for the two intentionally-quadratic diagnostic forms
     * (d05 unguarded LSH, d06 all-pairs Jaccard). Their cost grows with
     * pairs-within-corpus, so as shipped entry points they take a FIXED
@@ -305,7 +332,7 @@ object DedupOps {
     // the form that catches paraphrase-level leakage). Pure equi-join on
     // the shingle, so it shuffles by shingle hash and scales horizontally.
     "d11_contamination" -> ((s, d) => {
-      val evalSrcs = Seq("src0", "src1")
+      val evalSrcs = EvalSources
       // Shingles reduce to 8-byte xxhash64 keys AT THE SCAN, before any
       // exchange: the distinct/join shuffles then carry longs instead of
       // shingle strings (~3× smaller rows, cheaper hashing/compares) —
@@ -434,6 +461,33 @@ object DedupOps {
         .orderBy("doc_id").limit(200)
     }),
 
+    // Artifact-based decontamination: d11's semantics behind a Bloom
+    // prefilter. The eval shingle set is compiled ONCE into a Bloom
+    // sketch (evalShingleArtifact) and probed SCAN-LOCAL on the training
+    // side, so the train→eval join's left input shrinks from every
+    // distinct training shingle to only the might-match rows before any
+    // exchange; the exact equi-join then decides truth, so Bloom false
+    // positives cost a few joined-and-missed rows, never a wrong
+    // overlap — output is row-identical to d11 (spec-asserted). This is
+    // the decontamination shape for a churning 100 TB training corpus
+    // against a FIXED eval suite: the sketch is a persisted build
+    // artifact; each ingest batch pays one scan plus a join sized by
+    // its actual contamination, not by its shingle volume.
+    "d17_bloom_contamination" -> ((s, d) => {
+      val (evalSh, bfBytes) = evalShingleArtifact(s, d)
+      val trainHits = shingled(Tables.documents(s, d))
+        .filter(!col("source").isin(EvalSources: _*))
+        .select(xxhash64(col("sh")).as("shh"))
+        .filter(graft.functions.BloomFunctions.bloom_might_contain(col("shh"), bfBytes))
+        .distinct().withColumn("hit", lit(1))
+      evalSh.join(trainHits, Seq("shh"), "left_outer")
+        .groupBy("doc_id")
+        .agg(round(sum(coalesce(col("hit"), lit(0))).cast("double") /
+          count(lit(1)).cast("double"), 4).as("overlap"))
+        .filter(col("overlap") >= 0.5)
+        .orderBy("doc_id")
+    }),
+
     // Dedup-rate vs Jaccard-threshold curve — the "choose your threshold"
     // audit run BEFORE a corpus-wide dedup commits to a τ (Lee et al.
     // 2022, "Deduplicating Training Data Makes Language Models Better",
@@ -467,6 +521,23 @@ object DedupOps {
         .orderBy("tau_bp")
     })
   )
+
+  /** Shared by d11 and d17: the two plans implement the same overlap
+    * semantics (d17 adds only the exactness-preserving Bloom prefilter). */
+  private val contaminationOracleSql =
+    s"""WITH sh AS (
+       |  SELECT doc_id, source, substr(text, CAST(g AS INT), $ShingleLen) AS s
+       |  FROM (SELECT doc_id, source, text,
+       |          unnest(generate_series(1, greatest(length(text) - ${ShingleLen - 1}, 1))) AS g
+       |        FROM documents)),
+       |eval_sh AS (SELECT DISTINCT doc_id, s FROM sh WHERE source IN ('src0', 'src1')),
+       |train_sh AS (SELECT DISTINCT s FROM sh WHERE source NOT IN ('src0', 'src1'))
+       |SELECT e.doc_id,
+       |  ROUND(SUM(CASE WHEN t.s IS NOT NULL THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 4) AS overlap
+       |FROM eval_sh e LEFT JOIN train_sh t ON e.s = t.s
+       |GROUP BY e.doc_id
+       |HAVING ROUND(SUM(CASE WHEN t.s IS NOT NULL THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 4) >= 0.5
+       |ORDER BY doc_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "d01_dedup_exact" ->
@@ -532,20 +603,10 @@ object DedupOps {
          |WHERE ROUND(CAST(len(list_intersect(a.shs, b.shs)) AS DOUBLE)
          |    / (len(a.shs) + len(b.shs) - len(list_intersect(a.shs, b.shs))), 4) >= 0.2
          |ORDER BY d1, d2 LIMIT 200""".stripMargin,
-    "d11_contamination" ->
-      s"""WITH sh AS (
-         |  SELECT doc_id, source, substr(text, CAST(g AS INT), $ShingleLen) AS s
-         |  FROM (SELECT doc_id, source, text,
-         |          unnest(generate_series(1, greatest(length(text) - ${ShingleLen - 1}, 1))) AS g
-         |        FROM documents)),
-         |eval_sh AS (SELECT DISTINCT doc_id, s FROM sh WHERE source IN ('src0', 'src1')),
-         |train_sh AS (SELECT DISTINCT s FROM sh WHERE source NOT IN ('src0', 'src1'))
-         |SELECT e.doc_id,
-         |  ROUND(SUM(CASE WHEN t.s IS NOT NULL THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 4) AS overlap
-         |FROM eval_sh e LEFT JOIN train_sh t ON e.s = t.s
-         |GROUP BY e.doc_id
-         |HAVING ROUND(SUM(CASE WHEN t.s IS NOT NULL THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 4) >= 0.5
-         |ORDER BY doc_id""".stripMargin,
+    "d11_contamination" -> contaminationOracleSql,
+    // the Bloom prefilter is exactness-preserving (no false negatives;
+    // false positives die in the exact join), so the oracle is d11's
+    "d17_bloom_contamination" -> contaminationOracleSql,
     "d12_dedup_clusters" ->
       s"""WITH RECURSIVE $sigSqlCte,
          |bands AS (

@@ -54,6 +54,19 @@ class CorpusOpsSpec extends SparkSpec {
     assert(rows.map(_.getLong(2)).sum > 0, "the sf0.01 corpus has semantic dups to prune")
   }
 
+  test("d17 bloom contamination is row-identical to the plain d11 join") {
+    val sf01 = "/root/testdata/sf0.01"
+    def rows(name: String) =
+      operators.DedupOps.queries(name)(spark, sf01).collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSet
+    val plain = rows("d11_contamination")
+    val bloom = rows("d17_bloom_contamination")
+    assert(bloom == plain,
+      "the Bloom prefilter must be exactness-preserving (no false negatives; " +
+        "false positives die in the exact join)")
+    assert(plain.nonEmpty, "the sf0.01 corpus has contaminated eval docs")
+  }
+
   test("d16 threshold sweep: monotone non-increasing in tau, one row per tau") {
     val sf01 = "/root/testdata/sf0.01"
     val rows = operators.DedupOps.queries("d16_threshold_sweep")(spark, sf01).collect()
