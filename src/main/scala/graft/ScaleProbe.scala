@@ -90,6 +90,7 @@ object ScaleProbe {
       "s04_ann_multiquery", "s06_ivf_recall_sweep", "s07_centroid_outliers",
       "t01_lang_id", "t02_quality_score", "t03_token_count",
       "t04_fingerprint", "t05_top_bigrams", "t07_tfidf", "t08_unigram_logprob",
+      "t11_bigram_logprob",
       "m01_media_decode", "m02_frame_sample",
       "m03_resize_plan", "p01_clean_corpus", "p02_source_mixing",
       "p03_pack_stats", "p04_shard_plan", "p05_quantile_filter",

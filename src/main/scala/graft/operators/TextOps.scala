@@ -176,6 +176,38 @@ object TextOps {
         .orderBy("doc_id").limit(200)
     }),
 
+    // Bigram-LM fluency score — the step up from t08's unigram proxy
+    // toward the n-gram-LM filtering CCNet/Gopher actually run (a KenLM
+    // 5-gram in production; a corpus-trained additively-smoothed bigram
+    // here, so the oracle can verify the arithmetic exactly). Per doc:
+    // mean ln P(w_i | w_{i-1}) with P = (c12 + α) / (c1 + α·V), α=0.5,
+    // V = corpus vocabulary. Bigram extraction is SCAN-LOCAL (zip_with
+    // over two array slices — no per-token window/exchange, unlike the
+    // lag() formulation); the LM tables are Zipf-bounded grouped counts;
+    // scoring is two equi-joins keyed by the bigram/prefix. Every stage
+    // shuffles by content keys, so the plan is corpus-parallel at 100 TB.
+    "t11_bigram_logprob" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val big = docs.withColumn("arr", split(col("text"), "\\s+"))
+        .select(col("doc_id"), explode(expr(
+          "zip_with(slice(arr, 1, size(arr)-1), slice(arr, 2, size(arr)-1)," +
+            " (a, b) -> struct(a AS w1, b AS w2))")).as("bg"))
+        .select(col("doc_id"), col("bg.w1"), col("bg.w2"))
+        .localCheckpoint(true) // one extraction feeds LM build AND scoring
+      val bcnt = big.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+      val w1cnt = bcnt.groupBy("w1").agg(sum("c12").as("c1"))
+      val vocab = docs
+        .select(explode(split(col("text"), "\\s+")).as("tok"))
+        .agg(countDistinct("tok").as("v"))
+      big.join(bcnt, Seq("w1", "w2")).join(w1cnt, Seq("w1"))
+        .crossJoin(broadcast(vocab))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_big"),
+          round(avg(log((col("c12") + lit(0.5)) / (col("c1") + lit(0.5) * col("v")))), 4)
+            .as("avg_logp"))
+        .orderBy("doc_id").limit(200)
+    }),
+
     // Vocabulary coverage curve — what fraction of the token stream a
     // top-N vocabulary covers (the number a tokenizer budget is designed
     // against). One token-count agg; each coverage point is a top-k via
@@ -318,6 +350,20 @@ object TextOps {
         |SELECT doc_id, COUNT(*) AS n_tok,
         |  ROUND(AVG(ln(CAST(c AS DOUBLE) / n_total)), 4) AS avg_logp
         |FROM toks JOIN cnt USING (tok) CROSS JOIN n
+        |GROUP BY doc_id ORDER BY doc_id LIMIT 200""".stripMargin,
+    "t11_bigram_logprob" ->
+      """WITH toks AS (
+        |  SELECT doc_id, generate_subscripts(arr, 1) AS pos, unnest(arr) AS tok
+        |  FROM (SELECT doc_id, regexp_split_to_array(text, '\s+') AS arr FROM documents)),
+        |big AS (
+        |  SELECT a.doc_id, a.tok AS w1, b.tok AS w2
+        |  FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1),
+        |bcnt AS (SELECT w1, w2, COUNT(*) AS c12 FROM big GROUP BY w1, w2),
+        |w1cnt AS (SELECT w1, SUM(c12) AS c1 FROM bcnt GROUP BY w1),
+        |vocab AS (SELECT COUNT(DISTINCT tok) AS v FROM toks)
+        |SELECT doc_id, COUNT(*) AS n_big,
+        |  ROUND(AVG(ln((c12 + 0.5) / (c1 + 0.5 * v))), 4) AS avg_logp
+        |FROM big JOIN bcnt USING (w1, w2) JOIN w1cnt USING (w1) CROSS JOIN vocab
         |GROUP BY doc_id ORDER BY doc_id LIMIT 200""".stripMargin,
     "t09_vocab_coverage" ->
       """WITH cnt AS (

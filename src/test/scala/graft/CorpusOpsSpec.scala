@@ -67,6 +67,23 @@ class CorpusOpsSpec extends SparkSpec {
     assert(plain.nonEmpty, "the sf0.01 corpus has contaminated eval docs")
   }
 
+  test("t11 bigram log-prob: n_big = tokens-1, smoothed probabilities < 1") {
+    val sf01 = "/root/testdata/sf0.01"
+    val rows = operators.TextOps.queries("t11_bigram_logprob")(spark, sf01).collect()
+    assert(rows.length == 200, "every sf0.01 doc has >= 2 tokens")
+    val tokCounts = spark.read.parquet(s"$sf01/documents.parquet")
+      .select(col("doc_id"), size(split(col("text"), "\\s+")).as("n_tok"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    rows.foreach { r =>
+      val (docId, nBig, avgLogp) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+      assert(nBig == tokCounts(docId) - 1L,
+        s"doc $docId: one bigram per adjacent token pair")
+      // additive smoothing keeps every P(w2|w1) strictly below 1 for a
+      // vocabulary of more than one token, so the mean ln is negative
+      assert(avgLogp < 0.0, s"doc $docId: smoothed log-prob must be negative")
+    }
+  }
+
   test("d16 threshold sweep: monotone non-increasing in tau, one row per tau") {
     val sf01 = "/root/testdata/sf0.01"
     val rows = operators.DedupOps.queries("d16_threshold_sweep")(spark, sf01).collect()
