@@ -269,6 +269,30 @@ object QuickProbe {
             println(f"PROBE   stage $fn%-18s $sec%6.2fs  $head")
           }
         }
+      // pseudo-query: measured selectivity of d17's Bloom prefilter on
+      // this corpus — the number that decides whether the artifact path
+      // pays (pass rate ≪ 1 on a real corpus-vs-eval-suite split; the
+      // synthetic tables share one word vocabulary, so most shingles
+      // collide across the split and the prefilter discards little)
+      case "__bloom_rate" =>
+        import org.apache.spark.sql.functions._
+        val docs = Tables.documents(spark, sfDir)
+        val sh = docs
+          .withColumn("g", explode(sequence(lit(1), greatest(length(col("text")) - 7, lit(1)))))
+          .withColumn("shh", xxhash64(col("text").substr(col("g"), lit(8))))
+        val evalSh = sh.filter(col("source").isin("src0", "src1"))
+          .select("shh").distinct().localCheckpoint(true)
+        val bf = evalSh.stat.bloomFilter("shh", math.max(evalSh.count(), 1L), 0.01)
+        val bytes = graft.functions.BloomFunctions.serialize(bf)
+        val train = sh.filter(!col("source").isin("src0", "src1")).select("shh")
+        val total = train.count()
+        val pass = train.filter(
+          graft.functions.BloomFunctions.bloom_might_contain(col("shh"), bytes)).count()
+        val dTotal = train.distinct().count()
+        val dPass = train.distinct().filter(
+          graft.functions.BloomFunctions.bloom_might_contain(col("shh"), bytes)).count()
+        println(f"PROBE bloom_rate dir=$sfDir rows=$pass/$total (${pass * 100.0 / total}%.1f%%) " +
+          f"distinct=$dPass/$dTotal (${dPass * 100.0 / dTotal}%.1f%%)")
       // pseudo-query: the per-call enqueue micro-bench, standalone
       case "__enqueue" =>
         (1 to 2).foreach { pass =>

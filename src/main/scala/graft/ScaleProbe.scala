@@ -98,6 +98,7 @@ object ScaleProbe {
       "s09_lsh_table_sweep", "p07_temperature_mix",
       "d13_sketch_error", "d14_incremental_dedup",
       "d15_semantic_dedup", "d16_threshold_sweep", "d17_bloom_contamination",
+      "d18_dedup_prune_stats",
       "q38_asof_join", "q40_range_join", "q41_salted_join")
     subset.foreach { s =>
       val unknown = s -- allProbeQueries.toSet

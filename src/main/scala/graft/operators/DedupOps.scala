@@ -461,6 +461,29 @@ object DedupOps {
         .orderBy("doc_id").limit(200)
     }),
 
+    // Dedup APPLIED: the terminal prune a pipeline actually ships after
+    // d12's clustering — keep each cluster's canonical (min doc_id),
+    // drop the rest, and report the per-source survivor books (docs and
+    // chars kept/removed) that a data-mixture owner reviews before the
+    // write commits. Rides the same verify→cluster kernel as d12 (cost
+    // is the components pass, already measured); the apply itself is one
+    // broadcast-joined flag plus a grouped agg — at 100 TB the kept flag
+    // feeds a filter + partitioned write, with these stats as the audit.
+    "d18_dedup_prune_stats" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val comp = connectedComponents(verifiedPairs(docs).select("d1", "d2"))
+      val kept = when(col("doc_id") === col("cluster"), 1L).otherwise(0L)
+      docs.join(comp.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left_outer")
+        .withColumn("cluster", coalesce(col("lbl"), col("doc_id")))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(kept).as("n_kept"),
+          (count(lit(1)) - sum(kept)).as("n_removed"),
+          sum(when(col("doc_id") === col("cluster"), col("n_chars")).otherwise(0L))
+            .as("kept_chars"))
+        .orderBy("source")
+    }),
+
     // Artifact-based decontamination: d11's semantics behind a Bloom
     // prefilter. The eval shingle set is compiled ONCE into a Bloom
     // sketch (evalShingleArtifact) and probed SCAN-LOCAL on the training
@@ -521,6 +544,33 @@ object DedupOps {
         .orderBy("tau_bp")
     })
   )
+
+  /** Shared by d12 and d18: guarded LSH candidates → exact-Jaccard
+    * verify → transitive closure (recursive CTE) → min-id cluster per
+    * node — the oracle rendering of `verifiedPairs` + `connectedComponents`. */
+  private lazy val clusterCompCteSql =
+    s"""WITH RECURSIVE $sigSqlCte,
+       |bands AS (
+       |  ${(1 to NumHashes).map(i => s"SELECT doc_id, $i AS band, h$i AS h FROM sig")
+            .mkString("\n  UNION ALL\n  ")}),
+       |narrow AS (SELECT band, h FROM bands GROUP BY band, h HAVING COUNT(*) <= $MaxBandWidth),
+       |guarded AS (SELECT b.doc_id, b.band, b.h FROM bands b JOIN narrow n ON b.band = n.band AND b.h = n.h),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+       |  FROM guarded a JOIN guarded b ON a.band = b.band AND a.h = b.h
+       |  WHERE a.doc_id < b.doc_id),
+       |sets AS (SELECT doc_id, list_distinct(list(s)) AS shs FROM sh GROUP BY doc_id),
+       |ver AS (
+       |  SELECT c.d1, c.d2
+       |  FROM cand c JOIN sets a ON c.d1 = a.doc_id JOIN sets b ON c.d2 = b.doc_id
+       |  WHERE ROUND(CAST(len(list_intersect(a.shs, b.shs)) AS DOUBLE)
+       |    / (len(a.shs) + len(b.shs) - len(list_intersect(a.shs, b.shs))), 4) >= 0.2),
+       |edges AS (SELECT d1 AS src, d2 AS dst FROM ver UNION SELECT d2, d1 FROM ver),
+       |reach(node, lbl) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node),
+       |comp AS (SELECT node, MIN(lbl) AS cluster FROM reach GROUP BY node)""".stripMargin
 
   /** Shared by d11 and d17: the two plans implement the same overlap
     * semantics (d17 adds only the exactness-preserving Bloom prefilter). */
@@ -608,31 +658,18 @@ object DedupOps {
     // false positives die in the exact join), so the oracle is d11's
     "d17_bloom_contamination" -> contaminationOracleSql,
     "d12_dedup_clusters" ->
-      s"""WITH RECURSIVE $sigSqlCte,
-         |bands AS (
-         |  ${(1 to NumHashes).map(i => s"SELECT doc_id, $i AS band, h$i AS h FROM sig")
-              .mkString("\n  UNION ALL\n  ")}),
-         |narrow AS (SELECT band, h FROM bands GROUP BY band, h HAVING COUNT(*) <= $MaxBandWidth),
-         |guarded AS (SELECT b.doc_id, b.band, b.h FROM bands b JOIN narrow n ON b.band = n.band AND b.h = n.h),
-         |cand AS (
-         |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-         |  FROM guarded a JOIN guarded b ON a.band = b.band AND a.h = b.h
-         |  WHERE a.doc_id < b.doc_id),
-         |sets AS (SELECT doc_id, list_distinct(list(s)) AS shs FROM sh GROUP BY doc_id),
-         |ver AS (
-         |  SELECT c.d1, c.d2
-         |  FROM cand c JOIN sets a ON c.d1 = a.doc_id JOIN sets b ON c.d2 = b.doc_id
-         |  WHERE ROUND(CAST(len(list_intersect(a.shs, b.shs)) AS DOUBLE)
-         |    / (len(a.shs) + len(b.shs) - len(list_intersect(a.shs, b.shs))), 4) >= 0.2),
-         |edges AS (SELECT d1 AS src, d2 AS dst FROM ver UNION SELECT d2, d1 FROM ver),
-         |reach(node, lbl) AS (
-         |  SELECT src, src FROM edges
-         |  UNION
-         |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node),
-         |comp AS (SELECT node, MIN(lbl) AS cluster FROM reach GROUP BY node)
+      s"""$clusterCompCteSql
          |SELECT d.doc_id, COALESCE(c.cluster, d.doc_id) AS cluster
          |FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
          |ORDER BY doc_id LIMIT 500""".stripMargin,
+    "d18_dedup_prune_stats" ->
+      s"""$clusterCompCteSql
+         |SELECT d.source, COUNT(*) AS n_docs,
+         |  SUM(CASE WHEN COALESCE(c.cluster, d.doc_id) = d.doc_id THEN 1 ELSE 0 END) AS n_kept,
+         |  SUM(CASE WHEN COALESCE(c.cluster, d.doc_id) = d.doc_id THEN 0 ELSE 1 END) AS n_removed,
+         |  SUM(CASE WHEN COALESCE(c.cluster, d.doc_id) = d.doc_id THEN d.n_chars ELSE 0 END) AS kept_chars
+         |FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+         |GROUP BY d.source ORDER BY d.source""".stripMargin,
     "d13_sketch_error" -> {
       val matchSql = (1 to NumHashes)
         .map(i => s"(CASE WHEN a.h$i = b.h$i THEN 1 ELSE 0 END)").mkString(" + ")

@@ -67,6 +67,22 @@ class CorpusOpsSpec extends SparkSpec {
     assert(plain.nonEmpty, "the sf0.01 corpus has contaminated eval docs")
   }
 
+  test("d18 prune stats agree with d12's cluster census") {
+    val sf01 = "/root/testdata/sf0.01"
+    val d12 = operators.DedupOps.queries("d12_dedup_clusters")(spark, sf01).collect()
+    val rows = operators.DedupOps.queries("d18_dedup_prune_stats")(spark, sf01).collect()
+    val nDocs = rows.map(_.getLong(1)).sum
+    val nKept = rows.map(_.getLong(2)).sum
+    assert(nDocs == d12.length, "d18 partitions the same corpus d12 labels")
+    assert(nKept == d12.map(_.getLong(1)).distinct.length,
+      "survivors = one canonical per cluster (incl. singletons)")
+    rows.foreach { r =>
+      assert(r.getLong(2) + r.getLong(3) == r.getLong(1),
+        s"source ${r.getString(0)}: kept + removed must cover the source")
+    }
+    assert(nKept < nDocs, "the sf0.01 corpus has near-dups to prune")
+  }
+
   test("t11 bigram log-prob: n_big = tokens-1, smoothed probabilities < 1") {
     val sf01 = "/root/testdata/sf0.01"
     val rows = operators.TextOps.queries("t11_bigram_logprob")(spark, sf01).collect()
