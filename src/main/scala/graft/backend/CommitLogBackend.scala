@@ -76,7 +76,20 @@ final class CommitLogBackend(
     fullOperatorSurface = true,
     snapshotIsolatedReads = true, // manifest snapshots; replaced files linger until vacuum
     multiProcessWriters = true, // staged UUID files + optimistic version claim
-    durable = true)
+    durable = true,
+    brokerNativeDelay = true) // declareDelayedExchange() + time-gated ready reads
+
+  /** Declare the delayed exchange on this connection — the rmq
+    * x-delayed-message plugin declare (rmq/commands.clj:93-106),
+    * idempotent like every declare. Once declared, this client
+    * process's future `performAt` calls ride the ready log with their
+    * run-at stamp and the broker's time-gated visibility delivers them
+    * when due — no scheduler process. Like the rmq path, natively
+    * delayed jobs are NOT introspectable via the scheduled-jobs surface
+    * (goose's matrix marks the same asymmetry for its rmq broker). */
+  @volatile private var delayedDeclared = false
+  def declareDelayedExchange(): Unit = { delayedDeclared = true }
+  override def delayedExchangeEnabled: Boolean = delayedDeclared
 
   private val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
   private val logDir = new Path(s"$root/_log")

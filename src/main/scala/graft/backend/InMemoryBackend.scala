@@ -84,13 +84,23 @@ final class InMemoryBackend(spark: SparkSession) extends QueueBackend {
     }
   }
 
-  private def readyVisiblePred(j: Job): Boolean = {
+  /** Durable-survivor predicate — time-independent, the compaction fold
+    * set (mirrors LogStructuredBackend.readySurvivors). */
+  private def readySurvivorPred(j: Job): Boolean = {
     val attempt = JobAttempt.of(j)
     !consumedKeys.contains((j.id, attempt)) &&
       !tombsFor("ready").contains((j.id, j.seq)) &&
       purgeMarks.get(j.queue).forall(j.seq > _) &&
       purgeMarks.get("*").forall(j.seq > _)
   }
+
+  /** Consumer visibility: survivor AND due. The time gate mirrors
+    * LogStructuredBackend.filterReadyVisible (native delay); without a
+    * declared delayed exchange no future-dated row ever lands here, so
+    * it is defense-in-depth parity — and it must never reach the
+    * compaction fold, which would delete not-yet-due rows. */
+  private def readyVisiblePred(j: Job): Boolean =
+    j.scheduleRunAt.forall(_ <= nowFn()) && readySurvivorPred(j)
 
   private def visibleOf(buf: mutable.ArrayBuffer[Job], tbl: String): Seq[Job] =
     buf.filterNot(j => tombsFor(tbl).contains((j.id, j.seq))).toSeq
@@ -111,9 +121,11 @@ final class InMemoryBackend(spark: SparkSession) extends QueueBackend {
       (consumedKeys.toSet, tombsFor("ready").toSet, purgeMarks.toMap)
     }
     import org.apache.spark.sql.functions.{coalesce, col, lit}
+    val now = nowFn()
     slice.filter { j =>
       val attempt = JobAttempt.of(j)
-      !consumed.contains((j.id, attempt)) && !t.contains((j.id, j.seq)) &&
+      j.scheduleRunAt.forall(_ <= now) &&
+        !consumed.contains((j.id, attempt)) && !t.contains((j.id, j.seq)) &&
         marks.get(j.queue).forall(j.seq > _) && marks.get("*").forall(j.seq > _)
     }
       .withColumn("rattempt", coalesce(col("state.retryCount") + 1, lit(0)))
@@ -193,7 +205,7 @@ final class InMemoryBackend(spark: SparkSession) extends QueueBackend {
   override def compact(tbl: String): Unit = lock.synchronized {
     tbl match {
       case "ready" =>
-        val vis = ready.filter(readyVisiblePred)
+        val vis = ready.filter(readySurvivorPred)
         ready.clear(); ready ++= vis
         val liveIds = ready.map(_.id).toSet
         // retain completions of not-yet-terminal batches: the tracker

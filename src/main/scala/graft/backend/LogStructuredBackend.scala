@@ -117,7 +117,21 @@ abstract class LogStructuredBackend(val spark: SparkSession) extends QueueBacken
 
   override def readyJobs: Dataset[Job] = filterReadyVisible(readLog[Job]("ready"))
 
-  override def filterReadyVisible(slice: Dataset[Job]): Dataset[Job] = {
+  /** Consumer visibility = durable survivors AND due. The time gate
+    * (broker-native delay, rmq x-delayed-message: a future-dated ready
+    * row stays invisible until the BROKER clock passes its run-at stamp)
+    * applies ONLY here — [[readySurvivors]], the persistent fold set,
+    * must keep not-yet-due rows or a compaction would silently delete
+    * every delayed job. Promoted/past-due jobs carry run-at stamps at or
+    * before their promote time, so they always pass. */
+  override def filterReadyVisible(slice: Dataset[Job]): Dataset[Job] =
+    readySurvivors(slice)
+      .filter($"scheduleRunAt".isNull || $"scheduleRunAt" <= lit(nowFn()))
+
+  /** The rows of a ready slice that remain DURABLE: minus completions at
+    * this attempt, tombstones, queue purges; latest version per (id,
+    * attempt). Time-independent — this is what compaction folds to. */
+  protected def readySurvivors(slice: Dataset[Job]): Dataset[Job] = {
     val comps = readLog[CompletionEvent]("completions")
       .select($"jobId".as("c_id"), $"attempt".as("c_attempt"))
     val purges = readLog[PurgeMarker]("purges").filter($"tbl" === "ready")
@@ -294,7 +308,9 @@ abstract class LogStructuredBackend(val spark: SparkSession) extends QueueBacken
       return
     }
     val visible: Dataset[Job] = tbl match {
-      case "ready" => readyJobs
+      // fold to the DURABLE survivor set, not consumer visibility — the
+      // time gate would drop not-yet-due native-delay rows from the log
+      case "ready" => readySurvivors(readLog[Job]("ready"))
       case "scheduled" => scheduledJobs
       case "dead" => deadJobs
       case other => throw new IllegalArgumentException(s"cannot compact '$other'")

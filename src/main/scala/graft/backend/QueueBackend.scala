@@ -51,7 +51,13 @@ final case class BrokerCapabilities(
     /** safe concurrent appends to ONE table from multiple processes */
     multiProcessWriters: Boolean,
     /** state survives process restart */
-    durable: Boolean)
+    durable: Boolean,
+    /** broker-native delay: future-dated jobs ride the ready log and
+      * become visible when due, with NO scheduler process — the RMQ
+      * `x-delayed-message` exchange (reference rmq/commands.clj:93-106).
+      * Requires declaring the delayed exchange on the connection, like
+      * the rmq plugin's exchange declare. */
+    brokerNativeDelay: Boolean = false)
 
 /** Storage seam of the engine — the Spark analog of goose's 30-method
   * `Broker` protocol (reference broker.clj:4-67). Three implementations
@@ -70,6 +76,19 @@ trait QueueBackend {
   /** What this broker's consistency envelope supports (see
     * [[BrokerCapabilities]]); the goose capability-matrix analog. */
   def capabilities: BrokerCapabilities
+
+  /** Broker clock for time-gated visibility (native delay). One settable
+    * seam so specs and fixtures pin broker time exactly as engine
+    * components pin their injected nowFn; production leaves the default.
+    * Cross-process skew has x-delayed-message's own semantics: delivery
+    * time is judged by the BROKER's clock, not the publisher's. */
+  @volatile var nowFn: () => Long = () => System.currentTimeMillis()
+
+  /** Whether the delayed exchange is declared on this connection (the
+    * rmq x-delayed-message plugin declare, rmq/commands.clj:93-106).
+    * Gates only the CLIENT's routing of future `performAt` calls; the
+    * time-gated visibility filter itself is unconditional. */
+  def delayedExchangeEnabled: Boolean = false
 
   // ---- appends (client / worker side) ----
   def enqueue(jobs: Dataset[Job]): Unit

@@ -116,6 +116,13 @@ class GraftClient(
     val runAt = at.toEpochMilli
     if (runAt <= nowFn()) {
       submitReady(Seq(applyDecl(job.copy(priority = 1))))
+    } else if (backend.delayedExchangeEnabled) {
+      // broker-native delay (rmq x-delayed-message, rmq/commands.clj:
+      // 93-106): the job rides the ready log with its run-at stamp; the
+      // broker's time-gated visibility delivers it when due — no
+      // scheduler process involved. Delivered in normal queue order
+      // (no front-of-queue bump), exactly like an expired x-delay.
+      backend.enqueueRows(Seq(applyDecl(job.copy(scheduleRunAt = Some(runAt)))))
     } else {
       backend.scheduleRows(Seq(job.copy(scheduleRunAt = Some(runAt))))
     }

@@ -50,6 +50,9 @@ class CapabilityMatrixSpec extends SparkSpec {
     assert(!caps("parquet").snapshotIsolatedReads && caps("commit-log").snapshotIsolatedReads)
     assert(!caps("parquet").multiProcessWriters && caps("commit-log").multiProcessWriters)
     assert(caps("parquet").durable && caps("commit-log").durable && !caps("in-memory").durable)
+    // broker-native delay (rmq x-delayed-message analog): commit-log only
+    assert(caps("commit-log").brokerNativeDelay &&
+      !caps("parquet").brokerNativeDelay && !caps("in-memory").brokerNativeDelay)
   }
 
   for ((name, mk) <- backends) {

@@ -113,6 +113,42 @@ class CommitLogBackendSpec extends SparkSpec {
       Seq("a1", "a2", "a3", "a4", "a5"))
   }
 
+  test("broker-native delay: time-gated visibility, no scheduler involved") {
+    val t0 = 1700000000000L
+    val clock = new java.util.concurrent.atomic.AtomicLong(t0)
+    val b = new CommitLogBackend(spark, tmpDir("graft-cl"))
+    b.nowFn = () => clock.get()
+    assert(!b.delayedExchangeEnabled, "delay requires the exchange declare")
+    b.declareDelayedExchange()
+    val client = new graft.client.GraftClient(b, spark, "q",
+      RetryOpts(), () => clock.get())
+    client.performAt(java.time.Instant.ofEpochMilli(t0 + 5000), "noop", 1)
+    assert(b.readyJobs.count() == 0, "future-dated row hidden by the broker clock")
+    assert(b.scheduledJobs.count() == 0,
+      "native delay bypasses the scheduled table (rmq introspection asymmetry)")
+    clock.set(t0 + 5001)
+    val due = b.readyJobs.collect()
+    assert(due.length == 1 && due.head.scheduleRunAt.contains(t0 + 5000),
+      "due row delivered with its run-at stamp, normal queue order")
+  }
+
+  test("compaction folds DURABLE survivors: not-yet-due delay rows survive it") {
+    val t0 = 1700000000000L
+    val clock = new java.util.concurrent.atomic.AtomicLong(t0)
+    val b = new CommitLogBackend(spark, tmpDir("graft-cl"))
+    b.nowFn = () => clock.get()
+    b.declareDelayedExchange()
+    val client = new graft.client.GraftClient(b, spark, "q",
+      RetryOpts(), () => clock.get())
+    client.performAt(java.time.Instant.ofEpochMilli(t0 + 5000), "noop", 1)
+    // the fold set is time-independent — a compaction while the row is
+    // still hidden must NOT delete it (visibility ≠ durability)
+    b.compact("ready")
+    assert(b.readyJobs.count() == 0, "still hidden after compaction")
+    clock.set(t0 + 5001)
+    assert(b.readyJobs.count() == 1, "delivered after the fold, when due")
+  }
+
   test("async confirms: buffer threshold and fold/replace both force the group commit") {
     import graft.backend.ConfirmMode
     val b = new CommitLogBackend(spark, tmpDir("graft-cl"),
