@@ -542,6 +542,32 @@ object DedupOps {
           col(s"r$t").as("n_docs_removed"))): _*)).as("x"))
         .select("x.*")
         .orderBy("tau_bp")
+    }),
+
+    // Duplicate-provenance matrix — which sources copy from which: for
+    // every pair of sources (incl. the diagonal), how many normalized
+    // fingerprints they share and how many doc pairs that implies. The
+    // pair counts are derived ANALYTICALLY from per-(fp, source) group
+    // sizes (c1*c2 across sources, c*(c-1)/2 within), so a boilerplate
+    // fingerprint duplicated k times costs one k-row group, never k²
+    // join rows — the per-fp fan-out is bounded by the SOURCE count, and
+    // the whole operator is two content-keyed shuffles at any corpus
+    // size. The audit a 100 TB ingest runs to decide which source to
+    // keep as canonical before cross-source dedup (d02 keep-first).
+    "d19_dup_provenance" -> ((s, d) => {
+      val fp = md5(graft.functions.RegexpFunctions.regexp_replace_runs_fast(
+        lower(col("text")), "[^a-z0-9 ]+", ""))
+      val cnt = Tables.documents(s, d).withColumn("fp", fp)
+        .groupBy("fp", "source").agg(count(lit(1)).as("c"))
+      val a = cnt.select(col("fp"), col("source").as("src_a"), col("c").as("ca"))
+      val b = cnt.select(col("fp"), col("source").as("src_b"), col("c").as("cb"))
+      a.join(b, "fp").filter(col("src_a") <= col("src_b"))
+        .withColumn("np", when(col("src_a") === col("src_b"),
+          expr("ca * (ca - 1) div 2")).otherwise(col("ca") * col("cb")))
+        .filter(col("np") > 0)
+        .groupBy("src_a", "src_b")
+        .agg(count(lit(1)).as("n_fp"), sum("np").as("n_pairs"))
+        .orderBy("src_a", "src_b")
     })
   )
 
@@ -757,6 +783,22 @@ object DedupOps {
          |  COUNT(p.d1) AS n_pairs,
          |  COUNT(DISTINCT p.d2) AS n_docs_removed
          |FROM taus t LEFT JOIN pairs p ON p.jac_bp >= t.tau_bp
-         |GROUP BY t.tau_bp ORDER BY t.tau_bp""".stripMargin
+         |GROUP BY t.tau_bp ORDER BY t.tau_bp""".stripMargin,
+    "d19_dup_provenance" ->
+      """WITH f AS (
+        |  SELECT source,
+        |    md5(regexp_replace(lower(text), '[^a-z0-9 ]+', '', 'g')) AS fp
+        |  FROM documents),
+        |cnt AS (SELECT fp, source, CAST(COUNT(*) AS BIGINT) AS c
+        |        FROM f GROUP BY 1, 2)
+        |SELECT src_a, src_b, COUNT(*) AS n_fp,
+        |  CAST(SUM(np) AS BIGINT) AS n_pairs
+        |FROM (
+        |  SELECT a.source AS src_a, b.source AS src_b,
+        |    CASE WHEN a.source = b.source THEN a.c * (a.c - 1) // 2
+        |         ELSE a.c * b.c END AS np
+        |  FROM cnt a JOIN cnt b ON a.fp = b.fp AND a.source <= b.source)
+        |WHERE np > 0
+        |GROUP BY src_a, src_b ORDER BY src_a, src_b""".stripMargin
   )
 }

@@ -315,6 +315,40 @@ object PipelineOps {
           min(col("n_chars")).as("min_chars"),
           max(col("n_chars")).as("max_chars"))
         .orderBy("bucket")
+    }),
+
+    // Multi-epoch repetition schedule — the data-recipe pass that decides
+    // how many times each source repeats in a token-budgeted mix (the
+    // Llama/Pile-style "epochs per source" table). Each source's budget
+    // is an equal integer share of the corpus total; full epochs are the
+    // integer quotient, and the fractional remainder epoch takes the
+    // doc_id-ordered PREFIX whose cumulative tokens fit — deterministic
+    // order, pure integer arithmetic, no sampling noise anywhere, so
+    // reruns and backfills repeat the exact schedule. One token-count
+    // scan + one windowed prefix-sum per source (the shard key at scale),
+    // one grouped rollup.
+    "p08_epoch_schedule" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("source").orderBy("doc_id")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      val nTok = regexp_count_fast(col("text"), "\\S+").cast("long")
+      val docs = Tables.documents(s, d).withColumn("n_tok", nTok)
+        .withColumn("cum", sum(col("n_tok")).over(w))
+      val perSource = docs.groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("tokens"))
+      val budget = perSource.agg(expr("sum(tokens) div count(1)").as("budget"))
+      val sched = perSource.crossJoin(broadcast(budget))
+        .withColumn("epochs_full", expr("budget div tokens"))
+        .withColumn("rem_tokens", col("budget") % col("tokens"))
+      docs.join(broadcast(sched.select("source", "rem_tokens")), "source")
+        .withColumn("in_frac", col("cum") <= col("rem_tokens"))
+        .groupBy("source")
+        .agg(sum(when(col("in_frac"), 1L).otherwise(0L)).as("frac_docs"),
+          sum(when(col("in_frac"), col("n_tok")).otherwise(0L)).as("frac_tokens"))
+        .join(sched.drop("budget"), "source")
+        .select("source", "n_docs", "tokens", "epochs_full", "rem_tokens",
+          "frac_docs", "frac_tokens")
+        .orderBy("source")
     })
   )
 
@@ -506,6 +540,30 @@ object PipelineOps {
         |  COUNT(*) AS n_docs,
         |  MIN(n_chars) AS min_chars,
         |  MAX(n_chars) AS max_chars
-        |FROM documents GROUP BY bucket ORDER BY bucket""".stripMargin
+        |FROM documents GROUP BY bucket ORDER BY bucket""".stripMargin,
+    "p08_epoch_schedule" ->
+      """WITH d AS (
+        |  SELECT source, doc_id,
+        |    CAST(len(regexp_extract_all(text, '\S+', 0)) AS BIGINT) AS n_tok,
+        |    SUM(CAST(len(regexp_extract_all(text, '\S+', 0)) AS BIGINT)) OVER (
+        |      PARTITION BY source ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM documents),
+        |ps AS (SELECT source, COUNT(*) AS n_docs, SUM(n_tok) AS tokens
+        |       FROM d GROUP BY source),
+        |b AS (SELECT CAST(SUM(tokens) // COUNT(*) AS BIGINT) AS budget FROM ps),
+        |sched AS (
+        |  SELECT source, n_docs, CAST(tokens AS BIGINT) AS tokens,
+        |    CAST(budget // tokens AS BIGINT) AS epochs_full,
+        |    CAST(budget % tokens AS BIGINT) AS rem_tokens
+        |  FROM ps, b),
+        |fr AS (
+        |  SELECT d.source,
+        |    CAST(SUM(CASE WHEN d.cum <= s.rem_tokens THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS frac_docs,
+        |    CAST(SUM(CASE WHEN d.cum <= s.rem_tokens THEN d.n_tok ELSE 0 END) AS BIGINT)
+        |      AS frac_tokens
+        |  FROM d JOIN sched s USING (source) GROUP BY d.source)
+        |SELECT source, n_docs, tokens, epochs_full, rem_tokens, frac_docs, frac_tokens
+        |FROM sched JOIN fr USING (source) ORDER BY source""".stripMargin
   )
 }

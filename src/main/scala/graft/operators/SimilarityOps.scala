@@ -492,8 +492,56 @@ object SimilarityOps {
           coalesce(col("n_removed"), lit(0L)).as("n_removed"),
           (col("n_vecs") - coalesce(col("n_removed"), lit(0L))).as("n_kept"))
         .orderBy("label")
+    }),
+
+    // Two-stage retrieval — the production shape cheap-scoring funnels
+    // take at 100 TB (ScaNN/FAISS "IVF,SQ8 + refine"): stage 1 scores
+    // EVERY vector with the int8-dequantized dot (s08's symmetric
+    // quantizer — at scale the int8 table is a prebuilt artifact 4×
+    // smaller than the float corpus, so the full scan reads a quarter
+    // of the bytes) and keeps CoarseK; stage 2 re-ranks only those
+    // CoarseK candidates at full float precision. Output: the re-ranked
+    // top-10 with an `in_exact` flag against the true full-precision
+    // top-10 — the oracle recomputes BOTH stages, so the funnel's
+    // recall is gate-verified, not assumed. Deterministic: quantized
+    // scores are identical double chains on both engines; ties break on
+    // vec_id everywhere.
+    "s11_two_stage" -> ((s, d) => {
+      def quant(df: DataFrame): DataFrame = df
+        .withColumn("v", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+        .withColumn("mx", greatest(expr(
+          "aggregate(v, CAST(0.0 AS DOUBLE), (a, x) -> greatest(a, abs(x)))"),
+          lit(1e-12)))
+        .withColumn("dq", expr(
+          "transform(v, x -> floor(x * 127.0 / mx + 0.5) * mx / 127.0)"))
+      val emb = Tables.embeddings(s, d)
+      val corpus = quant(emb).select(col("vec_id"), col("embedding"), col("dq"))
+      val q = quant(emb.filter(col("vec_id") === QueryId))
+        .select(col("embedding").as("qv"), col("dq").as("qdq"))
+      val coarse = corpus.filter(col("vec_id") =!= QueryId)
+        .crossJoin(broadcast(q))
+        .withColumn("coarse", expr(
+          "aggregate(zip_with(dq, qdq, (a, b) -> a * b), 0D, (acc, x) -> acc + x)"))
+        .orderBy(col("coarse").desc, col("vec_id").asc).limit(CoarseK)
+      val exact = withQuery(s, d)
+        .filter(col("vec_id") =!= QueryId)
+        .withColumn("cos", cosCol)
+        .orderBy(col("cos").desc, col("vec_id").asc).limit(10)
+        .select(col("vec_id").as("x_vid"))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("cos").desc, col("vec_id").asc)
+      coarse.withColumn("cos", cosCol)
+        .orderBy(col("cos").desc, col("vec_id").asc).limit(10)
+        .withColumn("rn", row_number().over(w))
+        .join(exact, col("vec_id") === col("x_vid"), "left")
+        .withColumn("in_exact", when(col("x_vid").isNotNull, 1L).otherwise(0L))
+        .select("rn", "vec_id", "cos", "in_exact")
+        .orderBy("rn")
     })
   )
+
+  /** Stage-1 survivor count of the two-stage funnel (s11). */
+  private val CoarseK = 100
 
   private val dotSql = "list_dot_product(CAST(%s AS DOUBLE[]), CAST(%s AS DOUBLE[]))"
   private def cosSql(a: String, b: String, r: Int) =
@@ -788,6 +836,42 @@ object SimilarityOps {
          |  COUNT(*) - COALESCE(MAX(r.n_removed), 0) AS n_kept
          |FROM embeddings e LEFT JOIN removed r ON e.label = r.label
          |GROUP BY e.label ORDER BY e.label""".stripMargin
-    }
+    },
+    // both stages restated: int8-dequantized coarse scan → CoarseK cut →
+    // full-precision re-rank, flagged against the true top-10
+    "s11_two_stage" ->
+      s"""WITH t AS (
+         |  SELECT vec_id, embedding,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+         |    greatest(list_aggregate(
+         |      list_transform(embedding, x -> abs(CAST(x AS DOUBLE))), 'max'),
+         |      1e-12) AS mx
+         |  FROM embeddings),
+         |dqt AS (
+         |  SELECT vec_id, embedding,
+         |    list_transform(v, x -> FLOOR(x * 127.0 / mx + 0.5) * mx / 127.0) AS dq
+         |  FROM t),
+         |q AS (SELECT embedding AS qv, dq AS qdq FROM dqt WHERE vec_id = $QueryId),
+         |coarse AS (
+         |  SELECT d.vec_id, d.embedding, q.qv
+         |  FROM dqt d, q WHERE d.vec_id <> $QueryId
+         |  ORDER BY list_dot_product(d.dq, q.qdq) DESC, d.vec_id ASC
+         |  LIMIT $CoarseK),
+         |rer AS (
+         |  SELECT vec_id, ${cosSql("embedding", "qv", 6)} AS cos
+         |  FROM coarse
+         |  ORDER BY cos DESC, vec_id ASC LIMIT 10),
+         |ex AS (
+         |  SELECT e.vec_id AS x_vid
+         |  FROM embeddings e, (SELECT embedding AS qv FROM embeddings
+         |                      WHERE vec_id = $QueryId) q
+         |  WHERE e.vec_id <> $QueryId
+         |  ORDER BY ${cosSql("e.embedding", "q.qv", 6)} DESC, e.vec_id ASC
+         |  LIMIT 10)
+         |SELECT ROW_NUMBER() OVER (ORDER BY cos DESC, vec_id ASC) AS rn,
+         |  vec_id, cos,
+         |  CAST(CASE WHEN x_vid IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS in_exact
+         |FROM rer LEFT JOIN ex ON vec_id = x_vid
+         |ORDER BY rn""".stripMargin
   )
 }

@@ -261,8 +261,69 @@ object TextOps {
           regexp_count_fast(col("t"), PiiIp).cast("long").as("n_ip"),
           length(redacted).cast("long").as("len_redacted"))
         .orderBy("doc_id").limit(200)
-    })
+    }),
+
+    // Gopher-style composite rule filter (Rae et al. 2021 §A1.1 shape):
+    // five per-doc predicates — word count in range, mean token length in
+    // range, symbol-to-word ratio, alpha-token ratio, minimum stopword
+    // hits — rolled up per source as per-rule fail counts + survivors.
+    // Every rule is INTEGER arithmetic (`10*n_sym <= n_tok`, not
+    // `n_sym/n_tok <= 0.1`) so an exact-boundary doc can never land on
+    // different sides of a float compare across engines. One codegen'd
+    // scan, one groupBy(source) — corpus-parallel at 100 TB.
+    "t12_gopher_rules" -> ((s, d) => {
+      val nTok = regexp_count_fast(col("text"), WsTok).cast("long")
+      val nChar = length(regexp_replace(col("text"), "\\s+", "")).cast("long")
+      val nSym = regexp_count_fast(col("text"), SymTok).cast("long")
+      val nAlpha = regexp_count_fast(col("text"), AlphaRun).cast("long")
+      val nStop = regexp_count_fast(lower(col("text")), langPatterns.head._2).cast("long")
+      Tables.documents(s, d)
+        .withColumn("nt", nTok).withColumn("nc", nChar)
+        .withColumn("ns", nSym).withColumn("na", nAlpha)
+        .withColumn("nst", nStop)
+        .withColumn("r_wc", col("nt") >= 50 && col("nt") <= 100000L)
+        .withColumn("r_mwl", col("nc") >= lit(3) * col("nt") && col("nc") <= lit(10) * col("nt"))
+        .withColumn("r_sym", lit(10) * col("ns") <= col("nt"))
+        .withColumn("r_alpha", lit(5) * col("na") >= lit(4) * col("nt"))
+        .withColumn("r_stop", col("nst") >= 2)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(!col("r_wc"), 1L).otherwise(0L)).as("f_wordcount"),
+          sum(when(!col("r_mwl"), 1L).otherwise(0L)).as("f_meanlen"),
+          sum(when(!col("r_sym"), 1L).otherwise(0L)).as("f_symbol"),
+          sum(when(!col("r_alpha"), 1L).otherwise(0L)).as("f_alpha"),
+          sum(when(!col("r_stop"), 1L).otherwise(0L)).as("f_stopword"),
+          sum(when(col("r_wc") && col("r_mwl") && col("r_sym") &&
+            col("r_alpha") && col("r_stop"), 1L).otherwise(0L)).as("n_pass"))
+        .orderBy("source")
+    }),
+
+    // Lexical-diversity audit: per-doc type-token ratio and hapax share
+    // (the MTLD-lite signals behind template/boilerplate detection — a
+    // low-TTR doc is generated filler; a near-1 hapax doc is noise).
+    // Token counts per (doc, token) in ONE content-keyed shuffle, then a
+    // per-doc rollup; integer basis points via FLOOR as everywhere.
+    "t13_ttr_diversity" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          explode(regexp_extract_all(lower(col("text")), lit(WsTok), lit(0))).as("tok"))
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id")
+        .agg(sum("c").as("n_tok"),
+          count(lit(1)).as("n_types"),
+          sum(when(col("c") === 1, 1L).otherwise(0L)).as("n_hapax"))
+        .withColumn("ttr_bp",
+          floor(col("n_types") * 10000.0 / greatest(col("n_tok"), lit(1L))).cast("long"))
+        .withColumn("hapax_bp",
+          floor(col("n_hapax") * 10000.0 / greatest(col("n_types"), lit(1L))).cast("long"))
+        .select("doc_id", "n_tok", "n_types", "n_hapax", "ttr_bp", "hapax_bp")
+        .orderBy("doc_id").limit(200))
   )
+
+  /** '#' or ASCII ellipsis — the Gopher symbol-ratio numerator. */
+  private val SymTok = "#|\\.\\.\\."
+  /** Maximal pure-alpha runs on word boundaries (RE2-safe, no lookahead). */
+  private val AlphaRun = "\\b[A-Za-z]+\\b"
 
   private val PiiEmail = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   private val PiiPhone = "\\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\\b"
@@ -403,6 +464,45 @@ object TextOps {
          |      '$PiiEmail', '[EMAIL]', 'g'),
          |      '$PiiPhone', '[PHONE]', 'g'),
          |      '$PiiIp', '[IP]', 'g')) AS BIGINT) AS len_redacted
-         |FROM pii ORDER BY doc_id LIMIT 200""".stripMargin
+         |FROM pii ORDER BY doc_id LIMIT 200""".stripMargin,
+    "t12_gopher_rules" ->
+      s"""WITH m AS (
+         |  SELECT source,
+         |    CAST(len(regexp_extract_all(text, '$WsTok', 0)) AS BIGINT) AS nt,
+         |    CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS BIGINT) AS nc,
+         |    CAST(len(regexp_extract_all(text, '$SymTok', 0)) AS BIGINT) AS ns,
+         |    CAST(len(regexp_extract_all(text, '$AlphaRun', 0)) AS BIGINT) AS na,
+         |    CAST(len(regexp_extract_all(lower(text), '${langPatterns.head._2}', 1)) AS BIGINT) AS nst
+         |  FROM documents),
+         |r AS (
+         |  SELECT source,
+         |    (nt >= 50 AND nt <= 100000) AS r_wc,
+         |    (nc >= 3 * nt AND nc <= 10 * nt) AS r_mwl,
+         |    (10 * ns <= nt) AS r_sym,
+         |    (5 * na >= 4 * nt) AS r_alpha,
+         |    (nst >= 2) AS r_stop
+         |  FROM m)
+         |SELECT source, COUNT(*) AS n_docs,
+         |  CAST(SUM(CASE WHEN NOT r_wc THEN 1 ELSE 0 END) AS BIGINT) AS f_wordcount,
+         |  CAST(SUM(CASE WHEN NOT r_mwl THEN 1 ELSE 0 END) AS BIGINT) AS f_meanlen,
+         |  CAST(SUM(CASE WHEN NOT r_sym THEN 1 ELSE 0 END) AS BIGINT) AS f_symbol,
+         |  CAST(SUM(CASE WHEN NOT r_alpha THEN 1 ELSE 0 END) AS BIGINT) AS f_alpha,
+         |  CAST(SUM(CASE WHEN NOT r_stop THEN 1 ELSE 0 END) AS BIGINT) AS f_stopword,
+         |  CAST(SUM(CASE WHEN r_wc AND r_mwl AND r_sym AND r_alpha AND r_stop
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS n_pass
+         |FROM r GROUP BY source ORDER BY source""".stripMargin,
+    "t13_ttr_diversity" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '$WsTok', 0)) AS tok
+         |  FROM documents),
+         |cnt AS (SELECT doc_id, tok, COUNT(*) AS c FROM toks GROUP BY 1, 2),
+         |agg AS (
+         |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tok, COUNT(*) AS n_types,
+         |    CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax
+         |  FROM cnt GROUP BY doc_id)
+         |SELECT doc_id, n_tok, n_types, n_hapax,
+         |  CAST(FLOOR(n_types * 10000.0 / greatest(n_tok, 1)) AS BIGINT) AS ttr_bp,
+         |  CAST(FLOOR(n_hapax * 10000.0 / greatest(n_types, 1)) AS BIGINT) AS hapax_bp
+         |FROM agg ORDER BY doc_id LIMIT 200""".stripMargin
   )
 }

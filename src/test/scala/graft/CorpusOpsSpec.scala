@@ -289,4 +289,78 @@ class CorpusOpsSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(joined == batchJoin, "stream-stream interval join must equal batch join")
   }
+
+  test("t12 gopher rules: fail counts bound survivors, sources partition the corpus") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val rows = operators.TextOps.queries("t12_gopher_rules")(spark, sf).collect()
+    assert(rows.map(_.getLong(1)).sum == docs.count(), "n_docs partitions the corpus")
+    rows.foreach { r =>
+      val nDocs = r.getLong(1)
+      val fails = (2 to 6).map(r.getLong)
+      val nPass = r.getLong(7)
+      fails.foreach(f => assert(f >= 0 && f <= nDocs))
+      // every per-rule failure excludes that doc from n_pass
+      fails.foreach(f => assert(nPass <= nDocs - f,
+        s"source ${r.getString(0)}: survivors can't exceed docs minus any rule's fails"))
+      assert(nPass >= nDocs - fails.sum, "a doc failing k rules is still ONE failed doc")
+    }
+  }
+
+  test("t13 ttr: types bound tokens, hapax bound types, bp fields consistent") {
+    val rows = operators.TextOps.queries("t13_ttr_diversity")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nTok, nTypes, nHapax) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(nTypes <= nTok && nHapax <= nTypes)
+      assert(r.getLong(4) == math.floor(nTypes * 10000.0 / math.max(nTok, 1)).toLong)
+      assert(r.getLong(5) == math.floor(nHapax * 10000.0 / math.max(nTypes, 1)).toLong)
+    }
+  }
+
+  test("s11 two-stage: 10 re-ranked rows, descending, in_exact consistent with s01") {
+    val sf01 = "/root/testdata/sf0.01"
+    val rows = operators.SimilarityOps.queries("s11_two_stage")(spark, sf01).collect()
+    assert(rows.length == 10, "re-rank returns exactly top-10")
+    assert(rows.map(_.getInt(0)).toSeq == (1 to 10), "rn is dense 1..10")
+    val cs = rows.map(_.getDouble(2))
+    assert(cs.zip(cs.tail).forall { case (a, b) => a >= b }, "cos descends")
+    val exact = operators.SimilarityOps.queries("s01_cosine_topk")(spark, sf01)
+      .collect().map(_.getLong(0)).toSet
+    rows.foreach { r =>
+      val flagged = r.getLong(3) == 1L
+      assert(flagged == exact.contains(r.getLong(1)),
+        "in_exact must agree with the brute-force top-10")
+    }
+  }
+
+  test("p08 epoch schedule: budget conservation and fractional prefix bounds") {
+    val rows = operators.PipelineOps.queries("p08_epoch_schedule")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val budgets = rows.map(r => r.getLong(3) * r.getLong(2) + r.getLong(4)).distinct
+    assert(budgets.length == 1, "every source gets the same integer budget share")
+    rows.foreach { r =>
+      val (tokens, rem, fracDocs, fracTokens) =
+        (r.getLong(2), r.getLong(4), r.getLong(5), r.getLong(6))
+      assert(rem < tokens, "remainder is a proper fraction of one epoch")
+      assert(fracTokens <= rem, "the fractional prefix fits the remainder")
+      assert(fracDocs <= r.getLong(1))
+    }
+  }
+
+  test("d19 provenance pair counts equal the per-cluster combinatorial total") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val rows = operators.DedupOps.queries("d19_dup_provenance")(spark, sf).collect()
+    rows.foreach { r =>
+      assert(r.getString(0) <= r.getString(1), "matrix is upper-triangular")
+      assert(r.getLong(3) >= r.getLong(2), "each shared fp implies >= 1 pair")
+    }
+    // independent total: sum over fp clusters of k*(k-1)/2
+    val expected = docs
+      .withColumn("fp", md5(regexp_replace(lower(col("text")), "[^a-z0-9 ]+", "")))
+      .groupBy("fp").count().filter(col("count") > 1)
+      .select(coalesce(sum(expr("count * (count - 1) div 2")), lit(0L)))
+      .collect()(0).getLong(0)
+    assert(rows.map(_.getLong(3)).sum == expected,
+      "source-pair matrix must partition the global dup-pair count")
+  }
 }
