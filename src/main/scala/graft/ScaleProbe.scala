@@ -99,6 +99,8 @@ object ScaleProbe {
       "d13_sketch_error", "d14_incremental_dedup",
       "d15_semantic_dedup", "d16_threshold_sweep", "d17_bloom_contamination",
       "d18_dedup_prune_stats",
+      "t12_gopher_rules", "t13_ttr_diversity", "s11_two_stage",
+      "p08_epoch_schedule", "d19_dup_provenance", "m04_ahash",
       "q38_asof_join", "q40_range_join", "q41_salted_join")
     subset.foreach { s =>
       val unknown = s -- allProbeQueries.toSet

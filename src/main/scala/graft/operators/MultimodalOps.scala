@@ -149,6 +149,46 @@ object MultimodalOps {
         }
         .toDF("media_id", "width", "height", "out_w", "out_h")
         .orderBy("media_id").limit(200)
+    }),
+
+    // Perceptual hash (aHash): decode the PNG, sample an 8×8 luminance
+    // grid off the REAL raster, threshold each cell against the grid
+    // mean — the image near-dup fingerprint a 100 TB multimodal dedup
+    // runs before a d07-style Hamming bucket join (64-bit sketches
+    // instead of megapixel payloads). Published as a 64-char bit string
+    // (no 64-bit sign-overflow games in either engine). The test
+    // pattern's pixels are deterministic arithmetic in (id, x, y), so
+    // the oracle predicts every bit without decoding — i.e. the decode +
+    // sampling path is verified bit-for-bit, not trusted. Integer-only
+    // threshold (64*lum >= total) keeps the compare engine-exact.
+    "m04_ahash" -> ((s, d) => {
+      import s.implicits._
+      pngMedia(s, d)
+        .mapPartitions { rows =>
+          ImageIO.setUseCache(false)
+          rows.map { case (id, bytes) =>
+            val img = ImageIO.read(new ByteArrayInputStream(bytes))
+            val (w, h) = (img.getWidth, img.getHeight)
+            val lum = new Array[Int](64)
+            var total = 0
+            var j = 0
+            while (j < 8) {
+              var i = 0
+              while (i < 8) {
+                val v = img.getRGB(i * w / 8, j * h / 8) & 0xFFFFFF
+                val l = (v >> 16) + ((v >> 8) & 255) + (v & 255)
+                lum(j * 8 + i) = l
+                total += l
+                i += 1
+              }
+              j += 1
+            }
+            val bits = lum.map(l => if (l * 64 >= total) '1' else '0').mkString
+            (id, w, h, bits, bits.count(_ == '1').toLong)
+          }
+        }
+        .toDF("media_id", "width", "height", "ahash", "n_ones")
+        .orderBy("media_id").limit(200)
     })
   )
 
@@ -178,6 +218,34 @@ object MultimodalOps {
          |SELECT media_id, width, height,
          |  CAST(FLOOR(width * least(128.0 / greatest(width, height), 1.0)) AS INT) AS out_w,
          |  CAST(FLOOR(height * least(128.0 / greatest(width, height), 1.0)) AS INT) AS out_h
-         |FROM meta ORDER BY media_id LIMIT 200""".stripMargin
+         |FROM meta ORDER BY media_id LIMIT 200""".stripMargin,
+    // the encoder writes pixel (x,y) = (id32 * 2654435761_32) XOR
+    // (x*31+y) into TYPE_INT_RGB; only the low 24 bits survive, and the
+    // low 24 bits of the 32-bit wrap product depend only on the low 24
+    // bits of each factor — so p24 = (id % 2^24) * (2654435761 % 2^24)
+    // % 2^24 restates the pattern without 32-bit ints
+    "m04_ahash" ->
+      s"""WITH $metaSql,
+         |grid AS (
+         |  SELECT media_id, width, height, j, i,
+         |    xor((media_id % 16777216) * 3635633 % 16777216,
+         |        (i * width // 8) * 31 + (j * height // 8)) AS v24
+         |  FROM meta,
+         |       (SELECT unnest(generate_series(0, 7)) AS i),
+         |       (SELECT unnest(generate_series(0, 7)) AS j)),
+         |lum AS (
+         |  SELECT media_id, width, height, j, i,
+         |    (v24 // 65536) + ((v24 // 256) % 256) + (v24 % 256) AS l
+         |  FROM grid),
+         |tot AS (SELECT media_id, SUM(l) AS total FROM lum GROUP BY media_id),
+         |bits AS (
+         |  SELECT l.media_id,
+         |    string_agg(CASE WHEN l.l * 64 >= t.total THEN '1' ELSE '0' END, ''
+         |               ORDER BY l.j, l.i) AS ahash
+         |  FROM lum l JOIN tot t USING (media_id) GROUP BY l.media_id)
+         |SELECT m.media_id, m.width, m.height, b.ahash,
+         |  CAST(length(replace(b.ahash, '0', '')) AS BIGINT) AS n_ones
+         |FROM meta m JOIN bits b USING (media_id)
+         |ORDER BY media_id LIMIT 200""".stripMargin
   )
 }

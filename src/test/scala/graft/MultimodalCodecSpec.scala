@@ -27,4 +27,28 @@ class MultimodalCodecSpec extends AnyFunSuite {
       MultimodalOps.decode(1L, "definitely not an image".getBytes("UTF-8"))
     }
   }
+
+  test("aHash off the decoded raster equals the hash of the drawn pattern") {
+    // m04's contract: PNG round-trip is lossless for TYPE_INT_RGB, so
+    // the 8×8 luminance grid sampled from DECODED pixels must equal the
+    // grid computed straight from the encoder's arithmetic pattern —
+    // the same prediction the DuckDB oracle makes in SQL.
+    import java.io.ByteArrayInputStream
+    import javax.imageio.ImageIO
+    for (id <- Seq(0L, 1L, 42L, 977L); n <- Seq(13, 300, 2048)) {
+      val (w, h) = MultimodalOps.dimsOf(n)
+      val img = ImageIO.read(new ByteArrayInputStream(MultimodalOps.encodePng(id, n)))
+      def lumGrid(v: (Int, Int) => Int): Seq[Int] =
+        for (j <- 0 until 8; i <- 0 until 8) yield {
+          val p = v(i * w / 8, j * h / 8) & 0xFFFFFF
+          (p >> 16) + ((p >> 8) & 255) + (p & 255)
+        }
+      val decoded = lumGrid((x, y) => img.getRGB(x, y))
+      val drawn = lumGrid((x, y) => (id.toInt * 2654435761L.toInt) ^ (x * 31 + y))
+      assert(decoded == drawn, s"id=$id n=$n: decoded raster must match the pattern")
+      val total = decoded.sum
+      val bits = decoded.map(l => if (l * 64 >= total) '1' else '0').mkString
+      assert(bits.length == 64)
+    }
+  }
 }
