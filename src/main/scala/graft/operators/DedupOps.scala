@@ -568,6 +568,32 @@ object DedupOps {
         .groupBy("src_a", "src_b")
         .agg(count(lit(1)).as("n_fp"), sum("np").as("n_pairs"))
         .orderBy("src_a", "src_b")
+    }),
+
+    // Passage-level dedup — the sub-document granularity (C4's sentence
+    // dedup, Rabin-chunk dedup) that whole-doc fingerprints miss: split
+    // each doc into consecutive 10-token chunks (scan-local array
+    // slicing, no per-token explode before the chunk key exists), count
+    // each chunk's corpus-wide occurrences, and report per source how
+    // much of its text is a repeated passage. The join back runs against
+    // the DEDUPED count table (one row per distinct chunk), so a
+    // boilerplate passage repeated a million times adds map-side rows,
+    // never join fan-out; both shuffles key on content and partial-agg
+    // map-side — corpus-parallel at 100 TB.
+    "d20_passage_dedup" -> ((s, d) => {
+      val ch = Tables.documents(s, d)
+        .withColumn("a", split(col("text"), "\\s+"))
+        .select(col("source"), explode(expr(
+          "CASE WHEN size(a) >= 10 THEN transform(sequence(0, size(a) div 10 - 1)," +
+            " i -> concat_ws(' ', slice(a, i*10+1, 10))) ELSE array() END")).as("chunk"))
+      val cnt = ch.groupBy("chunk").agg(count(lit(1)).as("c"))
+      ch.join(cnt, "chunk")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(when(col("c") > 1, 1L).otherwise(0L)).as("dup_instances"))
+        .withColumn("dup_bp", floor(col("dup_instances") * 10000.0 /
+          greatest(col("n_chunks"), lit(1L))).cast("long"))
+        .orderBy("source")
     })
   )
 
@@ -799,6 +825,21 @@ object DedupOps {
         |         ELSE a.c * b.c END AS np
         |  FROM cnt a JOIN cnt b ON a.fp = b.fp AND a.source <= b.source)
         |WHERE np > 0
-        |GROUP BY src_a, src_b ORDER BY src_a, src_b""".stripMargin
+        |GROUP BY src_a, src_b ORDER BY src_a, src_b""".stripMargin,
+    "d20_passage_dedup" ->
+      """WITH arr AS (
+        |  SELECT source, regexp_split_to_array(text, '\s+') AS a FROM documents),
+        |ch AS (
+        |  SELECT source, unnest(list_transform(range(0, len(a) // 10),
+        |    i -> array_to_string(a[i*10+1 : i*10+10], ' '))) AS chunk
+        |  FROM arr),
+        |cnt AS (SELECT chunk, COUNT(*) AS c FROM ch GROUP BY chunk),
+        |agg AS (
+        |  SELECT source, COUNT(*) AS n_chunks,
+        |    CAST(SUM(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_instances
+        |  FROM ch JOIN cnt USING (chunk) GROUP BY source)
+        |SELECT source, n_chunks, dup_instances,
+        |  CAST(FLOOR(dup_instances * 10000.0 / greatest(n_chunks, 1)) AS BIGINT) AS dup_bp
+        |FROM agg ORDER BY source""".stripMargin
   )
 }

@@ -900,6 +900,45 @@ object EngineE2E {
         scheduledTable, backend.completions.count()))
         .toDF("n_seed", "visible_before", "completed_before",
           "scheduled_table", "completed_after")
+    }),
+
+    // WAL durability across process death, end to end (the trio's third
+    // leg beside q45 orphan recovery and q48 buffered tail loss):
+    // per-call future performAt lands on the scheduled-table WAL; the
+    // process "dies" with the WAL unfolded AND a torn in-flight record
+    // appended behind it (garbage tail bytes, exactly what a crash
+    // mid-append leaves). A fresh backend over the same root must
+    // recover every COMPLETED append — torn tail dropped, nothing else
+    // lost — and the normal scheduler promote + worker pass must then
+    // execute all of them.
+    "q50_wal_recovery" -> ((s, d) => withScratch("graft-e2e-walrec") { root =>
+      import s.implicits._
+      val clock = new AtomicLong(T0)
+      val backendA = new ParquetBackend(s, root)
+      val client = new graft.client.GraftClient(backendA, s, "e2e",
+        RetryOpts(maxRetries = 1, retryDelaySecFn = "e2e_instant"), () => clock.get())
+      val ids = Tables.events(s, d).orderBy("event_id").limit(DelaySeed)
+        .select($"event_id".as[Long]).collect().toSeq // bounded: 25 ids
+      ids.foreach(eid => client.performAt(
+        java.time.Instant.ofEpochMilli(T0 + 60000L), "e2e_noop", eid))
+      val walVisible = backendA.scheduledJobs.count() // WAL-resident, unfolded
+      // crash: writers die with the process; a torn in-flight record
+      // trails the last completed append
+      graft.backend.WalStore.closeUnder(root)
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(root, ".wal", "scheduled.wal"),
+        Array[Byte](42, 0, 0, 0, 7, 7, 7),
+        java.nio.file.StandardOpenOption.APPEND)
+      val backendB = new ParquetBackend(s, root) // reopen scans + truncates
+      val recovered = backendB.scheduledJobs.count()
+      val worker = new WorkerEngine(backendB, s, Nil, () => clock.get())
+      val sched = new SchedulerEngine(backendB, s, () => clock.get())
+      clock.set(T0 + 61000L)
+      val promoted = sched.promoteDue()
+      worker.runPass()
+      Seq((ids.length.toLong, walVisible, recovered, promoted,
+        backendB.completions.count()))
+        .toDF("n_seed", "wal_visible", "recovered", "promoted", "completed_after")
     })
   )
 
@@ -917,6 +956,13 @@ object EngineE2E {
     "q49_native_delay" ->
       s"""SELECT COUNT(*) AS n_seed, CAST(0 AS BIGINT) AS visible_before,
          |  CAST(0 AS BIGINT) AS completed_before, CAST(0 AS BIGINT) AS scheduled_table,
+         |  COUNT(*) AS completed_after
+         |FROM (SELECT * FROM events ORDER BY event_id LIMIT $DelaySeed)""".stripMargin,
+    // every completed WAL append survives the crash (torn tail dropped),
+    // and the recovered set promotes and executes in full
+    "q50_wal_recovery" ->
+      s"""SELECT COUNT(*) AS n_seed, COUNT(*) AS wal_visible,
+         |  COUNT(*) AS recovered, COUNT(*) AS promoted,
          |  COUNT(*) AS completed_after
          |FROM (SELECT * FROM events ORDER BY event_id LIMIT $DelaySeed)""".stripMargin,
     "q47_time_travel" ->

@@ -363,4 +363,19 @@ class CorpusOpsSpec extends SparkSpec {
     assert(rows.map(_.getLong(3)).sum == expected,
       "source-pair matrix must partition the global dup-pair count")
   }
+
+  test("d20 passage dedup: chunk census matches token counts, dup share bounded") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val rows = operators.DedupOps.queries("d20_passage_dedup")(spark, sf).collect()
+    val expectedChunks = docs
+      .select(floor(size(split(col("text"), "\\s+")) / 10).cast("long").as("k"))
+      .agg(sum("k")).collect()(0).getLong(0)
+    assert(rows.map(_.getLong(1)).sum == expectedChunks,
+      "every full 10-token window is counted exactly once")
+    rows.foreach { r =>
+      val (n, dup, bp) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(dup <= n)
+      assert(bp == math.floor(dup * 10000.0 / math.max(n, 1)).toLong)
+    }
+  }
 }
