@@ -301,17 +301,27 @@ object TextOps {
     // Lexical-diversity audit: per-doc type-token ratio and hapax share
     // (the MTLD-lite signals behind template/boilerplate detection — a
     // low-TTR doc is generated filler; a near-1 hapax doc is noise).
-    // Token counts per (doc, token) in ONE content-keyed shuffle, then a
-    // per-doc rollup; integer basis points via FLOOR as everywhere.
+    // ENTIRELY scan-local: sort the token array per doc and count runs /
+    // singleton runs by neighbor comparison — no (doc, token) explode,
+    // no shuffle at all before the bounded top-k. The first cut shuffled
+    // every token of the corpus to count per-doc; at 100 TB that
+    // exchange carries the whole token stream for a per-doc-computable
+    // statistic. Integer basis points via FLOOR as everywhere.
     "t13_ttr_diversity" -> ((s, d) =>
       Tables.documents(s, d)
-        .select(col("doc_id"),
-          explode(regexp_extract_all(lower(col("text")), lit(WsTok), lit(0))).as("tok"))
-        .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
-        .groupBy("doc_id")
-        .agg(sum("c").as("n_tok"),
-          count(lit(1)).as("n_types"),
-          sum(when(col("c") === 1, 1L).otherwise(0L)).as("n_hapax"))
+        .withColumn("sa", array_sort(
+          regexp_extract_all(lower(col("text")), lit(WsTok), lit(0))))
+        .withColumn("n_tok", size(col("sa")).cast("long"))
+        // run start: first element or differs from its left neighbor
+        .withColumn("n_types", when(col("n_tok") === 0, 0L).otherwise(size(expr(
+          "filter(sequence(0, size(sa) - 1), i -> i = 0 OR" +
+            " element_at(sa, i) != element_at(sa, i + 1))")).cast("long")))
+        // singleton run: starts AND ends at the same position
+        .withColumn("n_hapax", when(col("n_tok") === 0, 0L).otherwise(size(expr(
+          "filter(sequence(0, size(sa) - 1), i ->" +
+            " (i = 0 OR element_at(sa, i) != element_at(sa, i + 1)) AND" +
+            " (i = size(sa) - 1 OR element_at(sa, i + 1) != element_at(sa, i + 2)))"))
+          .cast("long")))
         .withColumn("ttr_bp",
           floor(col("n_types") * 10000.0 / greatest(col("n_tok"), lit(1L))).cast("long"))
         .withColumn("hapax_bp",
