@@ -89,7 +89,8 @@ object ScaleProbe {
       "d11_contamination", "s01_cosine_topk", "s02_ann_signlsh", "s03_ann_ivf",
       "s04_ann_multiquery", "s06_ivf_recall_sweep", "s07_centroid_outliers",
       "t01_lang_id", "t02_quality_score", "t03_token_count",
-      "t04_fingerprint", "t05_top_bigrams", "t07_tfidf", "t08_unigram_logprob",
+      "t04_fingerprint", "t05_top_bigrams", "t06_repetition",
+      "t07_tfidf", "t08_unigram_logprob",
       "t11_bigram_logprob",
       "m01_media_decode", "m02_frame_sample",
       "m03_resize_plan", "p01_clean_corpus", "p02_source_mixing",

@@ -110,29 +110,39 @@ object TextOps {
     // inputs (top-bigram frequency share, duplicate-word fraction), in
     // basis points via FLOOR for engine-exact verification. Two grouped
     // aggregations over one bigram explode; scales as t05 does.
-    "t06_repetition" -> ((s, d) => {
-      val perDocBigram = Tables.documents(s, d)
+    "t06_repetition" -> ((s, d) =>
+      // scan-local like the t13 rewrite: the per-doc bigram census needs
+      // no corpus context, so sorting the doc's own bigram array and
+      // counting runs (distinct = run starts, top count = longest run)
+      // replaces the (doc, bigram) exchange that once carried every
+      // bigram of the corpus. The run-length fold threads a tiny struct
+      // accumulator through `aggregate` — still whole-stage codegen.
+      Tables.documents(s, d)
         .select(col("doc_id"), split(col("text"), "\\s+").as("w"))
         .filter(size(col("w")) >= 2)
-        .select(col("doc_id"), col("w"),
-          explode(expr(
-            "transform(sequence(1, size(w) - 1), i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))"))
-            .as("bigram"))
-        .groupBy(col("doc_id"), col("bigram"))
-        .agg(count(lit(1)).as("c"), first(size(col("w"))).as("n_words"))
-      perDocBigram
-        .groupBy("doc_id")
-        .agg(sum("c").as("n_bigrams"), max("c").as("top_c"),
-          first("n_words").as("n_words"),
-          countDistinct("bigram").as("n_distinct_bigrams"))
+        .withColumn("bg", expr(
+          "array_sort(transform(sequence(1, size(w) - 1)," +
+            " i -> concat(element_at(w, i), ' ', element_at(w, i + 1))))"))
+        .withColumn("n_bigrams", size(col("bg")).cast("long"))
+        .withColumn("n_distinct_bigrams", size(expr(
+          "filter(sequence(0, size(bg) - 1), i -> i = 0 OR" +
+            " element_at(bg, i) != element_at(bg, i + 1))")).cast("long"))
+        .withColumn("top_c", expr(
+          "aggregate(bg," +
+            " named_struct('run', 0, 'best', 0, 'prev', CAST(NULL AS STRING))," +
+            " (acc, x) -> named_struct(" +
+            "   'run', IF(acc.prev IS NULL OR x != acc.prev, 1, acc.run + 1)," +
+            "   'best', greatest(acc.best," +
+            "     IF(acc.prev IS NULL OR x != acc.prev, 1, acc.run + 1))," +
+            "   'prev', x)," +
+            " acc -> acc.best)").cast("long"))
         .withColumn("top_share_bp",
           floor(col("top_c") * 10000.0 / col("n_bigrams")).cast("long"))
         .withColumn("dup_bigram_bp",
           floor((col("n_bigrams") - col("n_distinct_bigrams")) * 10000.0
             / col("n_bigrams")).cast("long"))
         .select("doc_id", "n_bigrams", "top_share_bp", "dup_bigram_bp")
-        .orderBy("doc_id").limit(200)
-    }),
+        .orderBy("doc_id").limit(200)),
 
     // Per-doc top TF-IDF term — the keyword/topic signal a corpus triage
     // pass extracts. Two grouped aggs over one token explode (tf per
