@@ -102,7 +102,7 @@ object ScaleProbe {
       "d18_dedup_prune_stats",
       "t12_gopher_rules", "t13_ttr_diversity", "s11_two_stage",
       "p08_epoch_schedule", "d19_dup_provenance", "m04_ahash",
-      "d20_passage_dedup",
+      "d20_passage_dedup", "s12_coarsek_sweep",
       "q38_asof_join", "q40_range_join", "q41_salted_join")
     subset.foreach { s =>
       val unknown = s -- allProbeQueries.toSet

@@ -530,6 +530,42 @@ object SimilarityOps {
         .withColumn("in_exact", when(col("x_vid").isNotNull, 1L).otherwise(0L))
         .select("rn", "vec_id", "cos", "in_exact")
         .orderBy("rn")
+    }),
+
+    // CoarseK pricing sweep — s11's one funnel knob, priced the way
+    // every other knob here is (s05 LSH recall, s06 nprobe, s09 table
+    // count, s10 Hamming radius): recall@10 at K ∈ {10, 25, 50, 100}
+    // from ONE coarse ranking pass. The coarse order is ranked once
+    // (TakeOrdered to the largest K, then a 100-row window), the exact
+    // top-10 joins against it, and each K is a conditional aggregate —
+    // no per-K rescan. How to read it: the smallest K whose recall
+    // clears the application's floor is the re-rank budget.
+    "s12_coarsek_sweep" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val q = quantize(emb.filter(col("vec_id") === QueryId))
+        .select(col("dq").as("qdq"))
+      val ranked = quantizedCorpus(s, d).filter(col("vec_id") =!= QueryId)
+        .crossJoin(broadcast(q))
+        .withColumn("coarse", expr(
+          "aggregate(zip_with(dq, qdq, (a, b) -> a * b), 0D, (acc, x) -> acc + x)"))
+        .orderBy(col("coarse").desc, col("vec_id").asc).limit(CoarseK)
+        .withColumn("rnc", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("coarse").desc, col("vec_id").asc)))
+        .select(col("vec_id").as("c_vid"), col("rnc"))
+      val exact = withQuery(s, d)
+        .filter(col("vec_id") =!= QueryId)
+        .withColumn("cos", cosCol)
+        .orderBy(col("cos").desc, col("vec_id").asc).limit(10)
+        .select("vec_id")
+      val hits = exact.join(ranked, col("vec_id") === col("c_vid"), "left")
+      Seq(10, 25, 50, 100).map { k =>
+        hits.agg(sum(when(col("rnc") <= k, 1L).otherwise(0L)).as("n_hits"))
+          .withColumn("k", lit(k.toLong))
+      }.reduce(_.unionByName(_))
+        .withColumn("recall_bp", floor(col("n_hits") * 10000.0 / 10).cast("long"))
+        .select("k", "n_hits", "recall_bp")
+        .orderBy("k")
     })
   )
 
@@ -888,6 +924,42 @@ object SimilarityOps {
          |  vec_id, cos,
          |  CAST(CASE WHEN x_vid IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS in_exact
          |FROM rer LEFT JOIN ex ON vec_id = x_vid
-         |ORDER BY rn""".stripMargin
+         |ORDER BY rn""".stripMargin,
+    // same quantizer, the coarse order ranked once, each K a conditional
+    // count over the exact top-10's coarse ranks
+    "s12_coarsek_sweep" ->
+      s"""WITH t AS (
+         |  SELECT vec_id, embedding,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+         |    greatest(list_aggregate(
+         |      list_transform(embedding, x -> abs(CAST(x AS DOUBLE))), 'max'),
+         |      1e-12) AS mx
+         |  FROM embeddings),
+         |dqt AS (
+         |  SELECT vec_id, embedding,
+         |    list_transform(v, x -> FLOOR(x * 127.0 / mx + 0.5) * mx / 127.0) AS dq
+         |  FROM t),
+         |q AS (SELECT embedding AS qv, dq AS qdq FROM dqt WHERE vec_id = $QueryId),
+         |ranked AS (
+         |  SELECT vec_id AS c_vid,
+         |    ROW_NUMBER() OVER (ORDER BY list_dot_product(dq, (SELECT qdq FROM q)) DESC,
+         |                       vec_id ASC) AS rnc
+         |  FROM dqt WHERE vec_id <> $QueryId
+         |  QUALIFY rnc <= $CoarseK),
+         |ex AS (
+         |  SELECT e.vec_id
+         |  FROM embeddings e, q
+         |  WHERE e.vec_id <> $QueryId
+         |  ORDER BY ${cosSql("e.embedding", "q.qv", 6)} DESC, e.vec_id ASC
+         |  LIMIT 10),
+         |hits AS (SELECT ex.vec_id, r.rnc FROM ex LEFT JOIN ranked r ON ex.vec_id = r.c_vid)
+         |SELECT CAST(p.k AS BIGINT) AS k,
+         |  CAST(SUM(CASE WHEN rnc <= p.k THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+         |  CAST(FLOOR(SUM(CASE WHEN rnc <= p.k THEN 1 ELSE 0 END) * 10000.0 / 10)
+         |    AS BIGINT) AS recall_bp
+         |FROM (SELECT 10 AS k UNION ALL SELECT 25 UNION ALL SELECT 50
+         |      UNION ALL SELECT 100) p
+         |CROSS JOIN hits
+         |GROUP BY p.k ORDER BY k""".stripMargin
   )
 }

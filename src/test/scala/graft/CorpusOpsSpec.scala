@@ -333,6 +333,19 @@ class CorpusOpsSpec extends SparkSpec {
     }
   }
 
+  test("s12 CoarseK sweep: recall monotone non-decreasing, s11-consistent at K=100") {
+    val sf01 = "/root/testdata/sf0.01"
+    val rows = operators.SimilarityOps.queries("s12_coarsek_sweep")(spark, sf01).collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(10L, 25L, 50L, 100L))
+    val hits = rows.map(_.getLong(1))
+    assert(hits.zip(hits.tail).forall { case (a, b) => a <= b },
+      "a larger coarse cut can only add exact-top-10 hits")
+    // K=100 is s11's production cut: its hit count must equal s11's flags
+    val s11Hits = operators.SimilarityOps.queries("s11_two_stage")(spark, sf01)
+      .collect().map(_.getLong(3)).sum
+    assert(hits.last == s11Hits, "the sweep's K=100 point restates s11's recall")
+  }
+
   test("p08 epoch schedule: budget conservation and fractional prefix bounds") {
     val rows = operators.PipelineOps.queries("p08_epoch_schedule")(spark, sf).collect()
     assert(rows.nonEmpty)
