@@ -389,7 +389,22 @@ object ScaleProbe {
     }
     } // subset.isEmpty
 
-    Files.writeString(Paths.get(outFile), sb.toString)
+    // Preserve hand-curated analysis sections across regenerations: any
+    // existing content from the marker on is re-appended verbatim (the
+    // r8 full-run regeneration silently dropped five curated sections —
+    // per-call latency profile, tail-anomaly closure, console-load
+    // table, MinHash A/B, the regex-concurrency finding).
+    val out = Paths.get(outFile)
+    if (Files.exists(out)) {
+      val existing = Files.readString(out)
+      val at = existing.indexOf(ManualMarker)
+      if (at >= 0) sb.append("\n").append(existing.substring(at))
+    }
+    Files.writeString(out, sb.toString)
     spark.stop()
   }
+
+  /** Everything from this line on in an existing SCALING*.md is manual
+    * analysis and survives regeneration. */
+  private val ManualMarker = "<!-- MANUAL SECTIONS — preserved across ScaleProbe regenerations -->"
 }
