@@ -377,6 +377,37 @@ class CorpusOpsSpec extends SparkSpec {
       "source-pair matrix must partition the global dup-pair count")
   }
 
+  test("t06's run-length fold equals the brute-force census on random arrays") {
+    // the scan-local rewrite's core claim: on a SORTED array, run starts
+    // give the distinct count and the longest run gives the top count —
+    // checked against plain Scala groupBy over randomized inputs
+    // (deterministic seed; small alphabet forces long runs and ties)
+    val rnd = new scala.util.Random(20260814L)
+    val cases = Seq.fill(60)(Seq.fill(1 + rnd.nextInt(40))(s"w${rnd.nextInt(6)}")) ++
+      Seq(Seq("a"), Seq("a", "a", "a"), Seq("x", "y", "z"))
+    import spark.implicits._
+    val df = cases.zipWithIndex.map { case (ws, i) => (i.toLong, ws) }.toDF("id", "w")
+      .withColumn("bg", array_sort(col("w")))
+      .withColumn("n_distinct", size(expr(
+        "filter(sequence(0, size(bg) - 1), i -> i = 0 OR" +
+          " element_at(bg, i) != element_at(bg, i + 1))")))
+      .withColumn("top_c", expr(
+        "aggregate(bg," +
+          " named_struct('run', 0, 'best', 0, 'prev', CAST(NULL AS STRING))," +
+          " (acc, x) -> named_struct(" +
+          "   'run', IF(acc.prev IS NULL OR x != acc.prev, 1, acc.run + 1)," +
+          "   'best', greatest(acc.best," +
+          "     IF(acc.prev IS NULL OR x != acc.prev, 1, acc.run + 1))," +
+          "   'prev', x)," +
+          " acc -> acc.best)"))
+    df.select("id", "n_distinct", "top_c").collect().foreach { r =>
+      val ws = cases(r.getLong(0).toInt)
+      val counts = ws.groupBy(identity).view.mapValues(_.size)
+      assert(r.getInt(1) == counts.size, s"distinct mismatch on ${ws.mkString(",")}")
+      assert(r.getInt(2) == counts.values.max, s"top mismatch on ${ws.mkString(",")}")
+    }
+  }
+
   test("d20 passage dedup: chunk census matches token counts, dup share bounded") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val rows = operators.DedupOps.queries("d20_passage_dedup")(spark, sf).collect()
