@@ -594,6 +594,41 @@ object DedupOps {
         .withColumn("dup_bp", floor(col("dup_instances") * 10000.0 /
           greatest(col("n_chunks"), lit(1L))).cast("long"))
         .orderBy("source")
+    }),
+
+    // Passage-level prune APPLIED — the d18-style terminal stage for d20
+    // (count → decide → actually drop): every repeated 10-token chunk
+    // keeps ONE canonical occurrence (min (doc_id, chunk-idx) across the
+    // corpus — keep-first at passage granularity, the Rae et al. 2021
+    // repetition-removal shape) and every other instance is pruned;
+    // remainder tokens (the sub-chunk doc tail) always survive. The
+    // canonical pick is an integer-key min per chunk (doc_id*1000+idx —
+    // idx is bounded by doc length), so the decision is engine-exact;
+    // the join back runs against the DEDUPED per-chunk canon table (one
+    // row per distinct chunk), so a million-fold boilerplate passage
+    // costs map-side rows, never join fan-out. Per-source survivor
+    // books: docs, tokens before/after, pruned share in basis points —
+    // reviewed before the pruned write commits, exactly like d18.
+    "d21_passage_prune" -> ((s, d) => {
+      val base = Tables.documents(s, d)
+        .withColumn("a", split(col("text"), "\\s+"))
+        .withColumn("n_tok", size(col("a")).cast("long"))
+      val ch = base.select(col("doc_id"), col("source"), posexplode(expr(
+        "CASE WHEN size(a) >= 10 THEN transform(sequence(0, size(a) div 10 - 1)," +
+          " i -> concat_ws(' ', slice(a, i*10+1, 10))) ELSE array() END")))
+        .withColumn("k", col("doc_id") * 1000 + col("pos"))
+      val canon = ch.groupBy("col").agg(min("k").as("canon_k"))
+      val pruned = ch.join(canon, "col").filter(col("k") =!= col("canon_k"))
+        .groupBy("source").agg((count(lit(1)) * 10).as("tokens_pruned"))
+      base.groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("tokens_total"))
+        .join(pruned, Seq("source"), "left")
+        .withColumn("tokens_pruned", coalesce(col("tokens_pruned"), lit(0L)))
+        .withColumn("tokens_kept", col("tokens_total") - col("tokens_pruned"))
+        .withColumn("pruned_bp", floor(col("tokens_pruned") * 10000.0 /
+          greatest(col("tokens_total"), lit(1L))).cast("long"))
+        .select("source", "n_docs", "tokens_total", "tokens_kept", "pruned_bp")
+        .orderBy("source")
     })
   )
 
@@ -840,6 +875,27 @@ object DedupOps {
         |  FROM ch JOIN cnt USING (chunk) GROUP BY source)
         |SELECT source, n_chunks, dup_instances,
         |  CAST(FLOOR(dup_instances * 10000.0 / greatest(n_chunks, 1)) AS BIGINT) AS dup_bp
-        |FROM agg ORDER BY source""".stripMargin
+        |FROM agg ORDER BY source""".stripMargin,
+    "d21_passage_prune" ->
+      """WITH arr AS (
+        |  SELECT doc_id, source, regexp_split_to_array(text, '\s+') AS a FROM documents),
+        |ch AS (
+        |  SELECT doc_id, source, i AS pos,
+        |    array_to_string(a[i*10+1 : i*10+10], ' ') AS chunk,
+        |    doc_id * 1000 + i AS k
+        |  FROM arr, unnest(range(0, len(a) // 10)) AS t(i)),
+        |canon AS (SELECT chunk, MIN(k) AS canon_k FROM ch GROUP BY chunk),
+        |pruned AS (
+        |  SELECT source, CAST(COUNT(*) * 10 AS BIGINT) AS tokens_pruned
+        |  FROM ch JOIN canon USING (chunk) WHERE k <> canon_k GROUP BY source),
+        |tot AS (
+        |  SELECT source, COUNT(*) AS n_docs, CAST(SUM(len(a)) AS BIGINT) AS tokens_total
+        |  FROM arr GROUP BY source)
+        |SELECT t.source, t.n_docs, t.tokens_total,
+        |  t.tokens_total - COALESCE(p.tokens_pruned, 0) AS tokens_kept,
+        |  CAST(FLOOR(COALESCE(p.tokens_pruned, 0) * 10000.0
+        |    / greatest(t.tokens_total, 1)) AS BIGINT) AS pruned_bp
+        |FROM tot t LEFT JOIN pruned p USING (source)
+        |ORDER BY source""".stripMargin
   )
 }

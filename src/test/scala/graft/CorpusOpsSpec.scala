@@ -422,4 +422,26 @@ class CorpusOpsSpec extends SparkSpec {
       assert(bp == math.floor(dup * 10000.0 / math.max(n, 1)).toLong)
     }
   }
+
+  test("d21 passage prune: keep-first conservation — pruned = instances - distinct") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val rows = operators.DedupOps.queries("d21_passage_prune")(spark, sf).collect()
+    val chunks = docs
+      .withColumn("a", split(col("text"), "\\s+"))
+      .select(explode(expr(
+        "CASE WHEN size(a) >= 10 THEN transform(sequence(0, size(a) div 10 - 1)," +
+          " i -> concat_ws(' ', slice(a, i*10+1, 10))) ELSE array() END")).as("chunk"))
+    val total = chunks.count()
+    val distinct = chunks.distinct().count()
+    val prunedTokens = rows.map(r => r.getLong(2) - r.getLong(3)).sum
+    // exactly one survivor per distinct chunk: pruned instances across all
+    // sources must equal total instances minus distinct chunks
+    assert(prunedTokens == (total - distinct) * 10,
+      s"pruned $prunedTokens tokens, expected ${(total - distinct) * 10}")
+    rows.foreach { r =>
+      val (tot, kept) = (r.getLong(2), r.getLong(3))
+      assert(kept >= 0 && kept <= tot)
+      assert((tot - kept) % 10 == 0, "only whole 10-token chunks are pruned")
+    }
+  }
 }
