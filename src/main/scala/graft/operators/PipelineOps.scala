@@ -349,6 +349,60 @@ object PipelineOps {
         .select("source", "n_docs", "tokens", "epochs_full", "rem_tokens",
           "frac_docs", "frac_tokens")
         .orderBy("source")
+    }),
+
+    // DSIR-style importance resampling (Xie et al. 2023: Data Selection
+    // for LMs via Importance Resampling) — select raw-corpus docs whose
+    // hashed-n-gram profile looks like a target (curated) distribution.
+    // Features: bigrams hashed into 256 buckets (first md5 hex pair —
+    // engine-identical). Per-bucket importance ratio p_target/q_raw with
+    // add-one smoothing, rendered in integer basis points:
+    //   w_bp = (tc+1)(R+256)·10⁴ div (rc+1)(T+256)
+    // (exact bigint arithmetic — the paper's log-likelihood ratio sums
+    // become an arithmetic mean of per-instance ratios, the engine-exact
+    // rendering; at a real 100 TB scale the products approach int64
+    // range and the weights would move to double log-space, keeping this
+    // integer form for the correctness gate). Doc score = mean w_bp over
+    // its bigram instances (integer div); acceptance is the p02/p07
+    // deterministic md5-threshold with rate = min(score, 2·10⁴)/2·10⁴ —
+    // i.e. docs scoring ≥2× target-like are always kept, others kept
+    // proportionally — so the sample reproduces across reruns AND
+    // engines, no RNG. Plan shape: one bigram extraction feeds both the
+    // 256-row weight table (broadcast back) and scoring — map-side
+    // everywhere, one content-keyed exchange for the per-doc mean.
+    "p09_dsir_resample" -> ((s, d) => {
+      val isTarget = col("source").isin(EvalSources: _*)
+      val big = Tables.documents(s, d)
+        .withColumn("arr", split(col("text"), "\\s+"))
+        .select(col("doc_id"), col("source"), explode(expr(
+          "zip_with(slice(arr, 1, size(arr)-1), slice(arr, 2, size(arr)-1)," +
+            " (a, b) -> concat(a, ' ', b))")).as("bg"))
+        .withColumn("bucket", substring(md5(col("bg")), 1, 2))
+        .localCheckpoint(true) // one extraction feeds weights AND scoring
+      val bcnt = big.groupBy("bucket").agg(
+        sum(when(isTarget, 1L).otherwise(0L)).as("tc"),
+        sum(when(!isTarget, 1L).otherwise(0L)).as("rc"))
+      val weights = bcnt.crossJoin(broadcast(
+          bcnt.agg(sum("tc").as("tt"), sum("rc").as("rt"))))
+        .withColumn("w_bp",
+          expr("((tc + 1) * (rt + 256) * 10000) div ((rc + 1) * (tt + 256))"))
+        .select("bucket", "w_bp")
+      val scored = big.filter(!isTarget)
+        .join(broadcast(weights), "bucket")
+        .groupBy("doc_id", "source")
+        .agg(count(lit(1)).as("n_big"), sum("w_bp").as("sw"))
+        .withColumn("avg_w_bp", expr("sw div n_big"))
+      scored
+        .withColumn("thr", lower(lpad(conv(
+          least(expr("least(avg_w_bp, 20000) * 4294967296 div 20000"),
+            lit(4294967295L)).cast("string"), 10, 16), 8, "0")))
+        .withColumn("keep",
+          substring(md5(col("doc_id").cast("string")), 1, 8) < col("thr"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("avg_w_bp").as("sum_avg_w_bp"),
+          sum(when(col("keep"), 1L).otherwise(0L)).as("n_sampled"))
+        .orderBy("source")
     })
   )
 
@@ -564,6 +618,45 @@ object PipelineOps {
         |      AS frac_tokens
         |  FROM d JOIN sched s USING (source) GROUP BY d.source)
         |SELECT source, n_docs, tokens, epochs_full, rem_tokens, frac_docs, frac_tokens
-        |FROM sched JOIN fr USING (source) ORDER BY source""".stripMargin
+        |FROM sched JOIN fr USING (source) ORDER BY source""".stripMargin,
+    "p09_dsir_resample" -> {
+      val evalIn = EvalSources.map(s => s"'$s'").mkString(", ")
+      s"""WITH toks AS (
+         |  SELECT doc_id, source, generate_subscripts(arr, 1) AS pos, unnest(arr) AS tok
+         |  FROM (SELECT doc_id, source, regexp_split_to_array(text, '\\s+') AS arr
+         |        FROM documents)),
+         |big AS (
+         |  SELECT a.doc_id, a.source,
+         |    substr(md5(a.tok || ' ' || b.tok), 1, 2) AS bucket
+         |  FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1),
+         |bcnt AS (
+         |  SELECT bucket,
+         |    SUM(CASE WHEN source IN ($evalIn) THEN 1 ELSE 0 END) AS tc,
+         |    SUM(CASE WHEN source NOT IN ($evalIn) THEN 1 ELSE 0 END) AS rc
+         |  FROM big GROUP BY bucket),
+         |tots AS (SELECT SUM(tc) AS tt, SUM(rc) AS rt FROM bcnt),
+         |w AS (
+         |  SELECT bucket,
+         |    ((tc + 1) * (rt + 256) * 10000) // ((rc + 1) * (tt + 256)) AS w_bp
+         |  FROM bcnt CROSS JOIN tots),
+         |scored AS (
+         |  SELECT doc_id, source, COUNT(*) AS n_big, SUM(w_bp) AS sw,
+         |    SUM(w_bp) // COUNT(*) AS avg_w_bp
+         |  FROM big JOIN w USING (bucket)
+         |  WHERE source NOT IN ($evalIn)
+         |  GROUP BY doc_id, source),
+         |acc AS (
+         |  SELECT source, avg_w_bp,
+         |    CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+         |      < printf('%08x', CAST(least(
+         |          least(avg_w_bp, 20000) * 4294967296 // 20000,
+         |          4294967295) AS BIGINT))
+         |    THEN 1 ELSE 0 END AS keep
+         |  FROM scored)
+         |SELECT source, COUNT(*) AS n_docs,
+         |  CAST(SUM(avg_w_bp) AS BIGINT) AS sum_avg_w_bp,
+         |  CAST(SUM(keep) AS BIGINT) AS n_sampled
+         |FROM acc GROUP BY source ORDER BY source""".stripMargin
+    }
   )
 }

@@ -74,6 +74,33 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("p09 DSIR resample: rerun-stable, covers all raw docs, rate-monotone") {
+    def run() = operators.PipelineOps.queries("p09_dsir_resample")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val a = run()
+    assert(a.sameElements(run()), "hash-threshold resample must be rerun-stable")
+    assert(!a.exists(r => r._1 == "src0" || r._1 == "src1"),
+      "target (eval) sources are never resampled")
+    // every non-target doc has >= 1 bigram on this corpus, so per-source
+    // doc counts must cover the raw corpus exactly
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .filter("source NOT IN ('src0','src1')")
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    a.foreach { case (src, n, sumBp, k) =>
+      assert(n == docs(src), s"$src: scored $n of ${docs(src)} raw docs")
+      assert(k <= n, s"$src: sampled more than scored")
+      assert(sumBp >= n, s"$src: mean weight below 1bp is implausible")
+    }
+    // acceptance rate tracks the importance score: the mean over sampled
+    // sources with above-median weight >= rate over below-median ones
+    val byRate = a.map { case (_, n, sumBp, k) => (sumBp / n, k * 10000 / n) }
+      .sortBy(_._1)
+    val (lo, hi) = byRate.splitAt(byRate.length / 2)
+    assert(hi.map(_._2).sum / hi.length >= lo.map(_._2).sum / lo.length,
+      "higher importance weight must not lower the acceptance rate")
+  }
+
   test("p05 quantile gate keeps at least half of every source") {
     val rows = operators.PipelineOps.queries("p05_quantile_filter")(spark, sf).collect()
     assert(rows.nonEmpty)
