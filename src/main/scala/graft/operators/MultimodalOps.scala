@@ -161,36 +161,85 @@ object MultimodalOps {
     // the oracle predicts every bit without decoding — i.e. the decode +
     // sampling path is verified bit-for-bit, not trusted. Integer-only
     // threshold (64*lum >= total) keeps the compare engine-exact.
-    "m04_ahash" -> ((s, d) => {
-      import s.implicits._
-      pngMedia(s, d)
-        .mapPartitions { rows =>
-          ImageIO.setUseCache(false)
-          rows.map { case (id, bytes) =>
-            val img = ImageIO.read(new ByteArrayInputStream(bytes))
-            val (w, h) = (img.getWidth, img.getHeight)
-            val lum = new Array[Int](64)
-            var total = 0
-            var j = 0
-            while (j < 8) {
-              var i = 0
-              while (i < 8) {
-                val v = img.getRGB(i * w / 8, j * h / 8) & 0xFFFFFF
-                val l = (v >> 16) + ((v >> 8) & 255) + (v & 255)
-                lum(j * 8 + i) = l
-                total += l
-                i += 1
-              }
-              j += 1
-            }
-            val bits = lum.map(l => if (l * 64 >= total) '1' else '0').mkString
-            (id, w, h, bits, bits.count(_ == '1').toLong)
-          }
-        }
-        .toDF("media_id", "width", "height", "ahash", "n_ones")
-        .orderBy("media_id").limit(200)
+    "m04_ahash" -> ((s, d) =>
+      ahashed(s, d)
+        .orderBy("media_id").limit(200)),
+
+    // Image NEAR-dup candidates — the d07-for-pixels join the m04 sketch
+    // exists to feed: band the 64-bit aHash into four 16-bit keys
+    // (Hamming ≤ r pairs with r < 4·16 spread over bands must agree on
+    // at least one — the standard pigeonhole LSH over Hamming space),
+    // self-equi-join per band, dedupe candidates, then verify the exact
+    // Hamming distance on candidates only (4× conv/xor/bit_count — a
+    // codegen'd scalar, never a 64-way explode). At 100 TB the join
+    // carries 64-bit sketches, not megapixel payloads, and band keys are
+    // content-hashes — uniformly shuffled, skew bounded by the 2^16 key
+    // space per band. Output: verified near-dup pairs at Hamming ≤ 8.
+    "m05_ahash_neardup" -> ((s, d) => {
+      val ah = ahashed(s, d).select("media_id", "ahash")
+        .localCheckpoint(true) // one decode pass feeds bands AND verify
+      val bands = ah.select(col("media_id"), col("ahash"),
+        explode(expr(
+          "transform(sequence(0, 3), b -> struct(b AS b, substring(ahash, b*16+1, 16) AS key))"))
+          .as("bk"))
+        .select(col("media_id"), col("bk.b"), col("bk.key"))
+      val cand = bands.as("x").join(bands.as("y"),
+          col("x.b") === col("y.b") && col("x.key") === col("y.key") &&
+            col("x.media_id") < col("y.media_id"))
+        .select(col("x.media_id").as("media_a"), col("y.media_id").as("media_b"))
+        .distinct()
+      val hd = (0 to 3).map(i =>
+        expr(s"bit_count(CAST(conv(substring(ah_a, ${i * 16 + 1}, 16), 2, 10) AS BIGINT)" +
+          s" ^ CAST(conv(substring(ah_b, ${i * 16 + 1}, 16), 2, 10) AS BIGINT))"))
+        .reduce(_ + _)
+      cand
+        .join(ah.select(col("media_id").as("media_a"), col("ahash").as("ah_a")), "media_a")
+        .join(ah.select(col("media_id").as("media_b"), col("ahash").as("ah_b")), "media_b")
+        .withColumn("hamming", hd.cast("long"))
+        .filter(col("hamming") <= 8)
+        .select("media_a", "media_b", "hamming")
+        .orderBy("media_a", "media_b").limit(200)
     })
   )
+
+  /** Shared m04/m05 kernel: decode the PNG, sample an 8×8 luminance grid
+    * off the REAL raster, threshold each cell against the grid mean —
+    * the image near-dup fingerprint a 100 TB multimodal dedup runs
+    * before a Hamming bucket join (64-bit sketches instead of megapixel
+    * payloads). Published as a 64-char bit string (no 64-bit
+    * sign-overflow games in either engine). The test pattern's pixels
+    * are deterministic arithmetic in (id, x, y), so the oracle predicts
+    * every bit without decoding — the decode + sampling path is verified
+    * bit-for-bit, not trusted. Integer-only threshold (64*lum >= total)
+    * keeps the compare engine-exact. */
+  private def ahashed(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    pngMedia(s, d)
+      .mapPartitions { rows =>
+        ImageIO.setUseCache(false)
+        rows.map { case (id, bytes) =>
+          val img = ImageIO.read(new ByteArrayInputStream(bytes))
+          val (w, h) = (img.getWidth, img.getHeight)
+          val lum = new Array[Int](64)
+          var total = 0
+          var j = 0
+          while (j < 8) {
+            var i = 0
+            while (i < 8) {
+              val v = img.getRGB(i * w / 8, j * h / 8) & 0xFFFFFF
+              val l = (v >> 16) + ((v >> 8) & 255) + (v & 255)
+              lum(j * 8 + i) = l
+              total += l
+              i += 1
+            }
+            j += 1
+          }
+          val bits = lum.map(l => if (l * 64 >= total) '1' else '0').mkString
+          (id, w, h, bits, bits.count(_ == '1').toLong)
+        }
+      }
+      .toDF("media_id", "width", "height", "ahash", "n_ones")
+  }
 
   private val metaSql =
     """meta AS (
@@ -226,26 +275,56 @@ object MultimodalOps {
     // % 2^24 restates the pattern without 32-bit ints
     "m04_ahash" ->
       s"""WITH $metaSql,
-         |grid AS (
-         |  SELECT media_id, width, height, j, i,
-         |    xor((media_id % 16777216) * 3635633 % 16777216,
-         |        (i * width // 8) * 31 + (j * height // 8)) AS v24
-         |  FROM meta,
-         |       (SELECT unnest(generate_series(0, 7)) AS i),
-         |       (SELECT unnest(generate_series(0, 7)) AS j)),
-         |lum AS (
-         |  SELECT media_id, width, height, j, i,
-         |    (v24 // 65536) + ((v24 // 256) % 256) + (v24 % 256) AS l
-         |  FROM grid),
-         |tot AS (SELECT media_id, SUM(l) AS total FROM lum GROUP BY media_id),
-         |bits AS (
-         |  SELECT l.media_id,
-         |    string_agg(CASE WHEN l.l * 64 >= t.total THEN '1' ELSE '0' END, ''
-         |               ORDER BY l.j, l.i) AS ahash
-         |  FROM lum l JOIN tot t USING (media_id) GROUP BY l.media_id)
+         |$ahashBitsSql
          |SELECT m.media_id, m.width, m.height, b.ahash,
          |  CAST(length(replace(b.ahash, '0', '')) AS BIGINT) AS n_ones
          |FROM meta m JOIN bits b USING (media_id)
-         |ORDER BY media_id LIMIT 200""".stripMargin
+         |ORDER BY media_id LIMIT 200""".stripMargin,
+    // same analytic bit prediction; Hamming via position compare over
+    // candidate pairs only (the oracle's diagnostic rendering of the
+    // banded join + conv/xor/bit_count verify)
+    "m05_ahash_neardup" ->
+      s"""WITH $metaSql,
+         |$ahashBitsSql,
+         |bands AS (
+         |  SELECT media_id, b, substr(ahash, b*16+1, 16) AS key
+         |  FROM bits, (SELECT unnest(generate_series(0, 3)) AS b)),
+         |cand AS (
+         |  SELECT DISTINCT a.media_id AS media_a, b.media_id AS media_b
+         |  FROM bands a JOIN bands b
+         |    ON a.b = b.b AND a.key = b.key AND a.media_id < b.media_id),
+         |ham AS (
+         |  SELECT media_a, media_b,
+         |    (SELECT CAST(COUNT(*) AS BIGINT)
+         |     FROM unnest(generate_series(1, 64)) AS t(p)
+         |     WHERE substr(x.ahash, p, 1) <> substr(y.ahash, p, 1)) AS hamming
+         |  FROM cand
+         |  JOIN bits x ON x.media_id = media_a
+         |  JOIN bits y ON y.media_id = media_b)
+         |SELECT media_a, media_b, hamming FROM ham
+         |WHERE hamming <= 8
+         |ORDER BY media_a, media_b LIMIT 200""".stripMargin
   )
+
+  /** Analytic aHash-bit CTE chain shared by the m04/m05 oracles (expects
+    * `meta` in scope; lazy — declared after `oracles`, which references
+    * it during its own initializer). */
+  private lazy val ahashBitsSql =
+    """grid AS (
+      |  SELECT media_id, width, height, j, i,
+      |    xor((media_id % 16777216) * 3635633 % 16777216,
+      |        (i * width // 8) * 31 + (j * height // 8)) AS v24
+      |  FROM meta,
+      |       (SELECT unnest(generate_series(0, 7)) AS i),
+      |       (SELECT unnest(generate_series(0, 7)) AS j)),
+      |lum AS (
+      |  SELECT media_id, width, height, j, i,
+      |    (v24 // 65536) + ((v24 // 256) % 256) + (v24 % 256) AS l
+      |  FROM grid),
+      |tot AS (SELECT media_id, SUM(l) AS total FROM lum GROUP BY media_id),
+      |bits AS (
+      |  SELECT l.media_id,
+      |    string_agg(CASE WHEN l.l * 64 >= t.total THEN '1' ELSE '0' END, ''
+      |               ORDER BY l.j, l.i) AS ahash
+      |  FROM lum l JOIN tot t USING (media_id) GROUP BY l.media_id)""".stripMargin
 }

@@ -1,13 +1,12 @@
 package graft
 
-import org.scalatest.funsuite.AnyFunSuite
 import graft.operators.MultimodalOps
 
 /** The decode kernel is a REAL codec (javax.imageio): these tests prove
   * the payloads are genuine PNG containers and that decode recovers
   * exactly the dimensions the encoder drew — the property the m01/m03
   * DuckDB oracles then check end-to-end through the Spark plans. */
-class MultimodalCodecSpec extends AnyFunSuite {
+class MultimodalCodecSpec extends SparkSpec {
 
   test("PNG encode then decode round-trips dimensions and format") {
     for (n <- Seq(0, 1, 7, 255, 256, 1000, 4096)) {
@@ -50,5 +49,39 @@ class MultimodalCodecSpec extends AnyFunSuite {
       val bits = decoded.map(l => if (l * 64 >= total) '1' else '0').mkString
       assert(bits.length == 64)
     }
+  }
+
+  test("m05 near-dup pairs equal a local brute-force over predicted hashes") {
+    // Recompute every aHash from the encoder arithmetic (no Spark, no
+    // decode), run the banded-candidate + Hamming-verify semantics
+    // locally, and require the operator's output to match exactly —
+    // including the pigeonhole property that candidate generation only
+    // loses pairs with >= 1 differing bit in EVERY band (hd >= 4).
+    val sf = "/root/testdata/sf0.001"
+    def ahashOf(id: Long, n: Int): String = {
+      val (w, h) = MultimodalOps.dimsOf(n)
+      val lum = for (j <- 0 until 8; i <- 0 until 8) yield {
+        val p = ((id.toInt * 2654435761L.toInt) ^ ((i * w / 8) * 31 + (j * h / 8))) & 0xFFFFFF
+        (p >> 16) + ((p >> 8) & 255) + (p & 255)
+      }
+      val total = lum.sum
+      lum.map(l => if (l * 64 >= total) '1' else '0').mkString
+    }
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .selectExpr("doc_id", "length(text) AS n").collect()
+      .map(r => r.getLong(0) -> ahashOf(r.getLong(0), r.getInt(1)))
+    def sharesBand(a: String, b: String): Boolean =
+      (0 until 4).exists(k => a.substring(k * 16, k * 16 + 16) == b.substring(k * 16, k * 16 + 16))
+    def hd(a: String, b: String): Int = a.zip(b).count { case (x, y) => x != y }
+    val expected = (for {
+      (ia, ha) <- docs; (ib, hb) <- docs
+      if ia < ib && sharesBand(ha, hb) && hd(ha, hb) <= 8
+    } yield (ia, ib, hd(ha, hb).toLong)).sortBy(p => (p._1, p._2)).take(200)
+    val got = operators.MultimodalOps.queries("m05_ahash_neardup")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == expected.toSeq,
+      s"operator returned ${got.length} pairs, brute force ${expected.length}")
+    // sanity: the fixture actually exercises both keep and reject paths
+    assert(expected.nonEmpty, "fixture must produce at least one near-dup pair")
   }
 }
