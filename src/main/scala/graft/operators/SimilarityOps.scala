@@ -566,6 +566,89 @@ object SimilarityOps {
         .withColumn("recall_bp", floor(col("n_hits") * 10000.0 / 10).cast("long"))
         .select("k", "n_hits", "recall_bp")
         .orderBy("k")
+    }),
+
+    // One Lloyd refinement step over the prebuilt coarse quantizer — the
+    // k-means iteration a 100 TB pipeline runs to keep its IVF/cluster
+    // artifact honest as the corpus drifts (goose has no analog; this is
+    // pipeline infrastructure around the s03 index). E-step: every vector
+    // scores against every centroid (the canonical corpus×K assignment
+    // cost — at scale the centroid table is broadcast and the argmax is
+    // scan-local; here the posexplode-join form keeps the double chains
+    // identical to the DuckDB restatement, the same trade s03 documents).
+    // M-step: new centroids as per-assignment means. Output per cluster:
+    // how many vectors it attracted, how many DEFECTED from their stored
+    // label, and how far the centroid moved (L2) — the convergence /
+    // staleness audit that decides whether the artifact needs a rebuild.
+    // A cluster that attracts nothing reports NULL shift (its centroid is
+    // undefined after the step), not a fabricated zero.
+    "s13_kmeans_step" -> ((s, d) => {
+      val elems = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("label").as("orig"),
+          posexplode(col("embedding")).as(Seq("pos", "v")))
+        .withColumn("v", col("v").cast("double"))
+      val cent = ivfCentroids(s, d)
+        .select(col("label").as("clabel"), col("pos"), col("cv"))
+      val scores = elems.join(cent, Seq("pos"))
+        .groupBy("vec_id", "orig", "clabel")
+        .agg(round(sum(col("v") * col("cv")) /
+          greatest(sqrt(sum(col("v") * col("v"))) * sqrt(sum(col("cv") * col("cv"))),
+            lit(1e-12)), 6).as("cos"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("vec_id").orderBy(col("cos").desc, col("clabel").asc)
+      val assign = scores.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1).select("vec_id", "orig", "clabel")
+      val newc = assign
+        .join(elems.select("vec_id", "pos", "v"), Seq("vec_id"))
+        .groupBy("clabel", "pos").agg(avg("v").as("nv"))
+      // nv is NULL for every pos of an empty cluster, so the sum (and the
+      // rounded sqrt) propagate NULL without a special case
+      val shift = cent.join(newc, Seq("clabel", "pos"), "left_outer")
+        .groupBy("clabel")
+        .agg(round(sqrt(sum((col("nv") - col("cv")) * (col("nv") - col("cv")))), 6)
+          .as("shift"))
+      val stats = assign.groupBy("clabel")
+        .agg(count(lit(1)).as("n_assigned"),
+          sum(when(col("orig") =!= col("clabel"), 1L).otherwise(0L)).as("n_moved"))
+      shift.join(stats, Seq("clabel"), "left_outer")
+        .select(col("clabel").as("label"),
+          coalesce(col("n_assigned"), lit(0L)).as("n_assigned"),
+          coalesce(col("n_moved"), lit(0L)).as("n_moved"),
+          col("shift"))
+        .orderBy("label")
+    }),
+
+    // Budgeted diversity-aware selection (the SSL-prototypes / SemDeDup-
+    // survivor shape, Sorscher et al. 2022): spend a fixed example budget
+    // across clusters ∝ sqrt(cluster size) (p07's temperature rule,
+    // integer-quantized so both engines compute identical quotas), and
+    // inside each cluster take the MOST DIVERSE examples first — lowest
+    // cosine to the cluster centroid, the exact order d15 keeps. Output
+    // per cluster: size, quota, taken, and the centroid-cosine cutoff of
+    // the last example taken (the knob a curator inspects before
+    // committing the prune). Linear: one centroid-cosine reduction per
+    // vector (shared with s07/d15), one small window per cluster —
+    // nothing pairwise anywhere.
+    "p10_diverse_budget" -> ((s, d) => {
+      val Budget = 200L
+      val cc = centroidCos(s, d)
+      val sizes = cc.groupBy("label").agg(count(lit(1)).as("n_vecs"))
+        .withColumn("wq", floor(sqrt(col("n_vecs")) * 1e6).cast("long"))
+      val totw = sizes.agg(sum("wq").as("totw"))
+      val quotas = sizes.crossJoin(broadcast(totw))
+        .withColumn("quota",
+          least(floor(lit(Budget) * col("wq") / col("totw")).cast("long"),
+            col("n_vecs")))
+        .select("label", "n_vecs", "quota")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("label").orderBy(col("ccos").asc, col("vec_id").asc)
+      val ranked = cc.withColumn("rn", row_number().over(w))
+      ranked.join(broadcast(quotas), Seq("label"))
+        .filter(col("rn") <= col("quota"))
+        .groupBy("label")
+        .agg(first("n_vecs").as("n_vecs"), first("quota").as("quota"),
+          count(lit(1)).as("n_taken"), max(col("ccos")).as("cutoff_ccos"))
+        .orderBy("label")
     })
   )
 
@@ -960,6 +1043,72 @@ object SimilarityOps {
          |FROM (SELECT 10 AS k UNION ALL SELECT 25 UNION ALL SELECT 50
          |      UNION ALL SELECT 100) p
          |CROSS JOIN hits
-         |GROUP BY p.k ORDER BY k""".stripMargin
+         |GROUP BY p.k ORDER BY k""".stripMargin,
+    "s13_kmeans_step" ->
+      """WITH elems AS (
+        |  SELECT vec_id, label AS orig, generate_subscripts(embedding, 1) AS pos,
+        |         CAST(unnest(embedding) AS DOUBLE) AS v
+        |  FROM embeddings),
+        |cent AS (SELECT orig AS clabel, pos, avg(v) AS cv FROM elems GROUP BY 1, 2),
+        |scores AS (
+        |  SELECT e.vec_id, e.orig, c.clabel,
+        |    ROUND(sum(e.v * c.cv) /
+        |      greatest(sqrt(sum(e.v * e.v)) * sqrt(sum(c.cv * c.cv)), 1e-12), 6) AS cos
+        |  FROM elems e JOIN cent c ON e.pos = c.pos
+        |  GROUP BY 1, 2, 3),
+        |assign AS (
+        |  SELECT vec_id, orig, clabel FROM (
+        |    SELECT vec_id, orig, clabel,
+        |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, clabel ASC) AS rn
+        |    FROM scores) WHERE rn = 1),
+        |newc AS (
+        |  SELECT a.clabel, e.pos, avg(e.v) AS nv
+        |  FROM assign a JOIN elems e ON e.vec_id = a.vec_id
+        |  GROUP BY 1, 2),
+        |shft AS (
+        |  SELECT c.clabel, ROUND(sqrt(sum((n.nv - c.cv) * (n.nv - c.cv))), 6) AS shift
+        |  FROM cent c LEFT JOIN newc n ON n.clabel = c.clabel AND n.pos = c.pos
+        |  GROUP BY 1),
+        |stats AS (
+        |  SELECT clabel, CAST(COUNT(*) AS BIGINT) AS n_assigned,
+        |    CAST(SUM(CASE WHEN orig <> clabel THEN 1 ELSE 0 END) AS BIGINT) AS n_moved
+        |  FROM assign GROUP BY 1)
+        |SELECT s.clabel AS label,
+        |  COALESCE(st.n_assigned, 0) AS n_assigned,
+        |  COALESCE(st.n_moved, 0) AS n_moved,
+        |  s.shift
+        |FROM shft s LEFT JOIN stats st ON st.clabel = s.clabel
+        |ORDER BY label""".stripMargin,
+    "p10_diverse_budget" ->
+      s"""WITH elems AS (
+         |  SELECT vec_id, label, generate_subscripts(embedding, 1) AS pos,
+         |         CAST(unnest(embedding) AS DOUBLE) AS v
+         |  FROM embeddings),
+         |cent AS (SELECT label, pos, avg(v) AS cv FROM elems GROUP BY 1, 2),
+         |cc AS (
+         |  SELECT e.label, e.vec_id,
+         |    ROUND(sum(e.v * c.cv) /
+         |      greatest(sqrt(sum(e.v * e.v)) * sqrt(sum(c.cv * c.cv)), 1e-12), 6) AS ccos
+         |  FROM elems e JOIN cent c ON e.label = c.label AND e.pos = c.pos
+         |  GROUP BY 1, 2),
+         |sizes AS (
+         |  SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+         |    CAST(FLOOR(sqrt(COUNT(*)) * 1000000.0) AS BIGINT) AS wq
+         |  FROM cc GROUP BY 1),
+         |tot AS (SELECT CAST(SUM(wq) AS BIGINT) AS totw FROM sizes),
+         |quotas AS (
+         |  SELECT label, n_vecs,
+         |    least(CAST(FLOOR(200 * wq / totw) AS BIGINT), n_vecs) AS quota
+         |  FROM sizes, tot),
+         |ranked AS (
+         |  SELECT label, vec_id, ccos,
+         |    ROW_NUMBER() OVER (PARTITION BY label ORDER BY ccos ASC, vec_id ASC) AS rn
+         |  FROM cc)
+         |SELECT r.label, q.n_vecs, q.quota,
+         |  CAST(COUNT(*) AS BIGINT) AS n_taken, max(r.ccos) AS cutoff_ccos
+         |FROM ranked r JOIN quotas q ON r.label = q.label
+         |WHERE r.rn <= q.quota
+         |GROUP BY r.label, q.n_vecs, q.quota
+         |ORDER BY r.label""".stripMargin
   )
 }

@@ -346,6 +346,41 @@ class CorpusOpsSpec extends SparkSpec {
     assert(hits.last == s11Hits, "the sweep's K=100 point restates s11's recall")
   }
 
+  test("s13 kmeans step: assignment is a partition, moves bounded, shifts sane") {
+    val sf01 = "/root/testdata/sf0.01"
+    val rows = operators.SimilarityOps.queries("s13_kmeans_step")(spark, sf01).collect()
+    val nVecs = Tables.embeddings(spark, sf01).count()
+    val nLabels = Tables.embeddings(spark, sf01).select("label").distinct().count()
+    assert(rows.length == nLabels, "one row per stored cluster")
+    assert(rows.map(r => r.getInt(0)).sorted.toSeq == rows.map(_.getInt(0)).toSeq,
+      "ordered by label")
+    assert(rows.map(_.getLong(1)).sum == nVecs,
+      "E-step assigns every vector exactly once")
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1), "defections bounded by attraction")
+      if (r.getLong(1) > 0)
+        assert(!r.isNullAt(3) && r.getDouble(3) >= 0.0,
+          "non-empty cluster has a defined non-negative shift")
+      else assert(r.isNullAt(3), "empty cluster reports NULL shift, not 0")
+    }
+  }
+
+  test("p10 diverse budget: quotas spend <= budget, sqrt-monotone, taken == quota") {
+    val sf01 = "/root/testdata/sf0.01"
+    val rows = operators.SimilarityOps.queries("p10_diverse_budget")(spark, sf01).collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getLong(3)).sum <= 200L, "taken never exceeds the budget")
+    rows.foreach { r =>
+      assert(r.getLong(3) == math.min(r.getLong(2), r.getLong(1)),
+        "each cluster takes exactly its (size-capped) quota")
+      assert(r.getDouble(4) <= 1.0 && r.getDouble(4) >= -1.0, "cutoff is a cosine")
+    }
+    val bydSize = rows.sortBy(_.getLong(1))
+    assert(bydSize.map(_.getLong(2)).zip(bydSize.tail.map(_.getLong(2)))
+      .forall { case (a, b) => a <= b },
+      "sqrt-temperature quotas are monotone in cluster size")
+  }
+
   test("p08 epoch schedule: budget conservation and fractional prefix bounds") {
     val rows = operators.PipelineOps.queries("p08_epoch_schedule")(spark, sf).collect()
     assert(rows.nonEmpty)
