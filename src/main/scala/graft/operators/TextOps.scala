@@ -337,6 +337,46 @@ object TextOps {
         .withColumn("hapax_bp",
           floor(col("n_hapax") * 10000.0 / greatest(col("n_types"), lit(1L))).cast("long"))
         .select("doc_id", "n_tok", "n_types", "n_hapax", "ttr_bp", "hapax_bp")
+        .orderBy("doc_id").limit(200)),
+
+    // Content novelty per source — the curriculum/dedup-adjacent audit of
+    // how much genuinely FIRST-SEEN content each source contributes (a
+    // source whose shingles all appeared earlier is a mirror, not a
+    // corpus extension). A shingle's canonical first sight is its min
+    // doc_id corpus-wide; a doc's novelty is the share of its distinct
+    // shingles it introduced. Shingles reduce to xxhash64 before any
+    // exchange (d11's trick: 8-byte keys, not strings, through every
+    // shuffle); the first-seen table is the same content-keyed rollup a
+    // 100 TB pipeline would persist as an incremental artifact (d14's
+    // batch-vs-base pattern extends it without a corpus rescan). All
+    // integer output — no float can land differently across engines.
+    "t14_novelty" -> ((s, d) => {
+      val sh = DedupOps.shingled(Tables.documents(s, d))
+        .select(col("doc_id"), col("source"), xxhash64(col("sh")).as("h"))
+        .distinct()
+      val first = sh.groupBy("h").agg(min("doc_id").as("mind"))
+      sh.join(first, Seq("h"))
+        .groupBy("doc_id", "source")
+        .agg(count(lit(1)).as("n_sh"),
+          sum(when(col("doc_id") === col("mind"), 1L).otherwise(0L)).as("novel"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_sh").as("n_shingles"),
+          sum("novel").as("n_novel"),
+          floor(sum("novel") * 10000.0 / sum("n_sh")).cast("long").as("novelty_bp"))
+        .orderBy("source")
+    }),
+
+    // Character-entropy quality signal (gibberish / filler / binary-spill
+    // detector): bits-per-char Shannon entropy via the native
+    // graft.functions.CharEntropy expression — the whole histogram+fold
+    // runs inside the scan's codegen stage, one pass, zero shuffle,
+    // where the composable form would shuffle one row PER CHARACTER.
+    "t15_char_entropy" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          round(graft.functions.EntropyFunctions.char_entropy(col("text")), 6)
+            .as("entropy"))
         .orderBy("doc_id").limit(200))
   )
 
@@ -523,6 +563,33 @@ object TextOps {
          |SELECT doc_id, n_tok, n_types, n_hapax,
          |  CAST(FLOOR(n_types * 10000.0 / greatest(n_tok, 1)) AS BIGINT) AS ttr_bp,
          |  CAST(FLOOR(n_hapax * 10000.0 / greatest(n_types, 1)) AS BIGINT) AS hapax_bp
-         |FROM agg ORDER BY doc_id LIMIT 200""".stripMargin
+         |FROM agg ORDER BY doc_id LIMIT 200""".stripMargin,
+    "t14_novelty" ->
+      """WITH sh AS (
+        |  SELECT DISTINCT doc_id, source, s FROM (
+        |    SELECT doc_id, source, substr(text, CAST(g AS INT), 8) AS s
+        |    FROM (SELECT doc_id, source, text,
+        |            unnest(generate_series(1, greatest(length(text) - 7, 1))) AS g
+        |          FROM documents))),
+        |first AS (SELECT s, min(doc_id) AS mind FROM sh GROUP BY s),
+        |perdoc AS (
+        |  SELECT sh.doc_id, sh.source, CAST(COUNT(*) AS BIGINT) AS n_sh,
+        |    CAST(SUM(CASE WHEN sh.doc_id = f.mind THEN 1 ELSE 0 END) AS BIGINT) AS novel
+        |  FROM sh JOIN first f ON sh.s = f.s
+        |  GROUP BY sh.doc_id, sh.source)
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n_sh) AS BIGINT) AS n_shingles,
+        |  CAST(SUM(novel) AS BIGINT) AS n_novel,
+        |  CAST(FLOOR(SUM(novel) * 10000.0 / SUM(n_sh)) AS BIGINT) AS novelty_bp
+        |FROM perdoc GROUP BY source ORDER BY source""".stripMargin,
+    "t15_char_entropy" ->
+      """WITH ch AS (
+        |  SELECT doc_id, unnest(split(text, '')) AS c FROM documents),
+        |cnt AS (SELECT doc_id, c, CAST(COUNT(*) AS DOUBLE) AS k FROM ch GROUP BY 1, 2),
+        |tot AS (SELECT doc_id, SUM(k) AS n FROM cnt GROUP BY 1)
+        |SELECT t.doc_id,
+        |  ROUND((ln(t.n) - SUM(c.k * ln(c.k)) / t.n) / ln(2.0), 6) AS entropy
+        |FROM cnt c JOIN tot t ON c.doc_id = t.doc_id
+        |GROUP BY t.doc_id, t.n ORDER BY t.doc_id LIMIT 200""".stripMargin
   )
 }

