@@ -103,6 +103,9 @@ object ScaleProbe {
       "t12_gopher_rules", "t13_ttr_diversity", "s11_two_stage",
       "p08_epoch_schedule", "d19_dup_provenance", "m04_ahash",
       "d20_passage_dedup", "s12_coarsek_sweep",
+      "d21_passage_prune", "p09_dsir_resample", "m05_ahash_neardup",
+      "s13_kmeans_step", "p10_diverse_budget", "t14_novelty",
+      "t15_char_entropy",
       "q38_asof_join", "q40_range_join", "q41_salted_join")
     subset.foreach { s =>
       val unknown = s -- allProbeQueries.toSet
