@@ -592,6 +592,30 @@ object EngineE2E {
             .agg(count(lit(1)).as("n_quarantined"))))
     }),
 
+    // Partitioned corpus EGRESS — the write side of the pipeline, round-
+    // tripped: shard every doc by content hash (p04's plan, 16 ways),
+    // write `partitionBy(shard)` parquet — the layout that lets every
+    // downstream read prune to the shards it needs — read the directory
+    // back, and report the per-shard books FROM THE READ-BACK SIDE, so
+    // the gate verifies the physical layout (partition dirs, schema
+    // round-trip, no row lost or duplicated) against DuckDB's
+    // recomputation from the source table. Shards carry an 's' prefix so
+    // partition-value inference can never retype the column. The
+    // single-shard pruned-read proof (PartitionFilters in the scan, only
+    // shard=s0 files touched) is asserted by CorpusOpsSpec — file counts
+    // are layout-dependent and don't belong in a cross-engine gate.
+    "e2e_corpus_write" -> ((s, d) => withScratch("graft-corpus-write") { dir =>
+      Tables.documents(s, d)
+        .withColumn("shard", concat(lit("s"), substring(md5(col("text")), 1, 1)))
+        .write.partitionBy("shard").parquet(s"$dir/corpus")
+      s.read.parquet(s"$dir/corpus")
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_chars").as("n_chars_sum"),
+          countDistinct(md5(col("text"))).as("n_unique_text"))
+        .orderBy("shard")
+    }),
+
     // Streaming NEAR-dup dedup — the MinHash band-key ingest filter
     // (StreamingAnalytics.streamingNearDedup): every doc gets the same
     // salted-min signature as the batch d04/d05 operators (native
@@ -1107,6 +1131,12 @@ object EngineE2E {
         |  COUNT(DISTINCT md5(text)) AS n_unique_text,
         |  CAST(1 AS BIGINT) AS n_quarantined
         |FROM s""".stripMargin,
+    "e2e_corpus_write" ->
+      """SELECT 's' || substr(md5(text), 1, 1) AS shard,
+        |  COUNT(*) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS n_chars_sum,
+        |  COUNT(DISTINCT md5(text)) AS n_unique_text
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
     // survivors = distinct leading (h1, h2) MinHash bands over the seed
     // corpus (every doc arrives within one watermark horizon, so the
     // streaming filter's keep-first semantics reduce to DISTINCT-by-band;

@@ -403,6 +403,39 @@ object PipelineOps {
           sum("avg_w_bp").as("sum_avg_w_bp"),
           sum(when(col("keep"), 1L).otherwise(0L)).as("n_sampled"))
         .orderBy("source")
+    }),
+
+    // Dedup-discounted mixture budget — the "what will training actually
+    // see" sheet that reconciles the p02 mixture config with the dedup
+    // pass it runs after: per source, the raw volume, the keep-first
+    // UNIQUE volume (corpus-wide md5 fingerprint, min doc_id wins, so a
+    // cross-source duplicate is charged to the source holding the
+    // canonical copy), and the mixture weight applied to the unique
+    // tokens — the effective budget a sampler can still draw. A source
+    // whose tokens_raw ≫ tokens_unique is buying weight with copies.
+    // One content-keyed window + one rollup; all-integer arithmetic
+    // (weights in basis points), so no float boundary splits engines.
+    "p11_dedup_discounted_mix" -> ((s, d) => {
+      val wBp = MixWeights.foldRight(
+        lit((DefaultWeight * 10000).toLong): Column) {
+        case ((src, f), acc) =>
+          when(col("source") === src, lit((f * 10000).toLong)).otherwise(acc)
+      }
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("fp").orderBy("doc_id")
+      Tables.documents(s, d)
+        .withColumn("fp", md5(col("text")))
+        .withColumn("n_tok", regexp_count_fast(col("text"), "\\S+").cast("long"))
+        .withColumn("rn", row_number().over(w))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_tok").as("tokens_raw"),
+          sum(when(col("rn") === 1, 1L).otherwise(0L)).as("n_unique"),
+          sum(when(col("rn") === 1, col("n_tok")).otherwise(0L)).as("tokens_unique"))
+        .withColumn("weight_bp", wBp)
+        .withColumn("effective_tokens",
+          floor(col("tokens_unique") * col("weight_bp") / 10000.0).cast("long"))
+        .orderBy("source")
     })
   )
 
@@ -657,6 +690,27 @@ object PipelineOps {
          |  CAST(SUM(avg_w_bp) AS BIGINT) AS sum_avg_w_bp,
          |  CAST(SUM(keep) AS BIGINT) AS n_sampled
          |FROM acc GROUP BY source ORDER BY source""".stripMargin
+    },
+    "p11_dedup_discounted_mix" -> {
+      val wCase = MixWeights.foldRight(s"${(DefaultWeight * 10000).toLong}") {
+        case ((src, f), acc) =>
+          s"CASE WHEN source = '$src' THEN ${(f * 10000).toLong} ELSE $acc END"
+      }
+      s"""WITH t AS (
+         |  SELECT doc_id, source,
+         |    len(regexp_extract_all(text, '\\S+', 0)) AS n_tok,
+         |    ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+         |  FROM documents),
+         |a AS (
+         |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |    CAST(SUM(n_tok) AS BIGINT) AS tokens_raw,
+         |    CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+         |    CAST(SUM(CASE WHEN rn = 1 THEN n_tok ELSE 0 END) AS BIGINT) AS tokens_unique
+         |  FROM t GROUP BY source)
+         |SELECT source, n_docs, tokens_raw, n_unique, tokens_unique,
+         |  CAST(($wCase) AS BIGINT) AS weight_bp,
+         |  CAST(FLOOR(tokens_unique * ($wCase) / 10000.0) AS BIGINT) AS effective_tokens
+         |FROM a ORDER BY source""".stripMargin
     }
   )
 }

@@ -346,6 +346,22 @@ class CorpusOpsSpec extends SparkSpec {
     assert(hits.last == s11Hits, "the sweep's K=100 point restates s11's recall")
   }
 
+  test("e2e corpus write: partitionBy layout prunes a single-shard read") {
+    val dir = tmpDir("corpus-write-spec")
+    Tables.documents(spark, sf)
+      .withColumn("shard", concat(lit("s"), substring(md5(col("text")), 1, 1)))
+      .write.partitionBy("shard").parquet(s"$dir/c")
+    val one = spark.read.parquet(s"$dir/c").filter(col("shard") === "s0")
+    val plan = one.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"), "shard filter prunes at the source")
+    val files = one.select(input_file_name()).distinct().collect()
+      .map(_.getString(0))
+    assert(files.nonEmpty && files.forall(_.contains("shard=s0")),
+      "a one-shard read touches only that partition directory")
+    assert(spark.read.parquet(s"$dir/c").count() ==
+      Tables.documents(spark, sf).count(), "round trip conserves rows")
+  }
+
   test("t14 novelty: every distinct shingle is novel for exactly one doc (census)") {
     val rows = operators.TextOps.queries("t14_novelty")(spark, sf).collect()
     assert(rows.nonEmpty)

@@ -101,6 +101,24 @@ class PipelineOpsSpec extends SparkSpec {
       "higher importance weight must not lower the acceptance rate")
   }
 
+  test("p11 dedup-discounted mix: unique census conserved, budget arithmetic exact") {
+    val rows = operators.PipelineOps.queries("p11_dedup_discounted_mix")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(3) <= r.getLong(1), "unique docs bounded by raw docs")
+      assert(r.getLong(4) <= r.getLong(2), "unique tokens bounded by raw tokens")
+      assert(r.getLong(6) ==
+        math.floor(r.getLong(4) * r.getLong(5) / 10000.0).toLong,
+        "effective = floor(unique_tokens * weight_bp / 10000)")
+    }
+    // every distinct fingerprint is charged to exactly one source
+    import org.apache.spark.sql.functions._
+    val distinctFp = Tables.documents(spark, sf)
+      .select(md5(col("text"))).distinct().count()
+    assert(rows.map(_.getLong(3)).sum == distinctFp)
+  }
+
   test("p05 quantile gate keeps at least half of every source") {
     val rows = operators.PipelineOps.queries("p05_quantile_filter")(spark, sf).collect()
     assert(rows.nonEmpty)
