@@ -649,6 +649,28 @@ object SimilarityOps {
         .agg(first("n_vecs").as("n_vecs"), first("quota").as("quota"),
           count(lit(1)).as("n_taken"), max(col("ccos")).as("cutoff_ccos"))
         .orderBy("label")
+    }),
+
+    // The SQL surface, driven through the gate: s01's exact top-k
+    // restated as PLAIN SQL TEXT over the graft.GraftExtensions-injected
+    // native functions (registerAll on the driver's session — the
+    // retrofit path a notebook or thriftserver user takes). Catalyst
+    // compiles the text to the same vec_dot-codegen TakeOrdered plan the
+    // DataFrame form produces (plan-checked), and the oracle is s01's —
+    // so the gate proves the SQL and DataFrame surfaces agree on VALUES,
+    // not just on parse.
+    "s14_sql_surface" -> ((s, d) => {
+      graft.GraftExtensions.registerAll(s)
+      Tables.embeddings(s, d).createOrReplaceTempView("graft_s14_emb")
+      s.sql(
+        s"""WITH q AS (SELECT embedding AS qv FROM graft_s14_emb
+           |           WHERE vec_id = $QueryId)
+           |SELECT vec_id,
+           |  ROUND(vec_dot(embedding, qv) /
+           |    (SQRT(vec_dot(embedding, embedding)) * SQRT(vec_dot(qv, qv))),
+           |    6) AS cos
+           |FROM graft_s14_emb, q WHERE vec_id <> $QueryId
+           |ORDER BY cos DESC, vec_id ASC LIMIT 10""".stripMargin)
     })
   )
 
@@ -1109,6 +1131,13 @@ object SimilarityOps {
          |FROM ranked r JOIN quotas q ON r.label = q.label
          |WHERE r.rn <= q.quota
          |GROUP BY r.label, q.n_vecs, q.quota
-         |ORDER BY r.label""".stripMargin
+         |ORDER BY r.label""".stripMargin,
+    // s14 IS s01 semantically; the oracle restates the same query so the
+    // SQL-text path is value-gated independently
+    "s14_sql_surface" ->
+      s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = $QueryId)
+         |SELECT vec_id, ${cosSql("embedding", "qv", 6)} AS cos
+         |FROM embeddings, q WHERE vec_id <> $QueryId
+         |ORDER BY cos DESC, vec_id ASC LIMIT 10""".stripMargin
   )
 }

@@ -390,6 +390,15 @@ class CorpusOpsSpec extends SparkSpec {
     }
   }
 
+  test("s14 SQL surface: text through the injected registry equals s01 row-for-row") {
+    val sf01 = "/root/testdata/sf0.01"
+    val viaSql = operators.SimilarityOps.queries("s14_sql_surface")(spark, sf01)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val viaApi = operators.SimilarityOps.queries("s01_cosine_topk")(spark, sf01)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(viaSql.toSeq == viaApi.toSeq)
+  }
+
   test("s13 kmeans step: assignment is a partition, moves bounded, shifts sane") {
     val sf01 = "/root/testdata/sf0.01"
     val rows = operators.SimilarityOps.queries("s13_kmeans_step")(spark, sf01).collect()
