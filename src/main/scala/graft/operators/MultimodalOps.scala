@@ -35,6 +35,14 @@ final case class MediaMeta(
   */
 object MultimodalOps {
 
+  /** m05 hot-band guard (the d09 rule for Hamming-LSH over aHashes): a
+    * 16-bit band key shared by more than this many images is dropped
+    * before the self-join — mass-identical content whose pairs belong to
+    * exact-dup groupBy handling, and the key that otherwise turns the
+    * band join quadratic (observed: the 100× replication probe OOMed the
+    * unguarded join). */
+  private[graft] val MediaMaxBandWidth = 20
+
   /** Deterministic image dimensions for a doc of `n` chars (32..287 px —
     * big enough that resize-to-fit has both shrink and no-op cases). */
   def dimsOf(n: Int): (Int, Int) = (32 + n % 256, 32 + (n * 7) % 256)
@@ -169,12 +177,19 @@ object MultimodalOps {
     // exists to feed: band the 64-bit aHash into four 16-bit keys
     // (Hamming ≤ r pairs with r < 4·16 spread over bands must agree on
     // at least one — the standard pigeonhole LSH over Hamming space),
-    // self-equi-join per band, dedupe candidates, then verify the exact
-    // Hamming distance on candidates only (4× conv/xor/bit_count — a
-    // codegen'd scalar, never a 64-way explode). At 100 TB the join
-    // carries 64-bit sketches, not megapixel payloads, and band keys are
-    // content-hashes — uniformly shuffled, skew bounded by the 2^16 key
-    // space per band. Output: verified near-dup pairs at Hamming ≤ 8.
+    // self-equi-join per band — HOT-BAND GUARDED like d09: a band key
+    // shared by more than MediaMaxBandWidth images is mass-duplicated
+    // content (the 100×-replication probe found exactly this: identical
+    // rasters make one key quadratic while every other key stays flat),
+    // and its members belong to exact-dup groupBy handling, not pairwise
+    // LSH; the guard drops those keys before the self-join, mirrored in
+    // the oracle, same recall trade d09 documents. Then dedupe
+    // candidates and verify the exact Hamming distance on candidates
+    // only (4× conv/xor/bit_count — a codegen'd scalar, never a 64-way
+    // explode). At 100 TB the join carries 64-bit sketches, not
+    // megapixel payloads, and surviving band keys are bounded at
+    // MediaMaxBandWidth members. Output: verified near-dup pairs at
+    // Hamming ≤ 8.
     "m05_ahash_neardup" -> ((s, d) => {
       val ah = ahashed(s, d).select("media_id", "ahash")
         .localCheckpoint(true) // one decode pass feeds bands AND verify
@@ -183,7 +198,11 @@ object MultimodalOps {
           "transform(sequence(0, 3), b -> struct(b AS b, substring(ahash, b*16+1, 16) AS key))"))
           .as("bk"))
         .select(col("media_id"), col("bk.b"), col("bk.key"))
-      val cand = bands.as("x").join(bands.as("y"),
+      val narrow = bands.join(
+        bands.groupBy("b", "key").agg(count(lit(1)).as("width"))
+          .filter(col("width") <= MediaMaxBandWidth).select("b", "key"),
+        Seq("b", "key"), "left_semi")
+      val cand = narrow.as("x").join(narrow.as("y"),
           col("x.b") === col("y.b") && col("x.key") === col("y.key") &&
             col("x.media_id") < col("y.media_id"))
         .select(col("x.media_id").as("media_a"), col("y.media_id").as("media_b"))
@@ -289,9 +308,13 @@ object MultimodalOps {
          |bands AS (
          |  SELECT media_id, b, substr(ahash, b*16+1, 16) AS key
          |  FROM bits, (SELECT unnest(generate_series(0, 3)) AS b)),
+         |narrow AS (
+         |  SELECT bands.* FROM bands
+         |  JOIN (SELECT b, key FROM bands GROUP BY b, key
+         |        HAVING COUNT(*) <= $MediaMaxBandWidth) w USING (b, key)),
          |cand AS (
          |  SELECT DISTINCT a.media_id AS media_a, b.media_id AS media_b
-         |  FROM bands a JOIN bands b
+         |  FROM narrow a JOIN narrow b
          |    ON a.b = b.b AND a.key = b.key AND a.media_id < b.media_id),
          |ham AS (
          |  SELECT media_a, media_b,

@@ -70,8 +70,14 @@ class MultimodalCodecSpec extends SparkSpec {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
       .selectExpr("doc_id", "length(text) AS n").collect()
       .map(r => r.getLong(0) -> ahashOf(r.getLong(0), r.getInt(1)))
+    def bandKey(h: String, k: Int): String = h.substring(k * 16, k * 16 + 16)
+    // the operator's hot-band guard, restated: a (band, key) group wider
+    // than MediaMaxBandWidth generates no candidates
+    val widths = (for ((_, h) <- docs.toSeq; k <- 0 until 4) yield (k, bandKey(h, k)))
+      .groupBy(identity).map { case (kk, v) => kk -> v.size }
     def sharesBand(a: String, b: String): Boolean =
-      (0 until 4).exists(k => a.substring(k * 16, k * 16 + 16) == b.substring(k * 16, k * 16 + 16))
+      (0 until 4).exists(k => bandKey(a, k) == bandKey(b, k) &&
+        widths((k, bandKey(a, k))) <= MultimodalOps.MediaMaxBandWidth)
     def hd(a: String, b: String): Int = a.zip(b).count { case (x, y) => x != y }
     val expected = (for {
       (ia, ha) <- docs; (ib, hb) <- docs
