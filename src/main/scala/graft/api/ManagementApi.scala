@@ -268,4 +268,50 @@ final class ManagementApi(backend: QueueBackend, spark: SparkSession) {
     // the reference then DELs the batch hash + id sets (api/batch.clj:30-38)
     backend.deleteBatches(Seq(batchId))
   }
+
+  // ------- snapshot export / restore (beyond the reference: ops backup) -------
+
+  /** Whole-state backup: the VISIBLE fold of every durable collection
+    * (post-tombstone, post-compaction — what the console shows, not the
+    * raw log) written as plain parquet under `dir`. The artifact is
+    * engine-neutral — any parquet reader, including the DuckDB oracle
+    * (q51 gates the restore books against it), can audit a backup.
+    * Returns per-collection row counts read BACK from the files, so the
+    * count certifies the artifact, not the intent. */
+  def exportSnapshot(dir: String): Map[String, Long] = {
+    backend.readyJobs.write.mode("overwrite").parquet(s"$dir/ready")
+    backend.scheduledJobs.write.mode("overwrite").parquet(s"$dir/scheduled")
+    backend.deadJobs.write.mode("overwrite").parquet(s"$dir/dead")
+    backend.cronEntries.write.mode("overwrite").parquet(s"$dir/cron")
+    backend.batches.write.mode("overwrite").parquet(s"$dir/batches")
+    Seq("ready", "scheduled", "dead", "cron", "batches")
+      .map(t => t -> spark.read.parquet(s"$dir/$t").count()).toMap
+  }
+
+  /** Restore a snapshot into `into`. Re-importing the SAME snapshot is a
+    * no-op end-to-end: cron upserts by name, batches are guarded by
+    * presence, and the job logs' crash-replay fold collapses identical
+    * (id, seq) rows — so a restore interrupted halfway can simply be
+    * re-run (the property that matters for a recovery tool). Restoring
+    * over DIFFERENT live state appends, the same contract as replaying
+    * any log. Returns the restored backend's visible per-collection
+    * counts. */
+  def importSnapshot(dir: String, into: QueueBackend): Map[String, Long] = {
+    into.enqueue(spark.read.parquet(s"$dir/ready").as[Job])
+    into.schedule(spark.read.parquet(s"$dir/scheduled").as[Job])
+    into.bury(spark.read.parquet(s"$dir/dead").as[Job])
+    into.upsertCron(
+      spark.read.parquet(s"$dir/cron").as[CronEntry].collect().toSeq)
+    // batches is an append log, not a keyed registry — guard re-imports
+    // by presence so the registry stays idempotent like cron's upsert
+    val existingBatches = into.batches.select($"id").as[String].collect().toSet
+    spark.read.parquet(s"$dir/batches").as[BatchMeta]
+      .collect().filterNot(b => existingBatches(b.id)).foreach(into.putBatch)
+    Map(
+      "ready" -> into.readyJobs.count(),
+      "scheduled" -> into.scheduledJobs.count(),
+      "dead" -> into.deadJobs.count(),
+      "cron" -> into.cronEntries.count(),
+      "batches" -> into.batches.count())
+  }
 }

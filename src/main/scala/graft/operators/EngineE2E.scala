@@ -963,6 +963,48 @@ object EngineE2E {
       Seq((ids.length.toLong, walVisible, recovered, promoted,
         backendB.completions.count()))
         .toDF("n_seed", "wal_visible", "recovered", "promoted", "completed_after")
+    }),
+
+    // Snapshot backup → restore, gated on the restored books (beyond the
+    // reference surface — the ops path goose leaves to redis-cli
+    // BGSAVE): seed ready/scheduled/dead, DELETE 10 ready jobs (so the
+    // export provably carries the VISIBLE fold, not the raw log — the
+    // tombstoned rows must not travel), export the snapshot as plain
+    // parquet, restore into a FRESH backend at a different root, and
+    // report per-collection count + id-sum from the RESTORED backend.
+    // The oracle recomputes all three books from the events seed, so a
+    // row lost, duplicated, or resurrected anywhere in
+    // export→parquet→import fails the hash.
+    "q51_snapshot_restore" -> ((s, d) => withScratch("graft-e2e-snap") { root =>
+      import s.implicits._
+      val src = new ParquetBackend(s, s"$root/src")
+      val retry = RetryOpts(maxRetries = 1, retryDelaySecFn = "e2e_instant")
+      val ids = Tables.events(s, d).orderBy("event_id").limit(175)
+        .select($"event_id".as[Long]).collect().toSeq // bounded: 175 ids
+      def mkJob(eid: Long): Job =
+        Job(id = eid.toString, executeFnSym = "e2e_noop", argsJson = "[]",
+          queue = "e2e", readyQueue = "e2e", priority = 0, enqueuedAt = T0,
+          scheduleRunAt = None, cronRunAt = None, batchId = None,
+          retryOpts = retry, state = None, seq = Job.nextSeq())
+      src.enqueue(ids.take(100).map(mkJob).toDS())
+      src.schedule(ids.slice(100, 150)
+        .map(e => mkJob(e).copy(scheduleRunAt = Some(T0 + e))).toDS())
+      src.bury(ids.slice(150, 175).map(mkJob).toDS())
+      val api = new graft.api.ManagementApi(src, s)
+      api.enqueuedDelete("e2e", ids.take(10).map(_.toString))
+      api.exportSnapshot(s"$root/snap")
+      val dst = new ParquetBackend(s, s"$root/dst")
+      api.importSnapshot(s"$root/snap", dst)
+      Seq(("dead", dst.deadJobs), ("ready", dst.readyJobs),
+        ("scheduled", dst.scheduledJobs))
+        .map { case (name, ds) =>
+          ds.agg(count(lit(1)).as("n_rows"),
+            sum(col("id").cast("long")).as("id_sum"))
+            .withColumn("collection", lit(name))
+        }
+        .reduce(_.unionByName(_))
+        .select("collection", "n_rows", "id_sum")
+        .orderBy("collection")
     })
   )
 
@@ -989,6 +1031,22 @@ object EngineE2E {
          |  COUNT(*) AS recovered, COUNT(*) AS promoted,
          |  COUNT(*) AS completed_after
          |FROM (SELECT * FROM events ORDER BY event_id LIMIT $DelaySeed)""".stripMargin,
+    // restored books = the seed minus the 10 deleted ready rows; rn
+    // ranges restate the fixture's slice boundaries
+    "q51_snapshot_restore" ->
+      """WITH sel AS (
+        |  SELECT event_id, row_number() OVER (ORDER BY event_id) AS rn
+        |  FROM (SELECT event_id FROM events ORDER BY event_id LIMIT 175))
+        |SELECT 'dead' AS collection, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(SUM(event_id) AS BIGINT) AS id_sum
+        |FROM sel WHERE rn BETWEEN 151 AND 175
+        |UNION ALL
+        |SELECT 'ready', CAST(COUNT(*) AS BIGINT), CAST(SUM(event_id) AS BIGINT)
+        |FROM sel WHERE rn BETWEEN 11 AND 100
+        |UNION ALL
+        |SELECT 'scheduled', CAST(COUNT(*) AS BIGINT), CAST(SUM(event_id) AS BIGINT)
+        |FROM sel WHERE rn BETWEEN 101 AND 150
+        |ORDER BY collection""".stripMargin,
     "q47_time_travel" ->
       s"""WITH seed AS (
          |  SELECT event_id, row_number() OVER (ORDER BY event_id) AS rn

@@ -193,4 +193,27 @@ class ManagementApiSpec extends SparkSpec {
     // tombstone log for ready was folded away
     assert(spark.read.parquet(backend.root + "/tombstones").count() == 0)
   }
+
+  test("snapshot export/restore: registries round-trip, re-import idempotent there") {
+    val (backend, client, _, _, api, _) = fixture()
+    client.performAsync("ok", "a")
+    client.performEveryTz("snap-cron", "0 * * * *", "UTC", "ok")
+    backend.putBatch(BatchMeta(id = "b1", callbackFnSym = "ok", lingerSec = 60,
+      queue = "test", readyQueue = "test",
+      retryOpts = RetryOpts(maxRetries = 0, retryDelaySecFn = "instant"),
+      total = 2, status = BatchStatus.InProgress, createdAt = 1L))
+    val dir = tmpDir("graft-snap") + "/s"
+    val exported = api.exportSnapshot(dir)
+    assert(exported == Map("ready" -> 1L, "scheduled" -> 0L, "dead" -> 0L,
+      "cron" -> 1L, "batches" -> 1L))
+    val dst = new ParquetBackend(spark, tmpDir("graft-snap-dst"))
+    val once = api.importSnapshot(dir, dst)
+    assert(once("cron") == 1L && once("batches") == 1L && once("ready") == 1L)
+    assert(dst.cronEntries.collect().head.cronName == "snap-cron")
+    // a re-import of the SAME snapshot is a no-op everywhere: keyed
+    // registries upsert, and the job logs' crash-replay fold collapses
+    // identical (id, seq) rows to one
+    val twice = api.importSnapshot(dir, dst)
+    assert(twice("cron") == 1L && twice("batches") == 1L && twice("ready") == 1L)
+  }
 }
