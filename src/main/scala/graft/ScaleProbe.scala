@@ -105,7 +105,7 @@ object ScaleProbe {
       "d20_passage_dedup", "s12_coarsek_sweep",
       "d21_passage_prune", "p09_dsir_resample", "m05_ahash_neardup",
       "s13_kmeans_step", "p10_diverse_budget", "t14_novelty",
-      "t15_char_entropy", "p11_dedup_discounted_mix",
+      "t15_char_entropy", "p11_dedup_discounted_mix", "s15_dimred_sweep",
       "q38_asof_join", "q40_range_join", "q41_salted_join")
     subset.foreach { s =>
       val unknown = s -- allProbeQueries.toSet

@@ -651,6 +651,60 @@ object SimilarityOps {
         .orderBy("label")
     }),
 
+    // Dimensionality-reduction pricing sweep — the third index-
+    // compression knob beside s08/s11's int8 (byte width) and s09/s10's
+    // LSH (bit signatures): project 64-dim vectors onto a deterministic
+    // ±1 Rademacher matrix (sign from md5(j_i) parity, so the oracle
+    // rebuilds the SAME matrix) and price recall@10 at 16/32/48 kept
+    // dims from ONE projection pass — nested prefixes of one matrix, so
+    // no per-D re-projection. At 100 TB the projected table is a
+    // prebuilt artifact (like the s02 signatures / s11 int8 corpus)
+    // whose scan reads 16/64ths of the bytes at D=16; this sweep is the
+    // evidence that picks D before that artifact is built. The
+    // coefficient table is 48×64 rows — broadcast, never shuffled.
+    "s15_dimred_sweep" -> ((s, d) => {
+      val dims = Seq(16, 32, 48)
+      val coef = s.range(48).select(col("id").cast("int").as("j"))
+        .crossJoin(s.range(64).select(col("id").cast("int").as("i")))
+        .withColumn("sgn", when(
+          substring(md5(concat_ws("_", col("j"), col("i"))), 1, 1)
+            .isin("0", "1", "2", "3", "4", "5", "6", "7"), 1.0).otherwise(-1.0))
+      val elems = Tables.embeddings(s, d)
+        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .withColumn("i", col("pos").cast("int"))
+        .withColumn("v", col("v").cast("double"))
+      val proj = elems.join(broadcast(coef), Seq("i"))
+        .groupBy("vec_id", "j")
+        .agg(sum(col("v") * col("sgn")).as("p"))
+      val q = proj.filter(col("vec_id") === QueryId)
+        .select(col("j").as("qj"), col("p").as("qp"))
+      def prefixCos(dd: Int): Column =
+        round(sum(when(col("j") < dd, col("p") * col("qp")).otherwise(0.0)) /
+          greatest(
+            sqrt(sum(when(col("j") < dd, col("p") * col("p")).otherwise(0.0))) *
+              sqrt(sum(when(col("j") < dd, col("qp") * col("qp")).otherwise(0.0))),
+            lit(1e-12)), 6).as(s"cos$dd")
+      val aggCols = dims.map(prefixCos)
+      val dots = proj.filter(col("vec_id") =!= QueryId)
+        .join(broadcast(q), col("j") === col("qj"))
+        .groupBy("vec_id")
+        .agg(aggCols.head, aggCols.tail: _*)
+        .localCheckpoint(true) // one projection pass prices every D
+      val exact = withQuery(s, d).filter(col("vec_id") =!= QueryId)
+        .withColumn("cos", cosCol)
+        .orderBy(col("cos").desc, col("vec_id").asc).limit(10)
+        .select(col("vec_id").as("x_vid"))
+      dims.map { dd =>
+        dots.orderBy(col(s"cos$dd").desc, col("vec_id").asc).limit(10)
+          .join(exact, col("vec_id") === col("x_vid"), "left_semi")
+          .agg(count(lit(1)).as("n_hits"))
+          .withColumn("dim", lit(dd.toLong))
+      }.reduce(_.unionByName(_))
+        .withColumn("recall_bp", floor(col("n_hits") * 10000.0 / 10).cast("long"))
+        .select("dim", "n_hits", "recall_bp")
+        .orderBy("dim")
+    }),
+
     // The SQL surface, driven through the gate: s01's exact top-k
     // restated as PLAIN SQL TEXT over the graft.GraftExtensions-injected
     // native functions (registerAll on the driver's session — the
@@ -1132,6 +1186,49 @@ object SimilarityOps {
          |WHERE r.rn <= q.quota
          |GROUP BY r.label, q.n_vecs, q.quota
          |ORDER BY r.label""".stripMargin,
+    "s15_dimred_sweep" -> {
+      def cosD(dd: Int) =
+        s"""ROUND(SUM(CASE WHEN j < $dd THEN p * qp ELSE 0 END) /
+           |      greatest(sqrt(SUM(CASE WHEN j < $dd THEN p * p ELSE 0 END)) *
+           |               sqrt(SUM(CASE WHEN j < $dd THEN qp * qp ELSE 0 END)), 1e-12),
+           |      6) AS cos$dd""".stripMargin
+      def hits(dd: Int) =
+        s"""h$dd AS (
+           |  SELECT CAST(COUNT(*) AS BIGINT) AS c FROM (
+           |    SELECT vec_id FROM dots ORDER BY cos$dd DESC, vec_id ASC LIMIT 10) t
+           |  JOIN exact USING (vec_id))""".stripMargin
+      s"""WITH coef AS (
+         |  SELECT j, i,
+         |    CASE WHEN substr(md5(CAST(j AS VARCHAR) || '_' || CAST(i AS VARCHAR)), 1, 1)
+         |         IN ('0','1','2','3','4','5','6','7') THEN 1.0 ELSE -1.0 END AS sgn
+         |  FROM (SELECT unnest(generate_series(0, 47)) AS j),
+         |       (SELECT unnest(generate_series(0, 63)) AS i)),
+         |elems AS (
+         |  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
+         |         CAST(unnest(embedding) AS DOUBLE) AS v
+         |  FROM embeddings),
+         |proj AS (
+         |  SELECT vec_id, j, SUM(v * sgn) AS p
+         |  FROM elems JOIN coef USING (i) GROUP BY 1, 2),
+         |q AS (SELECT j AS qj, p AS qp FROM proj WHERE vec_id = $QueryId),
+         |dots AS (
+         |  SELECT vec_id, ${cosD(16)}, ${cosD(32)}, ${cosD(48)}
+         |  FROM proj JOIN q ON j = qj
+         |  WHERE vec_id <> $QueryId GROUP BY vec_id),
+         |exact AS (
+         |  SELECT vec_id FROM (
+         |    SELECT vec_id FROM embeddings, (SELECT embedding AS qv FROM embeddings
+         |                                    WHERE vec_id = $QueryId) q
+         |    WHERE vec_id <> $QueryId
+         |    ORDER BY ${cosSql("embedding", "qv", 6)} DESC, vec_id ASC LIMIT 10)),
+         |${hits(16)}, ${hits(32)}, ${hits(48)}
+         |SELECT dim, n_hits,
+         |  CAST(FLOOR(n_hits * 10000.0 / 10) AS BIGINT) AS recall_bp
+         |FROM (SELECT 16 AS dim, c AS n_hits FROM h16
+         |      UNION ALL SELECT 32, c FROM h32
+         |      UNION ALL SELECT 48, c FROM h48)
+         |ORDER BY dim""".stripMargin
+    },
     // s14 IS s01 semantically; the oracle restates the same query so the
     // SQL-text path is value-gated independently
     "s14_sql_surface" ->

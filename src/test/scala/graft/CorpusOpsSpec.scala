@@ -390,6 +390,18 @@ class CorpusOpsSpec extends SparkSpec {
     }
   }
 
+  test("s15 dimred sweep: recall grows with kept dims, the sweep prices a real gap") {
+    val sf01 = "/root/testdata/sf0.01"
+    val rows = operators.SimilarityOps.queries("s15_dimred_sweep")(spark, sf01).collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(16L, 32L, 48L))
+    val hits = rows.map(_.getLong(1))
+    assert(hits.forall(h => h >= 0 && h <= 10))
+    assert(hits.zip(hits.tail).forall { case (a, b) => a <= b },
+      "keeping more projected dims can only improve recall on this corpus")
+    assert(hits.last > hits.head,
+      "the sweep must show an actual recall gap to price, or it prices nothing")
+  }
+
   test("s14 SQL surface: text through the injected registry equals s01 row-for-row") {
     val sf01 = "/root/testdata/sf0.01"
     val viaSql = operators.SimilarityOps.queries("s14_sql_surface")(spark, sf01)
