@@ -745,6 +745,35 @@ object EngineE2E {
       }
     }),
 
+    // Streaming QUALITY GATE — the native CharEntropy expression running
+    // inside a Structured Streaming micro-batch (same whole-stage
+    // codegen as batch, now on the ingest path): docs stream through the
+    // entropy filter at 4.0 bits/char — the gibberish floor a firehose
+    // ingest applies BEFORE anything stateful touches a doc, stateless
+    // and watermark-free, so it runs at wire rate. The rollup (per
+    // source: arrivals, survivors, min entropy) is gated against
+    // DuckDB's batch restatement — streaming-equals-batch for the
+    // native expression, the same parity e2e_stream_dedup proves for
+    // dropDuplicates.
+    "e2e_stream_quality" -> ((s, d) => withScratch("graft-e2e-squal") { dir =>
+      Tables.documents(s, d).orderBy("doc_id").limit(500)
+        .select("doc_id", "source", "text")
+        .write.parquet(s"$dir/input")
+      val name = sinkName("sq_")
+      drainAndRollup(s, name,
+        () => fileStream(s, dir)
+          .withColumn("entropy",
+            round(graft.functions.EntropyFunctions.char_entropy(col("text")), 6))
+          .withColumn("ok", col("entropy") >= 4.0)
+          .writeStream.outputMode("append").format("memory").queryName(name).start()) {
+        _.groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("ok"), 1L).otherwise(0L)).as("n_pass"),
+            min("entropy").as("min_entropy"))
+          .orderBy("source")
+      }
+    }),
+
     // Bucketed CO-LOCATED join — the shuffle-elimination layout a 100 TB
     // fact-fact join depends on: both sides written bucketBy(user_id)
     // into catalog tables, so the join reads bucket-aligned splits and
@@ -1237,6 +1266,24 @@ object EngineE2E {
         |SELECT c.c_nationkey, COUNT(*) AS n, ROUND(SUM(value), 2) AS total_v
         |FROM seed e JOIN customer c ON e.user_id = c.c_custkey
         |GROUP BY c.c_nationkey ORDER BY c.c_nationkey""".stripMargin,
+    // batch restatement of the streaming entropy gate (t15's per-char
+    // formula, thresholded at 4.0 bits/char)
+    "e2e_stream_quality" ->
+      """WITH s AS (SELECT doc_id, source, text FROM documents
+        |           ORDER BY doc_id LIMIT 500),
+        |ch AS (SELECT doc_id, unnest(split(text, '')) AS c FROM s),
+        |cnt AS (SELECT doc_id, c, CAST(COUNT(*) AS DOUBLE) AS k FROM ch GROUP BY 1, 2),
+        |tot AS (SELECT doc_id, SUM(k) AS n FROM cnt GROUP BY 1),
+        |ent AS (
+        |  SELECT t.doc_id,
+        |    ROUND((ln(t.n) - SUM(c.k * ln(c.k)) / t.n) / ln(2.0), 6) AS entropy
+        |  FROM cnt c JOIN tot t ON c.doc_id = t.doc_id
+        |  GROUP BY t.doc_id, t.n)
+        |SELECT s.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(CASE WHEN e.entropy >= 4.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+        |  MIN(e.entropy) AS min_entropy
+        |FROM s JOIN ent e ON s.doc_id = e.doc_id
+        |GROUP BY s.source ORDER BY s.source""".stripMargin,
     "e2e_bucketed_join" ->
       """SELECT a.event_type, COUNT(*) AS n, ROUND(SUM(b.err_value), 2) AS total_err
         |FROM events a JOIN (
