@@ -367,6 +367,49 @@ object TextOps {
         .orderBy("source")
     }),
 
+    // Token-distribution drift per source — the data-quality monitor
+    // that catches a source whose language shifted between crawls
+    // (encoding break, template change, spam infusion) BEFORE it trains:
+    // L1 distance, in basis points, between each source's token-share
+    // vector and the corpus's, over the corpus top-50 tokens plus an
+    // "other" bucket. Shares are FLOORED to integer bp on both engines,
+    // and the other-bucket is derived as 10000 − Σshares from those same
+    // floors, so the statistic is integer end-to-end. One (token) rollup
+    // for the reference distribution (top-50 broadcast back), one
+    // (source, token) rollup for the per-source counts — both
+    // content-keyed shuffles that partition by vocabulary, the t05
+    // shape. Drift_bp ∈ [0, 20000]: 0 = identical mix, 20000 = disjoint.
+    "t16_token_drift" -> ((s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(col("source"), explode(split(col("text"), "\\s+")).as("tok"))
+        .filter(col("tok") =!= "")
+        .localCheckpoint(true) // one tokenize pass feeds all three rollups
+      val ctot = toks.agg(count(lit(1)).as("ctot"))
+      val top = toks.groupBy("tok").agg(count(lit(1)).as("ccnt"))
+        .orderBy(col("ccnt").desc, col("tok").asc).limit(50)
+        .crossJoin(broadcast(ctot)) // 1-row scalar attach (t08 pattern)
+        .withColumn("c_bp", floor(col("ccnt") * 10000.0 / col("ctot")).cast("long"))
+        .select(col("tok").as("ttok"), col("c_bp"))
+      val srcTok = toks.groupBy("source", "tok").agg(count(lit(1)).as("scnt"))
+      val srcTotal = toks.groupBy("source").agg(count(lit(1)).as("stot"))
+      // sources × top-50 grid, so a top token a source NEVER emits still
+      // contributes its full |0 − c_bp| to that source's drift
+      val joined = srcTotal.crossJoin(broadcast(top))
+        .join(srcTok,
+          col("tok") === col("ttok") && srcTok("source") === srcTotal("source"),
+          "left_outer")
+        .withColumn("s_bp", floor(
+          coalesce(col("scnt"), lit(0L)) * 10000.0 / col("stot")).cast("long"))
+      joined.groupBy(srcTotal("source"))
+        .agg(first("stot").as("n_tokens"),
+          sum(expr("abs(s_bp - c_bp)")).as("top_l1"),
+          sum("s_bp").as("s_top_sum"), sum("c_bp").as("c_top_sum"))
+        .withColumn("drift_bp",
+          col("top_l1") + expr("abs((10000 - s_top_sum) - (10000 - c_top_sum))"))
+        .select(col("source"), col("n_tokens"), col("drift_bp"))
+        .orderBy("source")
+    }),
+
     // Character-entropy quality signal (gibberish / filler / binary-spill
     // detector): bits-per-char Shannon entropy via the native
     // graft.functions.CharEntropy expression — the whole histogram+fold
@@ -582,6 +625,29 @@ object TextOps {
         |  CAST(SUM(novel) AS BIGINT) AS n_novel,
         |  CAST(FLOOR(SUM(novel) * 10000.0 / SUM(n_sh)) AS BIGINT) AS novelty_bp
         |FROM perdoc GROUP BY source ORDER BY source""".stripMargin,
+    "t16_token_drift" ->
+      """WITH toks AS (
+        |  SELECT source, unnest(regexp_split_to_array(text, '\s+')) AS tok
+        |  FROM documents),
+        |t2 AS (SELECT source, tok FROM toks WHERE tok <> ''),
+        |ctot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM t2),
+        |top AS (
+        |  SELECT tok AS ttok,
+        |    CAST(FLOOR(COUNT(*) * 10000.0 / MIN(ctot.n)) AS BIGINT) AS c_bp
+        |  FROM t2, ctot GROUP BY tok
+        |  ORDER BY COUNT(*) DESC, tok ASC LIMIT 50),
+        |stot AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS stot FROM t2 GROUP BY source),
+        |stok AS (SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS scnt
+        |         FROM t2 GROUP BY 1, 2),
+        |grid AS (
+        |  SELECT s.source, s.stot, t.ttok, t.c_bp,
+        |    CAST(FLOOR(COALESCE(k.scnt, 0) * 10000.0 / s.stot) AS BIGINT) AS s_bp
+        |  FROM stot s CROSS JOIN top t
+        |  LEFT JOIN stok k ON k.source = s.source AND k.tok = t.ttok)
+        |SELECT source, CAST(MIN(stot) AS BIGINT) AS n_tokens,
+        |  CAST(SUM(ABS(s_bp - c_bp))
+        |    + ABS((10000 - SUM(s_bp)) - (10000 - SUM(c_bp))) AS BIGINT) AS drift_bp
+        |FROM grid GROUP BY source ORDER BY source""".stripMargin,
     "t15_char_entropy" ->
       """WITH ch AS (
         |  SELECT doc_id, unnest(split(text, '')) AS c FROM documents),

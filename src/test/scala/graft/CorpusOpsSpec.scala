@@ -381,6 +381,20 @@ class CorpusOpsSpec extends SparkSpec {
     assert(rows.map(_.getLong(3)).sum == distinctShingles)
   }
 
+  test("t16 token drift: bounded L1, token census conserved") {
+    val rows = operators.TextOps.queries("t16_token_drift")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(2) >= 0 && r.getLong(2) <= 20000,
+        "L1 over shares is bounded by 2 in bp terms")
+    }
+    val corpusToks = Tables.documents(spark, sf)
+      .select(explode(split(col("text"), "\\s+")).as("tok"))
+      .filter(col("tok") =!= "").count()
+    assert(rows.map(_.getLong(1)).sum == corpusToks,
+      "per-source token totals partition the corpus")
+  }
+
   test("t15 char entropy: bounded by log2 of alphabet, exact on rebuilt histogram") {
     val rows = operators.TextOps.queries("t15_char_entropy")(spark, sf).collect()
     assert(rows.length == 200)
