@@ -142,7 +142,7 @@ object ScaleProbe {
     sb.append(s"# SCALING — operator wall-time at 1× (sf0.1) vs $factor× corpus\n\n")
     sb.append("Generated by `graft.ScaleProbe` (documents/embeddings replicated ")
     sb.append(s"$factor× with unique ids into /tmp). Ratio ≈ $factor ⇒ linear in rows; ")
-    sb.append("pair generators/verifiers (d08/d09/d10, m05 — replication makes every raster 10×-duplicated, so aHash-band pair fan-out is data-term-honest) legitimately grow with ")
+    sb.append("pair generators/verifiers (d08/d09/d10; m05 rides the same band joins behind its MediaMaxBandWidth hot-key guard) legitimately grow with ")
     sb.append("candidate-pair count — the scale-path forms (d09 guard, d10 verify-over-")
     sb.append("candidates) hold near-flat because the guard bounds per-key fan-out. ")
     sb.append("The diagnostic quadratic forms (d05 unguarded, d06 all-same-source) now ")

@@ -43,6 +43,22 @@ class EntropyFunctionsSpec extends SparkSpec {
     assert(math.abs(entropyOf(clef + "a" + clef + "a") - 1.0) < 1e-12)
   }
 
+  test("property: permutation-invariant, bounded by log2(distinct), scale-invariant") {
+    val rnd = new scala.util.Random(42)
+    (1 to 25).foreach { _ =>
+      val n = 1 + rnd.nextInt(200)
+      val s = Array.fill(n)((32 + rnd.nextInt(95)).toChar).mkString
+      val h = entropyOf(s)
+      val hShuffled = entropyOf(rnd.shuffle(s.toSeq).mkString)
+      assert(math.abs(h - hShuffled) < 1e-9, "order cannot matter")
+      val distinct = s.distinct.length
+      assert(h >= -1e-12 && h <= math.log(distinct.toDouble) / math.log(2.0) + 1e-9,
+        "0 <= H <= log2(|alphabet|)")
+      // doubling the string doubles every count: H is unchanged
+      assert(math.abs(entropyOf(s + s) - h) < 1e-9, "count-scale invariant")
+    }
+  }
+
   test("null input yields null") {
     import spark.implicits._
     val r = Seq[Option[String]](None).toDF("t")
