@@ -106,7 +106,7 @@ object ScaleProbe {
       "d21_passage_prune", "p09_dsir_resample", "m05_ahash_neardup",
       "s13_kmeans_step", "p10_diverse_budget", "t14_novelty",
       "t15_char_entropy", "p11_dedup_discounted_mix", "s15_dimred_sweep",
-      "t16_token_drift",
+      "t16_token_drift", "d22_cdc_chunks",
       "q38_asof_join", "q40_range_join", "q41_salted_join")
     subset.foreach { s =>
       val unknown = s -- allProbeQueries.toSet

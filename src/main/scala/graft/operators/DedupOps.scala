@@ -629,6 +629,54 @@ object DedupOps {
           greatest(col("tokens_total"), lit(1L))).cast("long"))
         .select("source", "n_docs", "tokens_total", "tokens_kept", "pruned_bp")
         .orderBy("source")
+    }),
+
+    // Content-defined chunking (the FastCDC/Rabin family; Muthitacharoen
+    // et al. 2001 LBFS) — the dedup granularity d20's FIXED chunks can't
+    // reach: a one-char insertion shifts every fixed-chunk boundary after
+    // it, but content-defined cuts (boundary where a local fingerprint
+    // clears a threshold) re-synchronize immediately, so shared text
+    // keeps deduping across edits. Boundary rule: the 8-char shingle's
+    // md5 prefix sorts below '04' — P = 4/256 = 1/64, expected ~64-char
+    // chunks, pure STRING compare so both engines cut identically (no
+    // hex→int dialect games). Per source: chunk instances, instances
+    // whose content recurs corpus-wide, dup share, mean chunk length —
+    // all integer. Cost shape: the shingle scan is d11's, the cut list
+    // is ~len/64 rows per doc, the occurrence rollup is content-keyed.
+    "d22_cdc_chunks" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select("doc_id", "source", "text")
+      val cuts = docs
+        .withColumn("g", explode(sequence(lit(1),
+          greatest(length(col("text")) - 7, lit(1)))))
+        .filter(substring(md5(col("text").substr(col("g"), lit(8))), 1, 2) < "04")
+        .select(col("doc_id"), (col("g") + 7).as("cut"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy("cut")
+      val spans = cuts.withColumn("prev", lag(col("cut"), 1, 0).over(w))
+        .select("doc_id", "prev", "cut")
+      val tails = docs.join(
+          cuts.groupBy("doc_id").agg(max("cut").as("last_cut")),
+          Seq("doc_id"), "left_outer")
+        .select(col("doc_id"),
+          coalesce(col("last_cut"), lit(0)).as("prev"),
+          length(col("text")).as("cut"))
+        .filter(col("cut") > col("prev"))
+      val chunks = spans.unionByName(tails)
+        .join(docs, Seq("doc_id"))
+        .select(col("source"),
+          col("text").substr(col("prev") + 1, col("cut") - col("prev")).as("chunk"))
+        .withColumn("h", md5(col("chunk")))
+      val occ = chunks.groupBy("h").agg(count(lit(1)).as("occ"))
+      chunks.join(occ, Seq("h"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(when(col("occ") > 1, 1L).otherwise(0L)).as("dup_instances"),
+          sum(length(col("chunk")).cast("long")).as("chars"))
+        .withColumn("dup_bp",
+          floor(col("dup_instances") * 10000.0 / col("n_chunks")).cast("long"))
+        .withColumn("avg_chunk_len", expr("chars div n_chunks"))
+        .select("source", "n_chunks", "dup_instances", "dup_bp", "avg_chunk_len")
+        .orderBy("source")
     })
   )
 
@@ -896,6 +944,38 @@ object DedupOps {
         |  CAST(FLOOR(COALESCE(p.tokens_pruned, 0) * 10000.0
         |    / greatest(t.tokens_total, 1)) AS BIGINT) AS pruned_bp
         |FROM tot t LEFT JOIN pruned p USING (source)
-        |ORDER BY source""".stripMargin
+        |ORDER BY source""".stripMargin,
+    "d22_cdc_chunks" ->
+      """WITH docs AS (SELECT doc_id, source, text FROM documents),
+        |cuts AS (
+        |  SELECT doc_id, CAST(g + 7 AS INT) AS cut
+        |  FROM (SELECT doc_id, text,
+        |          unnest(generate_series(1, greatest(length(text) - 7, 1))) AS g
+        |        FROM docs) t
+        |  WHERE substr(md5(substr(t.text, CAST(g AS INT), 8)), 1, 2) < '04'),
+        |spans AS (
+        |  SELECT doc_id,
+        |    LAG(cut, 1, 0) OVER (PARTITION BY doc_id ORDER BY cut) AS prev, cut
+        |  FROM cuts),
+        |tails AS (
+        |  SELECT d.doc_id, COALESCE(m.last_cut, 0) AS prev,
+        |    CAST(length(d.text) AS INT) AS cut
+        |  FROM docs d LEFT JOIN (SELECT doc_id, MAX(cut) AS last_cut
+        |                         FROM cuts GROUP BY 1) m USING (doc_id)
+        |  WHERE length(d.text) > COALESCE(m.last_cut, 0)),
+        |chunks AS (
+        |  SELECT d.source, substr(d.text, s.prev + 1, s.cut - s.prev) AS chunk
+        |  FROM (SELECT * FROM spans UNION ALL SELECT * FROM tails) s
+        |  JOIN docs d USING (doc_id)),
+        |occ AS (SELECT md5(chunk) AS h, COUNT(*) AS occ FROM chunks GROUP BY 1),
+        |inst AS (
+        |  SELECT c.source, length(c.chunk) AS clen, o.occ
+        |  FROM chunks c JOIN occ o ON md5(c.chunk) = o.h)
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+        |  CAST(SUM(CASE WHEN occ > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_instances,
+        |  CAST(FLOOR(SUM(CASE WHEN occ > 1 THEN 1 ELSE 0 END) * 10000.0 / COUNT(*))
+        |    AS BIGINT) AS dup_bp,
+        |  CAST(SUM(clen) // COUNT(*) AS BIGINT) AS avg_chunk_len
+        |FROM inst GROUP BY source ORDER BY source""".stripMargin
   )
 }

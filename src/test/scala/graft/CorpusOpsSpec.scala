@@ -381,6 +381,35 @@ class CorpusOpsSpec extends SparkSpec {
     assert(rows.map(_.getLong(3)).sum == distinctShingles)
   }
 
+  test("d22 CDC: cuts re-synchronize after an insertion; operator books consistent") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def cutsOf(text: String): Seq[Int] =
+      (1 to math.max(text.length - 7, 1))
+        .filter(g => md5hex(
+          text.substring(g - 1, math.min(g + 7, text.length))).substring(0, 2) < "04")
+        .map(_ + 7)
+    val base = Tables.documents(spark, sf).orderBy("doc_id")
+      .select("text").head.getString(0)
+    val a = cutsOf(base)
+    assert(a.nonEmpty, "the sample doc must actually produce boundaries")
+    // prepend one char: every content-defined cut survives, shifted by 1 —
+    // the re-synchronization fixed-size chunking cannot provide (all its
+    // boundaries after the edit point change identity)
+    val b = cutsOf("X" + base).toSet
+    assert(a.map(_ + 1).forall(b.contains),
+      "content-defined boundaries shift with the edit instead of vanishing")
+    val rows = operators.DedupOps.queries("d22_cdc_chunks")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1), "dup instances bounded by instances")
+      assert(r.getLong(3) ==
+        math.floor(r.getLong(2) * 10000.0 / r.getLong(1)).toLong)
+      assert(r.getLong(4) >= 1, "chunks are non-empty")
+    }
+  }
+
   test("t16 token drift: bounded L1, token census conserved") {
     val rows = operators.TextOps.queries("t16_token_drift")(spark, sf).collect()
     assert(rows.nonEmpty)
