@@ -218,6 +218,30 @@ object MultimodalOps {
         .filter(col("hamming") <= 8)
         .select("media_a", "media_b", "hamming")
         .orderBy("media_a", "media_b").limit(200)
+    }),
+
+    // Exact perceptual-dup groups — the branch the m05 hot-band guard
+    // DEFERS to: images sharing a full 64-bit aHash are mass-duplicate
+    // content, and their handling is a linear grouped rollup (one
+    // shuffle keyed by the 64-bit sketch), never the pairwise join that
+    // goes quadratic on them. Output per duplicated hash: member count,
+    // canonical keeper (min media_id), source spread — the books a
+    // multimodal prune reviews before dropping non-canonical copies
+    // (d18's apply pattern in image space). Together m04→m06→m05 is the
+    // complete image-dedup funnel: sketch → exact groups → near-dup
+    // pairs on what's left.
+    "m06_phash_dup_groups" -> ((s, d) => {
+      val src = Tables.documents(s, d)
+        .select(col("doc_id").as("media_id"), col("source"))
+      ahashed(s, d).select("media_id", "ahash")
+        .join(src, "media_id")
+        .groupBy("ahash")
+        .agg(count(lit(1)).as("n_media"),
+          min("media_id").as("canonical"),
+          countDistinct("source").as("n_sources"))
+        .filter(col("n_media") >= 2)
+        .orderBy(col("n_media").desc, col("ahash").asc)
+        .limit(100)
     })
   )
 
@@ -326,7 +350,18 @@ object MultimodalOps {
          |  JOIN bits y ON y.media_id = media_b)
          |SELECT media_a, media_b, hamming FROM ham
          |WHERE hamming <= 8
-         |ORDER BY media_a, media_b LIMIT 200""".stripMargin
+         |ORDER BY media_a, media_b LIMIT 200""".stripMargin,
+    "m06_phash_dup_groups" ->
+      s"""WITH $metaSql,
+         |$ahashBitsSql,
+         |j AS (
+         |  SELECT b.media_id, b.ahash, d.source
+         |  FROM bits b JOIN documents d ON d.doc_id = b.media_id)
+         |SELECT ahash, CAST(COUNT(*) AS BIGINT) AS n_media,
+         |  MIN(media_id) AS canonical,
+         |  CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
+         |FROM j GROUP BY ahash HAVING COUNT(*) >= 2
+         |ORDER BY n_media DESC, ahash ASC LIMIT 100""".stripMargin
   )
 
   /** Analytic aHash-bit CTE chain shared by the m04/m05 oracles (expects

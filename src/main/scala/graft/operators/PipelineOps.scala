@@ -436,6 +436,41 @@ object PipelineOps {
         .withColumn("effective_tokens",
           floor(col("tokens_unique") * col("weight_bp") / 10000.0).cast("long"))
         .orderBy("source")
+    }),
+
+    // Curriculum-phase plan — order the corpus into four training phases
+    // by a data-measured difficulty signal (char entropy: low-entropy
+    // repetitive/templated text first, high-entropy dense text last —
+    // the curriculum-learning recipe, with the same knob usable for the
+    // reverse/anti-curriculum read). Phase boundaries are the corpus's
+    // EXACT interpolated entropy quartiles (the p05 percentile pattern,
+    // one 3-value row broadcast back onto the scan) — NOT a global rank
+    // window, which would funnel the corpus through one partition at
+    // scale; the assignment is a scan-local compare. Entropies are
+    // rounded(6) BEFORE the percentile on both engines, so thresholds
+    // and compares see identical doubles. Output: per (phase, source)
+    // docs + chars and the phase's entropy range — the sheet a phased
+    // training run schedules from.
+    "p12_curriculum_phases" -> ((s, d) => {
+      val ent = Tables.documents(s, d)
+        .withColumn("ent",
+          round(graft.functions.EntropyFunctions.char_entropy(col("text")), 6))
+      val qs = ent.agg(
+        expr("percentile(ent, 0.25)").as("q1"),
+        expr("percentile(ent, 0.5)").as("q2"),
+        expr("percentile(ent, 0.75)").as("q3"))
+      ent.crossJoin(broadcast(qs))
+        .withColumn("phase",
+          when(col("ent") < col("q1"), 0L)
+            .when(col("ent") < col("q2"), 1L)
+            .when(col("ent") < col("q3"), 2L)
+            .otherwise(3L))
+        .groupBy("phase", "source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_chars").as("sum_chars"),
+          min("ent").as("min_ent"),
+          max("ent").as("max_ent"))
+        .orderBy("phase", "source")
     })
   )
 
@@ -711,6 +746,28 @@ object PipelineOps {
          |  CAST(($wCase) AS BIGINT) AS weight_bp,
          |  CAST(FLOOR(tokens_unique * ($wCase) / 10000.0) AS BIGINT) AS effective_tokens
          |FROM a ORDER BY source""".stripMargin
-    }
+    },
+    "p12_curriculum_phases" ->
+      """WITH ch AS (
+        |  SELECT doc_id, unnest(split(text, '')) AS c FROM documents),
+        |cnt AS (SELECT doc_id, c, CAST(COUNT(*) AS DOUBLE) AS k FROM ch GROUP BY 1, 2),
+        |tot AS (SELECT doc_id, SUM(k) AS n FROM cnt GROUP BY 1),
+        |e AS (
+        |  SELECT t.doc_id,
+        |    ROUND((ln(t.n) - SUM(c.k * ln(c.k)) / t.n) / ln(2.0), 6) AS ent
+        |  FROM cnt c JOIN tot t ON c.doc_id = t.doc_id
+        |  GROUP BY t.doc_id, t.n),
+        |q AS (
+        |  SELECT quantile_cont(ent, 0.25) AS q1, quantile_cont(ent, 0.5) AS q2,
+        |         quantile_cont(ent, 0.75) AS q3 FROM e),
+        |ph AS (
+        |  SELECT d.source, d.n_chars, e.ent,
+        |    CASE WHEN e.ent < q.q1 THEN 0 WHEN e.ent < q.q2 THEN 1
+        |         WHEN e.ent < q.q3 THEN 2 ELSE 3 END AS phase
+        |  FROM documents d JOIN e USING (doc_id) CROSS JOIN q)
+        |SELECT CAST(phase AS BIGINT) AS phase, source, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+        |  MIN(ent) AS min_ent, MAX(ent) AS max_ent
+        |FROM ph GROUP BY phase, source ORDER BY phase, source""".stripMargin
   )
 }

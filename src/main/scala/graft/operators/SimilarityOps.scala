@@ -30,6 +30,12 @@ object SimilarityOps {
 
   private val QueryId = 0
 
+  /** s16 diagnostic bound (the d05/d06 rule): the exact n² kNN graph is
+    * an audit, so it runs on a fixed id-prefix; the scale path derives
+    * the same edges from the s02/s03 candidate structures. */
+  private val KnnGraphCap = 500
+  private val KnnK = 5
+
   /** dot(a, b): native Catalyst expression (graft.functions.DotProduct) —
     * one fused codegen loop, same left-to-right double fold as the
     * composable `aggregate(zip_with(...))` form it replaced, so oracle
@@ -725,6 +731,50 @@ object SimilarityOps {
            |    6) AS cos
            |FROM graft_s14_emb, q WHERE vec_id <> $QueryId
            |ORDER BY cos DESC, vec_id ASC LIMIT 10""".stripMargin)
+    }),
+
+    // Mutual-kNN-graph audit — the embedding-space health check run
+    // before any graph-based curation (SemDeDup-style clustering,
+    // label-propagation, graph dedup): per label, the reciprocity of the
+    // exact k=5 neighbor graph (share of directed edges whose reverse is
+    // also an edge — low reciprocity = hubness, the failure mode that
+    // wrecks graph clustering in high dimensions) and its label purity
+    // (share of neighbors sharing the anchor's label — the
+    // embedding-vs-label agreement audit complementing s07's outliers).
+    // DIAGNOSTIC-CAPPED like d05/d06: the exact n² graph runs on the
+    // first KnnGraphCap vectors only (broadcast self-join, per-anchor
+    // window top-k — never a global sort); the scale path builds the
+    // same edges from s02's LSH buckets / s03's IVF lists, whose
+    // candidate quality s05/s06 already price against exact truth.
+    // Cosines round(6) before ranking, ties break on neighbor id, so
+    // both engines rank identically.
+    "s16_knn_graph" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val sub = Tables.embeddings(s, d).filter(col("vec_id") < KnnGraphCap)
+      val a = sub.select(col("vec_id").as("a"), col("label").as("la"),
+        col("embedding").as("ea"))
+      val b = sub.select(col("vec_id").as("b"), col("label").as("lb"),
+        col("embedding").as("eb"))
+      val edges = a.join(broadcast(b), col("a") =!= col("b"))
+        .withColumn("cos", round(dot(col("ea"), col("eb")) /
+          (norm(col("ea")) * norm(col("eb"))), 6))
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy("a").orderBy(col("cos").desc, col("b").asc)))
+        .filter(col("rnk") <= KnnK)
+        .select("a", "la", "b", "lb")
+        .localCheckpoint(true) // one n² pass feeds books AND reciprocity join
+      val rev = edges.select(col("a").as("ra"), col("b").as("rb"))
+      edges
+        .join(rev.withColumn("has_rev", lit(1L)),
+          col("a") === col("rb") && col("b") === col("ra"), "left_outer")
+        .groupBy(col("la").as("label"))
+        .agg(countDistinct("a").as("n_vecs"),
+          count(lit(1)).as("n_edges"),
+          floor(sum(coalesce(col("has_rev"), lit(0L))) * 10000.0 /
+            count(lit(1))).cast("long").as("recip_bp"),
+          floor(sum(when(col("lb") === col("la"), 1L).otherwise(0L)) * 10000.0 /
+            count(lit(1))).cast("long").as("purity_bp"))
+        .orderBy("label")
     })
   )
 
@@ -1235,6 +1285,35 @@ object SimilarityOps {
       s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = $QueryId)
          |SELECT vec_id, ${cosSql("embedding", "qv", 6)} AS cos
          |FROM embeddings, q WHERE vec_id <> $QueryId
-         |ORDER BY cos DESC, vec_id ASC LIMIT 10""".stripMargin
+         |ORDER BY cos DESC, vec_id ASC LIMIT 10""".stripMargin,
+    "s16_knn_graph" ->
+      s"""WITH sub AS (
+         |  SELECT vec_id, label, embedding FROM embeddings
+         |  WHERE vec_id < $KnnGraphCap),
+         |pairs AS (
+         |  SELECT a.vec_id AS a, a.label AS la, b.vec_id AS b, b.label AS lb,
+         |    ${cosSql("a.embedding", "b.embedding", 6)} AS cos
+         |  FROM sub a JOIN sub b ON a.vec_id <> b.vec_id),
+         |edges AS (
+         |  SELECT a, la, b, lb FROM (
+         |    SELECT a, la, b, lb,
+         |      ROW_NUMBER() OVER (PARTITION BY a
+         |                         ORDER BY cos DESC, b ASC) AS rnk
+         |    FROM pairs)
+         |  WHERE rnk <= $KnnK),
+         |m AS (
+         |  SELECT e.la, e.lb,
+         |    CASE WHEN r.a IS NOT NULL THEN 1 ELSE 0 END AS has_rev
+         |  FROM edges e LEFT JOIN edges r ON e.a = r.b AND e.b = r.a)
+         |SELECT la AS label, n_vecs, n_edges, recip_bp, purity_bp FROM (
+         |  SELECT la,
+         |    (SELECT CAST(COUNT(DISTINCT a) AS BIGINT)
+         |     FROM edges e2 WHERE e2.la = m.la) AS n_vecs,
+         |    CAST(COUNT(*) AS BIGINT) AS n_edges,
+         |    CAST(FLOOR(SUM(has_rev) * 10000.0 / COUNT(*)) AS BIGINT) AS recip_bp,
+         |    CAST(FLOOR(SUM(CASE WHEN lb = la THEN 1 ELSE 0 END) * 10000.0
+         |      / COUNT(*)) AS BIGINT) AS purity_bp
+         |  FROM m GROUP BY la)
+         |ORDER BY label""".stripMargin
   )
 }

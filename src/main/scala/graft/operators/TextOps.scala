@@ -420,7 +420,48 @@ object TextOps {
         .select(col("doc_id"),
           round(graft.functions.EntropyFunctions.char_entropy(col("text")), 6)
             .as("entropy"))
-        .orderBy("doc_id").limit(200))
+        .orderBy("doc_id").limit(200)),
+
+    // Zipf-alignment audit per source — natural language follows a
+    // power-law token-frequency curve (slope ≈ −1 on log-log axes);
+    // machine-generated filler, templated spam, and encoding breakage
+    // flatten or steepen it. Fit: OLS slope of ln(count) ~ ln(rank) over
+    // each source's top-100 tokens — the closed-form (nΣxy − ΣxΣy) /
+    // (nΣx² − (Σx)²), so no iterative fit and both engines evaluate the
+    // identical arithmetic. Ranks come from a PER-SOURCE window over the
+    // (source, token) rollup — the partition key is the shard key at
+    // scale and the windowed set is vocabulary-sized, never corpus-sized
+    // (the t05/t09 shape). top1_bp (rank-1 token's share, integer floor)
+    // rides along: a >2000 bp top-1 is a one-word template, whatever the
+    // slope says. round(4) absorbs summation-order float noise in the
+    // 100-term ln sums.
+    "t17_zipf_slope" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val counts = Tables.documents(s, d)
+        .select(col("source"), explode(split(col("text"), "\\s+")).as("tok"))
+        .filter(col("tok") =!= "")
+        .groupBy("source", "tok").agg(count(lit(1)).as("cnt"))
+      val ranked = counts
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy("source").orderBy(col("cnt").desc, col("tok").asc)))
+        .filter(col("rnk") <= 100)
+        .withColumn("x", log(col("rnk").cast("double")))
+        .withColumn("y", log(col("cnt").cast("double")))
+      val stot = counts.groupBy("source").agg(sum("cnt").as("stot"))
+      ranked.groupBy("source")
+        .agg(count(lit(1)).cast("long").as("n_top"),
+          max(when(col("rnk") === 1, col("cnt"))).as("top1_cnt"),
+          sum("x").as("sx"), sum("y").as("sy"),
+          sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+        .join(stot, "source")
+        .withColumn("slope", round(
+          (col("n_top") * col("sxy") - col("sx") * col("sy")) /
+            (col("n_top") * col("sxx") - col("sx") * col("sx")), 4))
+        .withColumn("top1_bp",
+          floor(col("top1_cnt") * 10000.0 / col("stot")).cast("long"))
+        .select(col("source"), col("n_top"), col("slope"), col("top1_bp"))
+        .orderBy("source")
+    })
   )
 
   /** '#' or ASCII ellipsis — the Gopher symbol-ratio numerator. */
@@ -656,6 +697,35 @@ object TextOps {
         |SELECT t.doc_id,
         |  ROUND((ln(t.n) - SUM(c.k * ln(c.k)) / t.n) / ln(2.0), 6) AS entropy
         |FROM cnt c JOIN tot t ON c.doc_id = t.doc_id
-        |GROUP BY t.doc_id, t.n ORDER BY t.doc_id LIMIT 200""".stripMargin
+        |GROUP BY t.doc_id, t.n ORDER BY t.doc_id LIMIT 200""".stripMargin,
+    "t17_zipf_slope" ->
+      """WITH toks AS (
+        |  SELECT source, unnest(regexp_split_to_array(text, '\s+')) AS tok
+        |  FROM documents),
+        |t2 AS (SELECT source, tok FROM toks WHERE tok <> ''),
+        |counts AS (SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS cnt
+        |           FROM t2 GROUP BY 1, 2),
+        |ranked AS (
+        |  SELECT source, cnt,
+        |    ROW_NUMBER() OVER (PARTITION BY source
+        |                       ORDER BY cnt DESC, tok ASC) AS rnk
+        |  FROM counts),
+        |top AS (
+        |  SELECT source, rnk, cnt,
+        |    ln(CAST(rnk AS DOUBLE)) AS x, ln(CAST(cnt AS DOUBLE)) AS y
+        |  FROM ranked WHERE rnk <= 100),
+        |stot AS (SELECT source, CAST(SUM(cnt) AS BIGINT) AS stot
+        |         FROM counts GROUP BY source),
+        |fit AS (
+        |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_top,
+        |    MAX(CASE WHEN rnk = 1 THEN cnt END) AS top1_cnt,
+        |    SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy, SUM(x * x) AS sxx
+        |  FROM top GROUP BY source)
+        |SELECT f.source, f.n_top,
+        |  ROUND((f.n_top * f.sxy - f.sx * f.sy)
+        |      / (f.n_top * f.sxx - f.sx * f.sx), 4) AS slope,
+        |  CAST(FLOOR(f.top1_cnt * 10000.0 / s.stot) AS BIGINT) AS top1_bp
+        |FROM fit f JOIN stot s USING (source)
+        |ORDER BY f.source""".stripMargin
   )
 }

@@ -587,4 +587,60 @@ class CorpusOpsSpec extends SparkSpec {
       assert((tot - kept) % 10 == 0, "only whole 10-token chunks are pruned")
     }
   }
+
+  test("t17 zipf slope: negative fit per source, top-1 share bounded") {
+    val rows = operators.TextOps.queries("t17_zipf_slope")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(1) >= 2 && r.getLong(1) <= 100,
+        "fit needs at least 2 ranks, caps at top-100")
+      assert(r.getDouble(2) < 0.0,
+        "rank-ordered counts are non-increasing, so the OLS slope is negative")
+      assert(r.getLong(3) >= 1 && r.getLong(3) <= 10000,
+        "top-1 token share is a valid bp fraction")
+    }
+  }
+
+  test("p12 curriculum phases: quartiles partition the corpus, entropy ordered across phases") {
+    val rows = operators.PipelineOps.queries("p12_curriculum_phases")(spark, sf).collect()
+    val nDocs = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(rows.map(_.getLong(2)).sum == nDocs, "phases partition the corpus")
+    assert(rows.map(_.getLong(0)).distinct.sorted.toSeq.forall(p => p >= 0 && p <= 3))
+    // every doc in phase p has strictly lower entropy than any doc in
+    // phase p+1's lower half... globally: phase boundaries are < compares,
+    // so the max entropy of phase p cannot exceed the min of phase p+1
+    val byPhase = rows.groupBy(_.getLong(0)).view
+      .mapValues(rs => (rs.map(_.getDouble(4)).min, rs.map(_.getDouble(5)).max))
+      .toMap
+    byPhase.keys.toSeq.sorted.sliding(2).foreach {
+      case Seq(a, b) => assert(byPhase(a)._2 <= byPhase(b)._1,
+        s"phase $a max entropy must not exceed phase $b min")
+      case _ =>
+    }
+  }
+
+  test("s16 knn graph: exactly k edges per vector, bp shares bounded") {
+    val rows = operators.SimilarityOps.queries("s16_knn_graph")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val nVecs = rows.map(_.getLong(1)).sum
+    val nEdges = rows.map(_.getLong(2)).sum
+    assert(nEdges == nVecs * 5, "every anchor contributes exactly k=5 edges")
+    rows.foreach { r =>
+      assert(r.getLong(3) >= 0 && r.getLong(3) <= 10000)
+      assert(r.getLong(4) >= 0 && r.getLong(4) <= 10000)
+    }
+  }
+
+  test("m06 phash dup groups: only real groups, canonical is a member minimum") {
+    val rows = operators.MultimodalOps.queries("m06_phash_dup_groups")(spark, sf).collect()
+    rows.foreach { r =>
+      assert(r.getString(0).length == 64, "full 64-bit hash key")
+      assert(r.getLong(1) >= 2, "a group is at least a pair")
+      assert(r.getLong(3) >= 1, "source spread counts at least one source")
+    }
+    // groups are disjoint by construction (grouped by full hash), so
+    // members across groups cannot exceed the corpus
+    val nDocs = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(rows.map(_.getLong(1)).sum <= nDocs)
+  }
 }
