@@ -677,6 +677,78 @@ object DedupOps {
         .withColumn("avg_chunk_len", expr("chars div n_chunks"))
         .select("source", "n_chunks", "dup_instances", "dup_bp", "avg_chunk_len")
         .orderBy("source")
+    }),
+
+    // MinHash (bands × rows) S-curve sweep — the THIRD dedup funnel knob
+    // priced before a 100 TB run (d16 prices the Jaccard τ, d13 prices
+    // the estimator itself; this prices the collision geometry): with H
+    // = 8 salted min-hashes, the configs (b,r) ∈ {(8,1),(4,2),(2,4),
+    // (1,8)} trade candidate volume against detection probability
+    // (P(detect) = 1−(1−s^r)^b — more rows per band sharpens the
+    // S-curve and kills low-similarity candidates, fewer bands drops
+    // recall). All four configs are priced from ONE signature pass: the
+    // band keys for every config are slices of the same 8 hashes, so
+    // the sweep costs one explode + one self-join, not four signature
+    // rebuilds. Ground truth is the capped exact all-pairs Jaccard at
+    // τ=0.2 (the d05/d06 diagnostic rule: fixed doc_id prefix, constant
+    // work at any corpus size; the crossJoin is the intended bounded
+    // truth scan, the shipped dedup path never runs it). Output per
+    // config: candidate volume, truth size, detections, recall bp.
+    "d23_band_sweep" -> ((s, d) => {
+      import s.implicits._
+      val H = 8
+      val docs = Tables.documents(s, d)
+        .filter(col("doc_id") < DiagnosticDocCap)
+        .select("doc_id", "text")
+      val sig = docs.select(col("doc_id") +:
+        (1 to H).map(i =>
+          graft.functions.MinHashFunctions
+            .minhash_md5(col("text"), s"b$i", ShingleLen).as(s"h$i")): _*)
+        .localCheckpoint(true)
+      val sets = shingled(docs)
+        .groupBy("doc_id")
+        .agg(array_sort(collect_set(xxhash64(col("sh")))).as("shs"))
+        .localCheckpoint(true)
+      val truth = sets.select(col("doc_id").as("d1"), col("shs").as("s1"))
+        .crossJoin(sets.select(col("doc_id").as("d2"), col("shs").as("s2")))
+        .filter(col("d1") < col("d2"))
+        .withColumn("inter", graft.functions.ArrayFunctions
+          .sorted_intersect_size(col("s1"), col("s2")).cast("double"))
+        .withColumn("jac", round(col("inter") /
+          (size(col("s1")) + size(col("s2")) - col("inter")), 4))
+        .filter(col("jac") >= 0.2)
+        .select("d1", "d2")
+        .localCheckpoint(true)
+      val configs = Seq((8, 1), (4, 2), (2, 4), (1, 8))
+      val bandRows = configs.map { case (b, r) =>
+        sig.select(col("doc_id"), lit(b).as("b"), lit(r).as("r"),
+          explode(array((0 until b).map(j =>
+            struct(lit(j).as("band"),
+              concat_ws("|", (1 to r).map(k => col(s"h${j * r + k}")): _*)
+                .as("key"))): _*)).as("bk"))
+          .select(col("doc_id"), col("b"), col("r"),
+            col("bk.band").as("band"), col("bk.key").as("key"))
+      }.reduce(_ unionByName _)
+      val cand = bandRows
+        .select(col("b"), col("r"), col("band"), col("key"), col("doc_id").as("d1"))
+        .join(bandRows.select(col("b"), col("r"), col("band"), col("key"),
+          col("doc_id").as("d2")), Seq("b", "r", "band", "key"))
+        .filter(col("d1") < col("d2"))
+        .select("b", "r", "d1", "d2").distinct()
+        .localCheckpoint(true) // one candidate pass feeds volume AND recall
+      val candCounts = cand.groupBy("b", "r").agg(count(lit(1)).as("n_candidates"))
+      val det = cand.join(truth, Seq("d1", "d2"), "left_semi")
+        .groupBy("b", "r").agg(count(lit(1)).as("n_detected"))
+      val tcount = truth.agg(count(lit(1)).as("n_true"))
+      configs.toDF("b", "r")
+        .join(candCounts, Seq("b", "r"), "left_outer")
+        .join(det, Seq("b", "r"), "left_outer")
+        .na.fill(0L, Seq("n_candidates", "n_detected"))
+        .crossJoin(broadcast(tcount))
+        .withColumn("recall_bp", floor(col("n_detected") * 10000.0 /
+          greatest(col("n_true"), lit(1L))).cast("long"))
+        .select("b", "r", "n_candidates", "n_true", "n_detected", "recall_bp")
+        .orderBy("r")
     })
   )
 
@@ -976,6 +1048,53 @@ object DedupOps {
         |  CAST(FLOOR(SUM(CASE WHEN occ > 1 THEN 1 ELSE 0 END) * 10000.0 / COUNT(*))
         |    AS BIGINT) AS dup_bp,
         |  CAST(SUM(clen) // COUNT(*) AS BIGINT) AS avg_chunk_len
-        |FROM inst GROUP BY source ORDER BY source""".stripMargin
+        |FROM inst GROUP BY source ORDER BY source""".stripMargin,
+    "d23_band_sweep" -> {
+      val configs = Seq((8, 1), (4, 2), (2, 4), (1, 8))
+      // one UNION ALL arm per (config, band); key = '|'-joined hash slice
+      val bandArms = configs.flatMap { case (b, r) =>
+        (0 until b).map { j =>
+          val key = (1 to r).map(k => s"h${j * r + k}").mkString(" || '|' || ")
+          s"SELECT doc_id, $b AS b, $r AS r, $j AS band, $key AS key FROM sig"
+        }
+      }.mkString("\n  UNION ALL ")
+      s"""WITH sh AS (
+         |  SELECT doc_id, substr(text, CAST(g AS INT), $ShingleLen) AS s
+         |  FROM (SELECT doc_id, text,
+         |          unnest(generate_series(1, greatest(length(text) - ${ShingleLen - 1}, 1))) AS g
+         |        FROM documents WHERE doc_id < $DiagnosticDocCap)),
+         |sig AS (
+         |  SELECT doc_id, ${(1 to 8).map(i => s"min(md5('b$i' || s)) AS h$i").mkString(", ")}
+         |  FROM sh GROUP BY doc_id),
+         |sets AS (SELECT doc_id, list_distinct(list(s)) AS shs FROM sh GROUP BY doc_id),
+         |truth AS (
+         |  SELECT a.doc_id AS d1, b.doc_id AS d2
+         |  FROM sets a JOIN sets b ON a.doc_id < b.doc_id
+         |  WHERE ROUND(CAST(len(list_intersect(a.shs, b.shs)) AS DOUBLE)
+         |      / (len(a.shs) + len(b.shs) - len(list_intersect(a.shs, b.shs))), 4) >= 0.2),
+         |bands AS (
+         |  $bandArms),
+         |cand AS (
+         |  SELECT DISTINCT x.b, x.r, x.doc_id AS d1, y.doc_id AS d2
+         |  FROM bands x JOIN bands y
+         |    ON x.b = y.b AND x.r = y.r AND x.band = y.band AND x.key = y.key
+         |   AND x.doc_id < y.doc_id),
+         |cc AS (SELECT b, r, CAST(COUNT(*) AS BIGINT) AS n_candidates
+         |       FROM cand GROUP BY b, r),
+         |det AS (SELECT c.b, c.r, CAST(COUNT(*) AS BIGINT) AS n_detected
+         |        FROM cand c JOIN truth t ON c.d1 = t.d1 AND c.d2 = t.d2
+         |        GROUP BY c.b, c.r),
+         |tc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_true FROM truth),
+         |cfg AS (SELECT * FROM (VALUES ${configs.map(c => s"(${c._1}, ${c._2})").mkString(", ")}) t(b, r))
+         |SELECT cfg.b, cfg.r,
+         |  COALESCE(cc.n_candidates, 0) AS n_candidates, tc.n_true,
+         |  COALESCE(det.n_detected, 0) AS n_detected,
+         |  CAST(FLOOR(COALESCE(det.n_detected, 0) * 10000.0
+         |    / greatest(tc.n_true, 1)) AS BIGINT) AS recall_bp
+         |FROM cfg CROSS JOIN tc
+         |LEFT JOIN cc ON cc.b = cfg.b AND cc.r = cfg.r
+         |LEFT JOIN det ON det.b = cfg.b AND det.r = cfg.r
+         |ORDER BY cfg.r""".stripMargin
+    }
   )
 }

@@ -631,6 +631,23 @@ class CorpusOpsSpec extends SparkSpec {
     }
   }
 
+  test("d23 band sweep: recall falls and candidates shrink as rows-per-band grow") {
+    val rows = operators.DedupOps.queries("d23_band_sweep")(spark, sf).collect()
+    assert(rows.length == 4, "one row per (b, r) config")
+    assert(rows.map(r => (r.getInt(0), r.getInt(1))).toSeq ==
+      Seq((8, 1), (4, 2), (2, 4), (1, 8)), "ordered by rows-per-band")
+    val cands = rows.map(_.getLong(2))
+    assert(cands.zip(cands.tail).forall { case (a, b) => a >= b },
+      "sharper bands can only shrink the candidate set (keys are supersets)")
+    val recalls = rows.map(_.getLong(5))
+    assert(recalls.zip(recalls.tail).forall { case (a, b) => a >= b },
+      "recall is monotone non-increasing in rows-per-band on nested keys")
+    rows.foreach { r =>
+      assert(r.getLong(4) <= r.getLong(3), "detections bounded by truth")
+      assert(r.getLong(4) <= r.getLong(2), "detections bounded by candidates")
+    }
+  }
+
   test("m06 phash dup groups: only real groups, canonical is a member minimum") {
     val rows = operators.MultimodalOps.queries("m06_phash_dup_groups")(spark, sf).collect()
     rows.foreach { r =>
