@@ -108,7 +108,8 @@ object ScaleProbe {
       "t15_char_entropy", "p11_dedup_discounted_mix", "s15_dimred_sweep",
       "t16_token_drift", "d22_cdc_chunks",
       "t17_zipf_slope", "p12_curriculum_phases", "s16_knn_graph",
-      "m06_phash_dup_groups", "d23_band_sweep",
+      "m06_phash_dup_groups", "d23_band_sweep", "p13_unimax_mix",
+      "t18_perplexity_buckets",
       "q38_asof_join", "q40_range_join", "q41_salted_join")
     subset.foreach { s =>
       val unknown = s -- allProbeQueries.toSet

@@ -471,6 +471,57 @@ object PipelineOps {
           min("ent").as("min_ent"),
           max("ent").as("max_ent"))
         .orderBy("phase", "source")
+    }),
+
+    // UniMax budget allocation (Chung et al. 2023) — the epochs-capped
+    // uniform mixture: spend a token budget as evenly as possible across
+    // sources, but never repeat a source past MaxEpochs epochs of its
+    // UNIQUE tokens (p11's dedup-discounted census — copies don't buy
+    // capacity). Closed-form water-filling instead of the paper's loop:
+    // sources sorted by capacity ascending saturate in a PREFIX (proof:
+    // the saturation test c_i·(n−i+1) ≤ B − Σ_{j<i}c_j is downward
+    // closed under the sort), so one cumulative-sum window over the
+    // SOURCES-sized rollup decides every source, and the unsaturated
+    // rest split the remainder by integer division. All-integer
+    // arithmetic end-to-end; the windows run over one row per source
+    // (bounded registry cardinality, the fireCron rule), never the
+    // corpus. Budget = 19/20 of total capacity, so the small-capacity
+    // prefix genuinely saturates and the sheet shows both regimes.
+    "p13_unimax_mix" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val E = 4L
+      val u = Tables.documents(s, d)
+        .withColumn("fp", md5(col("text")))
+        .withColumn("n_tok", regexp_count_fast(col("text"), "\\S+").cast("long"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("fp").orderBy("doc_id")))
+        .groupBy("source")
+        .agg(sum(when(col("rn") === 1, col("n_tok")).otherwise(0L)).as("u_tokens"))
+        .withColumn("capacity", col("u_tokens") * E)
+      val tot = u.agg(sum("capacity").as("cap_total"),
+        count(lit(1)).as("n_src"))
+      val w = Window.orderBy("capacity", "source")
+      val ranked = u.crossJoin(broadcast(tot))
+        .withColumn("budget", expr("cap_total * 19 div 20"))
+        .withColumn("i", row_number().over(w).cast("long"))
+        .withColumn("cumc_prev", coalesce(
+          sum("capacity").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+        .withColumn("saturated",
+          col("capacity") * (col("n_src") - col("i") + 1) <=
+            col("budget") - col("cumc_prev"))
+      val sat = ranked.agg(
+        sum(when(col("saturated"), col("capacity")).otherwise(0L)).as("c_sat"),
+        sum(when(col("saturated"), 1L).otherwise(0L)).as("k"))
+      ranked.crossJoin(broadcast(sat))
+        .withColumn("alloc_tokens", when(col("saturated"), col("capacity"))
+          .otherwise(expr("(budget - c_sat) div greatest(n_src - k, 1)")))
+        .withColumn("epochs_bp",
+          floor(col("alloc_tokens") * 10000.0 / col("u_tokens")).cast("long"))
+        .select(col("source"), col("u_tokens"), col("capacity"),
+          col("saturated").cast("int").as("saturated"),
+          col("alloc_tokens"), col("epochs_bp"))
+        .orderBy("source")
     })
   )
 
@@ -768,6 +819,43 @@ object PipelineOps {
         |SELECT CAST(phase AS BIGINT) AS phase, source, COUNT(*) AS n_docs,
         |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
         |  MIN(ent) AS min_ent, MAX(ent) AS max_ent
-        |FROM ph GROUP BY phase, source ORDER BY phase, source""".stripMargin
+        |FROM ph GROUP BY phase, source ORDER BY phase, source""".stripMargin,
+    "p13_unimax_mix" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |    len(regexp_extract_all(text, '\S+', 0)) AS n_tok,
+        |    ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        |  FROM documents),
+        |u AS (
+        |  SELECT source,
+        |    CAST(SUM(CASE WHEN rn = 1 THEN n_tok ELSE 0 END) AS BIGINT) AS u_tokens
+        |  FROM t GROUP BY source),
+        |c AS (SELECT source, u_tokens, u_tokens * 4 AS capacity FROM u),
+        |tot AS (SELECT CAST(SUM(capacity) AS BIGINT) AS cap_total,
+        |               CAST(COUNT(*) AS BIGINT) AS n_src FROM c),
+        |r AS (
+        |  SELECT c.*, tot.n_src, tot.cap_total * 19 // 20 AS budget,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY capacity, source) AS BIGINT) AS i,
+        |    COALESCE(SUM(capacity) OVER (ORDER BY capacity, source
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumc_prev
+        |  FROM c CROSS JOIN tot),
+        |flags AS (
+        |  SELECT *,
+        |    (capacity * (n_src - i + 1) <= budget - cumc_prev) AS saturated
+        |  FROM r),
+        |sa AS (
+        |  SELECT CAST(SUM(CASE WHEN saturated THEN capacity ELSE 0 END) AS BIGINT) AS c_sat,
+        |         CAST(SUM(CASE WHEN saturated THEN 1 ELSE 0 END) AS BIGINT) AS k
+        |  FROM flags),
+        |alloc AS (
+        |  SELECT f.source, f.u_tokens, f.capacity,
+        |    CAST(CASE WHEN f.saturated THEN 1 ELSE 0 END AS INT) AS saturated,
+        |    CAST(CASE WHEN f.saturated THEN f.capacity
+        |         ELSE (f.budget - sa.c_sat) // greatest(f.n_src - sa.k, 1)
+        |         END AS BIGINT) AS alloc_tokens
+        |  FROM flags f CROSS JOIN sa)
+        |SELECT source, u_tokens, capacity, saturated, alloc_tokens,
+        |  CAST(FLOOR(alloc_tokens * 10000.0 / u_tokens) AS BIGINT) AS epochs_bp
+        |FROM alloc ORDER BY source""".stripMargin
   )
 }

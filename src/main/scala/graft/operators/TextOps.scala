@@ -435,6 +435,53 @@ object TextOps {
     // rides along: a >2000 bp top-1 is a one-word template, whatever the
     // slope says. round(4) absorbs summation-order float noise in the
     // 100-term ln sums.
+    // CCNet perplexity bucketing — the canonical head/middle/tail split
+    // (Wenzek et al. 2020): score every doc with the corpus LM (t08's
+    // unigram log-prob — the oracle-exact stand-in for KenLM), cut the
+    // corpus at the EXACT interpolated score terciles, and report the
+    // per (bucket, source) books a pipeline uses to keep head+middle
+    // and drop tail. A threshold AMPLIFIES any float disagreement (one
+    // doc whose round(4) mean lands differently drags every tied doc
+    // across the cut — the first draft failed exactly this way at
+    // sf0.1), so the score is ALL-INTEGER (the t12 rule): per token
+    // TYPE, µlp = floor(1e6·ln(c/N)) on the vocabulary-sized LM table
+    // (the only ln anywhere — one value per type, not per occurrence);
+    // a doc's score is floor(Σµlp / n_tok), integer sum then one
+    // IEEE-exact division — order-independent and bit-identical across
+    // engines. The tercile thresholds interpolate over integers (again
+    // exact) and come back as one 2-value broadcast row (the p05/p12
+    // percentile pattern — never a global rank window).
+    "t18_perplexity_buckets" -> ((s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          explode(split(col("text"), "\\s+")).as("tok"))
+      val n = toks.agg(count(lit(1)).as("n_total"))
+      val lm = toks.groupBy("tok").agg(count(lit(1)).as("c"))
+        .crossJoin(broadcast(n))
+        .withColumn("ulp",
+          floor(log(col("c").cast("double") / col("n_total")) * 1e6).cast("long"))
+        .select("tok", "ulp")
+      val scored = toks.join(lm, "tok")
+        .groupBy("doc_id", "source")
+        .agg(count(lit(1)).as("n_tok"), sum("ulp").as("s_ulp"))
+        .withColumn("score_ulp",
+          floor(col("s_ulp").cast("double") / col("n_tok")).cast("long"))
+      val qs = scored.agg(
+        expr("percentile(score_ulp, 0.3333333333333333)").as("q1"),
+        expr("percentile(score_ulp, 0.6666666666666666)").as("q2"))
+      scored.crossJoin(broadcast(qs))
+        .withColumn("bucket",
+          when(col("score_ulp") < col("q1"), "tail")
+            .when(col("score_ulp") < col("q2"), "middle")
+            .otherwise("head"))
+        .groupBy("bucket", "source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_tok").as("n_tokens"),
+          min("score_ulp").as("min_ulp"),
+          max("score_ulp").as("max_ulp"))
+        .orderBy("bucket", "source")
+    }),
+
     "t17_zipf_slope" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       val counts = Tables.documents(s, d)
@@ -698,6 +745,31 @@ object TextOps {
         |  ROUND((ln(t.n) - SUM(c.k * ln(c.k)) / t.n) / ln(2.0), 6) AS entropy
         |FROM cnt c JOIN tot t ON c.doc_id = t.doc_id
         |GROUP BY t.doc_id, t.n ORDER BY t.doc_id LIMIT 200""".stripMargin,
+    "t18_perplexity_buckets" ->
+      """WITH toks AS (
+        |  SELECT doc_id, source,
+        |    unnest(regexp_split_to_array(text, '\s+')) AS tok
+        |  FROM documents),
+        |n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_total FROM toks),
+        |lm AS (
+        |  SELECT tok,
+        |    CAST(FLOOR(ln(CAST(COUNT(*) AS DOUBLE) / MIN(n.n_total)) * 1e6)
+        |      AS BIGINT) AS ulp
+        |  FROM toks, n GROUP BY tok),
+        |scored AS (
+        |  SELECT doc_id, source, CAST(COUNT(*) AS BIGINT) AS n_tok,
+        |    CAST(FLOOR(CAST(SUM(ulp) AS DOUBLE) / COUNT(*)) AS BIGINT) AS score_ulp
+        |  FROM toks JOIN lm USING (tok)
+        |  GROUP BY doc_id, source),
+        |q AS (SELECT quantile_cont(score_ulp, 0.3333333333333333) AS q1,
+        |             quantile_cont(score_ulp, 0.6666666666666666) AS q2 FROM scored)
+        |SELECT CASE WHEN score_ulp < q1 THEN 'tail'
+        |            WHEN score_ulp < q2 THEN 'middle' ELSE 'head' END AS bucket,
+        |  source, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+        |  MIN(score_ulp) AS min_ulp, MAX(score_ulp) AS max_ulp
+        |FROM scored CROSS JOIN q
+        |GROUP BY bucket, source ORDER BY bucket, source""".stripMargin,
     "t17_zipf_slope" ->
       """WITH toks AS (
         |  SELECT source, unnest(regexp_split_to_array(text, '\s+')) AS tok

@@ -648,6 +648,45 @@ class CorpusOpsSpec extends SparkSpec {
     }
   }
 
+  test("t18 perplexity buckets: terciles partition the corpus, scores ordered across buckets") {
+    val rows = operators.TextOps.queries("t18_perplexity_buckets")(spark, sf).collect()
+    val nDocs = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(rows.map(_.getLong(2)).sum == nDocs, "buckets partition the corpus")
+    val byBucket = rows.groupBy(_.getString(0)).view
+      .mapValues(rs => (rs.map(_.getLong(4)).min, rs.map(_.getLong(5)).max))
+      .toMap
+    assert(byBucket.keySet.subsetOf(Set("head", "middle", "tail")))
+    // cut points are < compares on the same rounded scores, so score
+    // ranges cannot overlap across buckets
+    for {
+      (lo, hi) <- Seq(("tail", "middle"), ("middle", "head"))
+      if byBucket.contains(lo) && byBucket.contains(hi)
+    } assert(byBucket(lo)._2 <= byBucket(hi)._1,
+      s"$lo max score must not exceed $hi min")
+  }
+
+  test("p13 unimax: saturated prefix, budget conserved up to integer floor") {
+    val rows = operators.PipelineOps.queries("p13_unimax_mix")(spark, sf).collect()
+    assert(rows.length == spark.read.parquet(s"$sf/documents.parquet")
+      .select("source").distinct().count())
+    val byCap = rows.sortBy(r => (r.getLong(2), r.getString(0)))
+    val satFlags = byCap.map(_.getInt(3))
+    assert(satFlags.zip(satFlags.tail).forall { case (a, b) => a >= b },
+      "saturation is a prefix of the capacity-ascending order")
+    rows.foreach { r =>
+      assert(r.getLong(4) <= r.getLong(2), "allocation never exceeds capacity")
+      if (r.getInt(3) == 1) assert(r.getLong(4) == r.getLong(2),
+        "a saturated source takes exactly its capacity")
+      assert(r.getLong(5) <= 40000L, "epochs never exceed the 4-epoch cap")
+    }
+    val capTotal = rows.map(_.getLong(2)).sum
+    val budget = capTotal * 19 / 20
+    val spent = rows.map(_.getLong(4)).sum
+    val nUnsat = rows.count(_.getInt(3) == 0)
+    assert(spent <= budget && budget - spent < math.max(nUnsat, 1),
+      "integer water-filling spends the budget up to the division floor")
+  }
+
   test("m06 phash dup groups: only real groups, canonical is a member minimum") {
     val rows = operators.MultimodalOps.queries("m06_phash_dup_groups")(spark, sf).collect()
     rows.foreach { r =>
