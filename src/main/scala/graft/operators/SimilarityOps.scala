@@ -733,6 +733,56 @@ object SimilarityOps {
            |ORDER BY cos DESC, vec_id ASC LIMIT 10""".stripMargin)
     }),
 
+    // Product-quantization reconstruction audit — the FOURTH index-
+    // compression knob priced before an index build (FAISS's PQ family),
+    // beside int8 byte width (s08/s11), LSH bits (s09/s10) and kept
+    // dims (s15): split each 64-dim vector into four contiguous 16-dim
+    // subspaces and quantize each subvector to its L2-nearest per-label
+    // sub-centroid — the codebook is the prebuilt ivfCentroids artifact
+    // sliced by subspace (s03's coarse-quantizer trick, deterministic
+    // and oracle-recomputable; a production PQ trains per-subspace
+    // k-means, s13's E+M step, but the audit arithmetic is identical).
+    // Output per label: integer-bp cosine of each vector to its
+    // reconstruction (the s08 shape — floor(round(cos,6)·1e4), so the
+    // bp is derived from an engine-identical rounded double) and how
+    // often a subspace code keeps the vector's own label. Cost shape:
+    // the corpus×K fan-out rides the (pos) equi-join with the broadcast
+    // centroid table — s13's E-step, linear in the corpus.
+    "s17_pq_error" -> ((s, d) => {
+      val SubDim = 16
+      val elems = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("label").as("orig"),
+          posexplode(col("embedding")).as(Seq("pos", "v")))
+        .withColumn("v", col("v").cast("double"))
+      val cent = ivfCentroids(s, d)
+        .select(col("label").as("clabel"), col("pos"), col("cv"))
+      val dists = elems.join(cent, Seq("pos"))
+        .withColumn("sub", expr(s"pos div $SubDim"))
+        .groupBy("vec_id", "orig", "sub", "clabel")
+        .agg(round(sum((col("v") - col("cv")) * (col("v") - col("cv"))), 6).as("d2"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("vec_id", "sub").orderBy(col("d2").asc, col("clabel").asc)
+      val codes = dists.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1).select("vec_id", "orig", "sub", "clabel")
+      val recon = elems.withColumn("sub", expr(s"pos div $SubDim"))
+        .join(codes, Seq("vec_id", "orig", "sub"))
+        .join(cent, Seq("clabel", "pos"))
+        .groupBy("vec_id", "orig")
+        .agg(floor(round(sum(col("v") * col("cv")) /
+          greatest(sqrt(sum(col("v") * col("v"))) * sqrt(sum(col("cv") * col("cv"))),
+            lit(1e-12)), 6) * 10000).cast("long").as("recon_bp"))
+      val codeStats = codes.groupBy("vec_id", "orig")
+        .agg(sum(when(col("clabel") === col("orig"), 1L).otherwise(0L)).as("own_codes"))
+      recon.join(codeStats, Seq("vec_id", "orig"))
+        .groupBy(col("orig").as("label"))
+        .agg(count(lit(1)).as("n_vecs"),
+          floor(sum("recon_bp") / count(lit(1))).cast("long").as("avg_recon_bp"),
+          min("recon_bp").as("min_recon_bp"),
+          floor(sum("own_codes") * 10000.0 / (count(lit(1)) * 4)).cast("long")
+            .as("own_code_bp"))
+        .orderBy("label")
+    }),
+
     // Mutual-kNN-graph audit — the embedding-space health check run
     // before any graph-based curation (SemDeDup-style clustering,
     // label-propagation, graph dedup): per label, the reciprocity of the
@@ -1286,6 +1336,46 @@ object SimilarityOps {
          |SELECT vec_id, ${cosSql("embedding", "qv", 6)} AS cos
          |FROM embeddings, q WHERE vec_id <> $QueryId
          |ORDER BY cos DESC, vec_id ASC LIMIT 10""".stripMargin,
+    // pos is 1-based here (generate_subscripts, the s03 convention) so
+    // the subspace id is (pos-1)//16 where Spark's 0-based is pos div 16
+    "s17_pq_error" ->
+      s"""WITH elems AS (
+         |  SELECT vec_id, label AS orig, generate_subscripts(embedding, 1) AS pos,
+         |         CAST(unnest(embedding) AS DOUBLE) AS v
+         |  FROM embeddings),
+         |cent AS (
+         |  SELECT orig AS clabel, pos, avg(v) AS cv
+         |  FROM elems GROUP BY orig, pos),
+         |d AS (
+         |  SELECT e.vec_id, e.orig, (e.pos - 1) // 16 AS sub, c.clabel,
+         |    ROUND(SUM((e.v - c.cv) * (e.v - c.cv)), 6) AS d2
+         |  FROM elems e JOIN cent c ON e.pos = c.pos
+         |  GROUP BY 1, 2, 3, 4),
+         |codes AS (
+         |  SELECT vec_id, orig, sub, clabel FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+         |                                 ORDER BY d2 ASC, clabel ASC) AS rn
+         |    FROM d)
+         |  WHERE rn = 1),
+         |rec AS (
+         |  SELECT e.vec_id, e.orig,
+         |    CAST(FLOOR(ROUND(SUM(e.v * c.cv)
+         |      / greatest(sqrt(SUM(e.v * e.v)) * sqrt(SUM(c.cv * c.cv)), 1e-12), 6)
+         |      * 10000) AS BIGINT) AS recon_bp
+         |  FROM elems e
+         |  JOIN codes k ON k.vec_id = e.vec_id AND k.sub = (e.pos - 1) // 16
+         |  JOIN cent c ON c.clabel = k.clabel AND c.pos = e.pos
+         |  GROUP BY 1, 2),
+         |cs AS (
+         |  SELECT vec_id, orig,
+         |    CAST(SUM(CASE WHEN clabel = orig THEN 1 ELSE 0 END) AS BIGINT) AS own_codes
+         |  FROM codes GROUP BY 1, 2)
+         |SELECT orig AS label, COUNT(*) AS n_vecs,
+         |  CAST(FLOOR(SUM(recon_bp) / COUNT(*)) AS BIGINT) AS avg_recon_bp,
+         |  MIN(recon_bp) AS min_recon_bp,
+         |  CAST(FLOOR(SUM(own_codes) * 10000.0 / (COUNT(*) * 4)) AS BIGINT) AS own_code_bp
+         |FROM rec JOIN cs USING (vec_id, orig)
+         |GROUP BY orig ORDER BY label""".stripMargin,
     "s16_knn_graph" ->
       s"""WITH sub AS (
          |  SELECT vec_id, label, embedding FROM embeddings

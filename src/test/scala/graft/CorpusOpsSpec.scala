@@ -648,6 +648,18 @@ class CorpusOpsSpec extends SparkSpec {
     }
   }
 
+  test("s17 pq error: bp fields bounded, census covers every vector") {
+    val sf01 = "/root/testdata/sf0.01"
+    val rows = operators.SimilarityOps.queries("s17_pq_error")(spark, sf01).collect()
+    val nVecs = Tables.embeddings(spark, sf01).count()
+    assert(rows.map(_.getLong(1)).sum == nVecs, "every vector is audited once")
+    rows.foreach { r =>
+      assert(r.getLong(3) <= r.getLong(2), "min bounded by mean")
+      assert(r.getLong(2) >= -10000 && r.getLong(2) <= 10000, "cosine bp range")
+      assert(r.getLong(4) >= 0 && r.getLong(4) <= 10000, "own-code share is a bp")
+    }
+  }
+
   test("t18 perplexity buckets: terciles partition the corpus, scores ordered across buckets") {
     val rows = operators.TextOps.queries("t18_perplexity_buckets")(spark, sf).collect()
     val nDocs = spark.read.parquet(s"$sf/documents.parquet").count()
