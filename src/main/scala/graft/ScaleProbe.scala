@@ -110,6 +110,7 @@ object ScaleProbe {
       "t17_zipf_slope", "p12_curriculum_phases", "s16_knn_graph",
       "m06_phash_dup_groups", "d23_band_sweep", "p13_unimax_mix",
       "t18_perplexity_buckets", "s17_pq_error",
+      "p14_leakage_safe_split", "t19_bpe_pair_census",
       "q38_asof_join", "q40_range_join", "q41_salted_join")
     subset.foreach { s =>
       val unknown = s -- allProbeQueries.toSet

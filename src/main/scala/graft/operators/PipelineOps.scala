@@ -473,6 +473,46 @@ object PipelineOps {
         .orderBy("phase", "source")
     }),
 
+    // Leakage-safe train/validation split — the assignment rule that
+    // prevents the classic eval-contamination bug: hash the CONTENT
+    // fingerprint, not the doc id, so every copy of a duplicated doc
+    // lands on the same side (an id-keyed split scatters copies across
+    // the boundary and the model "generalizes" to its own training
+    // set). 10% validation by the first md5 byte of the content hash —
+    // p02's deterministic hash-threshold rule, scan-local, no RNG.
+    // Output per source: both splits' doc/token books PLUS the audit
+    // both rules are judged by: distinct fingerprints that appear on
+    // BOTH sides under the content split (structurally 0) and under the
+    // id split (>0 whenever dups exist — the leak, quantified). A real
+    // pipeline ships the assignment column; the audit is the proof.
+    "p14_leakage_safe_split" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .withColumn("fp", md5(col("text")))
+        .withColumn("n_tok", regexp_count_fast(col("text"), "\\S+").cast("long"))
+        .withColumn("val_content", substring(col("fp"), 1, 2) < "1a")
+        .withColumn("val_id",
+          substring(md5(col("doc_id").cast("string")), 1, 2) < "1a")
+      // the leak audit is GLOBAL per fingerprint (the dangerous copies
+      // are the cross-source ones — a per-source grouping would hide
+      // exactly them); each leaked fingerprint is charged to its
+      // canonical holder, the min-doc_id copy's source (p11's rule)
+      val leaks = docs.groupBy("fp")
+        .agg(expr("min_by(source, doc_id)").as("source"),
+          countDistinct(col("val_content")).as("sides_content"),
+          countDistinct(col("val_id")).as("sides_id"))
+        .groupBy("source")
+        .agg(sum(when(col("sides_content") > 1, 1L).otherwise(0L)).as("leaked_content"),
+          sum(when(col("sides_id") > 1, 1L).otherwise(0L)).as("leaked_id"))
+      docs.groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("val_content"), 1L).otherwise(0L)).as("n_val"),
+          sum(when(col("val_content"), col("n_tok")).otherwise(0L)).as("val_tokens"),
+          sum(when(!col("val_content"), col("n_tok")).otherwise(0L)).as("train_tokens"))
+        .join(leaks, Seq("source"), "left_outer")
+        .na.fill(0L, Seq("leaked_content", "leaked_id"))
+        .orderBy("source")
+    }),
+
     // UniMax budget allocation (Chung et al. 2023) — the epochs-capped
     // uniform mixture: spend a token budget as evenly as possible across
     // sources, but never repeat a source past MaxEpochs epochs of its
@@ -820,6 +860,32 @@ object PipelineOps {
         |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
         |  MIN(ent) AS min_ent, MAX(ent) AS max_ent
         |FROM ph GROUP BY phase, source ORDER BY phase, source""".stripMargin,
+    "p14_leakage_safe_split" ->
+      """WITH d AS (
+        |  SELECT doc_id, source, md5(text) AS fp,
+        |    CAST(len(regexp_extract_all(text, '\S+', 0)) AS BIGINT) AS n_tok,
+        |    (substr(md5(text), 1, 2) < '1a') AS val_content,
+        |    (substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '1a') AS val_id
+        |  FROM documents),
+        |lk AS (
+        |  SELECT source,
+        |    CAST(SUM(CASE WHEN sc > 1 THEN 1 ELSE 0 END) AS BIGINT) AS leaked_content,
+        |    CAST(SUM(CASE WHEN si > 1 THEN 1 ELSE 0 END) AS BIGINT) AS leaked_id
+        |  FROM (SELECT fp, min_by(source, doc_id) AS source,
+        |               COUNT(DISTINCT val_content) AS sc,
+        |               COUNT(DISTINCT val_id) AS si
+        |        FROM d GROUP BY fp)
+        |  GROUP BY source),
+        |b AS (
+        |  SELECT source, COUNT(*) AS n_docs,
+        |    CAST(SUM(CASE WHEN val_content THEN 1 ELSE 0 END) AS BIGINT) AS n_val,
+        |    CAST(SUM(CASE WHEN val_content THEN n_tok ELSE 0 END) AS BIGINT) AS val_tokens,
+        |    CAST(SUM(CASE WHEN NOT val_content THEN n_tok ELSE 0 END) AS BIGINT) AS train_tokens
+        |  FROM d GROUP BY source)
+        |SELECT b.source, b.n_docs, b.n_val, b.val_tokens, b.train_tokens,
+        |  COALESCE(lk.leaked_content, 0) AS leaked_content,
+        |  COALESCE(lk.leaked_id, 0) AS leaked_id
+        |FROM b LEFT JOIN lk USING (source) ORDER BY source""".stripMargin,
     "p13_unimax_mix" ->
       """WITH t AS (
         |  SELECT doc_id, source,

@@ -482,6 +482,27 @@ object TextOps {
         .orderBy("bucket", "source")
     }),
 
+    // BPE pair census — iteration 1 of tokenizer training (Sennrich et
+    // al. 2016): the corpus-wide frequency of every adjacent character
+    // pair inside words; the argmax row IS the first merge a BPE
+    // tokenizer learns, and n_types says whether a pair's mass comes
+    // from one hot word or spreads across the vocabulary. One
+    // scan-local pair explode (the shingle kernel at length 2, inside
+    // words only) + one content-keyed rollup + bounded top-k — at
+    // 100 TB successive merge iterations reuse this census
+    // incrementally instead of rescanning (only counts touching the
+    // merged pair change), exactly how production BPE trainers work.
+    "t19_bpe_pair_census" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(explode(split(col("text"), "\\s+")).as("tok"))
+        .filter(col("tok") =!= "" && length(col("tok")) >= 2)
+        .withColumn("g", explode(sequence(lit(1), length(col("tok")) - 1)))
+        .withColumn("pair", col("tok").substr(col("g"), lit(2)))
+        .groupBy("pair")
+        .agg(count(lit(1)).as("n_occ"), countDistinct("tok").as("n_types"))
+        .orderBy(col("n_occ").desc, col("pair").asc)
+        .limit(20)),
+
     "t17_zipf_slope" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       val counts = Tables.documents(s, d)
@@ -770,6 +791,19 @@ object TextOps {
         |  MIN(score_ulp) AS min_ulp, MAX(score_ulp) AS max_ulp
         |FROM scored CROSS JOIN q
         |GROUP BY bucket, source ORDER BY bucket, source""".stripMargin,
+    "t19_bpe_pair_census" ->
+      """WITH toks AS (
+        |  SELECT unnest(regexp_split_to_array(text, '\s+')) AS tok
+        |  FROM documents),
+        |t2 AS (SELECT tok FROM toks WHERE tok <> '' AND length(tok) >= 2),
+        |pairs AS (
+        |  SELECT substr(tok, CAST(g AS INT), 2) AS pair, tok
+        |  FROM (SELECT tok, unnest(generate_series(1, length(tok) - 1)) AS g
+        |        FROM t2))
+        |SELECT pair, CAST(COUNT(*) AS BIGINT) AS n_occ,
+        |  CAST(COUNT(DISTINCT tok) AS BIGINT) AS n_types
+        |FROM pairs GROUP BY pair
+        |ORDER BY n_occ DESC, pair ASC LIMIT 20""".stripMargin,
     "t17_zipf_slope" ->
       """WITH toks AS (
         |  SELECT source, unnest(regexp_split_to_array(text, '\s+')) AS tok

@@ -648,6 +648,31 @@ class CorpusOpsSpec extends SparkSpec {
     }
   }
 
+  test("p14 leakage-safe split: content split never straddles a fingerprint") {
+    // sf0.1: the corpus there actually CONTAINS duplicated fingerprints,
+    // so the id-split leak is a real observed count, not vacuous zero
+    val sf01 = "/root/testdata/sf0.1"
+    val rows = operators.PipelineOps.queries("p14_leakage_safe_split")(spark, sf01).collect()
+    val nDocs = spark.read.parquet(s"$sf01/documents.parquet").count()
+    assert(rows.map(_.getLong(1)).sum == nDocs)
+    assert(rows.map(_.getLong(5)).sum == 0L,
+      "a content-keyed split cannot place one fingerprint on both sides")
+    assert(rows.map(_.getLong(6)).sum >= 1L,
+      "the id-keyed split leaks on this corpus — the bug the operator quantifies")
+    rows.foreach(r => assert(r.getLong(2) <= r.getLong(1)))
+  }
+
+  test("t19 bpe pair census: counts bounded by corpus pair mass, ordered desc") {
+    val rows = operators.TextOps.queries("t19_bpe_pair_census")(spark, sf).collect()
+    assert(rows.length == 20)
+    val occs = rows.map(_.getLong(1))
+    assert(occs.zip(occs.tail).forall { case (a, b) => a >= b })
+    rows.foreach { r =>
+      assert(r.getString(0).length == 2, "adjacent character pairs")
+      assert(r.getLong(2) <= r.getLong(1), "type count bounded by occurrences")
+    }
+  }
+
   test("s17 pq error: bp fields bounded, census covers every vector") {
     val sf01 = "/root/testdata/sf0.01"
     val rows = operators.SimilarityOps.queries("s17_pq_error")(spark, sf01).collect()
