@@ -749,6 +749,62 @@ object DedupOps {
           greatest(col("n_true"), lit(1L))).cast("long"))
         .select("b", "r", "n_candidates", "n_true", "n_detected", "recall_bp")
         .orderBy("r")
+    }),
+
+    // Sliding-window exact-substring coverage (the ExactSubstr half of
+    // Lee et al. 2022, restated at token granularity): d20's FIXED
+    // 10-token chunks miss any duplicate span that shifts by one token,
+    // so this op re-censuses with stride-1 OVERLAPPING windows — every
+    // 10-token window, hashed at the scan (xxhash64, 8-byte exchange
+    // keys: the d11 r8 lesson), a census keeping window contents seen
+    // in >= 2 DISTINCT docs, and a per-doc interval UNION
+    // (gaps-and-islands: a new island starts where st exceeds the
+    // running max end; island coverage = max(en) - min(st), exact
+    // because chained intervals are contiguous by construction) pricing
+    // the duplicated-token share per source. Cost shape at 100 TB: the
+    // window explode is corpus-linear (one row per token), the census
+    // is a content-keyed partial-agg rollup, the join-back is a
+    // left-semi on the 8-byte key, and the island pass shuffles only
+    // SHARED windows keyed by doc_id — no self-join, no fan-out
+    // anywhere. The oracle joins on the window STRING itself;
+    // identical modulo xxhash64 collisions (~1e-9 at 1e5 windows).
+    "d24_window_coverage" -> ((s, d) => {
+      val W = 10
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), split(col("text"), "\\s+").as("a"))
+        .withColumn("n_tok", size(col("a")))
+      val wins = docs.filter(col("n_tok") >= W)
+        .select(col("doc_id"), explode(expr(
+          s"transform(sequence(0, n_tok - $W)," +
+            s" i -> struct(i AS st, xxhash64(concat_ws(' ', slice(a, i+1, $W))) AS h))")).as("w"))
+        .select(col("doc_id"), col("w.st").as("st"), col("w.h").as("h"))
+      val shared = wins.groupBy("h")
+        .agg(countDistinct(col("doc_id")).as("nd"))
+        .filter(col("nd") >= 2).select("h")
+      val dup = wins.join(shared, Seq("h"), "left_semi")
+        .select(col("doc_id"), col("st"), (col("st") + W).as("en"))
+      val byDoc = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy("st")
+      val covered = dup
+        .withColumn("pmax", max("en").over(byDoc.rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)))
+        .withColumn("brk",
+          when(col("pmax").isNull || col("st") > col("pmax"), 1L).otherwise(0L))
+        .withColumn("isl", sum("brk").over(byDoc))
+        .groupBy("doc_id", "isl")
+        .agg((max("en") - min("st")).as("cov"))
+        .groupBy("doc_id").agg(sum("cov").cast("long").as("dup_tokens"))
+      docs.select("doc_id", "source", "n_tok")
+        .join(covered, Seq("doc_id"), "left_outer")
+        .withColumn("dup_tokens", coalesce(col("dup_tokens"), lit(0L)))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_tok").cast("long").as("tokens_total"),
+          sum("dup_tokens").as("tokens_dup"))
+        .withColumn("dup_bp", floor(col("tokens_dup") * 10000.0 /
+          greatest(col("tokens_total"), lit(1L))).cast("long"))
+        .select("source", "n_docs", "tokens_total", "tokens_dup", "dup_bp")
+        .orderBy("source")
     })
   )
 
@@ -1095,6 +1151,47 @@ object DedupOps {
          |LEFT JOIN cc ON cc.b = cfg.b AND cc.r = cfg.r
          |LEFT JOIN det ON det.b = cfg.b AND det.r = cfg.r
          |ORDER BY cfg.r""".stripMargin
-    }
+    },
+
+    // The oracle states d24's semantics over the window STRING (DuckDB
+    // has no xxhash64); the Spark plan carries the 8-byte hash instead.
+    "d24_window_coverage" ->
+      """WITH arr AS (
+        |  SELECT doc_id, source, regexp_split_to_array(text, '\s+') AS a
+        |  FROM documents),
+        |docs AS (SELECT doc_id, source, len(a) AS n_tok, a FROM arr),
+        |wins AS (
+        |  SELECT doc_id, CAST(i AS BIGINT) AS st,
+        |    array_to_string(a[CAST(i + 1 AS INT) : CAST(i + 10 AS INT)], ' ') AS w
+        |  FROM (SELECT doc_id, a, unnest(generate_series(0, len(a) - 10)) AS i
+        |        FROM docs WHERE n_tok >= 10) t),
+        |shared AS (SELECT w FROM wins GROUP BY w HAVING COUNT(DISTINCT doc_id) >= 2),
+        |dup AS (SELECT doc_id, st, st + 10 AS en
+        |        FROM wins WHERE w IN (SELECT w FROM shared)),
+        |marked AS (
+        |  SELECT doc_id, st, en,
+        |    CASE WHEN st > COALESCE(max(en) OVER (PARTITION BY doc_id ORDER BY st
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+        |      THEN 1 ELSE 0 END AS brk
+        |  FROM dup),
+        |isl AS (
+        |  SELECT doc_id, st, en,
+        |    sum(brk) OVER (PARTITION BY doc_id ORDER BY st
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g
+        |  FROM marked),
+        |cov AS (
+        |  SELECT doc_id, CAST(SUM(mx - mn) AS BIGINT) AS dup_tokens
+        |  FROM (SELECT doc_id, g, max(en) AS mx, min(st) AS mn
+        |        FROM isl GROUP BY doc_id, g)
+        |  GROUP BY doc_id),
+        |perdoc AS (
+        |  SELECT d.doc_id, d.source, d.n_tok, COALESCE(c.dup_tokens, 0) AS dup_tokens
+        |  FROM docs d LEFT JOIN cov c ON d.doc_id = c.doc_id)
+        |SELECT source, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_tok) AS BIGINT) AS tokens_total,
+        |  CAST(SUM(dup_tokens) AS BIGINT) AS tokens_dup,
+        |  CAST(FLOOR(SUM(dup_tokens) * 10000.0
+        |    / greatest(CAST(SUM(n_tok) AS BIGINT), 1)) AS BIGINT) AS dup_bp
+        |FROM perdoc GROUP BY source ORDER BY source""".stripMargin
   )
 }

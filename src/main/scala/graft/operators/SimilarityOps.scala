@@ -825,8 +825,78 @@ object SimilarityOps {
           floor(sum(when(col("lb") === col("la"), 1L).otherwise(0L)) * 10000.0 /
             count(lit(1))).cast("long").as("purity_bp"))
         .orderBy("label")
+    }),
+
+    // Range (radius) search — the FAISS `range_search` surface that
+    // top-k (s01) can't express: ALL neighbors with cos >= Tau per
+    // query, however many there are. Eight query vectors ride broadcast
+    // (the query side is 8 rows — never a shuffle); the corpus is
+    // scanned ONCE with the vec_dot codegen loop; per-query books are
+    // neighbor count and the strongest/weakest in-radius cosine. At
+    // 100 TB this is a single embarrassingly-parallel scan per query
+    // batch — the EXACT contract the s02 bucket funnel approximates
+    // when radius recall may be traded (priced by s05/s10); queries
+    // with an empty radius set drop out in both engines identically.
+    "s18_range_search" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val qs = emb.filter(col("vec_id") < RangeNq)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      emb.crossJoin(broadcast(qs))
+        .filter(col("vec_id") =!= col("qid"))
+        .withColumn("cos", cosCol)
+        .filter(col("cos") >= RangeTau)
+        .groupBy("qid")
+        .agg(count(lit(1)).as("n_in_radius"),
+          max("cos").as("max_cos"), min("cos").as("min_cos"))
+        .orderBy("qid")
+    }),
+
+    // IVF list-balance audit — the knob that prices s03's probe cost
+    // BEFORE committing an index build: nearest-centroid assignment
+    // (s13's E-step, one centroid-join reduction per vector), per-cell
+    // list sizes, and the imbalance factor IF = K·Σsz²/n² of the IVF
+    // literature (Jégou et al. 2011 §V; 1.0 = perfectly even lists). A
+    // query load that mirrors the data distribution scans IF× the
+    // even-split candidate count, so if_bp is a direct multiplier on
+    // s03's per-probe latency; scan_bp (= Σsz²/n²) restates it as the
+    // corpus share an nprobe=1 lookup touches. k_cells counts NONEMPTY
+    // cells — an empty list costs nothing at query time. Linear: the
+    // E-step fan-out is corpus×K (broadcastable centroid side), the
+    // rollup is K rows; at 100 TB the assignment is the index build's
+    // own persisted artifact and this audit is a grouped count over it.
+    "s19_ivf_balance" -> ((s, d) => {
+      val elems = Tables.embeddings(s, d)
+        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .withColumn("v", col("v").cast("double"))
+      val cent = ivfCentroids(s, d)
+        .select(col("label").as("clabel"), col("pos"), col("cv"))
+      val scores = elems.join(cent, Seq("pos"))
+        .groupBy("vec_id", "clabel")
+        .agg(round(sum(col("v") * col("cv")) /
+          greatest(sqrt(sum(col("v") * col("v"))) * sqrt(sum(col("cv") * col("cv"))),
+            lit(1e-12)), 6).as("cos"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("vec_id").orderBy(col("cos").desc, col("clabel").asc)
+      val sizes = scores.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .groupBy("clabel").agg(count(lit(1)).as("sz"))
+      sizes.agg(
+        count(lit(1)).as("k_cells"),
+        sum("sz").cast("long").as("n_vecs"),
+        max("sz").as("max_list"),
+        min("sz").as("min_list"),
+        floor(count(lit(1)) * sum(col("sz") * col("sz")) * 10000.0 /
+          (sum("sz") * sum("sz"))).cast("long").as("if_bp"),
+        floor(sum(col("sz") * col("sz")) * 10000.0 /
+          (sum("sz") * sum("sz"))).cast("long").as("scan_bp"))
     })
   )
+
+  /** s18 radius-search knobs: 8 broadcast queries; τ=0.30 sits just
+    * under this corpus's observed cosine ceiling (~0.37-0.49 per
+    * query), so every query keeps a non-trivial in-radius set. */
+  private val RangeNq = 8
+  private val RangeTau = 0.30
 
   /** Stage-1 survivor count of the two-stage funnel (s11). */
   private val CoarseK = 100
@@ -1404,6 +1474,47 @@ object SimilarityOps {
          |    CAST(FLOOR(SUM(CASE WHEN lb = la THEN 1 ELSE 0 END) * 10000.0
          |      / COUNT(*)) AS BIGINT) AS purity_bp
          |  FROM m GROUP BY la)
-         |ORDER BY label""".stripMargin
+         |ORDER BY label""".stripMargin,
+
+    "s18_range_search" ->
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv
+         |           FROM embeddings WHERE vec_id < $RangeNq),
+         |pairs AS (
+         |  SELECT q.qid, ${cosSql("e.embedding", "q.qv", 6)} AS c
+         |  FROM embeddings e, q WHERE e.vec_id <> q.qid)
+         |SELECT qid, COUNT(*) AS n_in_radius,
+         |  max(c) AS max_cos, min(c) AS min_cos
+         |FROM pairs WHERE c >= $RangeTau
+         |GROUP BY qid ORDER BY qid""".stripMargin,
+
+    "s19_ivf_balance" ->
+      """WITH elems AS (
+        |  SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+        |         CAST(unnest(embedding) AS DOUBLE) AS v
+        |  FROM embeddings),
+        |lelems AS (
+        |  SELECT label, generate_subscripts(embedding, 1) AS pos,
+        |         CAST(unnest(embedding) AS DOUBLE) AS v
+        |  FROM embeddings),
+        |cent AS (SELECT label AS clabel, pos, avg(v) AS cv FROM lelems GROUP BY 1, 2),
+        |scores AS (
+        |  SELECT e.vec_id, c.clabel,
+        |    ROUND(sum(e.v * c.cv) /
+        |      greatest(sqrt(sum(e.v * e.v)) * sqrt(sum(c.cv * c.cv)), 1e-12), 6) AS cos
+        |  FROM elems e JOIN cent c ON e.pos = c.pos
+        |  GROUP BY 1, 2),
+        |assign AS (
+        |  SELECT vec_id, clabel FROM (
+        |    SELECT vec_id, clabel,
+        |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, clabel ASC) AS rn
+        |    FROM scores) WHERE rn = 1),
+        |sizes AS (SELECT clabel, CAST(COUNT(*) AS BIGINT) AS sz FROM assign GROUP BY 1)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS k_cells,
+        |  CAST(SUM(sz) AS BIGINT) AS n_vecs,
+        |  CAST(MAX(sz) AS BIGINT) AS max_list,
+        |  CAST(MIN(sz) AS BIGINT) AS min_list,
+        |  CAST(FLOOR(COUNT(*) * SUM(sz * sz) * 10000.0 / (SUM(sz) * SUM(sz))) AS BIGINT) AS if_bp,
+        |  CAST(FLOOR(SUM(sz * sz) * 10000.0 / (SUM(sz) * SUM(sz))) AS BIGINT) AS scan_bp
+        |FROM sizes""".stripMargin
   )
 }

@@ -736,4 +736,74 @@ class CorpusOpsSpec extends SparkSpec {
     val nDocs = spark.read.parquet(s"$sf/documents.parquet").count()
     assert(rows.map(_.getLong(1)).sum <= nDocs)
   }
+
+  test("d24 window coverage equals a brute-force interval union at sf0.001") {
+    val out = operators.DedupOps.queries("d24_window_coverage")(spark, sf)
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val W = 10
+    // limit -1 mirrors Spark's split (trailing empties kept)
+    def toks(t: String) = t.split("\\s+", -1)
+    val wins = docs.flatMap { case (id, _, text) =>
+      val a = toks(text)
+      if (a.length >= W)
+        (0 to a.length - W).map(i => (id, i, a.slice(i, i + W).mkString(" ")))
+      else Seq.empty
+    }
+    val shared = wins.groupBy(_._3)
+      .filter(_._2.map(_._1).distinct.size >= 2).keySet
+    val covByDoc = wins.filter(w => shared(w._3)).groupBy(_._1).map {
+      case (id, ws) =>
+        val iv = ws.map(w => (w._2, w._2 + W)).sortBy(_._1)
+        var tot = 0L; var curS = -1; var curE = -1
+        iv.foreach { case (s0, e0) =>
+          if (s0 > curE) { if (curE >= 0) tot += curE - curS; curS = s0; curE = e0 }
+          else curE = math.max(curE, e0)
+        }
+        if (curE >= 0) tot += curE - curS
+        id -> tot
+    }
+    val expect = docs.groupBy(_._2).map { case (src, ds) =>
+      val nTok = ds.map(dd => toks(dd._3).length.toLong).sum
+      val dup = ds.map(dd => covByDoc.getOrElse(dd._1, 0L)).sum
+      src -> ((ds.size.toLong, nTok, dup,
+        math.floor(dup * 10000.0 / math.max(nTok, 1L)).toLong))
+    }
+    assert(out == expect)
+  }
+
+  test("s18 range search: bounds hold and qid 0 agrees with s01's exact top-k") {
+    val rows = operators.SimilarityOps.queries("s18_range_search")(spark, sf)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    rows.values.foreach { case (n, mx, mn) =>
+      assert(n >= 1L && mn >= 0.30 && mx <= 1.0 && mn <= mx)
+    }
+    val s01 = operators.SimilarityOps.queries("s01_cosine_topk")(spark, sf)
+      .collect().map(r => r.getDouble(1))
+    val inRadius = s01.filter(_ >= 0.30)
+    rows.get(0L).foreach { case (n, mx, _) =>
+      if (inRadius.nonEmpty) {
+        assert(mx == inRadius.max, "radius max is the exact top-1 cosine")
+        assert(n >= inRadius.length, "top-k rows inside the radius are counted")
+      }
+    }
+  }
+
+  test("s19 ivf balance: census conserves the corpus, IF >= 1, k x scan ~ IF") {
+    val r = operators.SimilarityOps.queries("s19_ivf_balance")(spark, sf)
+      .collect().head
+    val (k, n, mx, mn, ifBp, scanBp) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+    val nVecs = spark.read.parquet(s"$sf/embeddings.parquet").count()
+    assert(n == nVecs, "every vector lands in exactly one list")
+    assert(mn >= 1 && mx >= mn && mx <= n)
+    assert(ifBp >= 10000L, "imbalance factor is bounded below by the even split")
+    assert(math.abs(ifBp - k * scanBp) < math.max(k, 1L),
+      "IF and nprobe=1 scan share restate each other up to the floor")
+  }
 }
