@@ -111,6 +111,7 @@ object ScaleProbe {
       "m06_phash_dup_groups", "d23_band_sweep", "p13_unimax_mix",
       "t18_perplexity_buckets", "s17_pq_error",
       "p14_leakage_safe_split", "t19_bpe_pair_census",
+      "d24_window_coverage", "s18_range_search", "s19_ivf_balance",
       "q38_asof_join", "q40_range_join", "q41_salted_join")
     subset.foreach { s =>
       val unknown = s -- allProbeQueries.toSet
@@ -122,7 +123,7 @@ object ScaleProbe {
 
     def timeOnce(name: String, dir: String): Double = {
       val t0 = System.nanoTime()
-      SparkEntry.queries(name)(spark, dir).count()
+      Bench.force(SparkEntry.queries(name)(spark, dir))
       (System.nanoTime() - t0) / 1e9
     }
 

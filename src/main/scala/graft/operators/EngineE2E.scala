@@ -700,6 +700,96 @@ object EngineE2E {
       }
     }),
 
+    // Streaming LEFT OUTER interval join — the semantics e2e_stream_join's
+    // inner join can't show: an error with NO click in its trailing hour
+    // must still emit, null-padded, and in a stream that row can only
+    // materialize once the watermark proves no matching click can still
+    // arrive (state eviction time, not arrival time). TWO typed
+    // sentinels — one per side, since each side's watermark advances
+    // from its own post-filter stream — push both watermarks 3 days
+    // past the seed so every pending null-pad flushes deterministically;
+    // the rollup drops them. Matched rows emit on match (same plan as
+    // the inner fixture); the unmatched count per error is the outer
+    // join's own contribution. At 100 TB/day the state bound is the
+    // interval width × arrival rate per side, RocksDB-backed like every
+    // fixture here.
+    "e2e_stream_outer_join" -> ((s, d) => withScratch("graft-e2e-stream") { dir =>
+      val cols = Seq("event_id", "ts", "user_id", "event_type")
+      val seed = seedInput(s, d, dir, cols)
+      def stream = fileStream(s, dir)
+        .withColumn("ts", col("ts").cast("timestamp")) // NTZ→LTZ, UTC session
+      val errors = stream.filter(col("event_type") === "error")
+        .select(col("event_id").as("err_id"), col("user_id").as("e_uid"),
+          col("ts").as("e_ts"))
+        .withWatermark("e_ts", "1 hour")
+      val clicks = stream.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id").as("c_uid"),
+          col("ts").as("c_ts"))
+        .withWatermark("c_ts", "1 hour")
+      val name = sinkName("so_")
+      drainAndRollup(s, name,
+        () => errors.join(clicks,
+            col("e_uid") === col("c_uid") &&
+              col("c_ts") > col("e_ts") - expr("INTERVAL 1 HOUR") &&
+              col("c_ts") <= col("e_ts"),
+            "leftOuter")
+          .writeStream.outputMode("append").format("memory").queryName(name).start(),
+        betweenBatches = Seq(
+          () => appendSentinel(seed, dir,
+            Seq("event_id" -> -1L, "user_id" -> -1L, "event_type" -> "error"), cols),
+          () => appendSentinel(seed, dir,
+            Seq("event_id" -> -2L, "user_id" -> -1L, "event_type" -> "click"), cols))) {
+        _.filter(col("err_id") >= 0L)
+          .groupBy("err_id")
+          .agg(count(lit(1)).as("n_rows"),
+            sum(when(col("click_id").isNull, 1L).otherwise(0L)).as("n_unmatched"))
+          .orderBy("err_id")
+      }
+    }),
+
+    // Late-data ACCOUNTING: the operational other half of watermarking.
+    // A windowed aggregation emits day windows in append mode; after the
+    // watermark has advanced 3 days past the seed, one deliberately-late
+    // row (stamped at the seed's OLDEST instant) arrives. The watermark
+    // contract says stateful operators filter it before it can touch
+    // already-finalized state, and `numRowsDroppedByWatermark` must
+    // record the drop — the metric an operator team alerts on at
+    // 100 TB/day, where silent late-drop is data loss with no symptom.
+    // The fixture publishes the observed drop count as a column, so the
+    // oracle (which expects exactly the seed's windows and exactly one
+    // drop) fails EITHER if the late row leaks into a window OR if the
+    // drop goes unrecorded.
+    "e2e_stream_late" -> ((s, d) => withScratch("graft-e2e-stream") { dir =>
+      val cols = Seq("event_id", "ts", "event_type", "value")
+      val seed = seedInput(s, d, dir, cols)
+      val name = sinkName("sl_")
+      @volatile var dropped = 0L
+      drainAndRollup(s, name,
+        () => fileStream(s, dir)
+          .withColumn("ts", col("ts").cast("timestamp"))
+          .withWatermark("ts", "1 hour")
+          .groupBy(window(col("ts"), "1 day"), col("event_type"))
+          .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total_v"))
+          .writeStream.outputMode("append").format("memory").queryName(name).start(),
+        betweenBatches = Seq(
+          () => appendSentinel(seed, dir,
+            Seq("event_id" -> -1L, "event_type" -> "sentinel", "value" -> 0.0), cols),
+          () => seed.agg(min("ts").as("ts"))
+            .withColumn("event_id", lit(-2L))
+            .withColumn("event_type", lit("late"))
+            .withColumn("value", lit(1.0))
+            .select(cols.map(col): _*)
+            .write.mode("append").parquet(s"$dir/input")),
+        afterDrain = q => dropped = q.recentProgress.iterator
+          .flatMap(p => Option(p.stateOperators).toSeq.flatten)
+          .map(_.numRowsDroppedByWatermark).sum) {
+        _.select(col("window.start").cast("date").as("day"),
+            col("event_type"), col("n"), col("total_v"))
+          .withColumn("n_late_dropped", lit(dropped))
+          .orderBy("day", "event_type")
+      }
+    }),
+
     // Streaming SESSION windows: gap-based session_window aggregation
     // with a watermark — q25's sessionization as a continuous query
     // (session state merges as events arrive; a session emits once the
@@ -1251,6 +1341,30 @@ object EngineE2E {
         |  AND c.ts > e.ts - INTERVAL 1 HOUR AND c.ts <= e.ts
         |WHERE e.event_type = 'error'
         |GROUP BY e.event_id ORDER BY err_id""".stripMargin,
+    // the outer fixture's null-pads only flush once the watermark proves
+    // no click can still arrive, so its drained sink equals the batch
+    // LEFT JOIN over the seed exactly
+    "e2e_stream_outer_join" ->
+      """WITH seed AS (SELECT * FROM events ORDER BY event_id LIMIT 1000),
+        |e AS (SELECT event_id AS err_id, user_id, ts FROM seed
+        |      WHERE event_type = 'error'),
+        |c AS (SELECT event_id AS click_id, user_id, ts FROM seed
+        |      WHERE event_type = 'click')
+        |SELECT e.err_id, COUNT(*) AS n_rows,
+        |  CAST(SUM(CASE WHEN c.click_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_unmatched
+        |FROM e LEFT JOIN c
+        |  ON c.user_id = e.user_id
+        |  AND c.ts > e.ts - INTERVAL 1 HOUR AND c.ts <= e.ts
+        |GROUP BY e.err_id ORDER BY err_id""".stripMargin,
+    // the late sentinel must be dropped (not aggregated) AND its drop
+    // must be metered — hence the constant-1 n_late_dropped column
+    "e2e_stream_late" ->
+      """WITH seed AS (SELECT * FROM events ORDER BY event_id LIMIT 1000)
+        |SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+        |  COUNT(*) AS n, ROUND(SUM(value), 2) AS total_v,
+        |  CAST(1 AS BIGINT) AS n_late_dropped
+        |FROM seed GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin,
     "e2e_stream_session" ->
       """WITH seed AS (SELECT * FROM events ORDER BY event_id LIMIT 1000),
         |g AS (

@@ -529,8 +529,36 @@ object TextOps {
           floor(col("top1_cnt") * 10000.0 / col("stot")).cast("long"))
         .select(col("source"), col("n_top"), col("slope"), col("top1_bp"))
         .orderBy("source")
+    }),
+
+    // Encoding-quality audit per source (the CCNet/RefinedWeb ingest
+    // hygiene pass): replacement chars (U+FFFD — a decoder already gave
+    // up), raw C0 control chars (binary mixed into text), and the
+    // printable-ASCII share in basis points. Corpora scraped at 100 TB
+    // always carry a mojibake tail; this op localizes it per source so
+    // the mix stage can discount or re-decode. One scan, three codegen'd
+    // regexp counters, one partial-agg rollup — the t02 cost shape.
+    "t20_encoding_audit" -> ((s, d) => {
+      val nRepl = regexp_count_fast(col("text"), "�")
+      val nCtrl = regexp_count_fast(col("text"), CtrlChar)
+      val nAscii = regexp_count_fast(col("text"), "[\\x20-\\x7e]")
+      Tables.documents(s, d)
+        .select(col("source"), length(col("text")).cast("long").as("len"),
+          nRepl.cast("long").as("nr"), nCtrl.cast("long").as("nc"),
+          nAscii.cast("long").as("na"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("nr").as("n_replacement"),
+          sum("nc").as("n_control"),
+          floor(sum("na") * 10000.0 / greatest(sum("len"), lit(1L)))
+            .cast("long").as("ascii_bp"),
+          count(when(col("nr") > 0 || col("nc") > 0, 1)).as("n_docs_flagged"))
+        .orderBy("source")
     })
   )
+
+  /** C0 control chars except tab/newline/CR (RE2- and JDK-safe class). */
+  private val CtrlChar = "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]"
 
   /** '#' or ASCII ellipsis — the Gopher symbol-ratio numerator. */
   private val SymTok = "#|\\.\\.\\."
@@ -832,6 +860,20 @@ object TextOps {
         |      / (f.n_top * f.sxx - f.sx * f.sx), 4) AS slope,
         |  CAST(FLOOR(f.top1_cnt * 10000.0 / s.stot) AS BIGINT) AS top1_bp
         |FROM fit f JOIN stot s USING (source)
-        |ORDER BY f.source""".stripMargin
+        |ORDER BY f.source""".stripMargin,
+
+    "t20_encoding_audit" ->
+      s"""WITH c AS (
+         |  SELECT source, length(text) AS len,
+         |    len(regexp_extract_all(text, '�', 0)) AS nr,
+         |    len(regexp_extract_all(text, '$CtrlChar', 0)) AS nc,
+         |    len(regexp_extract_all(text, '[\\x20-\\x7e]', 0)) AS na
+         |  FROM documents)
+         |SELECT source, COUNT(*) AS n_docs,
+         |  CAST(SUM(nr) AS BIGINT) AS n_replacement,
+         |  CAST(SUM(nc) AS BIGINT) AS n_control,
+         |  CAST(FLOOR(SUM(na) * 10000.0 / greatest(SUM(len), 1)) AS BIGINT) AS ascii_bp,
+         |  COUNT(CASE WHEN nr > 0 OR nc > 0 THEN 1 END) AS n_docs_flagged
+         |FROM c GROUP BY source ORDER BY source""".stripMargin
   )
 }

@@ -806,4 +806,97 @@ class CorpusOpsSpec extends SparkSpec {
     assert(math.abs(ifBp - k * scanBp) < math.max(k, 1L),
       "IF and nprobe=1 scan share restate each other up to the floor")
   }
+
+  test("streaming left-outer interval join matches its batch twin, null-pads flushed") {
+    val out = operators.EngineE2E.queries("e2e_stream_outer_join")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val seed = Tables.events(spark, sf).orderBy("event_id").limit(1000)
+    val e = seed.filter(col("event_type") === "error")
+      .select(col("event_id").as("err_id"), col("user_id").as("eu"), col("ts").as("ets"))
+    val c = seed.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("cu"), col("ts").as("cts"))
+    val batch = e.join(c,
+        col("cu") === col("eu") &&
+          col("cts") > col("ets") - expr("INTERVAL 1 HOUR") &&
+          col("cts") <= col("ets"),
+        "left_outer")
+      .groupBy("err_id")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("click_id").isNull, 1L).otherwise(0L)).as("n_unmatched"))
+      .orderBy("err_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(out == batch)
+    assert(out.exists(_._3 == 1L),
+      "at least one error emits null-padded — the outer path is exercised")
+  }
+
+  test("d25 edit-distance verify agrees with a reference DP on every pair") {
+    def lev(a: String, b: String): Long = {
+      val dp = Array.tabulate(b.length + 1)(_.toLong)
+      for (i <- 1 to a.length) {
+        var diag = dp(0); dp(0) = i.toLong
+        for (j <- 1 to b.length) {
+          val cur = math.min(math.min(dp(j) + 1, dp(j - 1) + 1),
+            diag + (if (a(i - 1) == b(j - 1)) 0 else 1))
+          diag = dp(j); dp(j) = cur
+        }
+      }
+      dp(b.length)
+    }
+    val rows = operators.DedupOps.queries("d25_editdist_verify")(spark, sf).collect()
+    assert(rows.nonEmpty, "sf0.001 must produce LSH candidate pairs to verify")
+    val texts = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).take(400)).toMap
+    rows.foreach { r =>
+      val (d1, d2, l, bp, dup) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4))
+      val full = lev(texts(d1), texts(d2))
+      val expected = if (full > 80L) -1L else full
+      assert(l == expected, s"levenshtein($d1,$d2): got $l, capped DP says $expected")
+      val mx = math.max(texts(d1).length, texts(d2).length).toLong
+      if (l >= 0) assert(bp == math.floor(10000.0 * (mx - l) / mx).toLong)
+      else assert(bp == -1L)
+      assert(dup == (bp >= 8000L))
+    }
+    assert(rows.map(r => (r.getLong(0), r.getLong(1))).sorted.sameElements(
+      rows.map(r => (r.getLong(0), r.getLong(1)))), "ordered by (d1, d2)")
+  }
+
+  test("t20 encoding audit matches a brute-force recount per source") {
+    val rows = operators.TextOps.queries("t20_encoding_audit")(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("source", "text").collect().map(r => (r.getString(0), r.getString(1)))
+    val expected = docs.groupBy(_._1).map { case (src, ds) =>
+      val nr = ds.map(_._2.count(_ == '�').toLong).sum
+      val nc = ds.map(_._2.count(c => c < 0x20 && c != '\t' && c != '\n' && c != '\r').toLong).sum
+      val na = ds.map(_._2.count(c => c >= 0x20 && c <= 0x7e).toLong).sum
+      val len = ds.map(_._2.length.toLong).sum
+      val flagged = ds.count { case (_, t) =>
+        t.exists(_ == '�') || t.exists(c => c < 0x20 && c != '\t' && c != '\n' && c != '\r')
+      }.toLong
+      src -> (ds.length.toLong, nr, nc,
+        math.floor(na * 10000.0 / math.max(len, 1L)).toLong, flagged)
+    }
+    assert(rows == expected)
+    rows.values.foreach { case (_, _, _, asciiBp, _) => assert(asciiBp <= 10000L) }
+  }
+
+  test("e2e_stream_late drops the late row, meters the drop, matches its batch twin") {
+    val out = operators.EngineE2E.queries("e2e_stream_late")(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach(r => assert(r.getLong(4) == 1L,
+      "exactly one late row must be recorded as dropped by the watermark"))
+    val batch = Tables.events(spark, sf).orderBy("event_id").limit(1000)
+      .groupBy(col("ts").cast("date").as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total_v"))
+      .orderBy("day", "event_type").collect()
+      .map(r => (r.getDate(0).toString, r.getString(1), r.getLong(2), r.getDouble(3)))
+    val streamed = out.map(r =>
+      (r.getDate(0).toString, r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(streamed.toSeq == batch.toSeq,
+      "the late row must not perturb any finalized window")
+  }
 }
