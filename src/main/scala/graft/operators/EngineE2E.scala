@@ -18,6 +18,11 @@ import graft.worker.{BatchTracker, SchedulerEngine, WorkerCore, WorkerEngine}
   * Seeding uses the distributed bulk path (a Dataset[Job] transform, no
   * driver materialization) — the same shape a 100 TB pipeline would use.
   */
+/** e2e_stream_burst state: buffered event-times (µs) for one user. */
+case class BurstBuf(ts: Seq[Long])
+/** e2e_stream_burst emission: one finalized ≥3-error burst. */
+case class BurstOut(user_id: Long, burst_start: java.sql.Timestamp, n_errors: Long)
+
 object EngineE2E {
 
   // Deterministic job functions for the e2e runs.
@@ -790,6 +795,78 @@ object EngineE2E {
       }
     }),
 
+    // Custom keyed state machine via flatMapGroupsWithState — the API
+    // tier below built-in windows/sessions, exercised here USER-FACING
+    // (the engine's BatchTracker uses it internally): per-user error
+    // BURSTS — maximal runs of ≥3 errors with consecutive gaps ≤ 24 h.
+    // Unlike session_window (which could count), a burst needs the
+    // island's ORDERED member list, so the state buffers event times and
+    // finalizes on EVENT-TIME TIMEOUT set to (max buffered ts + gap):
+    // when that timeout fires, the watermark exceeds every buffered
+    // ts + gap, so any future event provably starts a NEW island —
+    // finalization is safe without seeing the future. State per key is
+    // bounded by the watermark horizon; RocksDB-backed like every
+    // fixture here. The sentinel user (-1) advances the watermark but
+    // its timeout (sentinel ts + gap > final watermark) never fires, so
+    // it never emits.
+    "e2e_stream_burst" -> ((s, d) => withScratch("graft-e2e-stream") { dir =>
+      import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+      val cols = Seq("event_id", "ts", "user_id", "event_type")
+      val seed = seedInput(s, d, dir, cols)
+      val name = sinkName("sb_")
+      val GapMicros = 24L * 3600L * 1000000L
+      def micros(t: java.sql.Timestamp): Long =
+        t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+      def toTs(us: Long): java.sql.Timestamp = {
+        val t = new java.sql.Timestamp(us / 1000L)
+        t.setNanos(((us % 1000000L) * 1000L).toInt)
+        t
+      }
+      def fn(user: Long, rows: Iterator[(Long, java.sql.Timestamp)],
+          state: GroupState[BurstBuf]): Iterator[BurstOut] =
+        if (state.hasTimedOut) {
+          val ts = state.get.ts.sorted
+          state.remove()
+          val islands = ts.foldLeft(List.empty[List[Long]]) {
+            case (Nil, t) => List(List(t))
+            case (cur :: done, t) =>
+              if (t - cur.head > GapMicros) List(t) :: cur :: done
+              else (t :: cur) :: done
+          }
+          islands.reverse.iterator
+            .map(isl => (isl.last, isl.length)) // isl is reversed: last = start
+            .filter(_._2 >= 3)
+            .map { case (st, n) => BurstOut(user, toTs(st), n.toLong) }
+        } else {
+          val buf = state.getOption.map(_.ts).getOrElse(Seq.empty) ++
+            rows.map(r => micros(r._2))
+          state.update(BurstBuf(buf))
+          state.setTimeoutTimestamp((buf.max + GapMicros) / 1000L)
+          Iterator.empty
+        }
+      drainAndRollup(s, name,
+        () => {
+          import s.implicits._
+          fileStream(s, dir)
+            .withColumn("ts", col("ts").cast("timestamp"))
+            .filter(col("event_type") === "error")
+            .withWatermark("ts", "1 hour")
+            .select(col("user_id"), col("ts"))
+            .as[(Long, java.sql.Timestamp)]
+            .groupByKey(_._1)
+            .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
+            .toDF()
+            .writeStream.outputMode("append").format("memory").queryName(name).start()
+        },
+        betweenBatches = Seq(() => appendSentinel(seed, dir,
+          Seq("event_id" -> -1L, "user_id" -> -1L, "event_type" -> "error"), cols))) {
+        _.filter(col("user_id") >= 0L)
+          .select(col("user_id"), col("burst_start").cast("timestamp_ntz"),
+            col("n_errors"))
+          .orderBy("user_id", "burst_start")
+      }
+    }),
+
     // Streaming SESSION windows: gap-based session_window aggregation
     // with a watermark — q25's sessionization as a continuous query
     // (session state merges as events arrive; a session emits once the
@@ -1357,6 +1434,25 @@ object EngineE2E {
         |  ON c.user_id = e.user_id
         |  AND c.ts > e.ts - INTERVAL 1 HOUR AND c.ts <= e.ts
         |GROUP BY e.err_id ORDER BY err_id""".stripMargin,
+    // bursts finalize on event-time timeout; the drained sink equals the
+    // batch gaps-and-islands restatement over the seed's error rows
+    "e2e_stream_burst" ->
+      """WITH seed AS (SELECT * FROM events ORDER BY event_id LIMIT 1000),
+        |e AS (SELECT user_id, ts FROM seed WHERE event_type = 'error'),
+        |m AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR ts - lag(ts) OVER w > INTERVAL 24 HOUR THEN 1 ELSE 0 END AS brk
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |isl AS (
+        |  SELECT user_id, ts,
+        |    SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g
+        |  FROM m),
+        |b AS (SELECT user_id, MIN(ts) AS burst_start, COUNT(*) AS n_errors
+        |      FROM isl GROUP BY user_id, g)
+        |SELECT user_id, burst_start, n_errors FROM b
+        |WHERE n_errors >= 3 ORDER BY user_id, burst_start""".stripMargin,
     // the late sentinel must be dropped (not aggregated) AND its drop
     // must be metered — hence the constant-1 n_late_dropped column
     "e2e_stream_late" ->

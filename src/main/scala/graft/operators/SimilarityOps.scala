@@ -889,6 +889,49 @@ object SimilarityOps {
           (sum("sz") * sum("sz"))).cast("long").as("if_bp"),
         floor(sum(col("sz") * col("sz")) * 10000.0 /
           (sum("sz") * sum("sz"))).cast("long").as("scan_bp"))
+    }),
+
+    // Embedding-distribution drift between the existing corpus and a new
+    // batch — t16's token-drift monitor restated in embedding space (the
+    // signal that decides whether yesterday's ANN index / semantic-dedup
+    // thresholds still apply to today's crawl). Same base/batch split
+    // convention as d14 (first 80% of vec_ids = base). Per label: both
+    // half-centroids (per-dim means), their cosine, and the centroid
+    // norm ratio — a cosine near 1 with a norm ratio far from 1 flags
+    // magnitude drift that cosine alone hides. Scale shape: one
+    // corpus×dims explode into a (label, half, pos)-keyed partial-agg
+    // rollup (map-side combined, centroids are labels×2×64 rows), then
+    // label-sized joins — no pairwise term, no per-vector state.
+    "s20_embedding_drift" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val bound = emb.agg(floor(max("vec_id") * 0.8).cast("long").as("bnd"))
+      val halved = emb.crossJoin(broadcast(bound))
+        .withColumn("half",
+          when(col("vec_id") <= col("bnd"), "base").otherwise("batch"))
+      val counts = halved.groupBy("label")
+        .agg(count(when(col("half") === "base", 1)).as("n_base"),
+          count(when(col("half") === "batch", 1)).as("n_batch"))
+      val cent = halved
+        .select(col("label"), col("half"),
+          posexplode(col("embedding")).as(Seq("pos", "v")))
+        .withColumn("v", col("v").cast("double"))
+        .groupBy("label", "half", "pos")
+        .agg(avg("v").as("cv"))
+      val base = cent.filter(col("half") === "base")
+        .select(col("label"), col("pos"), col("cv").as("b"))
+      val batch = cent.filter(col("half") === "batch")
+        .select(col("label"), col("pos"), col("cv").as("t"))
+      base.join(batch, Seq("label", "pos"))
+        .groupBy("label")
+        .agg(
+          round(sum(col("b") * col("t")) /
+            greatest(sqrt(sum(col("b") * col("b"))) * sqrt(sum(col("t") * col("t"))),
+              lit(1e-12)), 6).as("centroid_cos"),
+          round(sqrt(sum(col("t") * col("t"))) /
+            greatest(sqrt(sum(col("b") * col("b"))), lit(1e-12)), 6).as("cnorm_ratio"))
+        .join(counts, Seq("label"))
+        .select("label", "n_base", "n_batch", "centroid_cos", "cnorm_ratio")
+        .orderBy("label")
     })
   )
 
@@ -1515,6 +1558,37 @@ object SimilarityOps {
         |  CAST(MIN(sz) AS BIGINT) AS min_list,
         |  CAST(FLOOR(COUNT(*) * SUM(sz * sz) * 10000.0 / (SUM(sz) * SUM(sz))) AS BIGINT) AS if_bp,
         |  CAST(FLOOR(SUM(sz * sz) * 10000.0 / (SUM(sz) * SUM(sz))) AS BIGINT) AS scan_bp
-        |FROM sizes""".stripMargin
+        |FROM sizes""".stripMargin,
+
+    "s20_embedding_drift" ->
+      """WITH bnd AS (
+        |  SELECT CAST(FLOOR(max(vec_id) * 0.8) AS BIGINT) AS b FROM embeddings),
+        |halved AS (
+        |  SELECT e.*, CASE WHEN e.vec_id <= bnd.b THEN 'base' ELSE 'batch' END AS half
+        |  FROM embeddings e CROSS JOIN bnd),
+        |counts AS (
+        |  SELECT label,
+        |    COUNT(CASE WHEN half = 'base' THEN 1 END) AS n_base,
+        |    COUNT(CASE WHEN half = 'batch' THEN 1 END) AS n_batch
+        |  FROM halved GROUP BY label),
+        |elems AS (
+        |  SELECT label, half, generate_subscripts(embedding, 1) AS pos,
+        |         CAST(unnest(embedding) AS DOUBLE) AS v
+        |  FROM halved),
+        |cent AS (SELECT label, half, pos, avg(v) AS cv FROM elems GROUP BY 1, 2, 3),
+        |paired AS (
+        |  SELECT b.label, b.pos, b.cv AS bv, t.cv AS tv
+        |  FROM (SELECT * FROM cent WHERE half = 'base') b
+        |  JOIN (SELECT * FROM cent WHERE half = 'batch') t
+        |    ON b.label = t.label AND b.pos = t.pos),
+        |drift AS (
+        |  SELECT label,
+        |    ROUND(SUM(bv * tv) /
+        |      greatest(sqrt(SUM(bv * bv)) * sqrt(SUM(tv * tv)), 1e-12), 6) AS centroid_cos,
+        |    ROUND(sqrt(SUM(tv * tv)) / greatest(sqrt(SUM(bv * bv)), 1e-12), 6) AS cnorm_ratio
+        |  FROM paired GROUP BY label)
+        |SELECT d.label, c.n_base, c.n_batch, d.centroid_cos, d.cnorm_ratio
+        |FROM drift d JOIN counts c ON d.label = c.label
+        |ORDER BY d.label""".stripMargin
   )
 }

@@ -884,6 +884,44 @@ class CorpusOpsSpec extends SparkSpec {
     rows.values.foreach { case (_, _, _, asciiBp, _) => assert(asciiBp <= 10000L) }
   }
 
+  test("s20 embedding drift: full-label coverage, counts conserve, cosine bounded") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val nVec = emb.count()
+    val nLabels = emb.select("label").distinct().count()
+    val rows = operators.SimilarityOps.queries("s20_embedding_drift")(spark, sf).collect()
+    assert(rows.length == nLabels, "one drift row per label (both halves populated)")
+    assert(rows.map(r => r.getLong(1) + r.getLong(2)).sum == nVec,
+      "base + batch counts conserve the corpus")
+    rows.foreach { r =>
+      assert(r.getLong(1) > 0 && r.getLong(2) > 0)
+      val cos = r.getDouble(3)
+      assert(cos >= -1.0 && cos <= 1.0)
+      assert(r.getDouble(4) > 0.0)
+    }
+  }
+
+  test("e2e_stream_burst equals the batch gaps-and-islands twin and finds a real burst") {
+    val out = operators.EngineE2E.queries("e2e_stream_burst")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.get(1).toString, r.getLong(2)))
+    assert(out.nonEmpty, "the seed must contain at least one >=3-error burst")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts")
+    val batch = Tables.events(spark, sf).orderBy("event_id").limit(1000)
+      .filter(col("event_type") === "error")
+      .select("user_id", "ts")
+      .withColumn("prev", lag("ts", 1).over(w))
+      .withColumn("brk", when(col("prev").isNull ||
+        col("ts") > col("prev") + expr("INTERVAL 24 HOUR"), 1L).otherwise(0L))
+      .withColumn("g", sum("brk").over(w))
+      .groupBy("user_id", "g")
+      .agg(min("ts").as("burst_start"), count(lit(1)).as("n_errors"))
+      .filter(col("n_errors") >= 3)
+      .select("user_id", "burst_start", "n_errors")
+      .orderBy("user_id", "burst_start")
+      .collect().map(r => (r.getLong(0), r.get(1).toString, r.getLong(2)))
+    assert(out.toSeq == batch.toSeq)
+  }
+
   test("e2e_stream_late drops the late row, meters the drop, matches its batch twin") {
     val out = operators.EngineE2E.queries("e2e_stream_late")(spark, sf).collect()
     assert(out.nonEmpty)
