@@ -562,6 +562,45 @@ object PipelineOps {
           col("saturated").cast("int").as("saturated"),
           col("alloc_tokens"), col("epochs_bp"))
         .orderBy("source")
+    }),
+
+    // Within-shard mixture audit — p04 plans the shard SIZES; this op
+    // checks what training actually consumes: does EVERY shard carry the
+    // global source mixture? A sequential trainer streaming shard 7 sees
+    // only shard 7's mix, so a skewed shard silently reorders the
+    // curriculum (the failure mode shard-shuffled writes exist to
+    // prevent). Per shard: doc count, the worst single-source deviation
+    // from the global mixture, and the L1 (total-variation·2) distance,
+    // both in basis points. Determinism: each cell's deviation is
+    // floor'd to integer bp BEFORE the per-shard sum, so the rollup is
+    // integer arithmetic — no float-summation order sensitivity across
+    // engines. Scale shape: one (shard, source)-keyed partial-agg
+    // rollup over the corpus, then everything downstream is bounded —
+    // 16 shards × sources cells via the broadcast grid, 1-row total
+    // attach. A sparse cell (source absent from a shard) still charges
+    // its full global share via the left_outer + fill.
+    "p15_shard_balance" -> ((s, d) => {
+      val cell = Tables.documents(s, d)
+        .withColumn("shard",
+          conv(substring(md5(col("doc_id").cast("string")), 32, 1), 16, 10).cast("long"))
+        .groupBy("shard", "source").agg(count(lit(1)).as("n"))
+      val shardTot = cell.groupBy("shard").agg(sum("n").as("st"))
+      val srcTot = cell.groupBy("source").agg(sum("n").as("g"))
+      val tot = srcTot.agg(sum("g").as("t"))
+      shardTot.crossJoin(broadcast(srcTot))
+        .join(cell, Seq("shard", "source"), "left_outer")
+        .na.fill(0L, Seq("n"))
+        .crossJoin(broadcast(tot))
+        // |n/st - g/t| in bp, exactly: the numerator n·t - g·st is
+        // integer (exact in doubles below 2^53), one floor'd division
+        .withColumn("dev_bp",
+          floor(abs(col("n") * col("t") - col("g") * col("st")) * 10000.0 /
+            (col("st") * col("t"))).cast("long"))
+        .groupBy("shard")
+        .agg(max("st").as("n_docs"),
+          max("dev_bp").as("max_dev_bp"),
+          sum("dev_bp").as("l1_dev_bp"))
+        .orderBy("shard")
     })
   )
 
@@ -922,6 +961,27 @@ object PipelineOps {
         |  FROM flags f CROSS JOIN sa)
         |SELECT source, u_tokens, capacity, saturated, alloc_tokens,
         |  CAST(FLOOR(alloc_tokens * 10000.0 / u_tokens) AS BIGINT) AS epochs_bp
-        |FROM alloc ORDER BY source""".stripMargin
+        |FROM alloc ORDER BY source""".stripMargin,
+    "p15_shard_balance" ->
+      """WITH cell AS (
+        |  SELECT strpos('0123456789abcdef',
+        |           substr(md5(CAST(doc_id AS VARCHAR)), 32, 1)) - 1 AS shard,
+        |         source, COUNT(*) AS n
+        |  FROM documents GROUP BY 1, 2),
+        |st AS (SELECT shard, CAST(SUM(n) AS BIGINT) AS st FROM cell GROUP BY shard),
+        |g AS (SELECT source, CAST(SUM(n) AS BIGINT) AS g FROM cell GROUP BY source),
+        |tot AS (SELECT CAST(SUM(g) AS BIGINT) AS t FROM g),
+        |grid AS (
+        |  SELECT st.shard, g.source, st.st, g.g, tot.t,
+        |         COALESCE(cell.n, 0) AS n
+        |  FROM st CROSS JOIN g CROSS JOIN tot
+        |  LEFT JOIN cell ON cell.shard = st.shard AND cell.source = g.source),
+        |dev AS (
+        |  SELECT shard, st,
+        |    CAST(FLOOR(abs(n * t - g * st) * 10000.0 / (st * t)) AS BIGINT) AS dev_bp
+        |  FROM grid)
+        |SELECT CAST(shard AS BIGINT) AS shard, MAX(st) AS n_docs,
+        |       MAX(dev_bp) AS max_dev_bp, CAST(SUM(dev_bp) AS BIGINT) AS l1_dev_bp
+        |FROM dev GROUP BY shard ORDER BY shard""".stripMargin
   )
 }

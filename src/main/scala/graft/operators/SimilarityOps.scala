@@ -932,6 +932,101 @@ object SimilarityOps {
         .join(counts, Seq("label"))
         .select("label", "n_base", "n_batch", "centroid_cos", "cnorm_ratio")
         .orderBy("label")
+    }),
+
+    // Hybrid retrieval with reciprocal-rank fusion (the production RAG /
+    // retrieval-eval default: lexical and dense lists each miss docs the
+    // other finds; RRF merges them with no score calibration). Query =
+    // doc 0's text on the lexical side and vector 0 on the dense side
+    // (doc_id ≡ vec_id by construction of these tables). Lexical score =
+    // distinct-token overlap with the query's token set (the query side
+    // is ONE doc's vocabulary — broadcast); dense score = exact cosine
+    // (s01's scan). Both arms cut to a top-50 candidate list FIRST
+    // (partial top-k — the only corpus-sized work), so the rank windows
+    // and the full-outer fuse run on ≤50-row frames: rank-then-fuse
+    // never touches the corpus. RRF k=60 (Cormack et al. 2009);
+    // integer-rank inputs make the double arithmetic engine-exact.
+    "s21_hybrid_search" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, d)
+      val toks = docs
+        .select(col("doc_id"),
+          explode(expr("regexp_extract_all(lower(text), '\\\\S+', 0)")).as("tok"))
+        .distinct()
+      val qToks = toks.filter(col("doc_id") === QueryId).select("tok")
+      val ov = toks.filter(col("doc_id") =!= QueryId)
+        .join(broadcast(qToks), Seq("tok"))
+        .groupBy("doc_id").agg(count(lit(1)).as("overlap"))
+      val lex = ov.orderBy(col("overlap").desc, col("doc_id").asc).limit(HybridK)
+        .withColumn("r_lex", row_number().over(
+          Window.orderBy(col("overlap").desc, col("doc_id").asc)).cast("long"))
+        .select("doc_id", "r_lex")
+      val vec = withQuery(s, d).filter(col("vec_id") =!= QueryId)
+        .withColumn("cos", cosCol)
+        .select(col("vec_id").as("doc_id"), col("cos"))
+        .orderBy(col("cos").desc, col("doc_id").asc).limit(HybridK)
+        .withColumn("r_vec", row_number().over(
+          Window.orderBy(col("cos").desc, col("doc_id").asc)).cast("long"))
+        .select("doc_id", "r_vec")
+      lex.join(vec, Seq("doc_id"), "full_outer")
+        .withColumn("rrf",
+          coalesce(lit(1.0) / (lit(60) + col("r_lex")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(60) + col("r_vec")), lit(0.0)))
+        .select(col("doc_id"),
+          coalesce(col("r_lex"), lit(0L)).as("lex_rank"),
+          coalesce(col("r_vec"), lit(0L)).as("vec_rank"),
+          floor(col("rrf") * 1000000).cast("long").as("rrf_ppm"))
+        .orderBy(col("rrf_ppm").desc, col("doc_id").asc)
+        .limit(10)
+    }),
+
+    // ADC (asymmetric-distance) top-k over the PQ codes — the query path
+    // the s17 audit prices the compression for (FAISS IndexPQ: Jégou et
+    // al. 2011 §III): the corpus is never decoded; each vector costs
+    // 4 table lookups + 3 adds. The per-query distance table (subspace
+    // inner products of the query against every centroid, K×4 entries)
+    // is QUANTIZED to integer micro-units at build — sums of longs are
+    // shuffle-order-exact, and an int table is what a cache-resident ADC
+    // scan uses anyway. Scale shape: codes are the persisted index
+    // artifact (corpus×4 rows); the scan is one broadcast-table
+    // equi-join + a grouped integer sum + partial top-k. The exact-side
+    // columns (true cosine, membership in the exact top-10) audit recall
+    // in the same sheet.
+    "s22_pq_adc_topk" -> ((s, d) => {
+      val SubDim = 16
+      val elems = Tables.embeddings(s, d)
+        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .withColumn("v", col("v").cast("double"))
+      val cent = ivfCentroids(s, d)
+        .select(col("label").as("clabel"), col("pos"), col("cv"))
+      val dists = elems.join(cent, Seq("pos"))
+        .withColumn("sub", expr(s"pos div $SubDim"))
+        .groupBy("vec_id", "sub", "clabel")
+        .agg(round(sum((col("v") - col("cv")) * (col("v") - col("cv"))), 6).as("d2"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("vec_id", "sub").orderBy(col("d2").asc, col("clabel").asc)
+      val codes = dists.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1).select("vec_id", "sub", "clabel")
+      val qe = elems.filter(col("vec_id") === QueryId)
+        .select(col("pos"), col("v").as("qv"))
+      val tab = cent.join(broadcast(qe), Seq("pos"))
+        .withColumn("sub", expr(s"pos div $SubDim"))
+        .groupBy("clabel", "sub")
+        .agg(floor(round(sum(col("qv") * col("cv")), 6) * 1000000)
+          .cast("long").as("t"))
+      val adc = codes.filter(col("vec_id") =!= QueryId)
+        .join(broadcast(tab), Seq("sub", "clabel"))
+        .groupBy("vec_id").agg(sum("t").as("adc_ipm"))
+        .orderBy(col("adc_ipm").desc, col("vec_id").asc).limit(10)
+      val cos = withQuery(s, d).filter(col("vec_id") =!= QueryId)
+        .withColumn("cos", cosCol).select("vec_id", "cos")
+      val exact10 = cos.orderBy(col("cos").desc, col("vec_id").asc).limit(10)
+        .select(col("vec_id"), lit(1).as("in_exact10"))
+      adc.join(cos, Seq("vec_id"))
+        .join(exact10, Seq("vec_id"), "left_outer")
+        .na.fill(0, Seq("in_exact10"))
+        .select("vec_id", "adc_ipm", "cos", "in_exact10")
+        .orderBy(col("adc_ipm").desc, col("vec_id").asc)
     })
   )
 
@@ -943,6 +1038,9 @@ object SimilarityOps {
 
   /** Stage-1 survivor count of the two-stage funnel (s11). */
   private val CoarseK = 100
+
+  /** Per-arm candidate-list length of the hybrid RRF fuse (s21). */
+  private val HybridK = 50
 
   /** s08's symmetric int8 round trip as columns: per-vector absmax
     * scale, quantize, dequantize — identical double chains to the
@@ -1589,6 +1687,75 @@ object SimilarityOps {
         |  FROM paired GROUP BY label)
         |SELECT d.label, c.n_base, c.n_batch, d.centroid_cos, d.cnorm_ratio
         |FROM drift d JOIN counts c ON d.label = c.label
-        |ORDER BY d.label""".stripMargin
+        |ORDER BY d.label""".stripMargin,
+
+    "s21_hybrid_search" ->
+      s"""WITH toks AS (
+         |  SELECT DISTINCT doc_id, unnest(regexp_extract_all(lower(text), '\\S+')) AS tok
+         |  FROM documents),
+         |q AS (SELECT tok FROM toks WHERE doc_id = $QueryId),
+         |ov AS (
+         |  SELECT t.doc_id, COUNT(*) AS overlap
+         |  FROM toks t JOIN q USING (tok) WHERE t.doc_id <> $QueryId
+         |  GROUP BY t.doc_id),
+         |lex AS (
+         |  SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY overlap DESC, doc_id) AS BIGINT) AS r_lex
+         |  FROM (SELECT * FROM ov ORDER BY overlap DESC, doc_id LIMIT 50)),
+         |qv AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = $QueryId),
+         |cs AS (
+         |  SELECT vec_id AS doc_id, ${cosSql("embedding", "qv", 6)} AS cos
+         |  FROM embeddings CROSS JOIN qv WHERE vec_id <> $QueryId),
+         |vec AS (
+         |  SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY cos DESC, doc_id) AS BIGINT) AS r_vec
+         |  FROM (SELECT * FROM cs ORDER BY cos DESC, doc_id LIMIT 50)),
+         |f AS (
+         |  SELECT COALESCE(l.doc_id, v.doc_id) AS doc_id, l.r_lex, v.r_vec,
+         |    COALESCE(CAST(1.0 AS DOUBLE) / (60 + l.r_lex), CAST(0.0 AS DOUBLE))
+         |      + COALESCE(CAST(1.0 AS DOUBLE) / (60 + v.r_vec), CAST(0.0 AS DOUBLE)) AS rrf
+         |  FROM lex l FULL OUTER JOIN vec v ON l.doc_id = v.doc_id)
+         |SELECT doc_id, COALESCE(r_lex, 0) AS lex_rank, COALESCE(r_vec, 0) AS vec_rank,
+         |  CAST(FLOOR(rrf * 1000000) AS BIGINT) AS rrf_ppm
+         |FROM f ORDER BY rrf_ppm DESC, doc_id LIMIT 10""".stripMargin,
+
+    "s22_pq_adc_topk" ->
+      s"""WITH elems AS (
+         |  SELECT vec_id, label, generate_subscripts(embedding, 1) AS pos,
+         |         CAST(unnest(embedding) AS DOUBLE) AS v
+         |  FROM embeddings),
+         |cent AS (
+         |  SELECT label AS clabel, pos, avg(v) AS cv
+         |  FROM elems GROUP BY 1, 2),
+         |d AS (
+         |  SELECT e.vec_id, (e.pos - 1) // 16 AS sub, c.clabel,
+         |    ROUND(SUM((e.v - c.cv) * (e.v - c.cv)), 6) AS d2
+         |  FROM elems e JOIN cent c ON e.pos = c.pos
+         |  GROUP BY 1, 2, 3),
+         |codes AS (
+         |  SELECT vec_id, sub, clabel FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+         |                                 ORDER BY d2 ASC, clabel ASC) AS rn
+         |    FROM d)
+         |  WHERE rn = 1),
+         |qe AS (SELECT pos, v AS qv FROM elems WHERE vec_id = $QueryId),
+         |tab AS (
+         |  SELECT c.clabel, (c.pos - 1) // 16 AS sub,
+         |    CAST(FLOOR(ROUND(SUM(q.qv * c.cv), 6) * 1000000) AS BIGINT) AS t
+         |  FROM cent c JOIN qe q ON q.pos = c.pos
+         |  GROUP BY 1, 2),
+         |adc AS (
+         |  SELECT k.vec_id, CAST(SUM(t.t) AS BIGINT) AS adc_ipm
+         |  FROM codes k JOIN tab t ON t.sub = k.sub AND t.clabel = k.clabel
+         |  WHERE k.vec_id <> $QueryId
+         |  GROUP BY 1),
+         |top AS (SELECT * FROM adc ORDER BY adc_ipm DESC, vec_id LIMIT 10),
+         |qv AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = $QueryId),
+         |cs AS (
+         |  SELECT vec_id, ${cosSql("embedding", "qv", 6)} AS cos
+         |  FROM embeddings CROSS JOIN qv WHERE vec_id <> $QueryId),
+         |ex AS (SELECT vec_id FROM cs ORDER BY cos DESC, vec_id LIMIT 10)
+         |SELECT t.vec_id, t.adc_ipm, c.cos,
+         |  CAST(CASE WHEN e.vec_id IS NOT NULL THEN 1 ELSE 0 END AS INT) AS in_exact10
+         |FROM top t JOIN cs c USING (vec_id) LEFT JOIN ex e USING (vec_id)
+         |ORDER BY t.adc_ipm DESC, t.vec_id""".stripMargin
   )
 }

@@ -900,6 +900,36 @@ class CorpusOpsSpec extends SparkSpec {
     }
   }
 
+  test("s21 hybrid search: fused list dominated by neither arm, ranks consistent") {
+    val rows = operators.SimilarityOps.queries("s21_hybrid_search")(spark, sf).collect()
+    assert(rows.length == 10)
+    assert(!rows.exists(_.getLong(0) == 0L), "the query doc never retrieves itself")
+    val rrf = rows.map(_.getLong(3))
+    assert(rrf.sameElements(rrf.sorted.reverse), "output ordered by fused score")
+    rows.foreach { r =>
+      val (lex, vec, ppm) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(lex >= 0 && lex <= 50 && vec >= 0 && vec <= 50)
+      assert(lex > 0 || vec > 0, "a fused row must come from at least one arm")
+      val expect = (if (lex > 0) 1.0 / (60 + lex) else 0.0) +
+        (if (vec > 0) 1.0 / (60 + vec) else 0.0)
+      assert(ppm == math.floor(expect * 1000000).toLong, "RRF arithmetic is exact")
+    }
+    // both arms contribute to the fused top-10 on this corpus
+    assert(rows.exists(_.getLong(1) > 0) && rows.exists(_.getLong(2) > 0))
+  }
+
+  test("s22 ADC top-k: integer table scoring, exact-side audit columns coherent") {
+    val rows = operators.SimilarityOps.queries("s22_pq_adc_topk")(spark, sf).collect()
+    assert(rows.length == 10)
+    assert(!rows.exists(_.getLong(0) == 0L), "the query vector never retrieves itself")
+    val adc = rows.map(_.getLong(1))
+    assert(adc.sameElements(adc.sorted.reverse), "output ordered by ADC score")
+    rows.foreach { r =>
+      assert(r.getDouble(2) >= -1.0 && r.getDouble(2) <= 1.0)
+      assert(r.getInt(3) == 0 || r.getInt(3) == 1)
+    }
+  }
+
   test("e2e_stream_burst equals the batch gaps-and-islands twin and finds a real burst") {
     val out = operators.EngineE2E.queries("e2e_stream_burst")(spark, sf).collect()
       .map(r => (r.getLong(0), r.get(1).toString, r.getLong(2)))

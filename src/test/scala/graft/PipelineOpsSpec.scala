@@ -119,6 +119,18 @@ class PipelineOpsSpec extends SparkSpec {
     assert(rows.map(_.getLong(3)).sum == distinctFp)
   }
 
+  test("p15 shard balance: 16 shards conserve the corpus, deviations bounded") {
+    val rows = operators.PipelineOps.queries("p15_shard_balance")(spark, sf).collect()
+    assert(rows.length == 16, "md5-nibble sharding yields 16 shards")
+    assert(rows.map(_.getLong(1)).sum == Tables.documents(spark, sf).count(),
+      "shard doc counts conserve the corpus")
+    rows.foreach { r =>
+      val (mx, l1) = (r.getLong(2), r.getLong(3))
+      assert(mx >= 0 && l1 >= mx, "L1 dominates the max single-source deviation")
+      assert(l1 <= 20000, "L1 distance between two distributions is at most 2 (20000 bp)")
+    }
+  }
+
   test("p05 quantile gate keeps at least half of every source") {
     val rows = operators.PipelineOps.queries("p05_quantile_filter")(spark, sf).collect()
     assert(rows.nonEmpty)
