@@ -1027,6 +1027,39 @@ object SimilarityOps {
         .na.fill(0, Seq("in_exact10"))
         .select("vec_id", "adc_ipm", "cos", "in_exact10")
         .orderBy(col("adc_ipm").desc, col("vec_id").asc)
+    }),
+
+    // Filtered vector search — pre- vs post-filter pricing (the design
+    // decision every production vector store documents: Qdrant/pgvector
+    // "filtered search"). Predicate = the query's own cluster label.
+    // PRE-filter (ground truth): exact top-10 among predicate-passing
+    // vectors — at scale this needs the predicate pushed into the index
+    // (per-label lists, i.e. exactly the s03 IVF layout). POST-filter
+    // (what a predicate-blind ANN index gives you): global top-50, THEN
+    // the predicate, cut to 10 — cheap, but a selective predicate
+    // starves the candidate list. `in_post` per pre-rank row IS the
+    // measured recall loss. Both arms are one corpus scan ending in a
+    // partial top-k; the label lookup rides broadcast.
+    "s23_filtered_topk" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val qLabel = Tables.embeddings(s, d).filter(col("vec_id") === QueryId)
+        .select(col("label").as("qlabel"))
+      val cos = withQuery(s, d).filter(col("vec_id") =!= QueryId)
+        .withColumn("cos", cosCol)
+      val pre = cos.join(broadcast(qLabel), col("label") === col("qlabel"))
+        .orderBy(col("cos").desc, col("vec_id").asc).limit(10)
+        .withColumn("pre_rank", row_number().over(
+          Window.orderBy(col("cos").desc, col("vec_id").asc)).cast("long"))
+        .select("vec_id", "cos", "pre_rank")
+      val post = cos.orderBy(col("cos").desc, col("vec_id").asc).limit(50)
+        .join(broadcast(qLabel), col("label") === col("qlabel"))
+        .orderBy(col("cos").desc, col("vec_id").asc).limit(10)
+        .select(col("vec_id"), lit(1).as("hit"))
+      pre.join(post, Seq("vec_id"), "left_outer")
+        .withColumn("in_post",
+          when(col("hit").isNotNull, lit(1)).otherwise(lit(0)).cast("int"))
+        .select("vec_id", "cos", "pre_rank", "in_post")
+        .orderBy("pre_rank")
     })
   )
 
@@ -1756,6 +1789,26 @@ object SimilarityOps {
          |SELECT t.vec_id, t.adc_ipm, c.cos,
          |  CAST(CASE WHEN e.vec_id IS NOT NULL THEN 1 ELSE 0 END AS INT) AS in_exact10
          |FROM top t JOIN cs c USING (vec_id) LEFT JOIN ex e USING (vec_id)
-         |ORDER BY t.adc_ipm DESC, t.vec_id""".stripMargin
+         |ORDER BY t.adc_ipm DESC, t.vec_id""".stripMargin,
+
+    "s23_filtered_topk" ->
+      s"""WITH q AS (
+         |  SELECT embedding AS qv, label AS qlabel
+         |  FROM embeddings WHERE vec_id = $QueryId),
+         |cs AS (
+         |  SELECT vec_id, label, qlabel, ${cosSql("embedding", "qv", 6)} AS cos
+         |  FROM embeddings CROSS JOIN q WHERE vec_id <> $QueryId),
+         |pre AS (
+         |  SELECT vec_id, cos,
+         |    CAST(ROW_NUMBER() OVER (ORDER BY cos DESC, vec_id) AS BIGINT) AS pre_rank
+         |  FROM (SELECT * FROM cs WHERE label = qlabel
+         |        ORDER BY cos DESC, vec_id LIMIT 10)),
+         |post AS (
+         |  SELECT vec_id FROM (SELECT * FROM cs ORDER BY cos DESC, vec_id LIMIT 50)
+         |  WHERE label = qlabel ORDER BY cos DESC, vec_id LIMIT 10)
+         |SELECT p.vec_id, p.cos, p.pre_rank,
+         |  CAST(CASE WHEN t.vec_id IS NOT NULL THEN 1 ELSE 0 END AS INT) AS in_post
+         |FROM pre p LEFT JOIN post t USING (vec_id)
+         |ORDER BY p.pre_rank""".stripMargin
   )
 }

@@ -918,6 +918,31 @@ class CorpusOpsSpec extends SparkSpec {
     assert(rows.exists(_.getLong(1) > 0) && rows.exists(_.getLong(2) > 0))
   }
 
+  test("s23 filtered top-k: pre-filter list exact, post-filter recall audited") {
+    val rows = operators.SimilarityOps.queries("s23_filtered_topk")(spark, sf).collect()
+    assert(rows.length == 10)
+    assert(rows.map(_.getLong(2)).toSeq == (1L to 10L), "pre-ranks dense 1..10")
+    val cs = rows.map(_.getDouble(1))
+    assert(cs.sameElements(cs.sorted.reverse), "pre list ordered by cosine")
+    // ground truth replayed locally: exact top-10 among same-label vectors
+    val emb = Tables.embeddings(spark, sf)
+      .select("vec_id", "label", "embedding").collect()
+      .map(r => (r.getLong(0), r.getAs[Number](1).longValue,
+        r.getSeq[Float](2).map(_.toDouble).toArray))
+    val (_, qLabel, qv) = emb.find(_._1 == 0L).get
+    def cos(a: Array[Double], b: Array[Double]) = {
+      val d = a.indices.map(i => a(i) * b(i)).sum
+      BigDecimal(d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val expect = emb.filter(e => e._1 != 0L && e._2 == qLabel)
+      .map(e => (e._1, cos(e._3, qv)))
+      .sortBy { case (id, c) => (-c, id) }.take(10).map(_._1).toSeq
+    assert(rows.map(_.getLong(0)).toSeq == expect, "pre-filter arm is the exact answer")
+    // in_post is 0/1 and the post arm can only ever miss, not add
+    assert(rows.forall(r => r.getInt(3) == 0 || r.getInt(3) == 1))
+  }
+
   test("s22 ADC top-k: integer table scoring, exact-side audit columns coherent") {
     val rows = operators.SimilarityOps.queries("s22_pq_adc_topk")(spark, sf).collect()
     assert(rows.length == 10)
