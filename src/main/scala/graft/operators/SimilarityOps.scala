@@ -1060,6 +1060,64 @@ object SimilarityOps {
           when(col("hit").isNotNull, lit(1)).otherwise(lit(0)).cast("int"))
         .select("vec_id", "cos", "pre_rank", "in_post")
         .orderBy("pre_rank")
+    }),
+
+    // Batched kNN as a cell co-partitioned JOIN — the bulk-retrieval
+    // shape single-query probing (s03) doesn't cover: when MILLIONS of
+    // queries arrive at once (kNN-graph builds for SemDeDup, batch eval
+    // retrieval), per-query index probes serialize; the scale plan
+    // assigns queries AND corpus to their nearest IVF cell and
+    // equi-joins on the cell key, so every query touches ~1/K of the
+    // corpus in ONE shuffle-stage pass. Here the 8-query side rides
+    // broadcast (Catalyst's correct pick at this query count — the
+    // equi-join degrades gracefully to shuffle co-partitioning when the
+    // query side outgrows it). Per query: candidate-list size and
+    // recall@10 vs the exact scan — nprobe=1's quality honestly priced,
+    // same oracle-gated pattern as s05/s06.
+    "s24_ivf_knn_join" -> ((s, d) => {
+      val NQ = 8
+      val elems = Tables.embeddings(s, d)
+        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .withColumn("v", col("v").cast("double"))
+      val cent = ivfCentroids(s, d)
+        .select(col("label").as("clabel"), col("pos"), col("cv"))
+      val scores = elems.join(cent, Seq("pos"))
+        .groupBy("vec_id", "clabel")
+        .agg(round(sum(col("v") * col("cv")) /
+          greatest(sqrt(sum(col("v") * col("v"))) * sqrt(sum(col("cv") * col("cv"))),
+            lit(1e-12)), 6).as("ccos"))
+      val w1 = org.apache.spark.sql.expressions.Window
+        .partitionBy("vec_id").orderBy(col("ccos").desc, col("clabel").asc)
+      val assign = scores.withColumn("rn", row_number().over(w1))
+        .filter(col("rn") === 1).select(col("vec_id"), col("clabel").as("cell"))
+      val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
+        .join(assign, Seq("vec_id"))
+      val qs = emb.filter(col("vec_id") < NQ)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"), col("cell"))
+      val wq = org.apache.spark.sql.expressions.Window
+        .partitionBy("qid").orderBy(col("cos").desc, col("vec_id").asc)
+      val cands = emb.join(qs, Seq("cell")).filter(col("vec_id") =!= col("qid"))
+      val approx = cands.withColumn("cos", cosCol)
+        .withColumn("rn", row_number().over(wq)).filter(col("rn") <= 10)
+        .select(col("qid").as("a_qid"), col("vec_id").as("a_vid"))
+      val nCand = cands.groupBy("qid").agg(count(lit(1)).as("n_cand"))
+      val qsb = Tables.embeddings(s, d).filter(col("vec_id") < NQ)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val exact = Tables.embeddings(s, d)
+        .join(broadcast(qsb), col("vec_id") =!= col("qid"))
+        .withColumn("cos", cosCol)
+        .withColumn("rn", row_number().over(wq)).filter(col("rn") <= 10)
+        .select(col("qid").as("e_qid"), col("vec_id").as("e_vid"))
+      val hits = approx.join(exact,
+          col("a_qid") === col("e_qid") && col("a_vid") === col("e_vid"))
+        .groupBy(col("a_qid").as("qid")).agg(count(lit(1)).as("hits"))
+      qsb.select("qid")
+        .join(nCand, Seq("qid"), "left_outer")
+        .join(hits, Seq("qid"), "left_outer")
+        .na.fill(0L, Seq("n_cand", "hits"))
+        .select(col("qid"), col("n_cand"),
+          (col("hits") * 1000).cast("long").as("recall_bp"))
+        .orderBy("qid")
     })
   )
 
@@ -1809,6 +1867,58 @@ object SimilarityOps {
          |SELECT p.vec_id, p.cos, p.pre_rank,
          |  CAST(CASE WHEN t.vec_id IS NOT NULL THEN 1 ELSE 0 END AS INT) AS in_post
          |FROM pre p LEFT JOIN post t USING (vec_id)
-         |ORDER BY p.pre_rank""".stripMargin
+         |ORDER BY p.pre_rank""".stripMargin,
+
+    "s24_ivf_knn_join" ->
+      s"""WITH elems AS (
+         |  SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+         |         CAST(unnest(embedding) AS DOUBLE) AS v
+         |  FROM embeddings),
+         |lelems AS (
+         |  SELECT label, generate_subscripts(embedding, 1) AS pos,
+         |         CAST(unnest(embedding) AS DOUBLE) AS v
+         |  FROM embeddings),
+         |cent AS (SELECT label AS clabel, pos, avg(v) AS cv FROM lelems GROUP BY 1, 2),
+         |scores AS (
+         |  SELECT e.vec_id, c.clabel,
+         |    ROUND(sum(e.v * c.cv) /
+         |      greatest(sqrt(sum(e.v * e.v)) * sqrt(sum(c.cv * c.cv)), 1e-12), 6) AS ccos
+         |  FROM elems e JOIN cent c ON e.pos = c.pos
+         |  GROUP BY 1, 2),
+         |assign AS (
+         |  SELECT vec_id, clabel AS cell FROM (
+         |    SELECT vec_id, clabel,
+         |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, clabel ASC) AS rn
+         |    FROM scores) WHERE rn = 1),
+         |emb AS (
+         |  SELECT e.vec_id, e.embedding, a.cell
+         |  FROM embeddings e JOIN assign a USING (vec_id)),
+         |qs AS (SELECT vec_id AS qid, embedding AS qv, cell FROM emb WHERE vec_id < 8),
+         |cands AS (
+         |  SELECT q.qid, e.vec_id, ${cosSql("e.embedding", "q.qv", 6)} AS cos
+         |  FROM emb e JOIN qs q USING (cell) WHERE e.vec_id <> q.qid),
+         |approx AS (
+         |  SELECT qid, vec_id FROM (
+         |    SELECT qid, vec_id,
+         |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id ASC) AS rn
+         |    FROM cands) WHERE rn <= 10),
+         |ncand AS (SELECT qid, CAST(COUNT(*) AS BIGINT) AS n_cand FROM cands GROUP BY 1),
+         |qsb AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 8),
+         |ecs AS (
+         |  SELECT q.qid, e.vec_id, ${cosSql("e.embedding", "q.qv", 6)} AS cos
+         |  FROM embeddings e CROSS JOIN qsb q WHERE e.vec_id <> q.qid),
+         |exact AS (
+         |  SELECT qid, vec_id FROM (
+         |    SELECT qid, vec_id,
+         |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id ASC) AS rn
+         |    FROM ecs) WHERE rn <= 10),
+         |hits AS (
+         |  SELECT a.qid, CAST(COUNT(*) AS BIGINT) AS h
+         |  FROM approx a JOIN exact x ON a.qid = x.qid AND a.vec_id = x.vec_id
+         |  GROUP BY 1)
+         |SELECT q.qid, COALESCE(n.n_cand, 0) AS n_cand,
+         |  CAST(COALESCE(h.h, 0) * 1000 AS BIGINT) AS recall_bp
+         |FROM qsb q LEFT JOIN ncand n USING (qid) LEFT JOIN hits h USING (qid)
+         |ORDER BY q.qid""".stripMargin
   )
 }

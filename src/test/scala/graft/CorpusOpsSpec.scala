@@ -943,6 +943,23 @@ class CorpusOpsSpec extends SparkSpec {
     assert(rows.forall(r => r.getInt(3) == 0 || r.getInt(3) == 1))
   }
 
+  test("s24 IVF kNN join: per-query books coherent, recall within [0, 10000]") {
+    val rows = operators.SimilarityOps.queries("s24_ivf_knn_join")(spark, sf).collect()
+    assert(rows.length == 8, "one row per query vector")
+    assert(rows.map(_.getLong(0)).toSeq == (0L to 7L))
+    val n = Tables.embeddings(spark, sf).count()
+    rows.foreach { r =>
+      val (cand, bp) = (r.getLong(1), r.getLong(2))
+      assert(cand >= 0 && cand < n, "nprobe=1 candidate list is a strict corpus subset")
+      assert(bp % 1000 == 0 && bp >= 0 && bp <= 10000)
+      // an empty candidate list can't have recall
+      if (cand == 0) assert(bp == 0)
+    }
+    // nprobe=1 over the query's own cell finds at least some true
+    // neighbors somewhere in the batch on this clustered corpus
+    assert(rows.map(_.getLong(2)).sum > 0, "batch-level recall is non-zero")
+  }
+
   test("s22 ADC top-k: integer table scoring, exact-side audit columns coherent") {
     val rows = operators.SimilarityOps.queries("s22_pq_adc_topk")(spark, sf).collect()
     assert(rows.length == 10)
