@@ -114,7 +114,7 @@ object ScaleProbe {
       "d24_window_coverage", "s18_range_search", "s19_ivf_balance",
       "d25_editdist_verify", "s20_embedding_drift", "t20_encoding_audit",
       "p15_shard_balance", "s21_hybrid_search", "s22_pq_adc_topk",
-      "s23_filtered_topk", "s24_ivf_knn_join",
+      "s23_filtered_topk", "s24_ivf_knn_join", "m07_decode_quarantine",
       "q38_asof_join", "q40_range_join", "q41_salted_join")
     subset.foreach { s =>
       val unknown = s -- allProbeQueries.toSet

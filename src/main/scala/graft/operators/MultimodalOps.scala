@@ -242,6 +242,48 @@ object MultimodalOps {
         .filter(col("n_media") >= 2)
         .orderBy(col("n_media").desc, col("ahash").asc)
         .limit(100)
+    }),
+
+    // Decode-failure quarantine — the media twin of e2e_jsonl_ingest's
+    // corrupt-record branch, fault-injected so the gate PROVES the seam:
+    // every 37th payload has its PNG signature zeroed before the decode
+    // stage, which must route it to quarantine (no registered reader /
+    // reader throws) without failing the task — at 100 TB a crawler drop
+    // always contains truncated and mislabeled payloads, and one bad
+    // byte must never kill a 10k-file decode stage. Per source: totals,
+    // decoded, quarantined, and the quarantined id-sum (which SPECIFIC
+    // payloads need a re-fetch — an id checksum the oracle can predict;
+    // payload byte sizes are compression-dependent and can't be). The
+    // corruption rule is deterministic arithmetic on media_id, so the
+    // oracle predicts every census cell without decoding anything.
+    "m07_decode_quarantine" -> ((s, d) => {
+      import s.implicits._
+      val outcome = pngMedia(s, d)
+        .mapPartitions { rows =>
+          ImageIO.setUseCache(false)
+          rows.map { case (id, bytes) =>
+            val payload =
+              if (id % 37 == 0) {
+                val c = bytes.clone()
+                java.util.Arrays.fill(c, 0, math.min(8, c.length), 0.toByte)
+                c
+              } else bytes
+            val ok =
+              try { decode(id, payload); true }
+              catch { case scala.util.control.NonFatal(_) => false }
+            (id, ok)
+          }
+        }
+        .toDF("media_id", "ok")
+      outcome
+        .join(Tables.documents(s, d)
+          .select(col("doc_id").as("media_id"), col("source")), "media_id")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_media"),
+          sum(col("ok").cast("long")).as("n_decoded"),
+          sum((!col("ok")).cast("long")).as("n_quarantined"),
+          sum(when(!col("ok"), col("media_id")).otherwise(lit(0L))).as("quarantined_id_sum"))
+        .orderBy("source")
     })
   )
 
@@ -361,7 +403,14 @@ object MultimodalOps {
          |  MIN(media_id) AS canonical,
          |  CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
          |FROM j GROUP BY ahash HAVING COUNT(*) >= 2
-         |ORDER BY n_media DESC, ahash ASC LIMIT 100""".stripMargin
+         |ORDER BY n_media DESC, ahash ASC LIMIT 100""".stripMargin,
+
+    "m07_decode_quarantine" ->
+      """SELECT source, CAST(COUNT(*) AS BIGINT) AS n_media,
+        |  CAST(SUM(CASE WHEN doc_id % 37 = 0 THEN 0 ELSE 1 END) AS BIGINT) AS n_decoded,
+        |  CAST(SUM(CASE WHEN doc_id % 37 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_quarantined,
+        |  CAST(SUM(CASE WHEN doc_id % 37 = 0 THEN doc_id ELSE 0 END) AS BIGINT) AS quarantined_id_sum
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin
   )
 
   /** Analytic aHash-bit CTE chain shared by the m04/m05 oracles (expects

@@ -737,6 +737,24 @@ class CorpusOpsSpec extends SparkSpec {
     assert(rows.map(_.getLong(1)).sum <= nDocs)
   }
 
+  test("m07 decode quarantine: fault-injected payloads quarantined, books conserve") {
+    val rows = operators.MultimodalOps.queries("m07_decode_quarantine")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    rows.foreach { r =>
+      val (src, n, ok, bad, idSum) =
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(ok + bad == n, "every payload is decoded or quarantined, never lost")
+      val expectBad = docs.filter(d => d._2 == src && d._1 % 37 == 0)
+      assert(bad == expectBad.length, s"$src: exactly the corrupted payloads quarantine")
+      assert(idSum == expectBad.map(_._1).sum, "quarantine names the right payloads")
+    }
+    assert(rows.map(_.getLong(3)).sum >= 1, "the fault injection actually fired")
+    assert(rows.map(_.getLong(1)).sum == docs.length)
+  }
+
   test("d24 window coverage equals a brute-force interval union at sf0.001") {
     val out = operators.DedupOps.queries("d24_window_coverage")(spark, sf)
       .collect()
