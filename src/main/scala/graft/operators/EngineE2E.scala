@@ -621,6 +621,45 @@ object EngineE2E {
         .orderBy("shard")
     }),
 
+    // Manifest-committed corpus publish — the atomic-visibility protocol
+    // a 100 TB multi-file write needs (the Iceberg/Delta core idea in
+    // its minimal form): the data files are NOT the commit, the
+    // manifest is. The fixture writes a 16-shard snapshot, commits a
+    // manifest naming exactly those shard dirs, then simulates a torn
+    // second writer dying mid-flight (an orphan shard dir appended, the
+    // manifest never updated). The reader resolves visibility ONLY
+    // through the manifest — explicit dir paths + basePath, so the
+    // orphan is invisible without even listing it — and the gate's
+    // per-shard books must equal DuckDB's recomputation from the source
+    // table: a single leaked torn row would break the hash match.
+    "e2e_manifest_commit" -> ((s, d) => withScratch("graft-manifest") { dir =>
+      val docs = Tables.documents(s, d).withColumn("shard",
+        concat(lit("s"), substring(md5(col("doc_id").cast("string")), 32, 1)))
+      docs.write.partitionBy("shard").parquet(s"$dir/corpus")
+      val shards = s.read.parquet(s"$dir/corpus").select("shard").distinct()
+        .collect().map(_.getString(0)).sorted // bounded: ≤16 partition values
+      java.nio.file.Files.writeString(
+        java.nio.file.Path.of(s"$dir/MANIFEST.json"),
+        shards.mkString("{\"shards\": [\"", "\", \"", "\"]}\n"))
+      // torn writer: data lands, the manifest commit never happens
+      docs.limit(50).withColumn("shard", lit("torn"))
+        .write.mode("append").partitionBy("shard").parquet(s"$dir/corpus")
+      require(java.nio.file.Files.exists(
+        java.nio.file.Path.of(s"$dir/corpus/shard=torn")),
+        "fixture error: the torn write must exist on disk to be excluded")
+      // the manifest reader: parse the committed shard list, mount only
+      // those dirs (basePath keeps the partition column)
+      val committed = "\"(s[0-9a-f])\"".r
+        .findAllMatchIn(java.nio.file.Files.readString(
+          java.nio.file.Path.of(s"$dir/MANIFEST.json")))
+        .map(_.group(1)).toSeq
+      s.read.option("basePath", s"$dir/corpus")
+        .parquet(committed.map(sh => s"$dir/corpus/shard=$sh"): _*)
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("n_chars_sum"))
+        .orderBy("shard")
+    }),
+
     // Streaming NEAR-dup dedup — the MinHash band-key ingest filter
     // (StreamingAnalytics.streamingNearDedup): every doc gets the same
     // salted-min signature as the batch d04/d05 operators (native
@@ -1390,6 +1429,13 @@ object EngineE2E {
         |  COUNT(*) AS n_docs,
         |  CAST(SUM(n_chars) AS BIGINT) AS n_chars_sum,
         |  COUNT(DISTINCT md5(text)) AS n_unique_text
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the committed snapshot is exactly the source table re-books: any
+    // torn-writer row leaking past the manifest breaks this equality
+    "e2e_manifest_commit" ->
+      """SELECT 's' || substr(md5(CAST(doc_id AS VARCHAR)), 32, 1) AS shard,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS n_chars_sum
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
     // survivors = distinct leading (h1, h2) MinHash bands over the seed
     // corpus (every doc arrives within one watermark horizon, so the

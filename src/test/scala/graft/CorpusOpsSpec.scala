@@ -362,6 +362,23 @@ class CorpusOpsSpec extends SparkSpec {
       Tables.documents(spark, sf).count(), "round trip conserves rows")
   }
 
+  test("e2e manifest commit: the manifest is load-bearing — unlisted data is invisible") {
+    // the gate proves the committed books; this spec proves the NEGATIVE:
+    // without the manifest the torn write leaks into a naive full read
+    val dir = tmpDir("manifest-spec")
+    val docs = Tables.documents(spark, sf).withColumn("shard",
+      concat(lit("s"), substring(md5(col("doc_id").cast("string")), 32, 1)))
+    docs.write.partitionBy("shard").parquet(s"$dir/c")
+    val n = Tables.documents(spark, sf).count()
+    docs.limit(50).withColumn("shard", lit("torn"))
+      .write.mode("append").partitionBy("shard").parquet(s"$dir/c")
+    assert(spark.read.parquet(s"$dir/c").count() == n + 50,
+      "a manifest-less read sees the torn rows — visibility needs the protocol")
+    val out = operators.EngineE2E.queries("e2e_manifest_commit")(spark, sf).collect()
+    assert(out.map(_.getLong(1)).sum == n, "committed snapshot conserves the corpus")
+    assert(out.forall(_.getString(0).matches("s[0-9a-f]")), "no torn shard in the output")
+  }
+
   test("t14 novelty: every distinct shingle is novel for exactly one doc (census)") {
     val rows = operators.TextOps.queries("t14_novelty")(spark, sf).collect()
     assert(rows.nonEmpty)
