@@ -115,6 +115,7 @@ object ScaleProbe {
       "d25_editdist_verify", "s20_embedding_drift", "t20_encoding_audit",
       "p15_shard_balance", "s21_hybrid_search", "s22_pq_adc_topk",
       "s23_filtered_topk", "s24_ivf_knn_join", "m07_decode_quarantine",
+      "t21_readability",
       "q38_asof_join", "q40_range_join", "q41_salted_join")
     subset.foreach { s =>
       val unknown = s -- allProbeQueries.toSet

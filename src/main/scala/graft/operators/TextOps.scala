@@ -554,6 +554,38 @@ object TextOps {
             .cast("long").as("ascii_bp"),
           count(when(col("nr") > 0 || col("nc") > 0, 1)).as("n_docs_flagged"))
         .orderBy("source")
+    }),
+
+    // Readability audit (Flesch-Kincaid grade over the standard proxies:
+    // words = alpha runs, sentences = terminal punctuation clamped ≥1,
+    // syllables = vowel groups) — the classic curation signal between
+    // t02's surface ratios and the t08/t11 LM scores: templated or
+    // machine-generated sources drift to implausible words-per-sentence
+    // long before an LM flags them. Grade = 0.39·W/S + 11.8·Y/W − 15.59
+    // computed ONCE per source from the summed integer counts (one
+    // double expression over three integer sums — IEEE-identical in both
+    // engines), published ×10⁴ floor'd. Three codegen'd counters in the
+    // same one-scan + one-rollup shape as t20.
+    "t21_readability" -> ((s, d) => {
+      val nW = regexp_count_fast(col("text"), AlphaRun)
+      val nS = regexp_count_fast(col("text"), "[.!?]")
+      val nY = regexp_count_fast(col("text"), "[aeiouyAEIOUY]+")
+      Tables.documents(s, d)
+        .select(col("source"),
+          nW.cast("long").as("w"),
+          greatest(nS.cast("long"), lit(1L)).as("st"),
+          nY.cast("long").as("y"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("w").as("n_words"),
+          sum("st").as("n_sentences"),
+          floor(sum("w") * 10000.0 / sum("st")).cast("long").as("wps_bp"),
+          floor(sum("y") * 10000.0 / greatest(sum("w"), lit(1L)))
+            .cast("long").as("spw_bp"),
+          floor((lit(0.39) * sum("w") / sum("st") +
+            lit(11.8) * sum("y") / greatest(sum("w"), lit(1L)) -
+            lit(15.59)) * 10000.0).cast("long").as("fk_grade_bp"))
+        .orderBy("source")
     })
   )
 
@@ -874,6 +906,23 @@ object TextOps {
          |  CAST(SUM(nc) AS BIGINT) AS n_control,
          |  CAST(FLOOR(SUM(na) * 10000.0 / greatest(SUM(len), 1)) AS BIGINT) AS ascii_bp,
          |  COUNT(CASE WHEN nr > 0 OR nc > 0 THEN 1 END) AS n_docs_flagged
+         |FROM c GROUP BY source ORDER BY source""".stripMargin,
+
+    "t21_readability" ->
+      s"""WITH c AS (
+         |  SELECT source,
+         |    len(regexp_extract_all(text, '$AlphaRun', 0)) AS w,
+         |    greatest(len(regexp_extract_all(text, '[.!?]', 0)), 1) AS st,
+         |    len(regexp_extract_all(text, '[aeiouyAEIOUY]+', 0)) AS y
+         |  FROM documents)
+         |SELECT source, COUNT(*) AS n_docs,
+         |  CAST(SUM(w) AS BIGINT) AS n_words,
+         |  CAST(SUM(st) AS BIGINT) AS n_sentences,
+         |  CAST(FLOOR(SUM(w) * 10000.0 / SUM(st)) AS BIGINT) AS wps_bp,
+         |  CAST(FLOOR(SUM(y) * 10000.0 / greatest(SUM(w), 1)) AS BIGINT) AS spw_bp,
+         |  CAST(FLOOR((0.39 * SUM(w) / SUM(st) +
+         |    11.8 * SUM(y) / greatest(SUM(w), 1) - 15.59) * 10000.0) AS BIGINT)
+         |    AS fk_grade_bp
          |FROM c GROUP BY source ORDER BY source""".stripMargin
   )
 }

@@ -919,6 +919,24 @@ class CorpusOpsSpec extends SparkSpec {
     rows.values.foreach { case (_, _, _, asciiBp, _) => assert(asciiBp <= 10000L) }
   }
 
+  test("t21 readability matches a brute-force recount per source") {
+    val rows = operators.TextOps.queries("t21_readability")(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("source", "text").collect().map(r => (r.getString(0), r.getString(1)))
+    val expected = docs.groupBy(_._1).map { case (src, ds) =>
+      val w = ds.map(d => "\\b[A-Za-z]+\\b".r.findAllIn(d._2).length.toLong).sum
+      val st = ds.map(d => math.max("[.!?]".r.findAllIn(d._2).length.toLong, 1L)).sum
+      val y = ds.map(d => "[aeiouyAEIOUY]+".r.findAllIn(d._2).length.toLong).sum
+      src -> ((ds.length.toLong, w, st,
+        math.floor(w * 10000.0 / st).toLong,
+        math.floor(y * 10000.0 / math.max(w, 1L)).toLong,
+        math.floor((0.39 * w / st + 11.8 * y / math.max(w, 1L) - 15.59) * 10000.0).toLong))
+    }
+    assert(rows == expected)
+  }
+
   test("s20 embedding drift: full-label coverage, counts conserve, cosine bounded") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     val nVec = emb.count()
