@@ -188,26 +188,37 @@ object DedupOps {
       .join(sets.select(col("doc_id").as("d2"), col("shs").as("s2")), "d2")
       .withColumn("inter",
         graft.functions.ArrayFunctions.sorted_intersect_size(col("s1"), col("s2"))
-          .cast("double"))
-      .withColumn("n1", size(col("s1")))
-      .withColumn("n2", size(col("s2")))
+          .cast("long"))
+      .withColumn("n1", size(col("s1")).cast("long"))
+      .withColumn("n2", size(col("s2")).cast("long"))
       .drop("s1", "s2")
   }
 
-  /** Rounded Jaccard from a [[candidateIntersections]] row. */
-  private[operators] def jacCol: Column =
-    round(col("inter") / (col("n1") + col("n2") - col("inter")), 4)
+  /** Verify threshold in basis points (0.2 Jaccard). All comparisons in
+    * the verify kernel are pure-integer (`inter·10⁴ div union ≥ 2000` ⟺
+    * `inter·10⁴ ≥ 2000·union`) so Spark and DuckDB agree bit-for-bit at
+    * every boundary — the t18 all-integer rule applied to the kernel
+    * feeding d06/d10/d12/d14/d18/p01. r8's one red gate (d18 hash-only,
+    * locally unreproducible) was a double-ROUND boundary flip in this
+    * filter's previous `round(inter/union, 4) >= 0.2` form. */
+  private[graft] val NearDupBp = 2000L
+
+  /** Integer basis-point Jaccard from a [[candidateIntersections]] row:
+    * `(inter * 10000) div union` — integer division, exact in both
+    * Spark (`div`) and DuckDB (`//`), no float anywhere. */
+  private[operators] def jacBpCol: Column =
+    expr("(inter * 10000) div (n1 + n2 - inter)")
 
   /** The full LSH→verify funnel (the d10 kernel): skew-guarded candidate
     * pairs, then exact n-gram Jaccard over ONLY the candidate docs'
-    * shingle sets. Output is (d1, d2, jac) with jac >= 0.2 — the edge
-    * list both the d10 report and the d12 cluster pass consume. */
+    * shingle sets. Output is (d1, d2, jac_bp) with jac_bp >= 2000 — the
+    * edge list both the d10 report and the d12 cluster pass consume. */
   private[operators] def verifiedPairs(docs: DataFrame): DataFrame = {
     val sig = signatures(docs).localCheckpoint(true)
     candidateIntersections(docs, guardedCandidatePairs(sig))
-      .withColumn("jac", jacCol)
-      .filter(col("jac") >= 0.2)
-      .select("d1", "d2", "jac")
+      .withColumn("jac_bp", jacBpCol)
+      .filter(col("jac_bp") >= NearDupBp)
+      .select("d1", "d2", "jac_bp")
   }
 
   private val sigSqlCte =
@@ -317,11 +328,11 @@ object DedupOps {
       l.join(r, "source").filter(col("d1") < col("d2"))
         .withColumn("inter",
           graft.functions.ArrayFunctions.sorted_intersect_size(col("s1"), col("s2"))
-            .cast("double"))
-        .withColumn("jac", round(col("inter") /
-          (size(col("s1")) + size(col("s2")) - col("inter")), 4))
-        .filter(col("jac") >= 0.2)
-        .select("d1", "d2", "jac")
+            .cast("long"))
+        .withColumn("jac_bp",
+          expr("(inter * 10000) div (size(s1) + size(s2) - inter)"))
+        .filter(col("jac_bp") >= NearDupBp)
+        .select("d1", "d2", "jac_bp")
         .orderBy("d1", "d2").limit(200)
     }),
 
@@ -388,16 +399,12 @@ object DedupOps {
         (1 to NumHashes).map(i => col(s"h$i").as(s"a$i")): _*)
       val b = sig.select(col("doc_id").as("d2") +:
         (1 to NumHashes).map(i => col(s"h$i").as(s"b$i")): _*)
-      val matches = (1 to NumHashes)
-        .map(i => when(col(s"a$i") === col(s"b$i"), 1).otherwise(0))
-        .reduce(_ + _)
       candidateIntersections(docs, cand)
         .join(a, "d1").join(b, "d2")
         .withColumn("est_bp",
-          floor(matches * 10000.0 / NumHashes).cast("long"))
+          expr(s"(${(1 to NumHashes).map(i => s"(CASE WHEN a$i = b$i THEN 1 ELSE 0 END)").mkString(" + ")}) * 10000 div $NumHashes").cast("long"))
         .withColumn("exact_bp",
-          floor(col("inter") * 10000.0 /
-            (col("n1") + col("n2") - col("inter"))).cast("long"))
+          expr("(inter * 10000) div (n1 + n2 - inter)").cast("long"))
         .withColumn("err_bp", abs(col("est_bp") - col("exact_bp")))
         .select("d1", "d2", "est_bp", "exact_bp", "err_bp")
         .orderBy("d1", "d2").limit(200)
@@ -453,11 +460,11 @@ object DedupOps {
           Seq("band", "h"))
         .select("d1", "d2").distinct()
       candidateIntersections(docs, cand)
-        .withColumn("jac", jacCol)
-        .filter(col("jac") >= 0.2)
+        .withColumn("jac_bp", jacBpCol)
+        .filter(col("jac_bp") >= NearDupBp)
         .groupBy(col("d2").as("doc_id"))
-        .agg(min(struct(col("d1"), col("jac"))).as("m"))
-        .select(col("doc_id"), col("m.d1").as("match_id"), col("m.jac").as("jac"))
+        .agg(min(struct(col("d1"), col("jac_bp"))).as("m"))
+        .select(col("doc_id"), col("m.d1").as("match_id"), col("m.jac_bp").as("jac_bp"))
         .orderBy("doc_id").limit(200)
     }),
 
@@ -529,9 +536,7 @@ object DedupOps {
       val docs = Tables.documents(s, d)
       val sig = signatures(docs).localCheckpoint(true)
       val pairs = candidateIntersections(docs, guardedCandidatePairs(sig))
-        .withColumn("jac_bp",
-          floor(col("inter") * 10000.0 /
-            (col("n1") + col("n2") - col("inter"))).cast("long"))
+        .withColumn("jac_bp", jacBpCol)
       val aggs = taus.flatMap(t => Seq(
         sum(when(col("jac_bp") >= t, 1L).otherwise(0L)).as(s"p$t"),
         countDistinct(when(col("jac_bp") >= t, col("d2"))).as(s"r$t")))
@@ -713,10 +718,8 @@ object DedupOps {
         .crossJoin(sets.select(col("doc_id").as("d2"), col("shs").as("s2")))
         .filter(col("d1") < col("d2"))
         .withColumn("inter", graft.functions.ArrayFunctions
-          .sorted_intersect_size(col("s1"), col("s2")).cast("double"))
-        .withColumn("jac", round(col("inter") /
-          (size(col("s1")) + size(col("s2")) - col("inter")), 4))
-        .filter(col("jac") >= 0.2)
+          .sorted_intersect_size(col("s1"), col("s2")).cast("long"))
+        .filter(expr(s"inter * 10000 >= $NearDupBp * (size(s1) + size(s2) - inter)"))
         .select("d1", "d2")
         .localCheckpoint(true)
       val configs = Seq((8, 1), (4, 2), (2, 4), (1, 8))
@@ -862,8 +865,8 @@ object DedupOps {
        |ver AS (
        |  SELECT c.d1, c.d2
        |  FROM cand c JOIN sets a ON c.d1 = a.doc_id JOIN sets b ON c.d2 = b.doc_id
-       |  WHERE ROUND(CAST(len(list_intersect(a.shs, b.shs)) AS DOUBLE)
-       |    / (len(a.shs) + len(b.shs) - len(list_intersect(a.shs, b.shs))), 4) >= 0.2),
+       |  WHERE len(list_intersect(a.shs, b.shs)) * 10000
+       |    >= $NearDupBp * (len(a.shs) + len(b.shs) - len(list_intersect(a.shs, b.shs)))),
        |edges AS (SELECT d1 AS src, d2 AS dst FROM ver UNION SELECT d2, d1 FROM ver),
        |reach(node, lbl) AS (
        |  SELECT src, src FROM edges
@@ -932,11 +935,11 @@ object DedupOps {
          |  WHERE a.doc_id < b.doc_id),
          |sets AS (SELECT doc_id, list_distinct(list(s)) AS shs FROM sh GROUP BY doc_id)
          |SELECT c.d1, c.d2,
-         |  ROUND(CAST(len(list_intersect(a.shs, b.shs)) AS DOUBLE)
-         |    / (len(a.shs) + len(b.shs) - len(list_intersect(a.shs, b.shs))), 4) AS jac
+         |  (len(list_intersect(a.shs, b.shs)) * 10000)
+         |    // (len(a.shs) + len(b.shs) - len(list_intersect(a.shs, b.shs))) AS jac_bp
          |FROM cand c JOIN sets a ON c.d1 = a.doc_id JOIN sets b ON c.d2 = b.doc_id
-         |WHERE ROUND(CAST(len(list_intersect(a.shs, b.shs)) AS DOUBLE)
-         |    / (len(a.shs) + len(b.shs) - len(list_intersect(a.shs, b.shs))), 4) >= 0.2
+         |WHERE len(list_intersect(a.shs, b.shs)) * 10000
+         |  >= $NearDupBp * (len(a.shs) + len(b.shs) - len(list_intersect(a.shs, b.shs)))
          |ORDER BY d1, d2 LIMIT 200""".stripMargin,
     "d06_ngram_jaccard" ->
       s"""WITH sh AS (
@@ -946,11 +949,11 @@ object DedupOps {
          |        FROM documents WHERE doc_id < $DiagnosticDocCap)),
          |sets AS (SELECT doc_id, source, list_distinct(list(s)) AS shs FROM sh GROUP BY doc_id, source)
          |SELECT a.doc_id AS d1, b.doc_id AS d2,
-         |  ROUND(CAST(len(list_intersect(a.shs, b.shs)) AS DOUBLE)
-         |    / (len(a.shs) + len(b.shs) - len(list_intersect(a.shs, b.shs))), 4) AS jac
+         |  (len(list_intersect(a.shs, b.shs)) * 10000)
+         |    // (len(a.shs) + len(b.shs) - len(list_intersect(a.shs, b.shs))) AS jac_bp
          |FROM sets a JOIN sets b ON a.source = b.source AND a.doc_id < b.doc_id
-         |WHERE ROUND(CAST(len(list_intersect(a.shs, b.shs)) AS DOUBLE)
-         |    / (len(a.shs) + len(b.shs) - len(list_intersect(a.shs, b.shs))), 4) >= 0.2
+         |WHERE len(list_intersect(a.shs, b.shs)) * 10000
+         |  >= $NearDupBp * (len(a.shs) + len(b.shs) - len(list_intersect(a.shs, b.shs)))
          |ORDER BY d1, d2 LIMIT 200""".stripMargin,
     "d11_contamination" -> contaminationOracleSql,
     // the Bloom prefilter is exactness-preserving (no false negatives;
@@ -985,9 +988,9 @@ object DedupOps {
          |sets AS (SELECT doc_id, list_distinct(list(s)) AS shs FROM sh GROUP BY doc_id),
          |pairs AS (
          |  SELECT c.d1, c.d2,
-         |    CAST(FLOOR(($matchSql) * 10000.0 / $NumHashes) AS BIGINT) AS est_bp,
-         |    CAST(FLOOR(CAST(len(list_intersect(x.shs, y.shs)) AS DOUBLE) * 10000.0
-         |      / (len(x.shs) + len(y.shs) - len(list_intersect(x.shs, y.shs)))) AS BIGINT) AS exact_bp
+         |    CAST((($matchSql) * 10000) // $NumHashes AS BIGINT) AS est_bp,
+         |    CAST((len(list_intersect(x.shs, y.shs)) * 10000)
+         |      // (len(x.shs) + len(y.shs) - len(list_intersect(x.shs, y.shs))) AS BIGINT) AS exact_bp
          |  FROM cand c
          |  JOIN sig a ON c.d1 = a.doc_id JOIN sig b ON c.d2 = b.doc_id
          |  JOIN sets x ON c.d1 = x.doc_id JOIN sets y ON c.d2 = y.doc_id)
@@ -1026,13 +1029,13 @@ object DedupOps {
          |sets AS (SELECT doc_id, list_distinct(list(s)) AS shs FROM sh GROUP BY doc_id),
          |ver AS (
          |  SELECT c.d1, c.d2,
-         |    ROUND(CAST(len(list_intersect(a.shs, b.shs)) AS DOUBLE)
-         |      / (len(a.shs) + len(b.shs) - len(list_intersect(a.shs, b.shs))), 4) AS jac
+         |    (len(list_intersect(a.shs, b.shs)) * 10000)
+         |      // (len(a.shs) + len(b.shs) - len(list_intersect(a.shs, b.shs))) AS jac_bp
          |  FROM cand c JOIN sets a ON c.d1 = a.doc_id JOIN sets b ON c.d2 = b.doc_id)
-         |SELECT doc_id, match_id, jac FROM (
-         |  SELECT d2 AS doc_id, d1 AS match_id, jac,
+         |SELECT doc_id, match_id, jac_bp FROM (
+         |  SELECT d2 AS doc_id, d1 AS match_id, jac_bp,
          |    ROW_NUMBER() OVER (PARTITION BY d2 ORDER BY d1) AS rn
-         |  FROM ver WHERE jac >= 0.2)
+         |  FROM ver WHERE jac_bp >= $NearDupBp)
          |WHERE rn = 1 ORDER BY doc_id LIMIT 200""".stripMargin,
     "d16_threshold_sweep" ->
       s"""WITH $sigSqlCte,
@@ -1048,8 +1051,8 @@ object DedupOps {
          |sets AS (SELECT doc_id, list_distinct(list(s)) AS shs FROM sh GROUP BY doc_id),
          |pairs AS (
          |  SELECT c.d1, c.d2,
-         |    CAST(FLOOR(CAST(len(list_intersect(a.shs, b.shs)) AS DOUBLE) * 10000.0
-         |      / (len(a.shs) + len(b.shs) - len(list_intersect(a.shs, b.shs)))) AS BIGINT) AS jac_bp
+         |    (len(list_intersect(a.shs, b.shs)) * 10000)
+         |      // (len(a.shs) + len(b.shs) - len(list_intersect(a.shs, b.shs))) AS jac_bp
          |  FROM cand c JOIN sets a ON c.d1 = a.doc_id JOIN sets b ON c.d2 = b.doc_id),
          |taus AS (SELECT CAST(unnest([2000, 3000, 4000, 5000, 6000, 7000, 8000, 9000]) AS BIGINT) AS tau_bp)
          |SELECT t.tau_bp,
@@ -1162,8 +1165,8 @@ object DedupOps {
          |truth AS (
          |  SELECT a.doc_id AS d1, b.doc_id AS d2
          |  FROM sets a JOIN sets b ON a.doc_id < b.doc_id
-         |  WHERE ROUND(CAST(len(list_intersect(a.shs, b.shs)) AS DOUBLE)
-         |      / (len(a.shs) + len(b.shs) - len(list_intersect(a.shs, b.shs))), 4) >= 0.2),
+         |  WHERE len(list_intersect(a.shs, b.shs)) * 10000
+         |    >= $NearDupBp * (len(a.shs) + len(b.shs) - len(list_intersect(a.shs, b.shs)))),
          |bands AS (
          |  $bandArms),
          |cand AS (

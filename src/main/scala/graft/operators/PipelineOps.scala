@@ -25,7 +25,9 @@ import graft.functions.RegexpFunctions.regexp_count_fast
 object PipelineOps {
 
   private val QualityMinBp = 6000L
-  private val NearDupJaccard = 0.2
+  // verify threshold in basis points — all-integer compare, shared with
+  // the DedupOps kernel (the t18 rule; see DedupOps.NearDupBp)
+  private val NearDupBp = DedupOps.NearDupBp
   private val ContaminationMax = 0.5
   private val EvalSources = Seq("src0", "src1")
 
@@ -120,8 +122,8 @@ object PipelineOps {
       val sig = DedupOps.signatures(s3).localCheckpoint(true)
       val cand = DedupOps.guardedCandidatePairs(sig)
       val verified = DedupOps.candidateIntersections(s3, cand)
-        .withColumn("jac", DedupOps.jacCol)
-        .filter(col("jac") >= NearDupJaccard)
+        .withColumn("jac_bp", DedupOps.jacBpCol)
+        .filter(col("jac_bp") >= NearDupBp)
         .select(col("d2").as("dup_id")).distinct()
       val s4 = s3.join(verified, s3("doc_id") === verified("dup_id"), "left_anti")
         .localCheckpoint(true)
@@ -656,9 +658,8 @@ object PipelineOps {
          |dups AS (
          |  SELECT DISTINCT c.d2 AS dup_id
          |  FROM cand c JOIN sets a ON c.d1 = a.doc_id JOIN sets b ON c.d2 = b.doc_id
-         |  WHERE ROUND(CAST(len(list_intersect(a.shs, b.shs)) AS DOUBLE)
-         |      / (len(a.shs) + len(b.shs) - len(list_intersect(a.shs, b.shs))), 4)
-         |    >= $NearDupJaccard),
+         |  WHERE len(list_intersect(a.shs, b.shs)) * 10000
+         |    >= $NearDupBp * (len(a.shs) + len(b.shs) - len(list_intersect(a.shs, b.shs)))),
          |s4 AS (SELECT * FROM s3 WHERE doc_id NOT IN (SELECT dup_id FROM dups)),
          |evalsh AS (
          |  SELECT DISTINCT substr(text, CAST(g AS INT), $ContamShingleLen) AS esh

@@ -15,10 +15,11 @@ class CorpusOpsSpec extends SparkSpec {
       docs.agg(max("doc_id")).head().getLong(0) * 0.8).toLong
     val rows = operators.DedupOps.queries("d14_incremental_dedup")(spark, sf).collect()
     rows.foreach { r =>
-      val (docId, matchId, jac) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+      val (docId, matchId, jacBp) = (r.getLong(0), r.getLong(1), r.getLong(2))
       assert(docId > bound, s"dropped doc $docId must come from the batch slice")
       assert(matchId <= bound, s"match $matchId must come from the base corpus")
-      assert(jac >= 0.2, "only verified near-dups are dropped")
+      assert(jacBp >= operators.DedupOps.NearDupBp,
+        "only verified near-dups are dropped")
     }
     assert(rows.map(_.getLong(0)).distinct.length == rows.length,
       "one best match per dropped batch doc")
