@@ -143,9 +143,13 @@ object Bench {
     def storedRdds(): Int = spark.sparkContext.getRDDStorageInfo.length
     val storedPerPass = scala.collection.mutable.ArrayBuffer.empty[Int]
     val wall0 = System.nanoTime()
-    val samples = Seq.fill(3) {
+    val coresMid = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val samples = (1 to 3).map { i =>
       val r = (pass(), benchJobPipeline(spark))
       storedPerPass += storedRdds()
+      // Mid-pass probes (VERDICT r8 #4): endpoint-only sampling let a
+      // contention window inside the timed section pass the gate.
+      if (i < 3) coresMid += effectiveCores()
       r
     }
     val wallSec = (System.nanoTime() - wall0) / 1e9
@@ -191,16 +195,19 @@ object Bench {
     // Scratch.withDir — a non-empty list here is a leak regression).
     val leakedScratch = (scratchDirs() -- scratchBefore).toSeq.sorted
     val coresAfter = effectiveCores()
-    // Contention gate (VERDICT r7 #3): r7's official run measured
-    // [14.2, 9.6] effective cores of 32 — 2-3× hypervisor oversubscription
-    // that silently regressed every wall time ~40%. A run where BOTH
-    // endpoint samples collapse below half the visible cores is flagged
-    // CONTENDED in the artifact: its timings are host weather, to be
-    // re-sampled on a quiet host, not compared round-over-round. (One
-    // low sample — e.g. the start probe landing in JVM warm-up — is not
-    // conclusive; both samples are published for finer judgement.)
+    // Contention gate (VERDICT r7 #3, tightened r9 per VERDICT r8 #4):
+    // r7's official run measured [14.2, 9.6] effective cores of 32 —
+    // 2-3× hypervisor oversubscription that silently regressed every
+    // wall time ~40% — and r8's max()-gate passed a run whose first
+    // probe WAS below half. The gate is now the honest one: FOUR probes
+    // (before, after each of the first two sample passes, after), and
+    // ANY probe below half the visible cores flags the artifact
+    // CONTENDED — its timings are host weather, to be re-sampled on a
+    // quiet host, not compared round-over-round. All probes are
+    // published for finer judgement.
     val visibleCores = Runtime.getRuntime.availableProcessors().toDouble
-    val contended = math.max(coresBefore, coresAfter) < visibleCores / 2
+    val coreProbes = coresBefore +: coresMid.toSeq :+ coresAfter
+    val contended = coreProbes.min < visibleCores / 2
     // Numeric scale factor parsed from the dir name ("sf0.1" → 0.1) plus
     // the raw path — ADVICE r7: one artifact carried the path string and
     // another the number, forcing consumers to special-case the field.
@@ -211,7 +218,7 @@ object Bench {
     def toJson(rows: Seq[(String, Double)], withSf001Detail: Boolean): String = {
       val extra = if (withSf001Detail) f""","queries_sf001":${qjson(sf001)}"""
         else f""","detail_file":"$outFile""""
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${qjson(rows)},"jobs_per_sec":${pipeline._2}%.0f,"enqueue_percall_jobs_sec":$enqSync%.0f,"enqueue_buffered_jobs_sec":$enqBuf%.0f,"n_queries":${all.size},"samples":3,"wall_sec":$wallSec%.1f,"total_sf001":$totalSf001%.3f,"sf001_skipped":$sf001Skipped,"errored":${sjson(errors)},"errored_sf001":${sjson(errorsSf001)},"leaked_scratch":${sjson(leakedScratch)},"stored_rdds_per_pass":${storedPerPass.mkString("[", ",", "]")},"effective_cores":[$coresBefore%.1f,$coresAfter%.1f],"contended":$contended,"sf":$sfNum%.3f,"sf_path":"$sfDir"$extra}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${qjson(rows)},"jobs_per_sec":${pipeline._2}%.0f,"enqueue_percall_jobs_sec":$enqSync%.0f,"enqueue_buffered_jobs_sec":$enqBuf%.0f,"n_queries":${all.size},"samples":3,"wall_sec":$wallSec%.1f,"total_sf001":$totalSf001%.3f,"sf001_skipped":$sf001Skipped,"errored":${sjson(errors)},"errored_sf001":${sjson(errorsSf001)},"leaked_scratch":${sjson(leakedScratch)},"stored_rdds_per_pass":${storedPerPass.mkString("[", ",", "]")},"effective_cores":${coreProbes.map(c => f"$c%.1f").mkString("[", ",", "]")},"contended":$contended,"sf":$sfNum%.3f,"sf_path":"$sfDir"$extra}"""
     }
     // Full per-query detail → BENCH.json (env-overridable path). Stdout
     // gets a COMPACT line (slowest 10 queries only, plus a detail_file

@@ -43,11 +43,9 @@ final class ConsoleHtml(backend: QueueBackend, spark: SparkSession) {
     val body = segs match {
       case Nil => Some(homePage())
       case "enqueued" :: Nil => Some(enqueuedIndex())
-      case "enqueued" :: "queue" :: q :: Nil => Some(queuePage(q, page(p)))
-      case "scheduled" :: Nil => Some(jobsPage("Scheduled",
-        api.scheduledSize(), api.scheduledPage(page(p)), page(p), "scheduled"))
-      case "dead" :: Nil => Some(jobsPage("Dead",
-        api.deadSize(), api.deadPage(page(p)), page(p), "dead"))
+      case "enqueued" :: "queue" :: q :: Nil => Some(queuePage(q, page(p), p))
+      case "scheduled" :: Nil => Some(jobsPage("Scheduled", page(p), "scheduled", p))
+      case "dead" :: Nil => Some(jobsPage("Dead", page(p), "dead", p))
       case "cron" :: Nil => Some(cronPage())
       case "batch" :: Nil => p.get("id").map(batchPage)
       case _ => None
@@ -109,20 +107,39 @@ final class ConsoleHtml(backend: QueueBackend, spark: SparkSession) {
          |<table><tr><th>queue</th><th>size</th></tr>$rows</table>""".stripMargin)
   }
 
-  private def queuePage(q: String, pg: Int): String = {
-    val jobs = api.enqueuedPage(q, pg)
+  private def queuePage(q: String, pg: Int, p: Map[String, String]): String = {
+    val f = ConsoleFilters.validate(p, ConsoleFilters.EnqueuedTypes)
+    val jobs =
+      if (f.isFilter) ConsoleFilters.enqueued(api, q, f)
+      else if (f.isPlainPage) api.enqueuedPage(q, pg)
+      else Nil
     layout(s"Enqueued — $q",
       s"""<h1>Queue <code>${esc(q)}</code></h1>
          |<p class="muted">${api.enqueuedSize(q)} jobs</p>
+         |${filterForm(s"/console/enqueued/queue/${esc(q)}",
+            ConsoleFilters.EnqueuedTypes, p)}
          |${btnForm(s"enqueued/queue/$q", "Purge queue", delete = true, danger = true)}
          |${jobTable(jobs, j =>
             btnForm(s"enqueued/queue/$q/job/${j.id}", "Prioritise") +
             btnForm(s"enqueued/queue/$q/job/${j.id}", "Delete", delete = true, danger = true))}
-         |${pager(s"/console/enqueued/queue/${esc(q)}", pg)}""".stripMargin)
+         |${if (f.isPlainPage) pager(s"/console/enqueued/queue/${esc(q)}", pg) else ""}""".stripMargin)
   }
 
-  private def jobsPage(title: String, total: Long, jobs: Seq[Job],
-      pg: Int, slug: String): String = {
+  private def jobsPage(title: String, pg: Int, slug: String,
+      p: Map[String, String]): String = {
+    val allowed = if (slug == "scheduled") ConsoleFilters.ScheduledTypes
+                  else ConsoleFilters.DeadTypes
+    val f = ConsoleFilters.validate(p, allowed)
+    val total = if (slug == "scheduled") api.scheduledSize() else api.deadSize()
+    val jobs =
+      if (f.isFilter) {
+        if (slug == "scheduled") ConsoleFilters.scheduled(api, f)
+        else ConsoleFilters.dead(api, f)
+      }
+      else if (f.isPlainPage) {
+        if (slug == "scheduled") api.scheduledPage(pg) else api.deadPage(pg)
+      }
+      else Nil
     // Per-row verbs per collection, mirroring the reference pages:
     // scheduled.clj:78 prioritise/delete; dead.clj:89 replay/delete.
     val rowActions: Job => String = slug match {
@@ -136,8 +153,31 @@ final class ConsoleHtml(backend: QueueBackend, spark: SparkSession) {
     }
     layout(title,
       s"""<h1>$title jobs</h1><p class="muted">$total total</p>
+         |${filterForm(s"/console/$slug", allowed, p)}
          |${btnForm(slug, s"Purge all $slug", delete = true, danger = true)}
-         |${jobTable(jobs, rowActions)}${pager(s"/console/$slug", pg)}""".stripMargin)
+         |${jobTable(jobs, rowActions)}
+         |${if (f.isPlainPage) pager(s"/console/$slug", pg) else ""}""".stripMargin)
+  }
+
+  /** The reference's per-page filter header (pages/enqueued.clj
+    * filter-header, scheduled.clj, dead.clj): a GET form whose params
+    * round-trip through [[ConsoleFilters.validate]] — the identical
+    * validation the JSON route applies. */
+  private def filterForm(actionUrl: String, allowed: Set[String],
+      p: Map[String, String]): String = {
+    val cur = p.getOrElse("filter-type", "")
+    val opts = allowed.toSeq.sorted.map { t =>
+      val sel = if (t == cur) " selected" else ""
+      s"""<option value="${esc(t)}"$sel>${esc(t)}</option>"""
+    }.mkString
+    s"""<form class="filter" method="get" action="$actionUrl">
+       |<select name="filter-type">$opts</select>
+       |<input type="text" name="filter-value" placeholder="value"
+       | value="${esc(p.getOrElse("filter-value", ""))}">
+       |<input type="number" name="limit" min="0" size="4"
+       | value="${esc(p.getOrElse("limit", ConsoleFilters.DefaultLimit.toString))}">
+       |<button type="submit">Filter</button>
+       |<a href="$actionUrl">clear</a></form>""".stripMargin
   }
 
   private def cronPage(): String = {
@@ -240,6 +280,8 @@ final class ConsoleHtml(backend: QueueBackend, spark: SparkSession) {
        |.muted{color:#777}.err{color:#a00;max-width:24rem;overflow-wrap:anywhere}
        |.pager{margin-top:1rem}code{background:#f5f5f5;padding:0 .2rem}
        |form.act{display:inline-block;margin:0 .2rem 0 0}
+       |form.filter{margin:.5rem 0}form.filter input,form.filter select{
+       |font-size:.85rem;padding:.15rem .3rem}form.filter a{margin-left:.5rem}
        |form.act button{font-size:.8rem;padding:.15rem .5rem;cursor:pointer}
        |form.act button.danger{color:#a00;border-color:#a00}
        |.acts{white-space:nowrap}

@@ -97,8 +97,15 @@ final class ConsoleRoutes(backend: QueueBackend, spark: SparkSession) {
         // enqueued (pages/enqueued.clj)
         case ("GET", "enqueued" :: Nil) => ok(Map("queues" -> api.listQueues()))
         case ("GET", "enqueued" :: "queue" :: q :: Nil) =>
-          ok(Map("queue" -> q, "total" -> api.enqueuedSize(q),
-            "jobs" -> api.enqueuedPage(q, page(p)).map(jobJson)))
+          val f = ConsoleFilters.validate(p, ConsoleFilters.EnqueuedTypes)
+          if (f.isFilter)
+            ok(Map("queue" -> q,
+              "jobs" -> ConsoleFilters.enqueued(api, q, f).map(jobJson)))
+          else if (f.isPlainPage)
+            ok(Map("queue" -> q, "total" -> api.enqueuedSize(q),
+              "jobs" -> api.enqueuedPage(q, page(p)).map(jobJson)))
+          else // valid filter-type, invalid filter-value → empty list
+            ok(Map("queue" -> q, "jobs" -> Nil))
         case ("DELETE", "enqueued" :: "queue" :: q :: Nil) =>
           api.enqueuedPurge(q); ok(Map("purged" -> q))
         case ("POST", "enqueued" :: "queue" :: q :: "jobs" :: Nil) =>
@@ -114,8 +121,13 @@ final class ConsoleRoutes(backend: QueueBackend, spark: SparkSession) {
 
         // scheduled (pages/scheduled.clj)
         case ("GET", "scheduled" :: Nil) =>
-          ok(Map("total" -> api.scheduledSize(),
-            "jobs" -> api.scheduledPage(page(p)).map(jobJson)))
+          val f = ConsoleFilters.validate(p, ConsoleFilters.ScheduledTypes)
+          if (f.isFilter)
+            ok(Map("jobs" -> ConsoleFilters.scheduled(api, f).map(jobJson)))
+          else if (f.isPlainPage)
+            ok(Map("total" -> api.scheduledSize(),
+              "jobs" -> api.scheduledPage(page(p)).map(jobJson)))
+          else ok(Map("jobs" -> Nil))
         case ("DELETE", "scheduled" :: Nil) =>
           api.scheduledPurge(); ok(Map("purged" -> "scheduled"))
         case ("POST", "scheduled" :: "jobs" :: Nil) =>
@@ -131,8 +143,13 @@ final class ConsoleRoutes(backend: QueueBackend, spark: SparkSession) {
 
         // dead (pages/dead.clj)
         case ("GET", "dead" :: Nil) =>
-          ok(Map("total" -> api.deadSize(),
-            "jobs" -> api.deadPage(page(p)).map(jobJson)))
+          val f = ConsoleFilters.validate(p, ConsoleFilters.DeadTypes)
+          if (f.isFilter)
+            ok(Map("jobs" -> ConsoleFilters.dead(api, f).map(jobJson)))
+          else if (f.isPlainPage)
+            ok(Map("total" -> api.deadSize(),
+              "jobs" -> api.deadPage(page(p)).map(jobJson)))
+          else ok(Map("jobs" -> Nil))
         case ("DELETE", "dead" :: Nil) =>
           api.deadPurge(); ok(Map("purged" -> "dead"))
         case ("POST", "dead" :: "jobs" :: Nil) =>

@@ -769,22 +769,30 @@ object DedupOps {
     // is a content-keyed partial-agg rollup, the join-back is a
     // left-semi on the 8-byte key, and the island pass shuffles only
     // SHARED windows keyed by doc_id — no self-join, no fan-out
-    // anywhere. The oracle joins on the window STRING itself;
-    // identical modulo xxhash64 collisions (~1e-9 at 1e5 windows).
+    // anywhere. The oracle joins on the window STRING itself; the Spark
+    // side censuses by a PAIR of independently-salted xxhash64 keys, so
+    // equivalence holds modulo a double collision (~2^-128).
     "d24_window_coverage" -> ((s, d) => {
       val W = 10
       val docs = Tables.documents(s, d)
         .select(col("doc_id"), col("source"), split(col("text"), "\\s+").as("a"))
         .withColumn("n_tok", size(col("a")))
+      // TWO independently-salted 64-bit keys (ADVICE r8): the oracle
+      // joins on the raw window string, so a single-hash collision
+      // between windows in different docs would fail the gate with no
+      // diagnostic pointing at hashing. A (h, h2) pair collides at
+      // ~2^-128 — the asymmetry is now unobservable, at the cost of one
+      // extra 8-byte column in the census exchange.
       val wins = docs.filter(col("n_tok") >= W)
         .select(col("doc_id"), explode(expr(
           s"transform(sequence(0, n_tok - $W)," +
-            s" i -> struct(i AS st, xxhash64(concat_ws(' ', slice(a, i+1, $W))) AS h))")).as("w"))
-        .select(col("doc_id"), col("w.st").as("st"), col("w.h").as("h"))
-      val shared = wins.groupBy("h")
+            s" i -> struct(i AS st, xxhash64(concat_ws(' ', slice(a, i+1, $W))) AS h," +
+            s" xxhash64('d24b', concat_ws(' ', slice(a, i+1, $W))) AS h2))")).as("w"))
+        .select(col("doc_id"), col("w.st").as("st"), col("w.h").as("h"), col("w.h2").as("h2"))
+      val shared = wins.groupBy("h", "h2")
         .agg(countDistinct(col("doc_id")).as("nd"))
-        .filter(col("nd") >= 2).select("h")
-      val dup = wins.join(shared, Seq("h"), "left_semi")
+        .filter(col("nd") >= 2).select("h", "h2")
+      val dup = wins.join(shared, Seq("h", "h2"), "left_semi")
         .select(col("doc_id"), col("st"), (col("st") + W).as("en"))
       val byDoc = org.apache.spark.sql.expressions.Window
         .partitionBy("doc_id").orderBy("st")

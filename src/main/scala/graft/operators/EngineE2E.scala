@@ -827,7 +827,16 @@ object EngineE2E {
         afterDrain = q => dropped = q.recentProgress.iterator
           .flatMap(p => Option(p.stateOperators).toSeq.flatten)
           .map(_.numRowsDroppedByWatermark).sum) {
-        _.select(col("window.start").cast("date").as("day"),
+        // Sentinel excluded EXPLICITLY in the rollup (ADVICE r8: its
+        // window never finalizing in append mode was emergent — one
+        // future append past the sentinel would have finalized it and
+        // broken the oracle equality non-obviously). The exclusion
+        // cannot ride the stream side: a filter above withWatermark
+        // gets pushed below the EventTimeWatermark node (it doesn't
+        // reference ts), starving the watermark of the sentinel's
+        // timestamp and stalling finalization itself.
+        _.filter(!(col("event_type") <=> lit("sentinel")))
+          .select(col("window.start").cast("date").as("day"),
             col("event_type"), col("n"), col("total_v"))
           .withColumn("n_late_dropped", lit(dropped))
           .orderBy("day", "event_type")

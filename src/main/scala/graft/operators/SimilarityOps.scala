@@ -1009,11 +1009,17 @@ object SimilarityOps {
         .filter(col("rn") === 1).select("vec_id", "sub", "clabel")
       val qe = elems.filter(col("vec_id") === QueryId)
         .select(col("pos"), col("v").as("qv"))
+      // Quantize PER PRODUCT, not on the subspace sum: floor(round(sum)
+      // *1e6) stacked two roundings, and the round(…,6) grid scaled by
+      // 1e6 sits exactly on integers — one ulp of representation error
+      // flips floor across engines (ADVICE r8). round-to-integer on the
+      // raw product has no such systematic boundary (a double product
+      // exactly on .5 micro-units is measure-zero), and the sum of
+      // longs is shuffle-order-exact in both engines.
       val tab = cent.join(broadcast(qe), Seq("pos"))
         .withColumn("sub", expr(s"pos div $SubDim"))
         .groupBy("clabel", "sub")
-        .agg(floor(round(sum(col("qv") * col("cv")), 6) * 1000000)
-          .cast("long").as("t"))
+        .agg(sum(round(col("qv") * col("cv") * 1000000, 0).cast("long")).as("t"))
       val adc = codes.filter(col("vec_id") =!= QueryId)
         .join(broadcast(tab), Seq("sub", "clabel"))
         .groupBy("vec_id").agg(sum("t").as("adc_ipm"))
@@ -1830,7 +1836,7 @@ object SimilarityOps {
          |qe AS (SELECT pos, v AS qv FROM elems WHERE vec_id = $QueryId),
          |tab AS (
          |  SELECT c.clabel, (c.pos - 1) // 16 AS sub,
-         |    CAST(FLOOR(ROUND(SUM(q.qv * c.cv), 6) * 1000000) AS BIGINT) AS t
+         |    CAST(SUM(CAST(ROUND(q.qv * c.cv * 1000000, 0) AS BIGINT)) AS BIGINT) AS t
          |  FROM cent c JOIN qe q ON q.pos = c.pos
          |  GROUP BY 1, 2),
          |adc AS (

@@ -243,4 +243,85 @@ class ConsoleRoutesSpec extends SparkSpec {
       assert(bad.statusCode() == 200 || bad.statusCode() == 303 || bad.statusCode() == 404)
     } finally srv.stop()
   }
+
+  test("page filters mirror data.clj semantics per collection") {
+    val (backend, client, worker, sched, routes, clock) = fixture()
+
+    // one dead job (two failed attempts), then one failed-but-ready job
+    client.performAsync("boom")
+    worker.runPass(); clock.addAndGet(1000); sched.promoteDue(); worker.runPass()
+    client.performAsync("boom")
+    worker.runPass(); clock.addAndGet(1000); sched.promoteDue()
+    // fresh unexecuted jobs on the ready queue
+    val idA = client.performAsync("ok", "a")
+    client.performAsync("ok", "b")
+    val sid = client.performAt(Instant.ofEpochMilli(clock.get() + 60000), "ok")
+
+    def jobsOf(body: String): Int =
+      body.split(java.util.regex.Pattern.quote("\"id\":\""), -1).length - 1
+
+    // --- enqueued (data.clj:30-47; specs: id | execute-fn-sym | type) ---
+    val byId = get(routes, "/enqueued/queue/test",
+      "filter-type" -> "id", "filter-value" -> idA).body
+    assert(byId.contains(idA) && jobsOf(byId) == 1 && !byId.contains("\"total\""),
+      "id filter returns exactly the one job, no pagination total")
+    val badUuid = get(routes, "/enqueued/queue/test",
+      "filter-type" -> "id", "filter-value" -> "abcd").body
+    assert(badUuid.contains("\"jobs\":[]"),
+      "invalid filter-value renders an empty list, not an error")
+    val bySym = get(routes, "/enqueued/queue/test",
+      "filter-type" -> "execute-fn-sym", "filter-value" -> "ok").body
+    assert(bySym.contains(idA) && !bySym.contains("boom"))
+    val failed = get(routes, "/enqueued/queue/test",
+      "filter-type" -> "type", "filter-value" -> "failed").body
+    assert(failed.contains("boom") && !failed.contains(idA),
+      "type=failed finds the retried job on the ready queue")
+    val unexec = get(routes, "/enqueued/queue/test",
+      "filter-type" -> "type", "filter-value" -> "unexecuted").body
+    assert(unexec.contains(idA) && !unexec.contains("boom"))
+    // "scheduled" validates globally but the enqueued page doesn't
+    // dispatch it (the reference's nil case) → empty list
+    assert(get(routes, "/enqueued/queue/test",
+      "filter-type" -> "type", "filter-value" -> "scheduled").body
+      .contains("\"jobs\":[]"))
+    // unknown filter-type validates to nil on BOTH params → plain page
+    val fallback = get(routes, "/enqueued/queue/test",
+      "filter-type" -> "bogus", "filter-value" -> "x").body
+    assert(fallback.contains("\"total\""), "invalid type falls back to pagination")
+    val limited = get(routes, "/enqueued/queue/test",
+      "filter-type" -> "execute-fn-sym", "filter-value" -> "ok",
+      "limit" -> "1").body
+    assert(jobsOf(limited) == 1, "limit caps find-by-pattern")
+
+    // --- scheduled (adds queue; type dispatches failed|scheduled) ---
+    val schedQ = get(routes, "/scheduled",
+      "filter-type" -> "queue", "filter-value" -> "test").body
+    assert(schedQ.contains(sid))
+    assert(get(routes, "/scheduled",
+      "filter-type" -> "queue", "filter-value" -> "nope").body
+      .contains("\"jobs\":[]"))
+    assert(get(routes, "/scheduled",
+      "filter-type" -> "type", "filter-value" -> "scheduled").body.contains(sid))
+
+    // --- dead (id | execute-fn-sym | queue) ---
+    val deadSym = get(routes, "/dead",
+      "filter-type" -> "execute-fn-sym", "filter-value" -> "boom").body
+    assert(deadSym.contains("boom") && jobsOf(deadSym) == 1)
+    val deadId = deadSym.split("\"id\":\"")(1).takeWhile(_ != '"')
+    assert(get(routes, "/dead",
+      "filter-type" -> "id", "filter-value" -> deadId).body.contains(deadId))
+    assert(get(routes, "/dead",
+      "filter-type" -> "queue", "filter-value" -> "other").body
+      .contains("\"jobs\":[]"))
+
+    // --- the HTML pages run the SAME validated filter ---
+    val html = new graft.api.ConsoleHtml(backend, spark)
+    val htmlFiltered = html.handle(ConsoleRequest("GET", "enqueued/queue/test",
+      Map("filter-type" -> "execute-fn-sym", "filter-value" -> "ok"))).get.body
+    assert(htmlFiltered.contains("form class=\"filter\"") &&
+      htmlFiltered.contains(idA) && !htmlFiltered.contains("boom"))
+    val htmlDead = html.handle(ConsoleRequest("GET", "dead",
+      Map("filter-type" -> "queue", "filter-value" -> "test"))).get.body
+    assert(htmlDead.contains(deadId))
+  }
 }
