@@ -282,7 +282,11 @@ object Bench {
     *    (group commit, RMQ async-confirm semantics) + final flush.
     *
     * Returns (syncJobsPerSec, bufferedJobsPerSec). */
-  def benchEnqueue(spark: SparkSession, nSync: Int = 128,
+  /** nSync sized for the r9 WAL-ready lane (~0.5 ms/call): 128 calls
+    * finished in ~60 ms, inside timer/JIT noise; 1024 gives a ~0.5 s
+    * window at the current rate and still ~5 s if the file lane
+    * (graft.ready.percall=file) is ever benched. */
+  def benchEnqueue(spark: SparkSession, nSync: Int = 1024,
       nBuf: Int = 20000): (Double, Double) =
     graft.Scratch.withDir("graft-bench-enq") { root =>
       JobRegistry.register("bench_noop", _ => "ok")

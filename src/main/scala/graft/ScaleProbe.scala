@@ -116,6 +116,8 @@ object ScaleProbe {
       "p15_shard_balance", "s21_hybrid_search", "s22_pq_adc_topk",
       "s23_filtered_topk", "s24_ivf_knn_join", "m07_decode_quarantine",
       "t21_readability",
+      "s25_sql_minhash", "s26_sql_entropy", "s27_sql_window",
+      "s28_sql_ngram_jaccard",
       "q38_asof_join", "q40_range_join", "q41_salted_join")
     subset.foreach { s =>
       val unknown = s -- allProbeQueries.toSet
@@ -162,32 +164,33 @@ object ScaleProbe {
     sb.append("schedules; past that it throws rather than balloon the driver heap).\n\n")
     sb.append(s"| query | 1× sec | $factor× sec | ratio |\n|---|---|---|---|\n")
 
-    // s03 first and only once cold: its first touch per corpus builds and
-    // caches the IVF centroid table, so a best-of-2 would silently fold
-    // the warm path into the "cold" row.
-    val hasS03 = probeQueries.contains("s03_ann_ivf")
-    val s03Cold =
-      if (hasS03) (timeOnce("s03_ann_ivf", base), timeOnce("s03_ann_ivf", scaled))
-      else (0.0, 0.0)
-    val rest = probeQueries.filterNot(_ == "s03_ann_ivf")
+    // Artifact-building queries first and only once cold: the first
+    // touch per corpus builds and caches a prebuilt index artifact (s03
+    // the IVF centroid table, m04 the media-sketch table), so a
+    // best-of-2 would silently fold the warm path into the "cold" row —
+    // and the cold row IS these probes' meaning (the ingest cost).
+    val ColdOnce = Seq("s03_ann_ivf", "m04_ahash")
+    val coldRows = ColdOnce.filter(probeQueries.contains).map { q =>
+      q -> (timeOnce(q, base), timeOnce(q, scaled))
+    }.toMap
+    val rest = probeQueries.filterNot(coldRows.contains)
     (1 to 2).foreach { _ => rest.foreach { q => time(q, base); time(q, scaled) } }
 
     probeQueries.foreach { q =>
       val (t1, t10) =
-        if (q == "s03_ann_ivf") s03Cold
-        else (samples((q, base)), samples((q, scaled)))
+        coldRows.getOrElse(q, (samples((q, base)), samples((q, scaled))))
       sb.append(f"| $q | $t1%.2f | $t10%.2f | ${t10 / t1}%.1f× |\n")
       println(f"PROBE $q: $t1%.2fs -> $t10%.2fs (${t10 / t1}%.1fx)")
     }
 
-    // s03 again per corpus: the IVF centroid table is a cached build
-    // artifact, so a SECOND lookup pays only the query-side cost — the
-    // 100 TB serving shape (build once, look up many).
-    if (hasS03) {
-      val t1 = math.min(timeOnce("s03_ann_ivf", base), timeOnce("s03_ann_ivf", base))
-      val t10 = math.min(timeOnce("s03_ann_ivf", scaled), timeOnce("s03_ann_ivf", scaled))
-      sb.append(f"| s03_ann_ivf (centroids prebuilt) | $t1%.2f | $t10%.2f | ${t10 / t1}%.1f× |\n")
-      println(f"PROBE s03 cached: $t1%.2fs -> $t10%.2fs (${t10 / t1}%.1fx)")
+    // Artifact queries again per corpus: a SECOND lookup pays only the
+    // query-side cost — the 100 TB serving shape (build once, look up
+    // many).
+    coldRows.keys.toSeq.sorted.foreach { q =>
+      val t1 = math.min(timeOnce(q, base), timeOnce(q, base))
+      val t10 = math.min(timeOnce(q, scaled), timeOnce(q, scaled))
+      sb.append(f"| $q (artifact prebuilt) | $t1%.2f | $t10%.2f | ${t10 / t1}%.1f× |\n")
+      println(f"PROBE $q cached: $t1%.2fs -> $t10%.2fs (${t10 / t1}%.1fx)")
     }
 
     // engine-side probes are factor-independent: run them on full sweeps

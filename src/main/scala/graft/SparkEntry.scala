@@ -14,7 +14,8 @@ object SparkEntry {
       (operators.SimilarityOps.queries, operators.SimilarityOps.oracles),
       (operators.TextOps.queries, operators.TextOps.oracles),
       (operators.MultimodalOps.queries, operators.MultimodalOps.oracles),
-      (operators.PipelineOps.queries, operators.PipelineOps.oracles)
+      (operators.PipelineOps.queries, operators.PipelineOps.oracles),
+      (operators.SqlSurfaceOps.queries, operators.SqlSurfaceOps.oracles)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

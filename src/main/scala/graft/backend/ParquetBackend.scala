@@ -92,19 +92,20 @@ class ParquetBackend(spark0: SparkSession, val root: String)
 
   /** Tables a STRUCTURED STREAMING consumer reads as a parquet FILE
     * source ([[graft.worker.WorkerEngine.startStream]] on `ready`,
-    * [[graft.worker.BatchTracker.metaStream]] on `batches`). Their
-    * per-call appends must materialize a parquet file — a WAL row would
-    * be invisible to a running stream until some fold happened. */
+    * [[graft.worker.BatchTracker.metaStream]] on `batches`). A WAL row
+    * is invisible to a running stream until some fold happens, so their
+    * MULTI-row appends materialize a parquet file; `ready`'s single-row
+    * per-call appends ride the WAL with fold-tick visibility (see the
+    * hybrid note below). */
   private val StreamedTables = Set("ready", "batches")
 
   /** Driver-held small appends. Two lanes:
     *
-    *  - [[StreamedTables]] → one direct parquet file
-    *    ([[DirectParquetAppend]], ~5-9 ms): the engine's contract is
-    *    that a returned `performAsync`/`putBatch` is promptly visible
-    *    to a running streaming consumer. The parquet file IS the
-    *    stream-visibility token; its writer-construction cost is the
-    *    documented per-call floor (SCALING.md r8 profile).
+    *  - [[StreamedTables]] multi-row appends → one direct parquet file
+    *    ([[DirectParquetAppend]], ~5-9 ms): performBatch's atomic-N+1
+    *    contract and putBatch updates keep the one-file visibility
+    *    token; the writer-construction cost is amortized across the
+    *    rows of the batch.
     *  - every other table (scheduled jobs, tombstones, cron upserts,
     *    heartbeats, queue decls, batch status) → the [[WalStore]] WAL:
     *    one buffered file write (~tens of µs, Redis-AOF durability
@@ -120,7 +121,22 @@ class ParquetBackend(spark0: SparkSession, val root: String)
   override protected def appendSmallRows[T: Encoder](tbl: String, rows: Seq[T]): Unit =
     if (rows.nonEmpty) {
       val enc = implicitly[Encoder[T]]
-      if (StreamedTables(tbl)) {
+      // Per-call READY hybrid (VERDICT r8 #5): a SINGLE-row ready append
+      // rides the WAL (~tens of µs) instead of materializing a parquet
+      // file (~5 ms writer construction — the measured per-call floor,
+      // SCALING.md r8 profile). Visibility: batch-mode consumers read
+      // WAL-inclusive [[readLog]] and see the row IMMEDIATELY; a running
+      // streaming consumer sees it at the next fold — the maintenance
+      // tick (1 s default, [[drainLatencyPath]]), the MaxRecords cap, or
+      // any compaction — which is the reference's own delivery cadence
+      // (its consumer BLMOVE-polls at 1 s, redis/consumer.clj:12-21).
+      // MULTI-row appends keep the one-file path: performBatch's atomic
+      // N+1 contract rides single-file visibility, and bulk appends are
+      // already amortized. `graft.ready.percall=file` restores the
+      // file-token behavior per session.
+      val walReady = tbl == "ready" && rows.size == 1 &&
+        !spark.conf.getOption("graft.ready.percall").contains("file")
+      if (StreamedTables(tbl) && !walReady) {
         val lock = writeLocks.computeIfAbsent(tbl, _ => new Object)
         lock.synchronized {
           DirectParquetAppend.append(spark, enc, dir(tbl), rows)
@@ -157,12 +173,15 @@ class ParquetBackend(spark0: SparkSession, val root: String)
       }
     }
 
-  /** Fold the job-table WALs on the maintenance cadence — not needed
-    * for correctness (their readers are WAL-inclusive [[readLog]]; the
-    * ready lane writes parquet directly), but it keeps the driver-side
-    * decode short and lets compaction see an honest file count. */
+  /** Fold the job-table WALs on the maintenance cadence. For `ready`
+    * this IS the streaming-visibility tick of the per-call hybrid (the
+    * fold materializes the parquet file a running stream lists); for
+    * every other table it is bookkeeping — their readers are
+    * WAL-inclusive [[readLog]] — that keeps the driver-side decode
+    * short and lets compaction see an honest file count. */
   override def drainLatencyPath(): Unit = {
     import spark.implicits._
+    drainWal("ready", implicitly[Encoder[Job]])
     drainWal("scheduled", implicitly[Encoder[Job]])
   }
 

@@ -58,7 +58,7 @@ object DedupOps {
     * at any corpus size. The scale-safe defaults (d09/d10) stay
     * uncapped. At the correctness gate's sf (≤500 docs) the cap is a
     * no-op, so oracle results are unchanged. */
-  private val DiagnosticDocCap = 1000L
+  private[graft] val DiagnosticDocCap = 1000L
 
   /** Character shingles of length 8: one row per (doc, offset). */
   private[operators] def shingled(docs: DataFrame): DataFrame =

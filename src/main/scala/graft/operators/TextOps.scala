@@ -350,20 +350,43 @@ object TextOps {
     // 100 TB pipeline would persist as an incremental artifact (d14's
     // batch-vs-base pattern extends it without a corpus rescan). All
     // integer output — no float can land differently across engines.
+    //
+    // Plan shape (r9, VERDICT r8 #4 — was 14.1× at 100×): the old form
+    // joined the first-seen table BACK to every distinct (doc, shingle)
+    // pair on the shingle hash — a second full-width exchange of the
+    // biggest relation. But "novel per doc" never needed the pair-level
+    // join: it is the row count of the first-seen table GROUPED BY its
+    // min doc — one partially-aggregated rollup whose input is one row
+    // per DISTINCT shingle (already h-partitioned by the min() rollup),
+    // joined back at DOC granularity (n_docs rows, ~100-1000× smaller
+    // than the pair join at any corpus size). Two more r9 erasures:
+    // n_sh (distinct shingles per doc) never leaves the scan — a doc's
+    // shingles all live in its own text, so the count is
+    // size(array_distinct(transform(...))) per row, zero exchange (the
+    // t13 trick) — and the min-doc rollup needs NO distinct stage at
+    // all (min is duplicate-insensitive), so its exchange input is the
+    // map-side partial-agg residue, not the raw or deduped pair stream.
+    // (A checkpointed shared distinct was tried first: materializing
+    // the pair set pinned gigabytes of the unified pool at 100× and
+    // OOM'd the rollups; recomputing it doubled the heaviest shuffle.)
     "t14_novelty" -> ((s, d) => {
-      val sh = DedupOps.shingled(Tables.documents(s, d))
-        .select(col("doc_id"), col("source"), xxhash64(col("sh")).as("h"))
-        .distinct()
-      val first = sh.groupBy("h").agg(min("doc_id").as("mind"))
-      sh.join(first, Seq("h"))
-        .groupBy("doc_id", "source")
-        .agg(count(lit(1)).as("n_sh"),
-          sum(when(col("doc_id") === col("mind"), 1L).otherwise(0L)).as("novel"))
+      val docs = Tables.documents(s, d)
+      val perDoc = docs.select(col("doc_id"), col("source"),
+        size(array_distinct(expr(
+          s"transform(sequence(1, greatest(length(text) - ${DedupOps.ShingleLen - 1}, 1))," +
+            s" g -> xxhash64(substring(text, g, ${DedupOps.ShingleLen})))")))
+          .cast("long").as("n_sh"))
+      val novelPerDoc = DedupOps.shingled(docs)
+        .select(col("doc_id"), xxhash64(col("sh")).as("h"))
+        .groupBy("h").agg(min("doc_id").as("mind"))
+        .groupBy("mind").agg(count(lit(1)).as("novel"))
+      perDoc.join(novelPerDoc, col("doc_id") === col("mind"), "left_outer")
         .groupBy("source")
         .agg(count(lit(1)).as("n_docs"),
           sum("n_sh").as("n_shingles"),
-          sum("novel").as("n_novel"),
-          floor(sum("novel") * 10000.0 / sum("n_sh")).cast("long").as("novelty_bp"))
+          coalesce(sum("novel"), lit(0L)).as("n_novel"),
+          floor(coalesce(sum("novel"), lit(0L)) * 10000.0 / sum("n_sh"))
+            .cast("long").as("novelty_bp"))
         .orderBy("source")
     }),
 

@@ -148,9 +148,12 @@ class CrashRecoverySpec extends SparkSpec {
     val workerA = new WorkerEngine(crashing, spark, Nil, () => 1700000000000L)
     val workerB = new WorkerEngine(real, spark, Nil, () => 1700000000000L)
 
-    // phase 1: A consumes two jobs and commits
+    // phase 1: A consumes two jobs and commits. Per-call enqueues land
+    // on the ready WAL; the fold below is the maintenance tick that
+    // makes them stream-visible (r9 per-call hybrid).
     client.performAsync("ok", "a1")
     client.performAsync("ok", "a2")
+    real.drainLatencyPath()
     val qA = workerA.startStream(root, queryName = "worker-A")
     try qA.processAllAvailable() finally {}
     assert(TestFns.calls.get() == 2)
@@ -163,6 +166,7 @@ class CrashRecoverySpec extends SparkSpec {
     client.performAsync("ok", "b1")
     client.performAsync("ok", "b2")
     client.performAsync("ok", "b3")
+    real.drainLatencyPath() // visibility tick for the three WAL enqueues
     intercept[Throwable] { qA.processAllAvailable() }
     qA.stop()
     // the file source may split the three appends across micro-batches, so

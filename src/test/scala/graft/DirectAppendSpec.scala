@@ -53,7 +53,11 @@ class DirectAppendSpec extends SparkSpec {
     val percall = (51 to 60).map(job(_))
 
     backend.enqueue(bulk.toDS().repartition(4)) // distributed path
-    percall.foreach(j => backend.enqueueRows(Seq(j))) // per-call path
+    // the FILE lane's mixed-read contract is what's under test → pin it
+    // (the r9 default routes single-row ready appends to the WAL)
+    spark.conf.set("graft.ready.percall", "file")
+    try percall.foreach(j => backend.enqueueRows(Seq(j))) // per-call path
+    finally spark.conf.unset("graft.ready.percall")
 
     val got = backend.readyJobs.collect().map(_.id).toSet
     assert(got == (1 to 60).map(i => s"j$i").toSet)
@@ -127,17 +131,21 @@ class DirectAppendSpec extends SparkSpec {
   test("append recovers when a cached table dir was deleted out from under it") {
     val root = tmpDir("graft-direct")
     val backend = new ParquetBackend(spark, root)
+    spark.conf.set("graft.ready.percall", "file") // dir-cache retry is a file-lane path
     backend.enqueueRows(Seq(job(1))) // populates the dir cache
     // external teardown: the whole table dir vanishes
     graft.Scratch.delete(s"$root/ready")
     backend.enqueueRows(Seq(job(2))) // cache is stale → retry path
+    spark.conf.unset("graft.ready.percall")
     assert(backend.readyJobs.collect().map(_.id).toSet == Set("j2"))
   }
 
   test("sweepStaging reclaims stale crash leftovers, keeps young files") {
     val root = tmpDir("graft-direct")
     val backend = new ParquetBackend(spark, root)
-    backend.enqueueRows(Seq(job(1))) // creates .staging
+    spark.conf.set("graft.ready.percall", "file")
+    try backend.enqueueRows(Seq(job(1))) // creates .staging
+    finally spark.conf.unset("graft.ready.percall")
 
     val stale = new java.io.File(s"$root/.staging/part-stale.parquet")
     val young = new java.io.File(s"$root/.staging/part-young.parquet")

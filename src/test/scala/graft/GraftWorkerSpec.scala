@@ -61,9 +61,14 @@ class GraftWorkerSpec extends SparkSpec {
     val client = new GraftClient(backend, spark, "test", retry)
     val api = new ManagementApi(backend, spark)
 
-    // one file per append: 24 ready appends + the engine's own commit files
-    (1 to 20).foreach(i => client.performAsync("ok", s"a$i"))
-    (1 to 4).foreach(_ => client.performAsync("boom"))
+    // one file per append: this test exercises compaction UNDER a
+    // many-small-files load, so pin the per-call file lane (the r9
+    // default rides the ready WAL and would produce zero files here)
+    spark.conf.set("graft.ready.percall", "file")
+    try {
+      (1 to 20).foreach(i => client.performAsync("ok", s"a$i"))
+      (1 to 4).foreach(_ => client.performAsync("boom"))
+    } finally spark.conf.unset("graft.ready.percall")
     client.performInSec(3600, "ok", "future") // stays scheduled, must survive
 
     def fileCount(): Int =

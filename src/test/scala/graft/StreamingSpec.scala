@@ -31,12 +31,14 @@ class StreamingSpec extends SparkSpec {
     val (root, backend, client, worker, api, _) = fixture()
     client.performAsync("ok", "s1")
     client.performAsync("ok", "s2")
+    backend.drainLatencyPath() // stream-visibility tick for per-call WAL rows
     val q = worker.startStream(root, Trigger.ProcessingTime("100 milliseconds"))
     try {
       q.processAllAvailable()
       assert(TestFns.calls.get() == 2)
       // late arrival picked up by a later micro-batch
       client.performAsync("ok", "s3")
+      backend.drainLatencyPath()
       q.processAllAvailable()
       assert(TestFns.calls.get() == 3)
       assert(backend.completions.count() == 3)
@@ -47,12 +49,14 @@ class StreamingSpec extends SparkSpec {
   test("restart from checkpoint neither loses nor re-executes (D9/D10 analog)") {
     val (root, backend, client, worker, _, _) = fixture()
     client.performAsync("ok", "before")
+    backend.drainLatencyPath()
     val q1 = worker.startStream(root)
     try { q1.processAllAvailable() } finally q1.stop()
     assert(TestFns.calls.get() == 1)
 
     // enqueued while the worker is down
     client.performAsync("ok", "while-down")
+    backend.drainLatencyPath()
     val q2 = worker.startStream(root)
     try {
       q2.processAllAvailable()
@@ -65,7 +69,11 @@ class StreamingSpec extends SparkSpec {
 
   test("prefetch bound: maxFilesPerTrigger caps each micro-batch, backlog drains (S8 QoS analog)") {
     val (root, _, client, worker, _, _) = fixture()
-    (1 to 4).foreach(i => client.performAsync("ok", s"j$i")) // 4 separate log files
+    // file-granularity intake is what's under test → pin the per-call
+    // file lane so each enqueue IS one log file
+    spark.conf.set("graft.ready.percall", "file")
+    try (1 to 4).foreach(i => client.performAsync("ok", s"j$i")) // 4 separate log files
+    finally spark.conf.unset("graft.ready.percall")
     val q = worker.startStream(root, Trigger.ProcessingTime("50 milliseconds"),
       prefetchFiles = Some(1))
     try {
@@ -81,6 +89,7 @@ class StreamingSpec extends SparkSpec {
     val (root, backend, client, worker, api, _) = fixture()
     TestFns.failuresRemaining.set(1)
     client.performAsync("flaky")
+    backend.drainLatencyPath()
     val q = worker.startStream(root)
     try {
       q.processAllAvailable()

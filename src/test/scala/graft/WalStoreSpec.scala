@@ -47,13 +47,74 @@ class WalStoreSpec extends SparkSpec {
     assert(reopened.scheduledJobs.count() == 25)
   }
 
-  test("ready lane stays direct parquet (stream-visibility token)") {
+  test("per-call ready enqueue rides the WAL; multi-row keeps the file token") {
     val (root, backend) = freshBackend()
     val client = clientOn(backend, () => T0)
     client.performAsync("ok", 1)
+    assert(backend.dataFileCount("ready") == 0,
+      "a single-row ready enqueue must not pay a parquet file")
+    assert(WalStore.recordCount(root, "ready", JobEnc) == 1)
+    assert(backend.readyJobs.count() == 1,
+      "WAL ready rows must be batch-visible immediately (readLog)")
+    // performBatch's atomic N+1 keeps single-file visibility
+    client.performBatch(Seq(("ok", Seq[Any](1)), ("ok", Seq[Any](2))), "ok")
     assert(backend.dataFileCount("ready") == 1,
-      "a per-call ready enqueue must be a parquet file the consumer stream can list")
+      "a multi-row batch enqueue stays one atomically-visible file")
+    assert(WalStore.recordCount(root, "ready", JobEnc) == 1)
+    assert(backend.readyJobs.count() == 3)
+  }
+
+  test("graft.ready.percall=file restores the per-call file token") {
+    val (root, backend) = freshBackend()
+    val client = clientOn(backend, () => T0)
+    spark.conf.set("graft.ready.percall", "file")
+    try {
+      client.performAsync("ok", 1)
+      assert(backend.dataFileCount("ready") == 1)
+      assert(WalStore.recordCount(root, "ready", JobEnc) == 0)
+    } finally spark.conf.unset("graft.ready.percall")
+  }
+
+  test("ready WAL folds on the maintenance drain — the stream-visibility tick") {
+    val (root, backend) = freshBackend()
+    val client = clientOn(backend, () => T0)
+    (1 to 5).foreach(i => client.performAsync("ok", i))
+    assert(backend.dataFileCount("ready") == 0)
+    backend.drainLatencyPath()
+    assert(backend.dataFileCount("ready") == 1,
+      "the fold materializes the file a running stream lists")
     assert(WalStore.recordCount(root, "ready", JobEnc) == 0)
+    assert(backend.readyJobs.count() == 5, "no loss, no duplication across the fold")
+  }
+
+  test("runPass executes WAL-resident ready jobs with no fold needed") {
+    val (_, backend) = freshBackend()
+    val client = clientOn(backend, () => T0)
+    (1 to 3).foreach(i => client.performAsync("ok", i))
+    val now = T0 // local capture: the worker's nowFn ships in executor closures
+    val worker = new graft.worker.WorkerEngine(backend, spark, Nil, () => now)
+    val stats = worker.runPass()
+    assert(stats.executed == 3 && stats.succeeded == 3,
+      "batch consumers read the ready lane WAL-inclusively")
+  }
+
+  test("streaming worker sees per-call ready rows after the fold tick") {
+    val (root, backend) = freshBackend()
+    val client = clientOn(backend, () => T0)
+    (1 to 3).foreach(i => client.performAsync("ok", i))
+    val now = T0
+    val worker = new graft.worker.WorkerEngine(backend, spark, Nil, () => now)
+    val q = worker.startStream(root,
+      org.apache.spark.sql.streaming.Trigger.ProcessingTime("100 milliseconds"))
+    try {
+      q.processAllAvailable()
+      assert(backend.completions.count() == 0,
+        "pre-fold, the WAL rows are invisible to the file-source stream")
+      backend.drainLatencyPath() // the maintenance tick (GraftWorker runs this at 1 Hz)
+      q.processAllAvailable()
+      assert(backend.completions.count() == 3,
+        "one fold tick delivers every per-call enqueue to the stream")
+    } finally q.stop()
   }
 
   test("heartbeats ride the WAL: no parquet file per tick") {
