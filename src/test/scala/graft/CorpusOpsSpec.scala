@@ -472,6 +472,25 @@ class CorpusOpsSpec extends SparkSpec {
     assert(viaSql.toSeq == viaApi.toSeq)
   }
 
+  test("s25-s28 SQL twins equal their DataFrame-path operators row-for-row") {
+    val sf01 = "/root/testdata/sf0.01"
+    def rows(family: Map[String, (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame],
+        name: String): Seq[Seq[Any]] =
+      family(name)(spark, sf01).collect().toSeq.map(_.toSeq)
+    // s25 ⇄ d04: identical signature columns
+    assert(rows(operators.SqlSurfaceOps.queries, "s25_sql_minhash") ==
+      rows(operators.DedupOps.queries, "d04_minhash_signatures"))
+    // s26 ⇄ t15: identical rounded entropies
+    assert(rows(operators.SqlSurfaceOps.queries, "s26_sql_entropy") ==
+      rows(operators.TextOps.queries, "t15_char_entropy"))
+    // s27 ⇄ q43: identical analytic window suite
+    assert(rows(operators.SqlSurfaceOps.queries, "s27_sql_window") ==
+      rows(operators.QueueQueries.queries, "q43_window_suite"))
+    // s28 ⇄ d06: identical verified pairs at the integer-bp threshold
+    assert(rows(operators.SqlSurfaceOps.queries, "s28_sql_ngram_jaccard") ==
+      rows(operators.DedupOps.queries, "d06_ngram_jaccard"))
+  }
+
   test("s13 kmeans step: assignment is a partition, moves bounded, shifts sane") {
     val sf01 = "/root/testdata/sf0.01"
     val rows = operators.SimilarityOps.queries("s13_kmeans_step")(spark, sf01).collect()
