@@ -1249,10 +1249,96 @@ object EngineE2E {
         .reduce(_.unionByName(_))
         .select("collection", "n_rows", "id_sum")
         .orderBy("collection")
+    }),
+
+    // Console page filters driven END-TO-END through the route table
+    // (reference redis/console/data.clj:30-47 filter-enqueued-jobs +
+    // pages/enqueued.clj:90-114 validate-get-jobs, exercised by
+    // console/page_test.clj): seeds carry a failure state iff their
+    // event row is an 'error', then six filter scenarios hit the LIVE
+    // `GET /enqueued/queue/e2e` handler and the gate pins (count,
+    // id-sum) per scenario — including the validation table itself
+    // (non-UUID id value → empty; globally-valid-but-undispatched type
+    // word → empty; unknown filter-type → validated-nil on BOTH params
+    // → plain paginated page, whose id-string sort order the oracle
+    // reproduces). Driver-side cost is one bounded page/filter read per
+    // scenario — console traffic is human-scale by contract.
+    "q52_console_filters" -> ((s, d) => withScratch("graft-e2e") { root =>
+      import s.implicits._
+      val (backend, _, _, _) = fixture(s, root)
+      val retry = RetryOpts(maxRetries = 1, retryDelaySecFn = "e2e_instant")
+      val seeds = Tables.events(s, d).orderBy("event_id").limit(SeedCount)
+        .select($"event_id".as[Long], $"event_type".as[String])
+        .map { case (eid, etype) =>
+          val failed = etype == "error"
+          Job(id = eid.toString,
+            executeFnSym = if (failed) "e2e_boom" else "e2e_noop",
+            argsJson = "[]", queue = "e2e", readyQueue = "e2e", priority = 0,
+            enqueuedAt = T0, scheduleRunAt = None, cronRunAt = None,
+            batchId = None, retryOpts = retry,
+            state = if (failed)
+              Some(FailureState("boom", 1, T0, Some(T0), None, None))
+            else None,
+            seq = Job.nextSeq())
+        }
+      backend.enqueue(seeds)
+      val routes = new graft.api.ConsoleRoutes(backend, s)
+      val idRx = """"id":"(\d+)"""".r
+      def run(params: (String, String)*): (Long, Long) = {
+        val body = routes.handle(graft.api.ConsoleRequest(
+          "GET", "enqueued/queue/e2e", params.toMap)).body
+        val ids = idRx.findAllMatchIn(body).map(_.group(1).toLong).toSeq
+        (ids.size.toLong, ids.sum)
+      }
+      val all = "limit" -> SeedCount.toString
+      Seq(
+        ("bad_uuid_id",
+          run("filter-type" -> "id", "filter-value" -> "12345")),
+        ("bogus_type_fallback",
+          run("filter-type" -> "bogus", "filter-value" -> "x")),
+        ("fn_sym_noop",
+          run("filter-type" -> "execute-fn-sym", "filter-value" -> "e2e_noop", all)),
+        ("type_failed",
+          run("filter-type" -> "type", "filter-value" -> "failed", all)),
+        ("type_scheduled_undispatched",
+          run("filter-type" -> "type", "filter-value" -> "scheduled")),
+        ("type_unexecuted",
+          run("filter-type" -> "type", "filter-value" -> "unexecuted", all)))
+        .map { case (sc, (n, sum)) => (sc, n, sum) }
+        .toDF("scenario", "n", "id_sum")
+        .orderBy("scenario")
     })
   )
 
   val oracles: Map[String, String] = Map(
+    // console filter decision table: err = seeds whose event row is an
+    // 'error' (they carry a failure state → goose job/retried?); the
+    // fallback page is the first 10 ids in STRING sort order (the
+    // enqueued page's (priority, enqueuedAt, id) order collapses to the
+    // id-string tiebreak on uniform seeds)
+    "q52_console_filters" ->
+      s"""WITH seed AS (SELECT * FROM events ORDER BY event_id LIMIT $SeedCount),
+         |ids AS (SELECT event_id,
+         |          CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS err
+         |        FROM seed),
+         |page AS (SELECT event_id FROM ids
+         |         ORDER BY CAST(event_id AS VARCHAR) LIMIT 10)
+         |SELECT scenario, CAST(n AS BIGINT) AS n, CAST(id_sum AS BIGINT) AS id_sum
+         |FROM (
+         |  SELECT 'bad_uuid_id' AS scenario, 0 AS n, 0 AS id_sum
+         |  UNION ALL SELECT 'bogus_type_fallback',
+         |    (SELECT COUNT(*) FROM page), (SELECT SUM(event_id) FROM page)
+         |  UNION ALL SELECT 'fn_sym_noop',
+         |    (SELECT COUNT(*) FROM ids WHERE err = 0),
+         |    (SELECT COALESCE(SUM(event_id), 0) FROM ids WHERE err = 0)
+         |  UNION ALL SELECT 'type_failed',
+         |    (SELECT COUNT(*) FROM ids WHERE err = 1),
+         |    (SELECT COALESCE(SUM(event_id), 0) FROM ids WHERE err = 1)
+         |  UNION ALL SELECT 'type_scheduled_undispatched', 0, 0
+         |  UNION ALL SELECT 'type_unexecuted',
+         |    (SELECT COUNT(*) FROM ids WHERE err = 0),
+         |    (SELECT COALESCE(SUM(event_id), 0) FROM ids WHERE err = 0))
+         |ORDER BY scenario""".stripMargin,
     // group commit at flushEvery=30 over 100 accepted calls: flushes at
     // 30/60/90 land the first 90; the unflushed 10-call tail is lost
     "q48_buffer_tail_loss" ->
