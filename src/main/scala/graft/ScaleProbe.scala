@@ -100,6 +100,7 @@ object ScaleProbe {
       "d13_sketch_error", "d14_incremental_dedup",
       "d15_semantic_dedup", "d16_threshold_sweep", "d17_bloom_contamination",
       "d18_dedup_prune_stats",
+      "d18a_verified_edges", "d18b_cluster_census",
       "t12_gopher_rules", "t13_ttr_diversity", "s11_two_stage",
       "p08_epoch_schedule", "d19_dup_provenance", "m04_ahash",
       "d20_passage_dedup", "s12_coarsek_sweep",

@@ -491,6 +491,34 @@ object DedupOps {
         .orderBy("source")
     }),
 
+    // ── d18 bisect diagnostics (r10) ─────────────────────────────────
+    // d18 has been hash-red at the DRIVER for two rounds while passing
+    // bit-identical for two judges at two core counts. These two gates
+    // split its kernel at the seams so a third red is attributable to a
+    // specific stage instead of re-guessed:
+    //   d18a red                → the verify kernel (LSH→exact-Jaccard)
+    //   d18a green, d18b red    → the closure (or DuckDB's recursive
+    //                             CTE — d18b keeps the RECURSIVE oracle
+    //                             on purpose; d18's own oracle is the
+    //                             non-recursive unrolled twin since r10)
+    //   both green, d18 red     → the per-source aggregation/n_chars tail
+    // d18a is the UNCAPPED verified-edge dump — d10's LIMIT 200 and
+    // d12's LIMIT 500 mean no prior gate ever compared the tail that
+    // d18's corpus-wide aggregate folds in.
+    "d18a_verified_edges" -> ((s, d) =>
+      verifiedPairs(Tables.documents(s, d)).orderBy("d1", "d2")),
+
+    // Per-cluster membership census, uncapped: one row per component
+    // with its size — a single differing edge anywhere in the corpus
+    // moves exactly the clusters it touches, naming the divergence d18's
+    // per-source rollup can only smear.
+    "d18b_cluster_census" -> ((s, d) =>
+      connectedComponents(
+        verifiedPairs(Tables.documents(s, d)).select("d1", "d2"))
+        .groupBy(col("lbl").as("cluster"))
+        .agg(count(lit(1)).as("n_members"))
+        .orderBy("cluster")),
+
     // Artifact-based decontamination: d11's semantics behind a Bloom
     // prefilter. The eval shingle set is compiled ONCE into a Bloom
     // sketch (evalShingleArtifact) and probed SCAN-LOCAL on the training
@@ -855,11 +883,12 @@ object DedupOps {
     })
   )
 
-  /** Shared by d12 and d18: guarded LSH candidates → exact-Jaccard
-    * verify → transitive closure (recursive CTE) → min-id cluster per
-    * node — the oracle rendering of `verifiedPairs` + `connectedComponents`. */
-  private lazy val clusterCompCteSql =
-    s"""WITH RECURSIVE $sigSqlCte,
+  /** The shared sh→sig→bands→guarded→cand→sets→ver CTE chain — the
+    * oracle rendering of [[verifiedPairs]] (ver carries jac_bp so the
+    * d18a diagnostic can dump it verbatim). Every cluster-flavoured
+    * oracle (d12, d18, d18a, d18b) prefixes this chain. */
+  private lazy val verCteChainSql =
+    s"""$sigSqlCte,
        |bands AS (
        |  ${(1 to NumHashes).map(i => s"SELECT doc_id, $i AS band, h$i AS h FROM sig")
             .mkString("\n  UNION ALL\n  ")}),
@@ -871,16 +900,59 @@ object DedupOps {
        |  WHERE a.doc_id < b.doc_id),
        |sets AS (SELECT doc_id, list_distinct(list(s)) AS shs FROM sh GROUP BY doc_id),
        |ver AS (
-       |  SELECT c.d1, c.d2
+       |  SELECT c.d1, c.d2,
+       |    (len(list_intersect(a.shs, b.shs)) * 10000)
+       |      // (len(a.shs) + len(b.shs) - len(list_intersect(a.shs, b.shs))) AS jac_bp
        |  FROM cand c JOIN sets a ON c.d1 = a.doc_id JOIN sets b ON c.d2 = b.doc_id
        |  WHERE len(list_intersect(a.shs, b.shs)) * 10000
-       |    >= $NearDupBp * (len(a.shs) + len(b.shs) - len(list_intersect(a.shs, b.shs)))),
+       |    >= $NearDupBp * (len(a.shs) + len(b.shs) - len(list_intersect(a.shs, b.shs))))""".stripMargin
+
+  /** Shared by d12 and d18b: [[verCteChainSql]] → transitive closure
+    * (recursive CTE) → min-id cluster per node — the oracle rendering of
+    * `verifiedPairs` + `connectedComponents`. */
+  private lazy val clusterCompCteSql =
+    s"""WITH RECURSIVE $verCteChainSql,
        |edges AS (SELECT d1 AS src, d2 AS dst FROM ver UNION SELECT d2, d1 FROM ver),
        |reach(node, lbl) AS (
        |  SELECT src, src FROM edges
        |  UNION
        |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node),
        |comp AS (SELECT node, MIN(lbl) AS cluster FROM reach GROUP BY node)""".stripMargin
+
+  /** The NON-recursive twin of [[clusterCompCteSql]]'s closure: K rounds
+    * of min-label propagation, each followed by a pointer-jumping step
+    * (label := label-of-label), as plain chained CTEs — exactly the
+    * iteration `connectedComponents` runs on the Spark side, unrolled.
+    * Coverage doubles (at least) per round, so K=8 closes any component
+    * of diameter ≤ 2⁸ — orders of magnitude beyond a near-dup cluster at
+    * the gate SF. d18's oracle runs on THIS form since r10: the
+    * recursive-CTE + list-function combination is the d18 driver-red's
+    * last untested suspect (the r9 judge reproduced d12/d18 bit-identical
+    * locally at two core counts, so the divergence is environmental, and
+    * d12's recursive oracle is only ever sampled to 500 rows). The
+    * pointer-jump inner join is total: every label IS a node id of the
+    * same component, and p{k} covers every node. */
+  private def iterCompCteSql(rounds: Int): String = {
+    // every iteration CTE is MATERIALIZED: DuckDB inlines plain CTEs per
+    // reference, and each round references its predecessor twice — left
+    // un-materialized the unrolled chain re-inlines the whole scan
+    // pipeline 4^K times (observed: "Too many open files" at K=8)
+    val steps = (1 to rounds).map { k =>
+      s"""p$k AS MATERIALIZED (
+         |  SELECT node, MIN(lbl) AS lbl FROM (
+         |    SELECT node, lbl FROM l${k - 1}
+         |    UNION ALL
+         |    SELECT e.src AS node, l.lbl FROM edges e JOIN l${k - 1} l ON l.node = e.dst
+         |  ) GROUP BY node),
+         |l$k AS MATERIALIZED (
+         |  SELECT a.node, b.lbl FROM p$k a JOIN p$k b ON a.lbl = b.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $verCteChainSql,
+       |edges AS MATERIALIZED (SELECT d1 AS src, d2 AS dst FROM ver UNION ALL SELECT d2, d1 FROM ver),
+       |l0 AS MATERIALIZED (SELECT DISTINCT src AS node, src AS lbl FROM edges),
+       |$steps,
+       |comp AS (SELECT node, lbl AS cluster FROM l$rounds)""".stripMargin
+  }
 
   /** Shared by d11 and d17: the two plans implement the same overlap
     * semantics (d17 adds only the exactness-preserving Bloom prefilter). */
@@ -972,8 +1044,15 @@ object DedupOps {
          |SELECT d.doc_id, COALESCE(c.cluster, d.doc_id) AS cluster
          |FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
          |ORDER BY doc_id LIMIT 500""".stripMargin,
-    "d18_dedup_prune_stats" ->
+    "d18a_verified_edges" ->
+      s"""WITH $verCteChainSql
+         |SELECT d1, d2, jac_bp FROM ver ORDER BY d1, d2""".stripMargin,
+    "d18b_cluster_census" ->
       s"""$clusterCompCteSql
+         |SELECT cluster, COUNT(*) AS n_members FROM comp
+         |GROUP BY cluster ORDER BY cluster""".stripMargin,
+    "d18_dedup_prune_stats" ->
+      s"""${iterCompCteSql(8)}
          |SELECT d.source, COUNT(*) AS n_docs,
          |  SUM(CASE WHEN COALESCE(c.cluster, d.doc_id) = d.doc_id THEN 1 ELSE 0 END) AS n_kept,
          |  SUM(CASE WHEN COALESCE(c.cluster, d.doc_id) = d.doc_id THEN 0 ELSE 1 END) AS n_removed,

@@ -84,6 +84,31 @@ class CorpusOpsSpec extends SparkSpec {
     assert(nKept < nDocs, "the sf0.01 corpus has near-dups to prune")
   }
 
+  test("d18a/d18b bisect diagnostics are consistent with d18's rollup") {
+    val sf01 = "/root/testdata/sf0.01"
+    val edges = operators.DedupOps.queries("d18a_verified_edges")(spark, sf01).collect()
+    val census = operators.DedupOps.queries("d18b_cluster_census")(spark, sf01).collect()
+    val d18 = operators.DedupOps.queries("d18_dedup_prune_stats")(spark, sf01).collect()
+    assert(edges.nonEmpty, "the sf0.01 corpus has verified near-dup edges")
+    edges.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1), "edges are canonical (d1 < d2)")
+      assert(r.getLong(2) >= operators.DedupOps.NearDupBp,
+        "every dumped edge clears the verify threshold")
+    }
+    // census members = distinct endpoints of the edge dump (CC never
+    // invents or drops nodes), clusters are labelled by their min member
+    val endpoints = edges.flatMap(r => Seq(r.getLong(0), r.getLong(1))).toSet
+    assert(census.map(_.getLong(1)).sum == endpoints.size.toLong,
+      "census covers exactly the edge endpoints")
+    assert(census.forall(_.getLong(1) >= 2L), "no singleton clusters from an edge graph")
+    assert(census.map(_.getLong(0)).toSet.subsetOf(endpoints),
+      "every cluster label is one of its members")
+    // d18's removed count = clustered nodes minus one canonical each
+    val removed = d18.map(_.getLong(3)).sum
+    assert(removed == endpoints.size.toLong - census.length,
+      "d18 removes every clustered doc except each cluster's canonical")
+  }
+
   test("t11 bigram log-prob: n_big = tokens-1, smoothed probabilities < 1") {
     val sf01 = "/root/testdata/sf0.01"
     val rows = operators.TextOps.queries("t11_bigram_logprob")(spark, sf01).collect()
