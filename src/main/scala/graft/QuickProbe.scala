@@ -346,7 +346,11 @@ object QuickProbe {
           val out = progress.map(_.sink.numOutputRows).filter(_ > 0).sum
           println(f"PROBE stream_soak rows=$n wall=$wall%.1fs rate=${n / wall}%.0f rows/s " +
             f"batches=${progress.size} out=$out dropped_dups=${n - out} " +
-            f"state_rows_peak=${stateRows.max} state_rows_final=${stateRows.last} " +
+            // maxOption/lastOption: recentProgress can rotate out every
+            // stateOperators-bearing entry (or a zero-batch run), and an
+            // empty-seq .max would kill the probe line (ADVICE r9)
+            f"state_rows_peak=${stateRows.maxOption.getOrElse(0L)} " +
+            f"state_rows_final=${stateRows.lastOption.getOrElse(0L)} " +
             f"watermark_evicted=$removed")
         }
       // pseudo-query: the per-call enqueue micro-bench, standalone

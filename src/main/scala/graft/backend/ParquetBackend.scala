@@ -71,18 +71,48 @@ class ParquetBackend(spark0: SparkSession, val root: String)
   private def foldLock(tbl: String): Object =
     walFoldLocks.computeIfAbsent(tbl, _ => new Object)
 
+  /** What this thread's last [[readLog]] of a table saw: the WAL
+    * (generation, count) mark and the parquet part-file set. replaceLog
+    * consumes it to preserve appends that land AFTER the caller's
+    * snapshot (ADVICE r9: a per-call enqueue between compact's read and
+    * the dir swap was silently dropped). Thread-local — compact runs its
+    * read→fold→replace sequence on one thread, and a concurrent reader
+    * must not overwrite the compactor's mark with a later snapshot. */
+  private case class LogMark(walGen: Long, walCount: Int, files: Set[String])
+  private val snapshotMarks =
+    ThreadLocal.withInitial[scala.collection.mutable.Map[String, LogMark]](
+      () => scala.collection.mutable.Map.empty)
+
+  private def partFileNames(tbl: String): Set[String] = {
+    val p = new Path(dir(tbl))
+    if (fs.exists(p))
+      fs.listStatus(p).iterator
+        .map(_.getPath.getName).filter(_.endsWith(".parquet")).toSet
+    else Set.empty
+  }
+
   /** Current visible rows: the parquet log UNION the WAL tail (the
     * per-call latency path, [[WalStore]]) as a LocalRelation. The WAL
     * decode is driver-side and bounded: [[WalStore.MaxRecords]] forces a
-    * fold, and compaction truncates. */
+    * fold, and compaction truncates. Holds the table writeLock across
+    * (file listing, file-index pin, WAL decode, mark capture) so the
+    * snapshot and its mark are the SAME cut — an append can land before
+    * or after, never between. */
   override protected def readLog[T: Encoder](tbl: String): Dataset[T] =
     foldLock(tbl).synchronized {
-      val base =
-        if (exists(tbl)) spark.read.parquet(dir(tbl)).as[T]
-        else spark.emptyDataset[T]
-      val tail = WalStore.rows(root, tbl, implicitly[Encoder[T]])
-      if (tail.isEmpty) base
-      else base.unionByName(spark.createDataset(tail))
+      val lock = writeLocks.computeIfAbsent(tbl, _ => new Object)
+      lock.synchronized {
+        val enc = implicitly[Encoder[T]]
+        val files = partFileNames(tbl)
+        val base =
+          if (files.nonEmpty) spark.read.parquet(dir(tbl)).as[T]
+          else spark.emptyDataset[T]
+        val tail = WalStore.rows(root, tbl, enc)
+        val (walGen, walCount) = WalStore.mark(root, tbl, enc)
+        snapshotMarks.get.update(tbl, LogMark(walGen, walCount, files))
+        if (tail.isEmpty) base
+        else base.unionByName(spark.createDataset(tail))
+      }
     }
 
   override protected def appendLog[T](tbl: String, ds: Dataset[T]): Unit = {
@@ -137,6 +167,13 @@ class ParquetBackend(spark0: SparkSession, val root: String)
       val walReady = tbl == "ready" && rows.size == 1 &&
         !spark.conf.getOption("graft.ready.percall").contains("file")
       if (StreamedTables(tbl) && !walReady) {
+        // FIFO vs the WAL lane (ADVICE r9): an earlier per-call enqueue
+        // may still be WAL-resident (stream-visible only at the next
+        // fold) — materialize it BEFORE this direct file lands, or a
+        // streaming consumer would execute the later batch first. The
+        // WAL holds at most a fold-tick's worth of rows, so the drain is
+        // one small part-file write on the rare mixed-lane interleave.
+        if (WalStore.hasRecords(root, tbl)) drainWal(tbl, enc)
         val lock = writeLocks.computeIfAbsent(tbl, _ => new Object)
         lock.synchronized {
           DirectParquetAppend.append(spark, enc, dir(tbl), rows)
@@ -187,21 +224,56 @@ class ParquetBackend(spark0: SparkSession, val root: String)
 
   /** Write the replacement as a fresh directory, then swap via renames.
     * The replacement rows were computed from a WAL-inclusive read (and
-    * are materialized by the caller before this runs), so the WAL
-    * truncates with the swap — under the fold lock, so no reader
-    * assembles a half-folded snapshot. */
+    * are materialized by the caller before this runs) — but appends KEEP
+    * LANDING between that snapshot and this swap, so the swap preserves
+    * the delta the caller never saw (ADVICE r9 job-loss window):
+    *
+    *  - part files in the old dir that were NOT in the snapshot's file
+    *    listing are renamed into the replacement instead of dying with
+    *    the backup (covers direct multi-row appends AND any WAL fold
+    *    that ran since the snapshot);
+    *  - WAL records past the snapshot's (generation, count) mark are
+    *    re-appended after the truncate instead of vanishing with it (a
+    *    generation bump means the prefix was folded to a part file —
+    *    rescued above — so the whole current WAL is the delta).
+    *
+    * Preserving raw appends is always correct in a log-structured store:
+    * compaction only drops rows it has SEEN and judged dead; a row it
+    * never saw must survive to the next fold. All under the fold lock,
+    * so no reader assembles a half-folded snapshot. */
   override protected def replaceLog[T](tbl: String, rows: Dataset[T]): Unit = {
     val tmp = s"$root/.rw-${UUID.randomUUID()}"
     rows.write.mode(SaveMode.Overwrite).parquet(tmp)
+    val mark = snapshotMarks.get.get(tbl)
     foldLock(tbl).synchronized {
       val lock = writeLocks.computeIfAbsent(tbl, _ => new Object)
       lock.synchronized {
+        val enc = rows.encoder
         val old = new Path(dir(tbl))
         val bak = new Path(s"$root/.old-${UUID.randomUUID()}")
         if (fs.exists(old)) fs.rename(old, bak)
         fs.rename(new Path(tmp), old)
+        mark.foreach { m =>
+          if (fs.exists(bak))
+            fs.listStatus(bak).iterator
+              .filter { st =>
+                val n = st.getPath.getName
+                n.endsWith(".parquet") && !m.files.contains(n)
+              }
+              .foreach(st => fs.rename(st.getPath, new Path(old, st.getPath.getName)))
+        }
         fs.delete(bak, true)
-        WalStore.truncate(root, tbl, rows.encoder)
+        val walDelta: Seq[T] = mark match {
+          case Some(m) =>
+            val (gen, _) = WalStore.mark(root, tbl, enc)
+            val all = WalStore.rows(root, tbl, enc)
+            if (gen == m.walGen) all.drop(m.walCount) else all
+          case None => Nil // no snapshot on this thread: pre-r10 behavior
+        }
+        WalStore.truncate(root, tbl, enc)
+        if (walDelta.nonEmpty)
+          WalStore.append(root, tbl, enc, walDelta, force = false)
+        snapshotMarks.get.remove(tbl)
       }
     }
   }

@@ -108,6 +108,14 @@ object WalStore {
 
     def size: Int = synchronized(count)
 
+    /** Monotonic truncation generation + live record count — the
+      * snapshot mark for delta-preserving replaceLog: records past a
+      * captured (gen, count) were appended after the capture; a gen
+      * bump means an intervening fold moved the prefix into a parquet
+      * part file (which the file-set mark then accounts for). */
+    def mark: (Long, Int) = synchronized((gen, count))
+    private var gen = 0L
+
     /** Append one serialized row; buffered write (Redis-AOF-class
       * durability), `force=true` opts into fsync-per-append. */
     def append(rowBytes: Array[Byte], force: Boolean): Unit = synchronized {
@@ -145,6 +153,7 @@ object WalStore {
       channel.truncate(HeaderLen.toLong)
       channel.position(HeaderLen.toLong)
       count = 0
+      gen += 1
     }
 
     /** fsync (once per batch, not per record). */
@@ -237,6 +246,18 @@ object WalStore {
 
   def recordCount(root: String, tbl: String, enc: Encoder[_]): Int =
     if (!hasRecords(root, tbl)) 0 else forTable(root, tbl, enc).size
+
+  /** Snapshot mark (truncation generation, record count) without
+    * creating the WAL file; (0, 0) when none exists — consistent with
+    * the state a first append would observe. */
+  def mark(root: String, tbl: String, enc: Encoder[_]): (Long, Int) = {
+    val key = walPath(root, tbl).toAbsolutePath.toString
+    val w = writers.get(key)
+    if (w != null) w.mark
+    else if (Files.exists(Paths.get(key)) && Files.size(Paths.get(key)) > HeaderLen)
+      forTable(root, tbl, enc).mark
+    else (0L, 0)
+  }
 
   /** Drop all records (called at the end of `replaceLog`, after the
     * replacement rows — computed from a read that INCLUDED the WAL —

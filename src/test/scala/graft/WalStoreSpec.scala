@@ -56,11 +56,14 @@ class WalStoreSpec extends SparkSpec {
     assert(WalStore.recordCount(root, "ready", JobEnc) == 1)
     assert(backend.readyJobs.count() == 1,
       "WAL ready rows must be batch-visible immediately (readLog)")
-    // performBatch's atomic N+1 keeps single-file visibility
+    // performBatch's atomic N+1 keeps single-file visibility — and it
+    // drains the WAL first, so the earlier per-call job can never become
+    // stream-visible AFTER this later batch (FIFO vs the WAL lane)
     client.performBatch(Seq(("ok", Seq[Any](1)), ("ok", Seq[Any](2))), "ok")
-    assert(backend.dataFileCount("ready") == 1,
-      "a multi-row batch enqueue stays one atomically-visible file")
-    assert(WalStore.recordCount(root, "ready", JobEnc) == 1)
+    assert(backend.dataFileCount("ready") == 2,
+      "drain file for the earlier per-call row, then the batch's own file")
+    assert(WalStore.recordCount(root, "ready", JobEnc) == 0,
+      "a direct multi-row append leaves no older WAL rows behind it")
     assert(backend.readyJobs.count() == 3)
   }
 
@@ -209,5 +212,61 @@ class WalStoreSpec extends SparkSpec {
     backend.compact("scheduled")
     assert(WalStore.recordCount(root, "scheduled", JobEnc) == 0)
     assert(backend.scheduledJobs.count() == 12)
+  }
+
+  /** A ParquetBackend whose replaceLog fires `inject` once, for the
+    * named table, AFTER the compaction caller materialized survivors
+    * but BEFORE the swap — the exact window ADVICE r9 flagged as
+    * job-loss (a concurrent enqueue was truncated/deleted with the
+    * old state). */
+  private def racyBackend(root: String, onTbl: String)(inject: ParquetBackend => Unit) = {
+    var fired = false
+    new ParquetBackend(spark, root) {
+      override protected def replaceLog[T](
+          tbl: String, rows: org.apache.spark.sql.Dataset[T]): Unit = {
+        if (tbl == onTbl && !fired) { fired = true; inject(this) }
+        super.replaceLog(tbl, rows)
+      }
+    }
+  }
+
+  test("replaceLog preserves a per-call WAL enqueue racing the compaction swap") {
+    TestFns.reset()
+    val root = tmpDir("graft-race-wal")
+    var late: String = null
+    val backend = racyBackend(root, "ready") { b =>
+      late = clientOn(b, () => T0).performAsync("ok", 99)
+    }
+    val client = clientOn(backend, () => T0)
+    val early = (1 to 3).map(i => client.performAsync("ok", i))
+    backend.compact("ready")
+    val visible = backend.readyJobs.collect().map(_.id).toSet
+    assert(early.forall(visible), "survivors keep the pre-snapshot jobs")
+    assert(visible(late),
+      "an enqueue landing between compact's snapshot and the swap must survive")
+    assert(WalStore.recordCount(root, "ready", JobEnc) == 1,
+      "exactly the post-snapshot delta stays WAL-resident (no resurrection)")
+  }
+
+  test("replaceLog rescues a direct part file racing the compaction swap") {
+    TestFns.reset()
+    val root = tmpDir("graft-race-file")
+    var lateBatch: String = null
+    val backend = racyBackend(root, "ready") { b =>
+      // multi-row append → direct parquet file into the OLD dir, which
+      // pre-r10 died with the .old backup
+      lateBatch = clientOn(b, () => T0)
+        .performBatch(Seq(("ok", Seq[Any](7)), ("ok", Seq[Any](8))), "ok")
+    }
+    val client = clientOn(backend, () => T0)
+    val early = (1 to 3).map(i => client.performAsync("ok", i))
+    backend.drainLatencyPath() // early jobs as parquet, in the snapshot's file set
+    backend.compact("ready")
+    val jobs = backend.readyJobs.collect()
+    val visible = jobs.map(_.id).toSet
+    assert(early.forall(visible), "survivors keep the pre-snapshot jobs")
+    assert(jobs.count(_.batchId.contains(lateBatch)) == 2,
+      "part files appended after the snapshot move into the replacement dir")
+    assert(jobs.length == 5, "no duplication from the rescue")
   }
 }
