@@ -1054,9 +1054,9 @@ object DedupOps {
     "d18_dedup_prune_stats" ->
       s"""${iterCompCteSql(8)}
          |SELECT d.source, COUNT(*) AS n_docs,
-         |  SUM(CASE WHEN COALESCE(c.cluster, d.doc_id) = d.doc_id THEN 1 ELSE 0 END) AS n_kept,
-         |  SUM(CASE WHEN COALESCE(c.cluster, d.doc_id) = d.doc_id THEN 0 ELSE 1 END) AS n_removed,
-         |  SUM(CASE WHEN COALESCE(c.cluster, d.doc_id) = d.doc_id THEN d.n_chars ELSE 0 END) AS kept_chars
+         |  CAST(SUM(CASE WHEN COALESCE(c.cluster, d.doc_id) = d.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |  CAST(SUM(CASE WHEN COALESCE(c.cluster, d.doc_id) = d.doc_id THEN 0 ELSE 1 END) AS BIGINT) AS n_removed,
+         |  CAST(SUM(CASE WHEN COALESCE(c.cluster, d.doc_id) = d.doc_id THEN d.n_chars ELSE 0 END) AS BIGINT) AS kept_chars
          |FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
          |GROUP BY d.source ORDER BY d.source""".stripMargin,
     "d13_sketch_error" -> {
