@@ -39,6 +39,21 @@ abstract class LogStructuredBackend(val spark: SparkSession) extends QueueBacken
   protected def appendLog[T](tbl: String, ds: Dataset[T]): Unit
   protected def replaceLog[T](tbl: String, rows: Dataset[T]): Unit
 
+  /** Snapshot read feeding a [[replaceLog]] fold. Like [[readLog]], but
+    * the binding may arm a delta-preservation mark for `tbl`, consumed
+    * by the next `replaceLog(tbl, …)` ON THIS THREAD, so appends landing
+    * between this snapshot and the swap survive the replace. Plain
+    * `readLog` arms NOTHING (VERDICT r10: a stale mark from an earlier
+    * hot read made purgeCron's replace rescue rows it meant to delete) —
+    * a `replaceLog` with no preceding `foldSnapshot` is an EXACT
+    * replace, which is what delete-intent callers (purgeCron) want. */
+  protected def foldSnapshot[T: Encoder](tbl: String): Dataset[T] = readLog[T](tbl)
+
+  /** Drop any armed fold marks on this thread — fold abort path, so a
+    * failed compaction can never leak a stale mark into a later
+    * replace. Default no-op for bindings without marks. */
+  protected def discardFoldMarks(): Unit = ()
+
   /** Number of live data files in one table — the pressure signal for
     * GraftWorker's compaction policy. Counted via the binding's own
     * storage (Hadoop FS listing / manifest), never java.io.File. */
@@ -175,8 +190,12 @@ abstract class LogStructuredBackend(val spark: SparkSession) extends QueueBacken
     * read-modify-overwrite snapshot is gone. Same-name races resolve by
     * seq order, goose's last-HSET-wins. */
   override def cronEntries: Dataset[CronEntry] =
-    readLog[CronLogRecord]("cron")
-      .withColumn("crank", row_number().over(
+    winningCronPuts(readLog[CronLogRecord]("cron"))
+
+  /** The latest-wins fold of a cron log slice (shared between the hot
+    * read and compaction, which folds a SNAPSHOT of the log). */
+  private def winningCronPuts(log: Dataset[CronLogRecord]): Dataset[CronEntry] =
+    log.withColumn("crank", row_number().over(
         org.apache.spark.sql.expressions.Window
           .partitionBy($"cronName").orderBy($"seq".desc)))
       .filter($"crank" === 1 && $"op" === "put")
@@ -263,12 +282,14 @@ abstract class LogStructuredBackend(val spark: SparkSession) extends QueueBacken
     beforeFold()
     val drop = ids.toSet
     val now = System.currentTimeMillis()
-    // marker first (the durable delete), then the rewrite (the size bound)
-    appendSmallRows("batch_vacuums", ids.map(BatchVacuumMarker(_, now)))
-    replaceLog("batches",
-      readLog[BatchMeta]("batches").filter(m => !drop.contains(m.id)))
-    replaceLog("batch_status",
-      readLog[BatchStatusEvent]("batch_status").filter(e => !drop.contains(e.batchId)))
+    try {
+      // marker first (the durable delete), then the rewrite (the size bound)
+      appendSmallRows("batch_vacuums", ids.map(BatchVacuumMarker(_, now)))
+      replaceLog("batches",
+        foldSnapshot[BatchMeta]("batches").filter(m => !drop.contains(m.id)))
+      replaceLog("batch_status",
+        foldSnapshot[BatchStatusEvent]("batch_status").filter(e => !drop.contains(e.batchId)))
+    } finally discardFoldMarks()
   }
 
   override def vacuumedBatchIds: Dataset[String] =
@@ -299,39 +320,52 @@ abstract class LogStructuredBackend(val spark: SparkSession) extends QueueBacken
 
   override def compact(tbl: String): Unit = {
     beforeFold()
-    if (tbl == "cron") {
-      // fold the keyed log to its winning puts (bounded by schedule count)
-      val current = cronEntries.collect().toSeq
-      replaceLog("cron",
-        current.map(e => CronLogRecord("put", e.cronName, Some(e), Job.nextSeq()))
-          .toDS().coalesce(1))
-      return
-    }
-    val visible: Dataset[Job] = tbl match {
-      // fold to the DURABLE survivor set, not consumer visibility — the
-      // time gate would drop not-yet-due native-delay rows from the log
-      case "ready" => readySurvivors(readLog[Job]("ready"))
-      case "scheduled" => scheduledJobs
-      case "dead" => deadJobs
-      case other => throw new IllegalArgumentException(s"cannot compact '$other'")
-    }
-    val survivors = visible.localCheckpoint(true)
     try {
-      replaceLog(tbl, survivors)
-      if (tbl == "ready") {
-        val comps = readLog[CompletionEvent]("completions")
-        val terminalB = readLog[BatchStatusEvent]("batch_status")
-          .filter(e => BatchStatus.terminal(e.status)).select($"batchId".as("tb"))
-        val liveBatches = readLog[BatchMeta]("batches").select($"id".as("lb"))
-          .join(terminalB, $"lb" === $"tb", "left_anti")
-        val keptComps = comps.join(
-          survivors.select($"id".as("s_id")), $"jobId" === $"s_id", "left_semi")
-          .union(comps.join(liveBatches, $"batchId" === $"lb", "left_semi"))
-          .distinct()
-          .as[CompletionEvent]
-        replaceLog("completions", keptComps)
+      if (tbl == "cron") {
+        // fold the keyed log to its winning puts (bounded by schedule
+        // count); foldSnapshot arms the delta mark so an upsert landing
+        // between this read and the swap survives the replace
+        val current = winningCronPuts(foldSnapshot[CronLogRecord]("cron"))
+          .collect().toSeq
+        replaceLog("cron",
+          current.map(e => CronLogRecord("put", e.cronName, Some(e), Job.nextSeq()))
+            .toDS().coalesce(1))
+        return
       }
-      replaceLog("tombstones", readLog[Tombstone]("tombstones").filter($"tbl" =!= tbl))
-    } finally survivors.unpersist()
+      // Arm the tombstone snapshot BEFORE computing the survivor set and
+      // replace from THAT dataset: the dropped set is then a subset of
+      // tombstones the survivor computation could apply, and a delete
+      // landing after this point is preserved by the delta rescue (it
+      // still subtracts its job — folded into the survivor log — at
+      // read time). Replacing from a later re-read would silently drop
+      // a tombstone that raced the survivor computation.
+      val tsSnap = foldSnapshot[Tombstone]("tombstones")
+      val visible: Dataset[Job] = tbl match {
+        // fold to the DURABLE survivor set, not consumer visibility — the
+        // time gate would drop not-yet-due native-delay rows from the log
+        case "ready" => readySurvivors(foldSnapshot[Job]("ready"))
+        case "scheduled" => minusTombstones(foldSnapshot[Job]("scheduled"), "scheduled")
+        case "dead" => minusTombstones(foldSnapshot[Job]("dead"), "dead")
+        case other => throw new IllegalArgumentException(s"cannot compact '$other'")
+      }
+      val survivors = visible.localCheckpoint(true)
+      try {
+        replaceLog(tbl, survivors)
+        if (tbl == "ready") {
+          val comps = foldSnapshot[CompletionEvent]("completions")
+          val terminalB = readLog[BatchStatusEvent]("batch_status")
+            .filter(e => BatchStatus.terminal(e.status)).select($"batchId".as("tb"))
+          val liveBatches = readLog[BatchMeta]("batches").select($"id".as("lb"))
+            .join(terminalB, $"lb" === $"tb", "left_anti")
+          val keptComps = comps.join(
+            survivors.select($"id".as("s_id")), $"jobId" === $"s_id", "left_semi")
+            .union(comps.join(liveBatches, $"batchId" === $"lb", "left_semi"))
+            .distinct()
+            .as[CompletionEvent]
+          replaceLog("completions", keptComps)
+        }
+        replaceLog("tombstones", tsSnap.filter($"tbl" =!= tbl))
+      } finally survivors.unpersist()
+    } finally discardFoldMarks()
   }
 }

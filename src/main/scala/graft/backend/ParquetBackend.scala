@@ -59,8 +59,23 @@ class ParquetBackend(spark0: SparkSession, val root: String)
     else 0
   }
 
-  override def sweepStaging(olderThanMs: Long): Int =
-    DirectParquetAppend.sweepStaging(fs, new Path(root), olderThanMs)
+  override def sweepStaging(olderThanMs: Long): Int = {
+    val direct = DirectParquetAppend.sweepStaging(fs, new Path(root), olderThanMs)
+    // crashed appendLog/replaceLog leave hidden staging dirs behind
+    // (.app- append stage, .rw- replacement, .old- backup) — invisible
+    // to readers (leading dot), but disk until swept. Live ones are
+    // seconds old; the sweep cutoff is minutes.
+    val cutoff = System.currentTimeMillis() - olderThanMs
+    var swept = 0
+    val rootP = new Path(root)
+    if (fs.exists(rootP)) fs.listStatus(rootP).foreach { st =>
+      val n = st.getPath.getName
+      if ((n.startsWith(".app-") || n.startsWith(".rw-") || n.startsWith(".old-")) &&
+          st.getModificationTime < cutoff && fs.delete(st.getPath, true))
+        swept += 1
+    }
+    direct + swept
+  }
 
   /** Serializes a reader's (parquet listing, WAL decode) snapshot
     * against a WAL→parquet fold, so a reader can never see a folded row
@@ -71,17 +86,23 @@ class ParquetBackend(spark0: SparkSession, val root: String)
   private def foldLock(tbl: String): Object =
     walFoldLocks.computeIfAbsent(tbl, _ => new Object)
 
-  /** What this thread's last [[readLog]] of a table saw: the WAL
-    * (generation, count) mark and the parquet part-file set. replaceLog
+  /** What this thread's last [[foldSnapshot]] of a table saw: the WAL
+    * truncation generation and the parquet part-file set. replaceLog
     * consumes it to preserve appends that land AFTER the caller's
     * snapshot (ADVICE r9: a per-call enqueue between compact's read and
-    * the dir swap was silently dropped). Thread-local — compact runs its
-    * read→fold→replace sequence on one thread, and a concurrent reader
-    * must not overwrite the compactor's mark with a later snapshot. */
-  private case class LogMark(walGen: Long, walCount: Int, files: Set[String])
+    * the dir swap was silently dropped). Armed ONLY by foldSnapshot —
+    * never by the hot [[readLog]] — so a delete-intent replace
+    * (purgeCron) with no snapshot is an exact replace, and a pooled
+    * thread's earlier read can't leak a stale rescue (VERDICT r10).
+    * Thread-local: compact runs its snapshot→replace sequence on one
+    * thread. The snapshot's WAL count is always ZERO (foldSnapshot
+    * folds the tail first), so the whole current WAL is the delta. */
+  private case class LogMark(walGen: Long, files: Set[String])
   private val snapshotMarks =
     ThreadLocal.withInitial[scala.collection.mutable.Map[String, LogMark]](
       () => scala.collection.mutable.Map.empty)
+
+  override protected def discardFoldMarks(): Unit = snapshotMarks.get.clear()
 
   private def partFileNames(tbl: String): Set[String] = {
     val p = new Path(dir(tbl))
@@ -95,9 +116,11 @@ class ParquetBackend(spark0: SparkSession, val root: String)
     * per-call latency path, [[WalStore]]) as a LocalRelation. The WAL
     * decode is driver-side and bounded: [[WalStore.MaxRecords]] forces a
     * fold, and compaction truncates. Holds the table writeLock across
-    * (file listing, file-index pin, WAL decode, mark capture) so the
-    * snapshot and its mark are the SAME cut — an append can land before
-    * or after, never between. */
+    * (file listing, file-index pin, WAL decode) so the snapshot is one
+    * consistent cut — an append can land before or after, never
+    * between. The lock hold is short: appends stage their Spark write
+    * OUTSIDE the lock and publish via renames (ADVICE r10 latency
+    * note), so a read never waits on a write job. */
   override protected def readLog[T: Encoder](tbl: String): Dataset[T] =
     foldLock(tbl).synchronized {
       val lock = writeLocks.computeIfAbsent(tbl, _ => new Object)
@@ -108,16 +131,65 @@ class ParquetBackend(spark0: SparkSession, val root: String)
           if (files.nonEmpty) spark.read.parquet(dir(tbl)).as[T]
           else spark.emptyDataset[T]
         val tail = WalStore.rows(root, tbl, enc)
-        val (walGen, walCount) = WalStore.mark(root, tbl, enc)
-        snapshotMarks.get.update(tbl, LogMark(walGen, walCount, files))
         if (tail.isEmpty) base
         else base.unionByName(spark.createDataset(tail))
       }
     }
 
+  /** Compaction-intent snapshot: folds the WAL tail to a part file
+    * FIRST (inside the locked section, so no append can interleave),
+    * then lists and arms the delta mark with that post-fold file set
+    * and a WAL count of ZERO. Consequence (VERDICT r10 #2): every fold
+    * file a concurrent drain writes AFTER this point holds only
+    * post-snapshot records, so replaceLog's file rescue can re-add it
+    * whole without duplicating survivors or resurrecting rows this
+    * snapshot saw and judged dead (the old mixed fold file carried the
+    * pre-snapshot WAL prefix into the rescue). The extra part file
+    * costs one driver-side write on a path that is about to run a full
+    * compaction job — noise. */
+  override protected def foldSnapshot[T: Encoder](tbl: String): Dataset[T] =
+    foldLock(tbl).synchronized {
+      val lock = writeLocks.computeIfAbsent(tbl, _ => new Object)
+      lock.synchronized {
+        val enc = implicitly[Encoder[T]]
+        if (WalStore.hasRecords(root, tbl)) {
+          val wal = WalStore.forTable(root, tbl, enc)
+          wal.synchronized {
+            val tail = WalStore.rows(root, tbl, enc)
+            if (tail.nonEmpty)
+              DirectParquetAppend.append(spark, enc, dir(tbl), tail)
+            wal.truncate()
+          }
+        }
+        val files = partFileNames(tbl)
+        val (walGen, _) = WalStore.mark(root, tbl, enc)
+        snapshotMarks.get.update(tbl, LogMark(walGen, files))
+        if (files.nonEmpty) spark.read.parquet(dir(tbl)).as[T]
+        else spark.emptyDataset[T]
+      }
+    }
+
+  /** Stage the distributed write to a private tmp dir (no shared
+    * `_temporary` with a concurrent append job on the same table), then
+    * publish by renaming the part files in under the table lock. Two
+    * wins over writing into the live dir under the lock: concurrent
+    * appendLog jobs on ONE table no longer serialize on each other's
+    * full Spark write, and [[readLog]]'s lock acquisition never waits
+    * behind one (the r10 read-latency regression — the lock now guards
+    * only renames). Part-file names embed the job's task UUIDs, so
+    * cross-job collisions can't happen. */
   override protected def appendLog[T](tbl: String, ds: Dataset[T]): Unit = {
+    val tmp = s"$root/.app-${UUID.randomUUID()}"
+    ds.write.mode(SaveMode.Overwrite).parquet(tmp)
     val lock = writeLocks.computeIfAbsent(tbl, _ => new Object)
-    lock.synchronized { ds.write.mode(SaveMode.Append).parquet(dir(tbl)) }
+    lock.synchronized {
+      val dst = new Path(dir(tbl))
+      if (!fs.exists(dst)) fs.mkdirs(dst)
+      fs.listStatus(new Path(tmp)).iterator
+        .filter(_.getPath.getName.endsWith(".parquet"))
+        .foreach(st => fs.rename(st.getPath, new Path(dst, st.getPath.getName)))
+    }
+    fs.delete(new Path(tmp), true)
   }
 
   /** Tables a STRUCTURED STREAMING consumer reads as a parquet FILE
@@ -173,18 +245,32 @@ class ParquetBackend(spark0: SparkSession, val root: String)
         // streaming consumer would execute the later batch first. The
         // WAL holds at most a fold-tick's worth of rows, so the drain is
         // one small part-file write on the rare mixed-lane interleave.
-        if (WalStore.hasRecords(root, tbl)) drainWal(tbl, enc)
-        val lock = writeLocks.computeIfAbsent(tbl, _ => new Object)
-        lock.synchronized {
-          DirectParquetAppend.append(spark, enc, dir(tbl), rows)
+        // The fold lock spans BOTH the drain and the direct append
+        // (monitors are reentrant — drainWal retakes it), so a per-call
+        // WAL append can't slip between the check and the file landing
+        // and become stream-visible after it (ADVICE r10).
+        foldLock(tbl).synchronized {
+          if (WalStore.hasRecords(root, tbl)) drainWal(tbl, enc)
+          val lock = writeLocks.computeIfAbsent(tbl, _ => new Object)
+          lock.synchronized {
+            DirectParquetAppend.append(spark, enc, dir(tbl), rows)
+          }
         }
       } else {
-        if (WalStore.recordCount(root, tbl, enc) + rows.size > WalStore.MaxRecords)
-          drainWal(tbl, enc)
-        val lock = writeLocks.computeIfAbsent(tbl, _ => new Object)
-        lock.synchronized {
-          WalStore.append(root, tbl, enc, rows,
-            force = spark.conf.getOption("graft.wal.fsync").contains("true"))
+        // WAL lane under the fold lock too: a fold (or the mixed-lane
+        // direct append above) and a per-call append fully serialize,
+        // so "landed before the batch" always implies "stream-visible
+        // before the batch". Cost when uncontended: one reentrant
+        // monitor; when a fold is running the append already waited on
+        // the table writeLock, so p99 is unchanged.
+        foldLock(tbl).synchronized {
+          if (WalStore.recordCount(root, tbl, enc) + rows.size > WalStore.MaxRecords)
+            drainWal(tbl, enc)
+          val lock = writeLocks.computeIfAbsent(tbl, _ => new Object)
+          lock.synchronized {
+            WalStore.append(root, tbl, enc, rows,
+              force = spark.conf.getOption("graft.wal.fsync").contains("true"))
+          }
         }
       }
     }
@@ -223,24 +309,31 @@ class ParquetBackend(spark0: SparkSession, val root: String)
   }
 
   /** Write the replacement as a fresh directory, then swap via renames.
-    * The replacement rows were computed from a WAL-inclusive read (and
+    * The replacement rows were computed from a [[foldSnapshot]] (and
     * are materialized by the caller before this runs) — but appends KEEP
     * LANDING between that snapshot and this swap, so the swap preserves
     * the delta the caller never saw (ADVICE r9 job-loss window):
     *
     *  - part files in the old dir that were NOT in the snapshot's file
     *    listing are renamed into the replacement instead of dying with
-    *    the backup (covers direct multi-row appends AND any WAL fold
-    *    that ran since the snapshot);
-    *  - WAL records past the snapshot's (generation, count) mark are
-    *    re-appended after the truncate instead of vanishing with it (a
-    *    generation bump means the prefix was folded to a part file —
-    *    rescued above — so the whole current WAL is the delta).
+    *    the backup. foldSnapshot emptied the WAL inside its locked
+    *    section, so every such file — direct multi-row append or
+    *    concurrent WAL fold — holds ONLY post-snapshot rows; the
+    *    rescue can never duplicate a survivor or resurrect a row the
+    *    snapshot saw and judged dead (VERDICT r10 #2: the old mark let
+    *    a mid-compaction fold file carry the seen WAL prefix through);
+    *  - the ENTIRE current WAL is post-snapshot for the same reason
+    *    (count was zero at the mark; a generation bump just means some
+    *    of the delta was folded — rescued above), so it is re-appended
+    *    after the truncate instead of vanishing with it.
     *
     * Preserving raw appends is always correct in a log-structured store:
     * compaction only drops rows it has SEEN and judged dead; a row it
-    * never saw must survive to the next fold. All under the fold lock,
-    * so no reader assembles a half-folded snapshot. */
+    * never saw must survive to the next fold. With NO armed mark (no
+    * foldSnapshot on this thread — delete-intent callers like
+    * purgeCron) the replace is EXACT: no file rescue, WAL truncated.
+    * All under the fold lock, so no reader assembles a half-folded
+    * snapshot. */
   override protected def replaceLog[T](tbl: String, rows: Dataset[T]): Unit = {
     val tmp = s"$root/.rw-${UUID.randomUUID()}"
     rows.write.mode(SaveMode.Overwrite).parquet(tmp)
@@ -263,13 +356,8 @@ class ParquetBackend(spark0: SparkSession, val root: String)
               .foreach(st => fs.rename(st.getPath, new Path(old, st.getPath.getName)))
         }
         fs.delete(bak, true)
-        val walDelta: Seq[T] = mark match {
-          case Some(m) =>
-            val (gen, _) = WalStore.mark(root, tbl, enc)
-            val all = WalStore.rows(root, tbl, enc)
-            if (gen == m.walGen) all.drop(m.walCount) else all
-          case None => Nil // no snapshot on this thread: pre-r10 behavior
-        }
+        val walDelta: Seq[T] =
+          if (mark.isDefined) WalStore.rows(root, tbl, enc) else Nil
         WalStore.truncate(root, tbl, enc)
         if (walDelta.nonEmpty)
           WalStore.append(root, tbl, enc, walDelta, force = false)

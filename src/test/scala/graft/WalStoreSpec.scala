@@ -248,6 +248,75 @@ class WalStoreSpec extends SparkSpec {
       "exactly the post-snapshot delta stays WAL-resident (no resurrection)")
   }
 
+  test("a consumed WAL job is NOT resurrected by a fold racing the swap") {
+    // VERDICT r10 #2: the r10 rescue re-added whole fold files, and a
+    // fold landing between compact's snapshot and the swap used to carry
+    // the PRE-snapshot WAL prefix — rows the compactor saw and judged
+    // dead — back into the replacement. A consumed job then lost its
+    // completion row in the completions shrink and executed TWICE.
+    // foldSnapshot now empties the WAL inside its locked section, so
+    // every post-snapshot fold file holds only post-snapshot rows.
+    TestFns.reset()
+    val root = tmpDir("graft-race-resurrect")
+    var late: String = null
+    val backend = racyBackend(root, "ready") { b =>
+      // a per-call enqueue (WAL lane) + the maintenance fold tick, both
+      // inside the snapshot→swap window: the fold writes a part file
+      // absent from the snapshot's file set
+      late = clientOn(b, () => T0).performAsync("ok", 99)
+      b.drainLatencyPath()
+    }
+    val client = clientOn(backend, () => T0)
+    val consumed = (1 to 3).map(i => client.performAsync("ok", i))
+    val now = T0
+    val worker = new graft.worker.WorkerEngine(backend, spark, Nil, () => now)
+    val first = worker.runPass() // consumes the WAL-resident jobs
+    assert(first.executed == 3 && first.succeeded == 3)
+    assert(WalStore.recordCount(root, "ready", JobEnc) == 3,
+      "precondition: the consumed jobs are still WAL-resident at snapshot time")
+
+    backend.compact("ready")
+    val visible = backend.readyJobs.collect().map(_.id).toSet
+    assert(consumed.forall(id => !visible(id)),
+      "consumed jobs must stay gone — the racing fold must not resurrect them")
+    assert(visible == Set(late),
+      "the post-snapshot enqueue (folded mid-compaction) must survive, once")
+    val second = worker.runPass()
+    assert(second.executed == 1,
+      "exactly the late job runs — a resurrected job would execute twice")
+    assert(TestFns.calls.get() == 4, "4 enqueues, 4 executions, each once")
+  }
+
+  test("purgeCron is exact: no stale-mark rescue from an earlier read on this thread") {
+    // ADVICE r10 medium: replaceLog used to consume whatever mark the
+    // thread last captured; a hot cron read before purgeCron rescued
+    // post-read upserts into the purged table. Hot reads arm nothing
+    // now — only foldSnapshot does — so a purge with no snapshot is an
+    // exact replace (matching InMemoryBackend's crons.clear()).
+    val (_, backend) = freshBackend()
+    def entry(n: String) = CronEntry(n, "* * * * *", "UTC",
+      JobDescription("ok", "[]", "w", "w", 0, RetryOpts()), 1L)
+    backend.upsertCron(Seq(entry("a"), entry("b")))
+    assert(backend.cronEntries.count() == 2) // hot read on THIS thread
+    backend.upsertCron(Seq(entry("c"))) // lands after that read
+    backend.purgeCron()
+    assert(backend.cronEntries.count() == 0,
+      "purge must drop everything, including rows landed after the last read")
+  }
+
+  test("sweepStaging reclaims crashed append/replace staging dirs") {
+    val (root, backend) = freshBackend()
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Seq(".app-dead", ".rw-dead", ".old-dead").foreach { n =>
+      fs.mkdirs(new org.apache.hadoop.fs.Path(s"$root/$n"))
+    }
+    assert(backend.sweepStaging(-1000) >= 3, "hidden staging leftovers are swept")
+    Seq(".app-dead", ".rw-dead", ".old-dead").foreach { n =>
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$root/$n")))
+    }
+  }
+
   test("replaceLog rescues a direct part file racing the compaction swap") {
     TestFns.reset()
     val root = tmpDir("graft-race-file")
