@@ -186,6 +186,27 @@ final class ManagementApi(backend: QueueBackend, spark: SparkSession) {
     present.length
   }
 
+  /** Delete dead jobs that died at or before `epochMs` — the dead-set
+    * retention sweep (reference broker.clj:59 dead-jobs-delete-older-than,
+    * redis/api/dead_jobs.clj:52-54: ZREMRANGEBYSCORE [-inf, epoch-ms]
+    * over the died-at score, commands.clj:283). Distributed end-to-end:
+    * the victim (id, seq) set flows straight from the dead log to the
+    * tombstone append — a post-incident dead set can be huge and never
+    * touches the driver; the count is the only scalar that does.
+    * Returns the number of deleted jobs (the reference returns
+    * deleted > 0). */
+  def deadDeleteOlderThan(epochMs: Long): Long = {
+    val victims = backend.deadJobs
+      .filter($"state.diedAt".isNotNull && $"state.diedAt" <= epochMs)
+      .select($"id", $"seq").as[(String, Long)]
+      .localCheckpoint(true) // one scan: the count and the tombstone append share it
+    try {
+      val n = victims.count()
+      if (n > 0) backend.tombstone("dead", victims, "retention")
+      n
+    } finally victims.unpersist()
+  }
+
   def deadPurge(): Unit = backend.purge("dead", "*")
 
   // ---------- cron (reference redis/api/cron.clj) ----------

@@ -1054,6 +1054,41 @@ object EngineE2E {
         .orderBy("batch_id")
     }),
 
+    // Dead-set retention sweep (reference broker.clj:59
+    // dead-jobs-delete-older-than → redis/api/dead_jobs.clj:52-54,
+    // ZREMRANGEBYSCORE [-inf, epoch-ms] on died-at): two waves of error
+    // jobs die 100 s apart; a cutoff between the deaths deletes exactly
+    // the first wave, and the survivors are exactly the second.
+    "q53_dead_retention" -> ((s, d) => withScratch("graft-e2e") { root =>
+      import s.implicits._
+      val (backend, worker, sched, clock) = fixture(s, root)
+      val retry = RetryOpts(maxRetries = 1, retryDelaySecFn = "e2e_instant")
+      def errorWave(idOffset: Long): Unit = {
+        backend.enqueue(Tables.events(s, d).orderBy("event_id").limit(SeedCount)
+          .filter(col("event_type") === "error")
+          .select($"event_id".as[Long])
+          .map { eid =>
+            Job(id = (eid + idOffset).toString, executeFnSym = "e2e_boom",
+              argsJson = "[]", queue = "e2e", readyQueue = "e2e", priority = 0,
+              enqueuedAt = clock.get(), scheduleRunAt = None, cronRunAt = None,
+              batchId = None, retryOpts = retry, state = None, seq = Job.nextSeq())
+          })
+        worker.runPass() // fail → retrying
+        clock.addAndGet(1000)
+        sched.promoteDue()
+        worker.runPass() // fail again → dead
+      }
+      errorWave(0) // wave 1 dies at T0+1000
+      clock.addAndGet(100000)
+      errorWave(10000000L) // wave 2 dies at T0+102000
+      val api = new graft.api.ManagementApi(backend, s)
+      val nDeleted = api.deadDeleteOlderThan(T0 + 50000) // between the waves
+      backend.deadJobs.toDF()
+        .select(col("id").cast("long").as("job_id"))
+        .crossJoin(broadcast(Seq(nDeleted).toDF("n_deleted")))
+        .orderBy("job_id")
+    }),
+
     // D7/D8: batch over the seed jobs → tracker folds completions → one
     // terminal status (partial-success when some jobs died).
     "e2e_batch_status" -> ((s, d) => withScratch("graft-e2e") { root =>
@@ -1448,6 +1483,14 @@ object EngineE2E {
          |UNION ALL
          |SELECT 'success', COUNT(*) FROM seed WHERE event_type <> 'error'
          |ORDER BY terminal_state""".stripMargin,
+    // wave 1 (raw event ids) deleted by the cutoff sweep; wave 2
+    // (ids offset by 10M) survives — one row per seed error event
+    "q53_dead_retention" ->
+      s"""WITH seed AS (SELECT * FROM events ORDER BY event_id LIMIT $SeedCount)
+         |SELECT CAST(event_id + 10000000 AS BIGINT) AS job_id,
+         |  CAST((SELECT COUNT(*) FROM seed WHERE event_type = 'error') AS BIGINT)
+         |    AS n_deleted
+         |FROM seed WHERE event_type = 'error' ORDER BY job_id""".stripMargin,
     // the short-linger batch (60s) is vacuumed after the one-hour jump;
     // the long-linger batch (7200s) survives with its status rows
     "q46_retention" ->

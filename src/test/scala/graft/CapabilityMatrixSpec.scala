@@ -91,6 +91,32 @@ class CapabilityMatrixSpec extends SparkSpec {
       assert(c.api.deadSize() == 0)
     }
 
+    test(s"[$name] dead delete-older-than sweeps by died-at cutoff") {
+      // reference broker.clj:59 / redis/api/dead_jobs.clj:52-54:
+      // ZREMRANGEBYSCORE [-inf, epoch-ms] on the died-at score
+      val c = ctx(mk)
+      c.client.performAsync("boom") // dies at T0+1000
+      c.worker.runPass()
+      c.clock.addAndGet(1000)
+      c.sched.promoteDue()
+      c.worker.runPass()
+      val firstDeath = c.clock.get()
+      c.clock.addAndGet(100000)
+      c.client.performAsync("boom") // dies at T0+102000
+      c.worker.runPass()
+      c.clock.addAndGet(1000)
+      c.sched.promoteDue()
+      c.worker.runPass()
+      assert(c.api.deadSize() == 2)
+      assert(c.api.deadDeleteOlderThan(firstDeath - 1) == 0,
+        "cutoff before every death deletes nothing")
+      assert(c.api.deadDeleteOlderThan(firstDeath) == 1,
+        "the cutoff is inclusive (ZREMRANGEBYSCORE max = epoch-ms)")
+      assert(c.api.deadSize() == 1, "the younger dead job survives")
+      assert(c.api.deadDeleteOlderThan(c.clock.get()) == 1)
+      assert(c.api.deadSize() == 0)
+    }
+
     test(s"[$name] prioritise moves to front; delete and purge hide rows") {
       val c = ctx(mk)
       val a = c.client.performAsync("ok", "a")
