@@ -810,17 +810,25 @@ object DedupOps {
       // between windows in different docs would fail the gate with no
       // diagnostic pointing at hashing. A (h, h2) pair collides at
       // ~2^-128 — the asymmetry is now unobservable, at the cost of one
-      // extra 8-byte column in the census exchange.
+      // extra 8-byte column in the census exchange. The window's CHAR
+      // LENGTH rides beside the hash pair as a third census key
+      // (ADVICE r9 carry): it is a pure function of the window string
+      // (the oracle's join key), so semantics are unchanged — but a
+      // residual cross-doc collision now has to match length too, and a
+      // future red bisects by diffing length histograms instead of
+      // re-guessing the hash.
       val wins = docs.filter(col("n_tok") >= W)
         .select(col("doc_id"), explode(expr(
           s"transform(sequence(0, n_tok - $W)," +
             s" i -> struct(i AS st, xxhash64(concat_ws(' ', slice(a, i+1, $W))) AS h," +
-            s" xxhash64('d24b', concat_ws(' ', slice(a, i+1, $W))) AS h2))")).as("w"))
-        .select(col("doc_id"), col("w.st").as("st"), col("w.h").as("h"), col("w.h2").as("h2"))
-      val shared = wins.groupBy("h", "h2")
+            s" xxhash64('d24b', concat_ws(' ', slice(a, i+1, $W))) AS h2," +
+            s" length(concat_ws(' ', slice(a, i+1, $W))) AS wl))")).as("w"))
+        .select(col("doc_id"), col("w.st").as("st"), col("w.h").as("h"),
+          col("w.h2").as("h2"), col("w.wl").as("wl"))
+      val shared = wins.groupBy("h", "h2", "wl")
         .agg(countDistinct(col("doc_id")).as("nd"))
-        .filter(col("nd") >= 2).select("h", "h2")
-      val dup = wins.join(shared, Seq("h", "h2"), "left_semi")
+        .filter(col("nd") >= 2).select("h", "h2", "wl")
+      val dup = wins.join(shared, Seq("h", "h2", "wl"), "left_semi")
         .select(col("doc_id"), col("st"), (col("st") + W).as("en"))
       val byDoc = org.apache.spark.sql.expressions.Window
         .partitionBy("doc_id").orderBy("st")
@@ -947,11 +955,24 @@ object DedupOps {
          |l$k AS MATERIALIZED (
          |  SELECT a.node, b.lbl FROM p$k a JOIN p$k b ON a.lbl = b.node)""".stripMargin
     }.mkString(",\n")
+    // Fixpoint guard (ADVICE r10): the Spark side THROWS on
+    // non-convergence, but an unrolled oracle would silently truncate
+    // closure at diameter ~2^rounds — a pathological long-chain
+    // component at a larger gate SF would make the ORACLE wrong and
+    // report a false red. One more doubling round past a fixpoint is a
+    // no-op, so l$rounds = l${rounds - 1} iff converged; otherwise the
+    // oracle itself fails loudly instead of comparing a wrong closure.
     s"""WITH $verCteChainSql,
        |edges AS MATERIALIZED (SELECT d1 AS src, d2 AS dst FROM ver UNION ALL SELECT d2, d1 FROM ver),
        |l0 AS MATERIALIZED (SELECT DISTINCT src AS node, src AS lbl FROM edges),
        |$steps,
-       |comp AS (SELECT node, lbl AS cluster FROM l$rounds)""".stripMargin
+       |conv AS MATERIALIZED (
+       |  SELECT CASE WHEN (SELECT COUNT(*) FROM l$rounds a
+       |      JOIN l${rounds - 1} b ON a.node = b.node WHERE a.lbl <> b.lbl) = 0
+       |    THEN 1
+       |    ELSE CAST(error('closure not converged after $rounds doubling rounds') AS INT)
+       |  END AS ok),
+       |comp AS (SELECT node, lbl AS cluster FROM l$rounds, conv WHERE conv.ok = 1)""".stripMargin
   }
 
   /** Shared by d11 and d17: the two plans implement the same overlap
@@ -1280,7 +1301,12 @@ object DedupOps {
     },
 
     // The oracle states d24's semantics over the window STRING (DuckDB
-    // has no xxhash64); the Spark plan carries the 8-byte hash instead.
+    // has no xxhash64); the Spark plan carries (h, h2, char-length)
+    // instead — both salted hashes AND the length are pure functions of
+    // the window string, so the two sides agree except on a double-hash
+    // collision at EQUAL length (~2^-128 within a length class). The
+    // length key doubles as the diagnostic: a future red diffs per-length
+    // census counts to name the colliding class directly.
     "d24_window_coverage" ->
       """WITH arr AS (
         |  SELECT doc_id, source, regexp_split_to_array(text, '\s+') AS a
