@@ -100,7 +100,19 @@ object SqlSurfaceOps {
            |WHERE sorted_intersect_size(a.shs, b.shs) * 10000
            |  >= ${DedupOps.NearDupBp} * (size(a.shs) + size(b.shs)
            |      - sorted_intersect_size(a.shs, b.shs))
-           |ORDER BY d1, d2 LIMIT 200""".stripMargin))
+           |ORDER BY d1, d2 LIMIT 200""".stripMargin)),
+
+    // p06's log2 token-length histogram as SQL text (VERDICT r9 #6 /
+    // r10 #6: the p-family's first SQL twin): the native
+    // regexp_count_fast token counter reached by name, compiling to the
+    // DataFrame twin's scan → project → ONE grouped agg shape — no
+    // join, no window, so the mixing-audit path a recipe owner runs as
+    // SQL keeps the map-side-only cost profile at 100 TB.
+    "s29_sql_length_histogram" -> ((s, d) =>
+      sqlOn(s, Tables.documents(s, d), "graft_s29_docs",
+        """SELECT FLOOR(LOG2(GREATEST(CAST(regexp_count_fast(text, '\\S+') AS DOUBLE), 1.0D))) AS bucket,
+          |  COUNT(*) AS n_docs, MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
+          |FROM graft_s29_docs GROUP BY 1 ORDER BY bucket""".stripMargin))
   )
 
   /** Oracles are the DataFrame twins' oracles, verbatim — one DuckDB
@@ -109,6 +121,7 @@ object SqlSurfaceOps {
     "s25_sql_minhash" -> DedupOps.oracles("d04_minhash_signatures"),
     "s26_sql_entropy" -> TextOps.oracles("t15_char_entropy"),
     "s27_sql_window" -> QueueQueries.oracles("q43_window_suite"),
-    "s28_sql_ngram_jaccard" -> DedupOps.oracles("d06_ngram_jaccard")
+    "s28_sql_ngram_jaccard" -> DedupOps.oracles("d06_ngram_jaccard"),
+    "s29_sql_length_histogram" -> PipelineOps.oracles("p06_length_histogram")
   )
 }
