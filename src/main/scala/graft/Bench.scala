@@ -85,6 +85,33 @@ object Bench {
     }
     val coresBefore = effectiveCores()
 
+    // DURING-pass external-load telemetry (VERDICT r10 #3: the r10
+    // disturbance hit BETWEEN the burn probes — during the sf0.001 pass
+    // and the enqueue bench — and the min-of-4 gate sampled 17-21 and
+    // passed a 30× enqueue collapse). Burn probes can only run while
+    // Spark is idle; this instead reads /proc/stat around each timed
+    // section and subtracts THIS process's jiffies, yielding the
+    // external (non-graft) core-seconds burned while the section ran —
+    // measurable DURING the work with no self-confounding.
+    def cpuSnapshot(): (Long, Long, Long) = {
+      val host = scala.io.Source.fromFile("/proc/stat").getLines().next()
+        .trim.split("\\s+").drop(1).map(_.toLong)
+      val idle = host(3) + host(4) // idle + iowait
+      val busy = host.sum - idle
+      val self = scala.io.Source.fromFile("/proc/self/stat").mkString.split(" ")
+      (busy, self(13).toLong + self(14).toLong, System.nanoTime())
+    }
+    val jiffiesPerSec = 100.0 // USER_HZ on linux
+    /** Average EXTERNAL cores busy while `f` ran (host busy minus self). */
+    def withExternalLoad[A](f: => A): (A, Double) = {
+      val (b0, s0, t0) = cpuSnapshot()
+      val r = f
+      val (b1, s1, t1) = cpuSnapshot()
+      val elapsed = math.max((t1 - t0) / 1e9, 1e-3)
+      val ext = ((b1 - b0) - (s1 - s0)) / jiffiesPerSec / elapsed
+      (r, math.max(ext, 0.0))
+    }
+
     val tmpRoot = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
     def scratchDirs(): Set[String] = {
       val s = java.nio.file.Files.list(tmpRoot)
@@ -144,8 +171,10 @@ object Bench {
     val storedPerPass = scala.collection.mutable.ArrayBuffer.empty[Int]
     val wall0 = System.nanoTime()
     val coresMid = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val extLoads = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val samples = (1 to 3).map { i =>
-      val r = (pass(), benchJobPipeline(spark))
+      val (r, ext) = withExternalLoad((pass(), benchJobPipeline(spark)))
+      extLoads(s"pass$i") = ext
       storedPerPass += storedRdds()
       // Mid-pass probes (VERDICT r8 #4): endpoint-only sampling let a
       // contention window inside the timed section pass the gate.
@@ -159,7 +188,8 @@ object Bench {
     val pipeline = samples.map(_._2).sortBy(_._1).apply(1)
 
     // Per-call enqueue (VERDICT r4-r6 `weak`): median of 3 for each mode.
-    val enq = Seq.fill(3)(benchEnqueue(spark))
+    val (enq, enqExt) = withExternalLoad(Seq.fill(3)(benchEnqueue(spark)))
+    extLoads("enqueue") = enqExt
     val enqSync = enq.map(_._1).sorted.apply(1)
     val enqBuf = enq.map(_._2).sorted.apply(1)
 
@@ -176,11 +206,12 @@ object Bench {
     val sf001Dir = sys.env.getOrElse("SPARK_GRAFT_SF001_DIR",
       java.nio.file.Paths.get(sfDir).resolveSibling("sf0.01").toString)
     val fixtureNames = graft.operators.EngineE2E.queries.keySet
-    val sf001 =
+    val (sf001, sf001Ext) = withExternalLoad(
       if (!java.nio.file.Files.isDirectory(java.nio.file.Paths.get(sf001Dir))) Nil
       else SparkEntry.queries.toSeq.sortBy(_._1)
         .filterNot { case (n, _) => fixtureNames(n) }
-        .map { case (name, fn) => timeQuery(name, fn, sf001Dir, errorsSf001) }
+        .map { case (name, fn) => timeQuery(name, fn, sf001Dir, errorsSf001) })
+    extLoads("sf001") = sf001Ext
 
     def qjson(rows: Seq[(String, Double)]): String =
       rows.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
@@ -207,7 +238,33 @@ object Bench {
     // published for finer judgement.
     val visibleCores = Runtime.getRuntime.availableProcessors().toDouble
     val coreProbes = coresBefore +: coresMid.toSeq :+ coresAfter
-    val contended = coreProbes.min < visibleCores / 2
+    // Three independent trips (VERDICT r10 #3 — the min-of-4 burn gate
+    // missed a mid-run disturbance that collapsed the enqueue lanes 30×
+    // and the sf0.001 pass 2.5×):
+    //  (a) burn probes between sections (the r9 gate, kept);
+    //  (b) external load measured DURING each timed section via
+    //      /proc/stat deltas minus self — >1/8 of the machine busy with
+    //      someone else's work while a section ran flags it;
+    //  (c) cross-round sanity diff: totals >1.5× (or enqueue rates
+    //      <1/1.5×) of the last committed artifact are host weather
+    //      until proven otherwise — re-run on a quiet host.
+    val burnContended = coreProbes.min < visibleCores / 2
+    val extContended = extLoads.values.exists(_ > visibleCores / 8)
+    val priorPath = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_PRIOR", "BENCH.json"))
+    def priorField(field: String): Option[Double] =
+      if (!java.nio.file.Files.isReadable(priorPath)) None
+      else ("\"" + field + "\":(-?[0-9.]+)").r
+        .findFirstMatchIn(java.nio.file.Files.readString(priorPath))
+        .map(_.group(1).toDouble).filter(_ > 0)
+    val crossRound = Seq(
+      priorField("total_sf001").map(p => totalSf001 > 1.5 * p),
+      priorField("enqueue_percall_jobs_sec").map(p => enqSync < p / 1.5),
+      priorField("enqueue_buffered_jobs_sec").map(p => enqBuf < p / 1.5),
+      priorField("value").map(p => total > 1.5 * p)
+    ).flatten
+    val crossContended = crossRound.exists(identity)
+    val contended = burnContended || extContended || crossContended
     // Numeric scale factor parsed from the dir name ("sf0.1" → 0.1) plus
     // the raw path — ADVICE r7: one artifact carried the path string and
     // another the number, forcing consumers to special-case the field.
@@ -218,7 +275,7 @@ object Bench {
     def toJson(rows: Seq[(String, Double)], withSf001Detail: Boolean): String = {
       val extra = if (withSf001Detail) f""","queries_sf001":${qjson(sf001)}"""
         else f""","detail_file":"$outFile""""
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${qjson(rows)},"jobs_per_sec":${pipeline._2}%.0f,"enqueue_percall_jobs_sec":$enqSync%.0f,"enqueue_buffered_jobs_sec":$enqBuf%.0f,"n_queries":${all.size},"samples":3,"wall_sec":$wallSec%.1f,"total_sf001":$totalSf001%.3f,"sf001_skipped":$sf001Skipped,"errored":${sjson(errors)},"errored_sf001":${sjson(errorsSf001)},"leaked_scratch":${sjson(leakedScratch)},"stored_rdds_per_pass":${storedPerPass.mkString("[", ",", "]")},"effective_cores":${coreProbes.map(c => f"$c%.1f").mkString("[", ",", "]")},"contended":$contended,"sf":$sfNum%.3f,"sf_path":"$sfDir"$extra}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${qjson(rows)},"jobs_per_sec":${pipeline._2}%.0f,"enqueue_percall_jobs_sec":$enqSync%.0f,"enqueue_buffered_jobs_sec":$enqBuf%.0f,"n_queries":${all.size},"samples":3,"wall_sec":$wallSec%.1f,"total_sf001":$totalSf001%.3f,"sf001_skipped":$sf001Skipped,"errored":${sjson(errors)},"errored_sf001":${sjson(errorsSf001)},"leaked_scratch":${sjson(leakedScratch)},"stored_rdds_per_pass":${storedPerPass.mkString("[", ",", "]")},"effective_cores":${coreProbes.map(c => f"$c%.1f").mkString("[", ",", "]")},"external_load_cores":${extLoads.map { case (k, v) => "\"" + k + f"\":$v%.1f" }.mkString("{", ",", "}")},"contended":$contended,"contended_burn":$burnContended,"contended_external":$extContended,"contended_crossround":$crossContended,"sf":$sfNum%.3f,"sf_path":"$sfDir"$extra}"""
     }
     // Full per-query detail → BENCH.json (env-overridable path). Stdout
     // gets a COMPACT line (slowest 10 queries only, plus a detail_file

@@ -353,6 +353,128 @@ object QuickProbe {
             f"state_rows_final=${stateRows.lastOption.getOrElse(0L)} " +
             f"watermark_evicted=$removed")
         }
+      // pseudo-query: sustained-rate STREAM-STREAM interval-join soak
+      // (VERDICT r9 #5 / r10 #7: the stateful-join fixture's missing
+      // rate×horizon datapoint). Same corpus shape as __stream_soak —
+      // 1M rows, 12 ms event time per row, 20 file-source micro-batches
+      // — split ~50/50 into an error side and a click side (200k users,
+      // so a user's error sees a handful of candidate clicks), left-
+      // outer interval join `c_ts in (e_ts - 10 min, e_ts]` with
+      // 10-minute watermarks on BOTH sides: e2e_stream_outer_join's
+      // exact operator under RocksDB at volume. The claim under test:
+      // join state holds ~both sides' horizon occupancy (2 × rate ×
+      // (interval + watermark)), NOT stream length — peak/final state
+      // rows and the eviction counter are the evidence.
+      case "__stream_soak_join" =>
+        import org.apache.spark.sql.functions._
+        graft.Scratch.withDir("probe-soak-join") { root =>
+          val nChunks = 20
+          val rowsPerChunk = 50000
+          val n = nChunks.toLong * rowsPerChunk
+          (0 until nChunks).foreach { c =>
+            spark.range(c.toLong * rowsPerChunk, (c + 1).toLong * rowsPerChunk, 1, 8)
+              .select(col("id"),
+                timestamp_seconds(lit(1700000000L) + col("id") * 12 / 1000).as("ts"),
+                (col("id") % 200000).as("user_id"),
+                when(col("id") % 2 === 0, "error").otherwise("click").as("event_type"))
+              .write.mode("append").parquet(s"$root/in")
+          }
+          val schema = org.apache.spark.sql.types.StructType.fromDDL(
+            "id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING")
+          spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+          spark.conf.set("spark.sql.shuffle.partitions", "8")
+          def src = spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "8").parquet(s"$root/in")
+          val errors = src.filter(col("event_type") === "error")
+            .select(col("id").as("err_id"), col("user_id").as("e_uid"),
+              col("ts").as("e_ts"))
+            .withWatermark("e_ts", "10 minutes")
+          val clicks = src.filter(col("event_type") === "click")
+            .select(col("id").as("click_id"), col("user_id").as("c_uid"),
+              col("ts").as("c_ts"))
+            .withWatermark("c_ts", "10 minutes")
+          val joined = errors.join(clicks,
+            col("e_uid") === col("c_uid") &&
+              col("c_ts") > col("e_ts") - expr("INTERVAL 10 MINUTES") &&
+              col("c_ts") <= col("e_ts"),
+            "leftOuter")
+          val t0 = System.nanoTime()
+          val q = joined.writeStream.format("noop")
+            .option("checkpointLocation", s"$root/ckpt")
+            .outputMode("append").start()
+          try q.processAllAvailable() finally q.stop()
+          val wall = (System.nanoTime() - t0) / 1e9
+          val progress = q.recentProgress.toSeq
+            .filter(p => Option(p.stateOperators).exists(_.nonEmpty))
+          val stateRows = progress.map(_.stateOperators.map(_.numRowsTotal).sum)
+          val removed = progress.map(_.stateOperators.map(_.numRowsRemoved).sum).sum
+          val out = progress.map(_.sink.numOutputRows).filter(_ > 0).sum
+          println(f"PROBE stream_soak_join rows=$n wall=$wall%.1fs " +
+            f"rate=${n / wall}%.0f rows/s batches=${progress.size} out=$out " +
+            f"state_rows_peak=${stateRows.maxOption.getOrElse(0L)} " +
+            f"state_rows_final=${stateRows.lastOption.getOrElse(0L)} " +
+            f"watermark_evicted=$removed")
+        }
+      // pseudo-query: sustained-rate SESSION-WINDOW soak — the merging
+      // session state e2e_stream_session runs, at volume under RocksDB.
+      // Same 1M-row corpus, 20k users round-robin (a user's consecutive
+      // events arrive every 20k × 12 ms = 4 min, inside the 5-minute
+      // gap, so sessions stay OPEN and merge batch over batch — the
+      // worst case for session state). The claim under test: open-
+      // session state is bounded by DISTINCT ACTIVE USERS in the
+      // horizon (20k), not events seen; the final drain (watermark past
+      // end of input via processAllAvailable is NOT enough — sessions
+      // close only when a later event pushes the watermark, so the last
+      // chunk appends a far-future sentinel batch) flushes every
+      // session exactly once.
+      case "__stream_soak_session" =>
+        import org.apache.spark.sql.functions._
+        graft.Scratch.withDir("probe-soak-sess") { root =>
+          val nChunks = 20
+          val rowsPerChunk = 50000
+          val n = nChunks.toLong * rowsPerChunk
+          (0 until nChunks).foreach { c =>
+            spark.range(c.toLong * rowsPerChunk, (c + 1).toLong * rowsPerChunk, 1, 8)
+              .select(col("id"),
+                timestamp_seconds(lit(1700000000L) + col("id") * 12 / 1000).as("ts"),
+                (col("id") % 20000).as("user_id"))
+              .write.mode("append").parquet(s"$root/in")
+          }
+          // watermark-advancing sentinel: one row 3 days past the seed,
+          // user -1, so every open session provably closes and emits
+          spark.range(1).select(lit(-1L).as("id"),
+              timestamp_seconds(lit(1700000000L + 3 * 86400L)).as("ts"),
+              lit(-1L).as("user_id"))
+            .write.mode("append").parquet(s"$root/in")
+          val schema = org.apache.spark.sql.types.StructType.fromDDL(
+            "id BIGINT, ts TIMESTAMP, user_id BIGINT")
+          spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+          spark.conf.set("spark.sql.shuffle.partitions", "8")
+          val sessions = spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "8").parquet(s"$root/in")
+            .withWatermark("ts", "10 minutes")
+            .groupBy(col("user_id"), session_window(col("ts"), "5 minutes"))
+            .agg(count(lit(1)).as("n"))
+          val t0 = System.nanoTime()
+          val q = sessions.writeStream.format("noop")
+            .option("checkpointLocation", s"$root/ckpt")
+            .outputMode("append").start()
+          try q.processAllAvailable() finally q.stop()
+          val wall = (System.nanoTime() - t0) / 1e9
+          val progress = q.recentProgress.toSeq
+            .filter(p => Option(p.stateOperators).exists(_.nonEmpty))
+          val stateRows = progress.map(_.stateOperators.map(_.numRowsTotal).sum)
+          val removed = progress.map(_.stateOperators.map(_.numRowsRemoved).sum).sum
+          val out = progress.map(_.sink.numOutputRows).filter(_ > 0).sum
+          println(f"PROBE stream_soak_session rows=$n wall=$wall%.1fs " +
+            f"rate=${n / wall}%.0f rows/s batches=${progress.size} " +
+            f"sessions_emitted=$out " +
+            f"state_rows_peak=${stateRows.maxOption.getOrElse(0L)} " +
+            f"state_rows_final=${stateRows.lastOption.getOrElse(0L)} " +
+            f"watermark_evicted=$removed")
+        }
       // pseudo-query: the per-call enqueue micro-bench, standalone
       case "__enqueue" =>
         (1 to 2).foreach { pass =>

@@ -118,7 +118,7 @@ object ScaleProbe {
       "s23_filtered_topk", "s24_ivf_knn_join", "m07_decode_quarantine",
       "t21_readability",
       "s25_sql_minhash", "s26_sql_entropy", "s27_sql_window",
-      "s28_sql_ngram_jaccard",
+      "s28_sql_ngram_jaccard", "s29_sql_length_histogram",
       "q38_asof_join", "q40_range_join", "q41_salted_join")
     subset.foreach { s =>
       val unknown = s -- allProbeQueries.toSet
@@ -403,6 +403,54 @@ object ScaleProbe {
         sb.append(f"| per-call tiny-file read amplification (2k one-row files → one compact) | $rBefore%.2f | $rAfter%.2f | ${rBefore / rAfter}%.1f× recovered | append ~$perCallMs%.1f ms/call; compaction is the policy that caps K |\n")
         println(f"PROBE tinyFiles: read $rBefore%.2fs -> $rAfter%.2fs after compact (append $perCallMs%.1f ms/call)")
       }
+    }
+
+    // Retention (VERDICT r9 stretch #8 / r10 #9): the two logs that grow
+    // with WORK DONE rather than work pending are completions and
+    // tombstones — every consumed job leaves a completion row, every
+    // delete/promote leaves a tombstone, and the hot visibility read
+    // (readyJobs = log MINUS completions MINUS tombstones) anti-joins
+    // BOTH. This prices that read with a constant 1k-job live set while
+    // consumed history grows 10× (50k → 500k), then after the retention
+    // mechanism (compact("ready") folds the log to survivors and shrinks
+    // completions to survivor ∪ live-batch rows) — the number that says
+    // how often a 100 TB deployment must compact to keep dequeue latency
+    // flat, and what it buys back.
+    def timeVisibilityRead(history: Int): (Double, Double) =
+      graft.Scratch.withDir(s"probe-retention-$history") { root =>
+        import spark.implicits._
+        graft.model.JobRegistry.register("probe_noop", _ => "ok")
+        val t0v = 1700000000000L
+        val backend = new graft.backend.ParquetBackend(spark, root)
+        val retry = graft.model.RetryOpts()
+        def jobs(from: Int, n: Int) =
+          spark.range(from, from + n, 1, math.max(4, n / 12500)).map { i =>
+            graft.model.Job(
+              id = i.toString, executeFnSym = "probe_noop", argsJson = "[]",
+              queue = "q", readyQueue = "q", priority = 0, enqueuedAt = t0v,
+              scheduleRunAt = None, cronRunAt = None, batchId = None,
+              retryOpts = retry, state = None, seq = graft.model.Job.nextSeq())
+          }
+        val worker = new graft.worker.WorkerEngine(backend, spark, Nil, () => t0v)
+        backend.enqueue(jobs(0, history))
+        require(worker.runPass().succeeded == history) // the consumed past
+        backend.enqueue(jobs(history, 1000)) // the constant live set
+        def timeRead(): Double = {
+          val t0 = System.nanoTime()
+          require(backend.readyJobs.count() == 1000)
+          (System.nanoTime() - t0) / 1e9
+        }
+        val before = math.min(timeRead(), timeRead())
+        backend.compact("ready")
+        val after = math.min(timeRead(), timeRead())
+        (before, after)
+      }
+    locally {
+      val (h1, c1) = timeVisibilityRead(50000)
+      val (h10, c10) = timeVisibilityRead(500000)
+      sb.append(f"| visibility read, 1k live jobs (50k → 500k consumed history, pre-compact) | $h1%.2f | $h10%.2f | ${h10 / h1}%.1f× | completions+tombstone anti-joins scan history |\n")
+      sb.append(f"| visibility read, 1k live jobs (same, post-compact) | $c1%.2f | $c10%.2f | ${c10 / c1}%.1f× | compaction shrinks completions to survivors — read cost restored |\n")
+      println(f"PROBE retentionRead: pre $h1%.2fs -> $h10%.2fs (${h10 / h1}%.1fx); post-compact $c1%.2fs -> $c10%.2fs")
     }
     } // subset.isEmpty
 
