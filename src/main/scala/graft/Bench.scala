@@ -64,6 +64,15 @@ object Bench {
     // round-over-round comparisons can separate engine regressions from
     // host weather: effective_cores ≈ threads × serial_time / parallel_time
     // for a fixed CPU-bound loop.
+    // Each probe point is the BEST of two back-to-back samples: the
+    // probe shares the JVM with Spark, and right after session init (C2
+    // compiling thousands of Spark methods on background threads) or
+    // right after a pass (GC, executor-thread wind-down) the FIRST
+    // sample undercounts even on an idle host — the r11 first attempt
+    // measured 12.3 at startup while /proc/stat external load during
+    // the very next pass was 0.3 cores. Genuine hypervisor contention
+    // depresses both samples; a self-induced transient clears by the
+    // second. The gate still takes min over probe POINTS.
     def effectiveCores(): Double = {
       def burn(): Long = {
         var s = 0L; var i = 0
@@ -71,17 +80,20 @@ object Bench {
         s
       }
       burn() // JIT warm
-      val serial = { val t0 = System.nanoTime(); burn(); (System.nanoTime() - t0) / 1e9 }
-      val threads = Runtime.getRuntime.availableProcessors()
-      val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
-      try {
-        val t0 = System.nanoTime()
-        (1 to threads).map(_ => pool.submit(new java.util.concurrent.Callable[Long] {
-          def call(): Long = burn()
-        })).foreach(_.get())
-        val parallel = (System.nanoTime() - t0) / 1e9
-        threads * serial / parallel
-      } finally pool.shutdown()
+      def sample(): Double = {
+        val serial = { val t0 = System.nanoTime(); burn(); (System.nanoTime() - t0) / 1e9 }
+        val threads = Runtime.getRuntime.availableProcessors()
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
+        try {
+          val t0 = System.nanoTime()
+          (1 to threads).map(_ => pool.submit(new java.util.concurrent.Callable[Long] {
+            def call(): Long = burn()
+          })).foreach(_.get())
+          val parallel = (System.nanoTime() - t0) / 1e9
+          threads * serial / parallel
+        } finally pool.shutdown()
+      }
+      math.max(sample(), sample())
     }
     val coresBefore = effectiveCores()
 

@@ -114,6 +114,7 @@ object ScaleProbe {
       "p14_leakage_safe_split", "t19_bpe_pair_census",
       "d24_window_coverage", "s18_range_search", "s19_ivf_balance",
       "d25_editdist_verify", "s20_embedding_drift", "t20_encoding_audit",
+      "d26_dupspan_excision",
       "p15_shard_balance", "s21_hybrid_search", "s22_pq_adc_topk",
       "s23_filtered_topk", "s24_ivf_knn_join", "m07_decode_quarantine",
       "t21_readability",

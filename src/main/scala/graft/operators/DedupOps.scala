@@ -888,6 +888,80 @@ object DedupOps {
         .select("d1", "d2", "lev", "sim_bp", "is_dup")
         .orderBy("d1", "d2")
         .limit(200)
+    }),
+
+    // Exact-substring excision APPLIED — the terminal stage d24's census
+    // only measures (the Lee et al. 2021 "Deduplicating Training Data"
+    // ExactSubstr shape): every corpus-duplicated token window loses all
+    // occurrences EXCEPT one canonical copy, at stride-1 token
+    // granularity with maximal-island books. Differences from its
+    // neighbours: d21 prunes FIXED disjoint 10-token chunks (a one-token
+    // shift hides the repeat); d24 counts distinct-doc-shared window
+    // coverage but excises nothing. Here the duplicate rule is corpus
+    // occurrence count ≥ 2 — WITHIN-doc repetition is duplicated text
+    // too, exactly what the excision policy must remove — and one
+    // occurrence per window (min doc_id·10⁷+st, engine-exact integer
+    // min) is canon-PROTECTED: a token survives if ANY window covering
+    // it is a canon occurrence, and is excised if it is covered only by
+    // non-canon duplicated windows. Per source: docs, token totals,
+    // excised tokens, excision islands (maximal runs of excised
+    // positions) and the longest island — the review books before a
+    // pruned write commits. Cost shape at 100 TB: the window census is
+    // one content-keyed groupBy with map-side partials; the join back
+    // runs against the DEDUPED dup-window table (boilerplate repeated a
+    // million times adds map-side rows, never fan-out); the ×10
+    // position explode touches DUPLICATED occurrences only; everything
+    // after keys on (doc_id, position) — corpus-parallel, no quadratic
+    // term. Dual-salted 64-bit keys + window char length (the d24
+    // collision discipline) stand in for the oracle's raw-string key.
+    "d26_dupspan_excision" -> ((s, d) => {
+      val W = 10
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), split(col("text"), "\\s+").as("a"))
+        .withColumn("n_tok", size(col("a")))
+      val wins = docs.filter(col("n_tok") >= W)
+        .select(col("doc_id"), explode(expr(
+          s"transform(sequence(0, n_tok - $W)," +
+            s" i -> struct(i AS st, xxhash64(concat_ws(' ', slice(a, i+1, $W))) AS h," +
+            s" xxhash64('d26b', concat_ws(' ', slice(a, i+1, $W))) AS h2," +
+            s" length(concat_ws(' ', slice(a, i+1, $W))) AS wl))")).as("w"))
+        .select(col("doc_id"), col("w.st").as("st"), col("w.h").as("h"),
+          col("w.h2").as("h2"), col("w.wl").as("wl"))
+        .withColumn("k", col("doc_id") * 10000000L + col("st"))
+      val dup = wins.groupBy("h", "h2", "wl")
+        .agg(count(lit(1)).as("c"), min("k").as("canon_k"))
+        .filter(col("c") >= 2).select("h", "h2", "wl", "canon_k")
+      val occ = wins.join(dup, Seq("h", "h2", "wl"))
+        .select(col("doc_id"), col("st"),
+          (col("k") === col("canon_k")).as("canon"))
+      val perpos = occ
+        .select(col("doc_id"), explode(expr(s"sequence(st, st + ${W - 1})")).as("p"),
+          when(col("canon"), 1L).otherwise(0L).as("pr"))
+        .groupBy("doc_id", "p").agg(max("pr").as("prot"))
+      val byDoc = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy("p")
+      val perDoc = perpos.filter(col("prot") === 0L)
+        .withColumn("pv", lag("p", 1).over(byDoc))
+        .withColumn("brk",
+          when(col("pv").isNull || col("p") > col("pv") + 1, 1L).otherwise(0L))
+        .withColumn("isl", sum("brk").over(byDoc))
+        .groupBy("doc_id", "isl").agg(count(lit(1)).as("sz"))
+        .groupBy("doc_id")
+        .agg(sum("sz").as("ex_tokens"), count(lit(1)).as("n_isl"),
+          max("sz").as("mx_isl"))
+      docs.select("doc_id", "source", "n_tok")
+        .join(perDoc, Seq("doc_id"), "left_outer")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_tok").cast("long").as("tokens_total"),
+          sum(coalesce(col("ex_tokens"), lit(0L))).cast("long").as("tokens_excised"),
+          sum(coalesce(col("n_isl"), lit(0L))).cast("long").as("n_islands"),
+          max(coalesce(col("mx_isl"), lit(0L))).cast("long").as("max_island"))
+        .withColumn("excised_bp", floor(col("tokens_excised") * 10000.0 /
+          greatest(col("tokens_total"), lit(1L))).cast("long"))
+        .select("source", "n_docs", "tokens_total", "tokens_excised",
+          "n_islands", "max_island", "excised_bp")
+        .orderBy("source")
     })
   )
 
@@ -1373,6 +1447,55 @@ object DedupOps {
          |         ELSE CAST(FLOOR(10000.0 * (mx - l) / mx) AS BIGINT) END AS sim_bp
          |  FROM lv)
          |SELECT d1, d2, lev, sim_bp, (sim_bp >= 8000) AS is_dup
-         |FROM capped ORDER BY d1, d2 LIMIT 200""".stripMargin
+         |FROM capped ORDER BY d1, d2 LIMIT 200""".stripMargin,
+
+    // d26: the oracle keys on the RAW window string (the Spark side's
+    // dual-hash+length census stands in for it at ~2^-128 collision
+    // odds — the d24 discipline). Same canon key, same prot-max, same
+    // gaps-and-islands; every output integer CAST per house convention.
+    "d26_dupspan_excision" ->
+      """WITH arr AS (
+        |  SELECT doc_id, source, regexp_split_to_array(text, '\s+') AS a
+        |  FROM documents),
+        |docs AS (SELECT doc_id, source, len(a) AS n_tok, a FROM arr),
+        |wins AS (
+        |  SELECT doc_id, CAST(i AS BIGINT) AS st,
+        |    array_to_string(a[CAST(i + 1 AS INT) : CAST(i + 10 AS INT)], ' ') AS w,
+        |    doc_id * 10000000 + CAST(i AS BIGINT) AS k
+        |  FROM (SELECT doc_id, a, unnest(generate_series(0, len(a) - 10)) AS i
+        |        FROM docs WHERE n_tok >= 10) t),
+        |dup AS (SELECT w, MIN(k) AS canon_k FROM wins GROUP BY w HAVING COUNT(*) >= 2),
+        |occ AS (
+        |  SELECT wins.doc_id, wins.st, (wins.k = dup.canon_k) AS canon
+        |  FROM wins JOIN dup USING (w)),
+        |perpos AS (
+        |  SELECT doc_id, st + CAST(j AS BIGINT) AS p,
+        |    MAX(CASE WHEN canon THEN 1 ELSE 0 END) AS prot
+        |  FROM occ, unnest(generate_series(0, 9)) AS u(j)
+        |  GROUP BY doc_id, st + CAST(j AS BIGINT)),
+        |marked AS (
+        |  SELECT doc_id, p,
+        |    CASE WHEN lag(p) OVER (PARTITION BY doc_id ORDER BY p) IS NULL
+        |           OR p > lag(p) OVER (PARTITION BY doc_id ORDER BY p) + 1
+        |      THEN 1 ELSE 0 END AS brk
+        |  FROM perpos WHERE prot = 0),
+        |isl AS (
+        |  SELECT doc_id, p,
+        |    SUM(brk) OVER (PARTITION BY doc_id ORDER BY p
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g
+        |  FROM marked),
+        |szs AS (SELECT doc_id, g, COUNT(*) AS sz FROM isl GROUP BY doc_id, g),
+        |perdoc AS (
+        |  SELECT doc_id, SUM(sz) AS ex_tokens, COUNT(*) AS n_isl, MAX(sz) AS mx_isl
+        |  FROM szs GROUP BY doc_id)
+        |SELECT d.source, COUNT(*) AS n_docs,
+        |  CAST(SUM(d.n_tok) AS BIGINT) AS tokens_total,
+        |  CAST(SUM(COALESCE(p.ex_tokens, 0)) AS BIGINT) AS tokens_excised,
+        |  CAST(SUM(COALESCE(p.n_isl, 0)) AS BIGINT) AS n_islands,
+        |  CAST(MAX(COALESCE(p.mx_isl, 0)) AS BIGINT) AS max_island,
+        |  CAST(FLOOR(SUM(COALESCE(p.ex_tokens, 0)) * 10000.0
+        |    / greatest(CAST(SUM(d.n_tok) AS BIGINT), 1)) AS BIGINT) AS excised_bp
+        |FROM docs d LEFT JOIN perdoc p USING (doc_id)
+        |GROUP BY d.source ORDER BY d.source""".stripMargin
   )
 }

