@@ -355,13 +355,25 @@ object Bench {
     * finished in ~60 ms, inside timer/JIT noise; 1024 gives a ~0.5 s
     * window at the current rate and still ~5 s if the file lane
     * (graft.ready.percall=file) is ever benched. */
-  def benchEnqueue(spark: SparkSession, nSync: Int = 1024,
+  /** Measures STEADY-STATE enqueue throughput — the rate a deployment
+    * doing millions of enqueues actually sees — not a JIT transient.
+    * The r11 diagnosis: on one idle-host JVM, back-to-back calls of the
+    * old 1024-call/1-warm version measured 13k → 34k → 55k jobs/s
+    * (tiered compilation still promoting the write path), so the
+    * published number was whatever tier C2 happened to reach when the
+    * bench ran — 40.3k and 22.1k on the SAME commit across two official
+    * runs. Each lane now runs a full-length UNTIMED warm pass first
+    * (2×nSync / 1×nBuf calls puts the loop past the C2 threshold), then
+    * times nSync/nBuf calls; the outer median-of-3 stays as the host-
+    * weather guard. Cost: <1 s of a ~10-min bench. */
+  def benchEnqueue(spark: SparkSession, nSync: Int = 4096,
       nBuf: Int = 20000): (Double, Double) =
     graft.Scratch.withDir("graft-bench-enq") { root =>
       JobRegistry.register("bench_noop", _ => "ok")
       val sync = new graft.client.GraftClient(
         new ParquetBackend(spark, s"$root/sync"), spark, "bench")
-      sync.performAsync("bench_noop") // warm the write path
+      var w = 0
+      while (w < 2 * nSync) { sync.performAsync("bench_noop", w); w += 1 }
       val t0 = System.nanoTime()
       var i = 0
       while (i < nSync) { sync.performAsync("bench_noop", i); i += 1 }
@@ -370,6 +382,8 @@ object Bench {
       val buffered = new graft.client.BufferingClient(
         new ParquetBackend(spark, s"$root/buf"), spark, "bench",
         flushEvery = 5000)
+      var v = 0
+      while (v < nBuf) { buffered.performAsync("bench_noop", v); v += 1 }
       val t1 = System.nanoTime()
       var j = 0
       while (j < nBuf) { buffered.performAsync("bench_noop", j); j += 1 }
