@@ -475,6 +475,16 @@ object QuickProbe {
             f"state_rows_final=${stateRows.lastOption.getOrElse(0L)} " +
             f"watermark_evicted=$removed")
         }
+      // pseudo-query: the full job pipeline (bulk enqueue → worker pass
+      // → promote retries → second pass) at an arbitrary job count —
+      // the engine-scale twin of the query-side ScaleProbe factors.
+      // benchJobPipeline partitions by data volume (12.5k jobs/slice),
+      // so 10M jobs is 800 slices over the same 32 cores: the shape a
+      // 1000-executor backfill sees, minus the cluster.
+      case s if s.startsWith("__pipeline=") =>
+        val n = s.stripPrefix("__pipeline=").toInt
+        val (sec, rate) = Bench.benchJobPipeline(spark, n)
+        println(f"PROBE pipeline n=$n wall=$sec%.1f s rate=$rate%.0f jobs/s")
       // pseudo-query: the per-call enqueue micro-bench, standalone
       case "__enqueue" =>
         (1 to 2).foreach { pass =>
