@@ -106,12 +106,19 @@ object Bench {
     // external (non-graft) core-seconds burned while the section ran —
     // measurable DURING the work with no self-confounding.
     def cpuSnapshot(): (Long, Long, Long) = {
+      // take(8): user nice system idle iowait irq softirq steal — the
+      // trailing guest/guest_nice fields are ALREADY counted inside
+      // user/nice and would double-count VM guests into "busy"
       val host = scala.io.Source.fromFile("/proc/stat").getLines().next()
-        .trim.split("\\s+").drop(1).map(_.toLong)
+        .trim.split("\\s+").drop(1).take(8).map(_.toLong)
       val idle = host(3) + host(4) // idle + iowait
       val busy = host.sum - idle
-      val self = scala.io.Source.fromFile("/proc/self/stat").mkString.split(" ")
-      (busy, self(13).toLong + self(14).toLong, System.nanoTime())
+      // fields after the parenthesized comm — comm may contain spaces,
+      // which would shift a naive split(" ") indexing
+      val selfStat = scala.io.Source.fromFile("/proc/self/stat").mkString
+      val self = selfStat.substring(selfStat.lastIndexOf(')') + 2).split(" ")
+      // utime/stime are fields 14/15 of the full line = 11/12 after comm
+      (busy, self(11).toLong + self(12).toLong, System.nanoTime())
     }
     val jiffiesPerSec = 100.0 // USER_HZ on linux
     /** Average EXTERNAL cores busy while `f` ran (host busy minus self). */
@@ -223,7 +230,10 @@ object Bench {
       else SparkEntry.queries.toSeq.sortBy(_._1)
         .filterNot { case (n, _) => fixtureNames(n) }
         .map { case (name, fn) => timeQuery(name, fn, sf001Dir, errorsSf001) })
-    extLoads("sf001") = sf001Ext
+    // a skipped section is near-instant: its clamped 1 ms window would
+    // turn ONE background jiffy into "10 external cores" and flag a
+    // quiet run contended — no section, no external-load claim
+    extLoads("sf001") = if (sf001.isEmpty) 0.0 else sf001Ext
 
     def qjson(rows: Seq[(String, Double)]): String =
       rows.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
@@ -262,6 +272,12 @@ object Bench {
     //      until proven otherwise — re-run on a quiet host.
     val burnContended = coreProbes.min < visibleCores / 2
     val extContended = extLoads.values.exists(_ > visibleCores / 8)
+    // Numeric scale factor parsed from the dir name ("sf0.1" → 0.1) plus
+    // the raw path — ADVICE r7: one artifact carried the path string and
+    // another the number, forcing consumers to special-case the field.
+    val sfNum = "sf([0-9.]+)".r.findFirstMatchIn(
+      java.nio.file.Paths.get(sfDir).getFileName.toString)
+      .map(_.group(1).toDouble).getOrElse(-1.0)
     val priorPath = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_PRIOR", "BENCH.json"))
     def priorField(field: String): Option[Double] =
@@ -269,7 +285,11 @@ object Bench {
       else ("\"" + field + "\":(-?[0-9.]+)").r
         .findFirstMatchIn(java.nio.file.Files.readString(priorPath))
         .map(_.group(1).toDouble).filter(_ > 0)
-    val crossRound = Seq(
+    // The prior is only comparable at the SAME scale factor: diffing a
+    // sf0.1 run against a sf1 artifact would read the honest sf change
+    // as "contended" (and a real regression at a smaller sf as clean)
+    val priorComparable = priorField("sf").exists(p => math.abs(p - sfNum) < 1e-9)
+    val crossRound = if (!priorComparable) Nil else Seq(
       priorField("total_sf001").map(p => totalSf001 > 1.5 * p),
       priorField("enqueue_percall_jobs_sec").map(p => enqSync < p / 1.5),
       priorField("enqueue_buffered_jobs_sec").map(p => enqBuf < p / 1.5),
@@ -277,12 +297,6 @@ object Bench {
     ).flatten
     val crossContended = crossRound.exists(identity)
     val contended = burnContended || extContended || crossContended
-    // Numeric scale factor parsed from the dir name ("sf0.1" → 0.1) plus
-    // the raw path — ADVICE r7: one artifact carried the path string and
-    // another the number, forcing consumers to special-case the field.
-    val sfNum = "sf([0-9.]+)".r.findFirstMatchIn(
-      java.nio.file.Paths.get(sfDir).getFileName.toString)
-      .map(_.group(1).toDouble).getOrElse(-1.0)
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH.json")
     def toJson(rows: Seq[(String, Double)], withSf001Detail: Boolean): String = {
       val extra = if (withSf001Detail) f""","queries_sf001":${qjson(sf001)}"""

@@ -372,11 +372,20 @@ object QuickProbe {
           val rowsPerChunk = 50000
           val n = nChunks.toLong * rowsPerChunk
           (0 until nChunks).foreach { c =>
+            // Pair ids (2k, 2k+1) onto one user — id % 200000 with an
+            // EVEN modulus preserved id parity, so every user was
+            // all-clicks or all-errors and the join NEVER matched
+            // (r11 review find: the soak measured only the null-padded
+            // path). Click first (even id), its error 12 ms later (odd
+            // id): c_ts ≤ e_ts within the 10-min band → every error
+            // matches exactly its paired click; the user's other visits
+            // sit 80 min apart, outside the band, so the match count is
+            // exact (n/2) and the eviction path still does the work.
             spark.range(c.toLong * rowsPerChunk, (c + 1).toLong * rowsPerChunk, 1, 8)
               .select(col("id"),
                 timestamp_seconds(lit(1700000000L) + col("id") * 12 / 1000).as("ts"),
-                (col("id") % 200000).as("user_id"),
-                when(col("id") % 2 === 0, "error").otherwise("click").as("event_type"))
+                (expr("id div 2") % 200000).as("user_id"),
+                when(col("id") % 2 === 1, "error").otherwise("click").as("event_type"))
               .write.mode("append").parquet(s"$root/in")
           }
           val schema = org.apache.spark.sql.types.StructType.fromDDL(

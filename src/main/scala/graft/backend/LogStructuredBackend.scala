@@ -332,13 +332,15 @@ abstract class LogStructuredBackend(val spark: SparkSession) extends QueueBacken
             .toDS().coalesce(1))
         return
       }
-      // Arm the tombstone snapshot BEFORE computing the survivor set and
-      // replace from THAT dataset: the dropped set is then a subset of
-      // tombstones the survivor computation could apply, and a delete
-      // landing after this point is preserved by the delta rescue (it
-      // still subtracts its job — folded into the survivor log — at
-      // read time). Replacing from a later re-read would silently drop
-      // a tombstone that raced the survivor computation.
+      // Snapshot the tombstones BEFORE computing the survivor set: the
+      // set it is safe to drop is exactly the `tbl` rows of THIS
+      // snapshot — the ones the survivor computation could apply. The
+      // replace below re-reads at swap time and anti-joins only that
+      // applied set away, so a tombstone landing mid-compaction (for
+      // ANY table, on ANY backend — mark-less manifest backends have no
+      // delta rescue to save it) survives, and a `tbl` tombstone that
+      // raced the survivor computation is kept to subtract its job —
+      // folded into the survivor log — at read time.
       val tsSnap = foldSnapshot[Tombstone]("tombstones")
       val visible: Dataset[Job] = tbl match {
         // fold to the DURABLE survivor set, not consumer visibility — the
@@ -364,7 +366,18 @@ abstract class LogStructuredBackend(val spark: SparkSession) extends QueueBacken
             .as[CompletionEvent]
           replaceLog("completions", keptComps)
         }
-        replaceLog("tombstones", tsSnap.filter($"tbl" =!= tbl))
+        // Re-read at swap time; drop ONLY the applied set (this table's
+        // rows of the pre-computation snapshot). A left_anti on the
+        // full (tbl, id, seq) key is row-precise on every backend —
+        // ParquetBackend's delta rescue additionally covers appends
+        // racing the swap itself, and the fresh foldSnapshot re-arms
+        // its mark to the at-swap file set.
+        val applied = tsSnap.filter($"tbl" === tbl)
+          .select($"tbl".as("a_tbl"), $"id".as("a_id"), $"seq".as("a_seq"))
+        replaceLog("tombstones",
+          foldSnapshot[Tombstone]("tombstones").join(applied,
+            $"tbl" === $"a_tbl" && $"id" === $"a_id" && $"seq" === $"a_seq",
+            "left_anti").as[Tombstone])
       } finally survivors.unpersist()
     } finally discardFoldMarks()
   }

@@ -70,8 +70,16 @@ class ParquetBackend(spark0: SparkSession, val root: String)
     val rootP = new Path(root)
     if (fs.exists(rootP)) fs.listStatus(rootP).foreach { st =>
       val n = st.getPath.getName
+      // abandoned = the dir AND its newest entry are both past the
+      // cutoff: a long replacement write keeps landing fresh part
+      // files into .rw-, so an in-progress stage is never "old" no
+      // matter how long the Spark job runs (r11 review find)
+      def quiesced: Boolean =
+        (try fs.listStatus(st.getPath).map(_.getModificationTime).maxOption
+         catch { case _: java.io.IOException => None })
+          .forall(_ < cutoff)
       if ((n.startsWith(".app-") || n.startsWith(".rw-") || n.startsWith(".old-")) &&
-          st.getModificationTime < cutoff && fs.delete(st.getPath, true))
+          st.getModificationTime < cutoff && quiesced && fs.delete(st.getPath, true))
         swept += 1
     }
     direct + swept
@@ -86,8 +94,8 @@ class ParquetBackend(spark0: SparkSession, val root: String)
   private def foldLock(tbl: String): Object =
     walFoldLocks.computeIfAbsent(tbl, _ => new Object)
 
-  /** What this thread's last [[foldSnapshot]] of a table saw: the WAL
-    * truncation generation and the parquet part-file set. replaceLog
+  /** What this thread's last [[foldSnapshot]] of a table saw: the
+    * parquet part-file set (post-fold, WAL empty). replaceLog
     * consumes it to preserve appends that land AFTER the caller's
     * snapshot (ADVICE r9: a per-call enqueue between compact's read and
     * the dir swap was silently dropped). Armed ONLY by foldSnapshot —
@@ -97,7 +105,7 @@ class ParquetBackend(spark0: SparkSession, val root: String)
     * Thread-local: compact runs its snapshot→replace sequence on one
     * thread. The snapshot's WAL count is always ZERO (foldSnapshot
     * folds the tail first), so the whole current WAL is the delta. */
-  private case class LogMark(walGen: Long, files: Set[String])
+  private case class LogMark(files: Set[String])
   private val snapshotMarks =
     ThreadLocal.withInitial[scala.collection.mutable.Map[String, LogMark]](
       () => scala.collection.mutable.Map.empty)
@@ -152,18 +160,9 @@ class ParquetBackend(spark0: SparkSession, val root: String)
       val lock = writeLocks.computeIfAbsent(tbl, _ => new Object)
       lock.synchronized {
         val enc = implicitly[Encoder[T]]
-        if (WalStore.hasRecords(root, tbl)) {
-          val wal = WalStore.forTable(root, tbl, enc)
-          wal.synchronized {
-            val tail = WalStore.rows(root, tbl, enc)
-            if (tail.nonEmpty)
-              DirectParquetAppend.append(spark, enc, dir(tbl), tail)
-            wal.truncate()
-          }
-        }
+        drainWal(tbl, enc) // reentrant under both locks — one fold impl
         val files = partFileNames(tbl)
-        val (walGen, _) = WalStore.mark(root, tbl, enc)
-        snapshotMarks.get.update(tbl, LogMark(walGen, files))
+        snapshotMarks.get.update(tbl, LogMark(files))
         if (files.nonEmpty) spark.read.parquet(dir(tbl)).as[T]
         else spark.emptyDataset[T]
       }
@@ -344,7 +343,14 @@ class ParquetBackend(spark0: SparkSession, val root: String)
         val enc = rows.encoder
         val old = new Path(dir(tbl))
         val bak = new Path(s"$root/.old-${UUID.randomUUID()}")
-        if (fs.exists(old)) fs.rename(old, bak)
+        if (fs.exists(old)) {
+          fs.rename(old, bak)
+          // rename PRESERVES the live dir's mtime — a table quiet past
+          // the sweep cutoff would make its backup instantly "old" and
+          // a concurrent sweepStaging could delete it before the delta
+          // rescue below reads it (r11 review find); stamp it fresh
+          fs.setTimes(bak, System.currentTimeMillis(), -1)
+        }
         fs.rename(new Path(tmp), old)
         mark.foreach { m =>
           if (fs.exists(bak))

@@ -900,8 +900,9 @@ object DedupOps {
     // coverage but excises nothing. Here the duplicate rule is corpus
     // occurrence count ≥ 2 — WITHIN-doc repetition is duplicated text
     // too, exactly what the excision policy must remove — and one
-    // occurrence per window (min doc_id·10⁷+st, engine-exact integer
-    // min) is canon-PROTECTED: a token survives if ANY window covering
+    // occurrence per window (lexicographic min (doc_id, st) — no
+    // composite-integer envelope to overflow on long docs) is
+    // canon-PROTECTED: a token survives if ANY window covering
     // it is a canon occurrence, and is excised if it is covered only by
     // non-canon duplicated windows. Per source: docs, token totals,
     // excised tokens, excision islands (maximal runs of excised
@@ -927,13 +928,13 @@ object DedupOps {
             s" length(concat_ws(' ', slice(a, i+1, $W))) AS wl))")).as("w"))
         .select(col("doc_id"), col("w.st").as("st"), col("w.h").as("h"),
           col("w.h2").as("h2"), col("w.wl").as("wl"))
-        .withColumn("k", col("doc_id") * 10000000L + col("st"))
       val dup = wins.groupBy("h", "h2", "wl")
-        .agg(count(lit(1)).as("c"), min("k").as("canon_k"))
+        .agg(count(lit(1)).as("c"),
+          min(struct(col("doc_id"), col("st"))).as("canon_k"))
         .filter(col("c") >= 2).select("h", "h2", "wl", "canon_k")
       val occ = wins.join(dup, Seq("h", "h2", "wl"))
         .select(col("doc_id"), col("st"),
-          (col("k") === col("canon_k")).as("canon"))
+          (struct(col("doc_id"), col("st")) === col("canon_k")).as("canon"))
       val perpos = occ
         .select(col("doc_id"), explode(expr(s"sequence(st, st + ${W - 1})")).as("p"),
           when(col("canon"), 1L).otherwise(0L).as("pr"))
@@ -1451,7 +1452,10 @@ object DedupOps {
 
     // d26: the oracle keys on the RAW window string (the Spark side's
     // dual-hash+length census stands in for it at ~2^-128 collision
-    // odds — the d24 discipline). Same canon key, same prot-max, same
+    // odds — the d24 discipline). Canon choice is the lexicographic
+    // min (doc_id, st) — Spark computes it as min(struct(...)), the
+    // oracle as ROW_NUMBER ordered the same way; identical pick since
+    // (doc_id, st) pairs are unique. Same prot-max, same
     // gaps-and-islands; every output integer CAST per house convention.
     "d26_dupspan_excision" ->
       """WITH arr AS (
@@ -1460,14 +1464,15 @@ object DedupOps {
         |docs AS (SELECT doc_id, source, len(a) AS n_tok, a FROM arr),
         |wins AS (
         |  SELECT doc_id, CAST(i AS BIGINT) AS st,
-        |    array_to_string(a[CAST(i + 1 AS INT) : CAST(i + 10 AS INT)], ' ') AS w,
-        |    doc_id * 10000000 + CAST(i AS BIGINT) AS k
+        |    array_to_string(a[CAST(i + 1 AS INT) : CAST(i + 10 AS INT)], ' ') AS w
         |  FROM (SELECT doc_id, a, unnest(generate_series(0, len(a) - 10)) AS i
         |        FROM docs WHERE n_tok >= 10) t),
-        |dup AS (SELECT w, MIN(k) AS canon_k FROM wins GROUP BY w HAVING COUNT(*) >= 2),
-        |occ AS (
-        |  SELECT wins.doc_id, wins.st, (wins.k = dup.canon_k) AS canon
-        |  FROM wins JOIN dup USING (w)),
+        |occ_rn AS (
+        |  SELECT doc_id, st,
+        |    ROW_NUMBER() OVER (PARTITION BY w ORDER BY doc_id, st) AS rn,
+        |    COUNT(*) OVER (PARTITION BY w) AS c
+        |  FROM wins),
+        |occ AS (SELECT doc_id, st, (rn = 1) AS canon FROM occ_rn WHERE c >= 2),
         |perpos AS (
         |  SELECT doc_id, st + CAST(j AS BIGINT) AS p,
         |    MAX(CASE WHEN canon THEN 1 ELSE 0 END) AS prot

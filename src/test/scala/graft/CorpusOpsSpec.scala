@@ -866,22 +866,21 @@ class CorpusOpsSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
     val W = 10
     def toks(t: String) = t.split("\\s+", -1)
-    // every stride-1 window occurrence: (doc, st, window string, canon key)
+    // every stride-1 window occurrence: (doc, st, window string)
     val wins = docs.flatMap { case (id, _, text) =>
       val a = toks(text)
       if (a.length >= W)
-        (0 to a.length - W).map(i =>
-          (id, i, a.slice(i, i + W).mkString(" "), id * 10000000L + i))
+        (0 to a.length - W).map(i => (id, i, a.slice(i, i + W).mkString(" ")))
       else Seq.empty
     }
     // duplicate rule: corpus OCCURRENCE count >= 2 (within-doc repeats
-    // count); one canon occurrence per window is protected
+    // count); the lexicographic-min (doc_id, st) occurrence is protected
     val canonOf = wins.groupBy(_._3).collect {
-      case (w, os) if os.size >= 2 => w -> os.map(_._4).min
+      case (w, os) if os.size >= 2 => w -> os.map(o => (o._1, o._2.toLong)).min
     }
     val excByDoc = wins.filter(o => canonOf.contains(o._3)).groupBy(_._1).map {
       case (id, os) =>
-        val prot = os.filter(o => canonOf(o._3) == o._4)
+        val prot = os.filter(o => canonOf(o._3) == ((o._1, o._2.toLong)))
           .flatMap(o => o._2 until o._2 + W).toSet
         val cov = os.flatMap(o => o._2 until o._2 + W).toSet
         val exc = (cov -- prot).toSeq.sorted

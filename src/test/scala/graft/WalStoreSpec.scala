@@ -287,6 +287,74 @@ class WalStoreSpec extends SparkSpec {
     assert(TestFns.calls.get() == 4, "4 enqueues, 4 executions, each once")
   }
 
+  test("a tombstone landing mid-compaction survives the tombstone-log rewrite") {
+    // r11 review find: compact snapshots tombstones BEFORE the survivor
+    // computation and used to REPLACE the log from that snapshot — a
+    // delete racing the compaction (console thread holds no worker
+    // gate) was silently dropped on any backend without a delta rescue,
+    // resurrecting the deleted job. The rewrite now re-reads at swap
+    // time and anti-joins away only the APPLIED rows (this table's rows
+    // of the pre-computation snapshot).
+    TestFns.reset()
+    val root = tmpDir("graft-race-tombstone")
+    val backend = racyBackend(root, "dead") { b =>
+      // fires inside compact("dead"), after its tombstone snapshot —
+      // the exact window the old rewrite erased
+      val victim = b.scheduledJobs.collect().head
+      b.tombstone("scheduled", Seq((victim.id, victim.seq)), "console delete")
+    }
+    val client = clientOn(backend, () => T0)
+    client.performAt(java.time.Instant.ofEpochMilli(T0 + 60000), "ok", 1)
+    assert(backend.scheduledJobs.count() == 1)
+    backend.compact("dead")
+    assert(backend.scheduledJobs.count() == 0,
+      "the mid-compaction delete must survive the tombstone rewrite")
+  }
+
+  test("mark-less backends: mid-compaction tombstone survives the generic rewrite") {
+    // The ParquetBackend variant above is additionally protected by its
+    // delta-rescue marks; THIS binding has no marks at all (default
+    // foldSnapshot = readLog, exact replaceLog — the CommitLogBackend
+    // shape), so it exercises the generic compact()'s own guarantee:
+    // the tombstone rewrite re-reads at swap time and drops only the
+    // applied set. Before the r11 fix this test loses the racing delete.
+    import org.apache.spark.sql.{Dataset, Encoder}
+    val logs = scala.collection.mutable.Map.empty[String, Seq[Any]]
+    var fired = false
+    val backend: graft.backend.LogStructuredBackend =
+      new graft.backend.LogStructuredBackend(spark) {
+        override def capabilities = graft.backend.BrokerCapabilities(
+          fullOperatorSurface = true, snapshotIsolatedReads = false,
+          multiProcessWriters = false, durable = false)
+        override def dataFileCount(tbl: String): Int =
+          logs.getOrElse(tbl, Nil).size
+        override protected def readLog[T: Encoder](tbl: String): Dataset[T] =
+          spark.createDataset(
+            logs.getOrElse(tbl, Nil).asInstanceOf[Seq[T]])(implicitly[Encoder[T]])
+        override protected def appendLog[T](tbl: String, ds: Dataset[T]): Unit =
+          logs.synchronized { logs(tbl) = logs.getOrElse(tbl, Nil) ++ ds.collect().toSeq }
+        override protected def replaceLog[T](tbl: String, rows: Dataset[T]): Unit = {
+          if (tbl == "dead" && !fired) {
+            fired = true // the console delete racing the compaction
+            val v = scheduledJobs.collect().head
+            tombstone("scheduled", Seq((v.id, v.seq)), "console delete")
+          }
+          val next = rows.collect().toSeq
+          logs.synchronized { logs(tbl) = next }
+        }
+      }
+    backend.scheduleRows(Seq(Job(
+      id = "victim", executeFnSym = "ok", argsJson = "[]", queue = "q",
+      readyQueue = "q", priority = 0, enqueuedAt = T0,
+      scheduleRunAt = Some(T0 + 60000), cronRunAt = None, batchId = None,
+      retryOpts = RetryOpts(), state = None, seq = Job.nextSeq())))
+    assert(backend.scheduledJobs.count() == 1)
+    backend.compact("dead")
+    assert(fired)
+    assert(backend.scheduledJobs.count() == 0,
+      "the mid-compaction delete must survive the tombstone rewrite")
+  }
+
   test("purgeCron is exact: no stale-mark rescue from an earlier read on this thread") {
     // ADVICE r10 medium: replaceLog used to consume whatever mark the
     // thread last captured; a hot cron read before purgeCron rescued
