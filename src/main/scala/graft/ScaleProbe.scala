@@ -119,7 +119,7 @@ object ScaleProbe {
       "s23_filtered_topk", "s24_ivf_knn_join", "m07_decode_quarantine",
       "t21_readability",
       "s25_sql_minhash", "s26_sql_entropy", "s27_sql_window",
-      "s28_sql_ngram_jaccard", "s29_sql_length_histogram",
+      "s28_sql_ngram_jaccard", "s29_sql_length_histogram", "s30_sql_dupspan",
       "q38_asof_join", "q40_range_join", "q41_salted_join")
     subset.foreach { s =>
       val unknown = s -- allProbeQueries.toSet

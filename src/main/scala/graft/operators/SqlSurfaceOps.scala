@@ -18,6 +18,9 @@ import graft.Tables
   *   - s27 ⇄ q43 (the analytic window suite as ANSI SQL text)
   *   - s28 ⇄ d06 (sorted_intersect_size — the verify kernel's native
   *     intersect, including the integer basis-point threshold)
+  *   - s29 ⇄ p06 (log2 length histogram — regexp_count_fast by name)
+  *   - s30 ⇄ d26 (ExactSubstr excision books — transform lambda census,
+  *     struct-min canon, generator explode, gaps-and-islands window)
   *
   * The plans must come out IDENTICAL to the DataFrame twins (pinned in
   * ExplainAudit): same native expressions, same join/window/exchange
@@ -112,7 +115,66 @@ object SqlSurfaceOps {
       sqlOn(s, Tables.documents(s, d), "graft_s29_docs",
         """SELECT FLOOR(LOG2(GREATEST(CAST(regexp_count_fast(text, '\\S+') AS DOUBLE), 1.0D))) AS bucket,
           |  COUNT(*) AS n_docs, MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
-          |FROM graft_s29_docs GROUP BY 1 ORDER BY bucket""".stripMargin))
+          |FROM graft_s29_docs GROUP BY 1 ORDER BY bucket""".stripMargin)),
+
+    // d26's ExactSubstr excision books as SQL text — the hardest dedup
+    // shape the SQL surface must carry: a higher-order transform lambda
+    // building the window census, MIN over a struct for the canon pick,
+    // a generator explode, and the gaps-and-islands window, all in one
+    // statement. Compiles to the DataFrame twin's plan (content-keyed
+    // HashAggregate census, join-back against the deduped dup table,
+    // per-doc Window — no product anywhere), so the 100 TB cost story
+    // holds for a SQL-only user.
+    "s30_sql_dupspan" -> ((s, d) =>
+      sqlOn(s, Tables.documents(s, d), "graft_s30_docs",
+        """WITH docs AS (
+          |  SELECT doc_id, source, size(a) AS n_tok, a
+          |  FROM (SELECT doc_id, source, split(text, '\\s+') AS a
+          |        FROM graft_s30_docs)),
+          |wins AS (
+          |  SELECT doc_id, w.st AS st, w.h AS h, w.h2 AS h2, w.wl AS wl
+          |  FROM (SELECT doc_id, explode(transform(sequence(0, n_tok - 10),
+          |      i -> struct(i AS st,
+          |        xxhash64(concat_ws(' ', slice(a, i+1, 10))) AS h,
+          |        xxhash64('d26b', concat_ws(' ', slice(a, i+1, 10))) AS h2,
+          |        length(concat_ws(' ', slice(a, i+1, 10))) AS wl))) AS w
+          |    FROM docs WHERE n_tok >= 10)),
+          |dup AS (
+          |  SELECT h, h2, wl, MIN(struct(doc_id, st)) AS canon_k
+          |  FROM wins GROUP BY h, h2, wl HAVING COUNT(*) >= 2),
+          |occ AS (
+          |  SELECT wins.doc_id, wins.st,
+          |    (struct(wins.doc_id, wins.st) = dup.canon_k) AS canon
+          |  FROM wins JOIN dup USING (h, h2, wl)),
+          |perpos AS (
+          |  SELECT doc_id, p, MAX(CASE WHEN canon THEN 1L ELSE 0L END) AS prot
+          |  FROM (SELECT doc_id, explode(sequence(st, st + 9)) AS p, canon
+          |        FROM occ)
+          |  GROUP BY doc_id, p),
+          |marked AS (
+          |  SELECT doc_id, p,
+          |    CASE WHEN lag(p) OVER (PARTITION BY doc_id ORDER BY p) IS NULL
+          |           OR p > lag(p) OVER (PARTITION BY doc_id ORDER BY p) + 1
+          |      THEN 1L ELSE 0L END AS brk
+          |  FROM perpos WHERE prot = 0),
+          |isl AS (
+          |  SELECT doc_id, SUM(brk) OVER (PARTITION BY doc_id ORDER BY p
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g
+          |  FROM marked),
+          |szs AS (SELECT doc_id, g, COUNT(*) AS sz FROM isl GROUP BY doc_id, g),
+          |perdoc AS (
+          |  SELECT doc_id, SUM(sz) AS ex_tokens, COUNT(*) AS n_isl,
+          |    MAX(sz) AS mx_isl
+          |  FROM szs GROUP BY doc_id)
+          |SELECT d.source, COUNT(*) AS n_docs,
+          |  CAST(SUM(d.n_tok) AS BIGINT) AS tokens_total,
+          |  CAST(SUM(COALESCE(p.ex_tokens, 0L)) AS BIGINT) AS tokens_excised,
+          |  CAST(SUM(COALESCE(p.n_isl, 0L)) AS BIGINT) AS n_islands,
+          |  CAST(MAX(COALESCE(p.mx_isl, 0L)) AS BIGINT) AS max_island,
+          |  CAST(FLOOR(SUM(COALESCE(p.ex_tokens, 0L)) * 10000.0
+          |    / GREATEST(CAST(SUM(d.n_tok) AS BIGINT), 1L)) AS BIGINT) AS excised_bp
+          |FROM docs d LEFT JOIN perdoc p USING (doc_id)
+          |GROUP BY d.source ORDER BY d.source""".stripMargin))
   )
 
   /** Oracles are the DataFrame twins' oracles, verbatim — one DuckDB
@@ -122,6 +184,7 @@ object SqlSurfaceOps {
     "s26_sql_entropy" -> TextOps.oracles("t15_char_entropy"),
     "s27_sql_window" -> QueueQueries.oracles("q43_window_suite"),
     "s28_sql_ngram_jaccard" -> DedupOps.oracles("d06_ngram_jaccard"),
-    "s29_sql_length_histogram" -> PipelineOps.oracles("p06_length_histogram")
+    "s29_sql_length_histogram" -> PipelineOps.oracles("p06_length_histogram"),
+    "s30_sql_dupspan" -> DedupOps.oracles("d26_dupspan_excision")
   )
 }

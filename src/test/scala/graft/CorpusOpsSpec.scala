@@ -908,6 +908,14 @@ class CorpusOpsSpec extends SparkSpec {
     assert(out.values.map(_._3).sum >= 0L)
   }
 
+  test("s30 SQL twin returns exactly d26's rows") {
+    val sql = operators.SqlSurfaceOps.queries("s30_sql_dupspan")(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    val df = operators.DedupOps.queries("d26_dupspan_excision")(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(sql == df, "the SQL-text surface and the DataFrame path must not drift")
+  }
+
   test("s18 range search: bounds hold and qid 0 agrees with s01's exact top-k") {
     val rows = operators.SimilarityOps.queries("s18_range_search")(spark, sf)
       .collect().map(r => r.getLong(0) ->
