@@ -285,15 +285,50 @@ object Bench {
       else ("\"" + field + "\":(-?[0-9.]+)").r
         .findFirstMatchIn(java.nio.file.Files.readString(priorPath))
         .map(_.group(1).toDouble).filter(_ > 0)
+    // Per-query map from a prior artifact ("queries" / "queries_sf001"
+    // JSON objects — flat string→number, no nesting, so a brace scan
+    // bounds the body).
+    def priorQueryMap(field: String): Map[String, Double] =
+      if (!java.nio.file.Files.isReadable(priorPath)) Map.empty
+      else {
+        val txt = java.nio.file.Files.readString(priorPath)
+        val key = "\"" + field + "\":{"
+        val i = txt.indexOf(key)
+        val j = if (i < 0) -1 else txt.indexOf('}', i)
+        if (i < 0 || j < 0) Map.empty
+        else "\"([A-Za-z0-9_]+)\":(-?[0-9.]+)".r
+          .findAllMatchIn(txt.substring(i + key.length - 1, j))
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      }
     // The prior is only comparable at the SAME scale factor: diffing a
     // sf0.1 run against a sf1 artifact would read the honest sf change
     // as "contended" (and a real regression at a smaller sf as clean)
     val priorComparable = priorField("sf").exists(p => math.abs(p - sfNum) < 1e-9)
+    // Suite-drift-proof cross-round trip (r11 review find: the total-sum
+    // diff flagged legitimate suite GROWTH — this very round added
+    // d26/s29/s30/q53 — as weather, and a single-query code regression
+    // large enough to move the total also read as weather). The MEDIAN
+    // per-query ratio over the INTERSECTION of query names moves only
+    // when the broad mass of unchanged queries slows down — which is a
+    // host disturbance, not a code change; a real single-operator
+    // regression leaves the median flat and shows up in the per-query
+    // diff instead. Totals stay as a fallback when the prior artifact
+    // predates per-query detail.
+    def medianRatio(cur: Seq[(String, Double)], prior: Map[String, Double]): Option[Double] = {
+      val rs = cur.collect {
+        case (n, v) if prior.get(n).exists(_ > 0.05) && v > 0 => v / prior(n)
+      }.sorted // >0.05 s floor: sub-50 ms queries ratio on scheduler noise
+      if (rs.size < 10) None else Some(rs(rs.size / 2))
+    }
+    val priorQ = priorQueryMap("queries")
+    val priorQ001 = priorQueryMap("queries_sf001")
     val crossRound = if (!priorComparable) Nil else Seq(
-      priorField("total_sf001").map(p => totalSf001 > 1.5 * p),
+      medianRatio(all, priorQ).map(_ > 1.5).orElse(
+        priorField("value").map(p => total > 1.5 * p)),
+      medianRatio(sf001, priorQ001).map(_ > 1.5).orElse(
+        priorField("total_sf001").map(p => totalSf001 > 1.5 * p)),
       priorField("enqueue_percall_jobs_sec").map(p => enqSync < p / 1.5),
-      priorField("enqueue_buffered_jobs_sec").map(p => enqBuf < p / 1.5),
-      priorField("value").map(p => total > 1.5 * p)
+      priorField("enqueue_buffered_jobs_sec").map(p => enqBuf < p / 1.5)
     ).flatten
     val crossContended = crossRound.exists(identity)
     val contended = burnContended || extContended || crossContended

@@ -33,7 +33,7 @@ class ParquetBackend(spark0: SparkSession, val root: String)
   override def capabilities: BrokerCapabilities = BrokerCapabilities(
     fullOperatorSurface = true,
     snapshotIsolatedReads = false, // dir swap: callers gate compaction (GraftWorker)
-    multiProcessWriters = false, // shared _temporary staging dir per table
+    multiProcessWriters = false, // in-process locks (writeLocks/foldLock) ARE the write protocol; a second JVM shares none of them
     durable = true)
 
   private val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -70,14 +70,29 @@ class ParquetBackend(spark0: SparkSession, val root: String)
     val rootP = new Path(root)
     if (fs.exists(rootP)) fs.listStatus(rootP).foreach { st =>
       val n = st.getPath.getName
-      // abandoned = the dir AND its newest entry are both past the
-      // cutoff: a long replacement write keeps landing fresh part
-      // files into .rw-, so an in-progress stage is never "old" no
-      // matter how long the Spark job runs (r11 review find)
+      // abandoned = the dir AND its newest entry AT ANY DEPTH are both
+      // past the cutoff: a long replacement write keeps landing fresh
+      // part files into .rw-, so an in-progress stage is never "old" no
+      // matter how long the Spark job runs (r11 review find). The walk
+      // must be RECURSIVE: FileOutputCommitter task output accumulates
+      // under .app-*/_temporary/0/task_* — two levels down, never
+      // touching the top dir's direct children — so a direct-child scan
+      // would judge a live >cutoff-old bulk append "quiesced" and
+      // delete its staging dir mid-write (second r11 review find).
+      // Directory mtimes ride along (task-attempt dirs churn even
+      // between file lands).
+      def newestMtime(p: Path): Long = {
+        val self = fs.getFileStatus(p).getModificationTime
+        val kids =
+          try fs.listStatus(p)
+          catch { case _: java.io.IOException => Array.empty[org.apache.hadoop.fs.FileStatus] }
+        kids.foldLeft(self) { (mx, k) =>
+          math.max(mx, if (k.isDirectory) newestMtime(k.getPath) else k.getModificationTime)
+        }
+      }
       def quiesced: Boolean =
-        (try fs.listStatus(st.getPath).map(_.getModificationTime).maxOption
-         catch { case _: java.io.IOException => None })
-          .forall(_ < cutoff)
+        (try newestMtime(st.getPath)
+         catch { case _: java.io.IOException => Long.MaxValue }) < cutoff
       if ((n.startsWith(".app-") || n.startsWith(".rw-") || n.startsWith(".old-")) &&
           st.getModificationTime < cutoff && quiesced && fs.delete(st.getPath, true))
         swept += 1
@@ -186,7 +201,15 @@ class ParquetBackend(spark0: SparkSession, val root: String)
       if (!fs.exists(dst)) fs.mkdirs(dst)
       fs.listStatus(new Path(tmp)).iterator
         .filter(_.getPath.getName.endsWith(".parquet"))
-        .foreach(st => fs.rename(st.getPath, new Path(dst, st.getPath.getName)))
+        .foreach { st =>
+          // rename() reports failure as FALSE, not an exception — an
+          // unchecked publish here would let fs.delete(tmp) below destroy
+          // the unmoved part files and the append "succeed" with silent
+          // row loss (r11 review find)
+          if (!fs.rename(st.getPath, new Path(dst, st.getPath.getName)))
+            throw new java.io.IOException(
+              s"appendLog publish rename ${st.getPath} -> $dst failed")
+        }
     }
     fs.delete(new Path(tmp), true)
   }
@@ -343,15 +366,23 @@ class ParquetBackend(spark0: SparkSession, val root: String)
         val enc = rows.encoder
         val old = new Path(dir(tbl))
         val bak = new Path(s"$root/.old-${UUID.randomUUID()}")
+        // every rename in the swap is CHECKED: rename() reports failure
+        // as false, and an unchecked false here is not benign — a failed
+        // old->bak would make the tmp->old rename nest the replacement
+        // INSIDE the live dir; a failed rescue rename would delete the
+        // delta with the backup below (r11 review find)
+        def renameOrThrow(src: Path, dst: Path): Unit =
+          if (!fs.rename(src, dst))
+            throw new java.io.IOException(s"replaceLog rename $src -> $dst failed")
         if (fs.exists(old)) {
-          fs.rename(old, bak)
+          renameOrThrow(old, bak)
           // rename PRESERVES the live dir's mtime — a table quiet past
           // the sweep cutoff would make its backup instantly "old" and
           // a concurrent sweepStaging could delete it before the delta
           // rescue below reads it (r11 review find); stamp it fresh
           fs.setTimes(bak, System.currentTimeMillis(), -1)
         }
-        fs.rename(new Path(tmp), old)
+        renameOrThrow(new Path(tmp), old)
         mark.foreach { m =>
           if (fs.exists(bak))
             fs.listStatus(bak).iterator
@@ -359,7 +390,7 @@ class ParquetBackend(spark0: SparkSession, val root: String)
                 val n = st.getPath.getName
                 n.endsWith(".parquet") && !m.files.contains(n)
               }
-              .foreach(st => fs.rename(st.getPath, new Path(old, st.getPath.getName)))
+              .foreach(st => renameOrThrow(st.getPath, new Path(old, st.getPath.getName)))
         }
         fs.delete(bak, true)
         val walDelta: Seq[T] =

@@ -385,6 +385,34 @@ class WalStoreSpec extends SparkSpec {
     }
   }
 
+  test("sweepStaging spares a live deep-writing stage; reclaims it once truly quiet") {
+    // FileOutputCommitter lands task output two levels under the staging
+    // dir (.app-*/_temporary/0/task_*) without touching the top dir's
+    // direct children — a non-recursive quiesce check judged a live
+    // >cutoff-old bulk append "abandoned" and deleted it mid-write
+    // (r11 review find). The quiesce walk must see the deep fresh file.
+    import org.apache.hadoop.fs.Path
+    val (root, backend) = freshBackend()
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val top = new Path(s"$root/.app-live")
+    val task = new Path(top, "_temporary/0/task_202608_0001_m_000000")
+    fs.mkdirs(task)
+    val part = new Path(task, "part-00000.parquet")
+    fs.create(part).close() // fresh deep file = the job is still writing
+    val old = System.currentTimeMillis() - 120000
+    // age every DIRECTORY (top mtime is what the old check read) but
+    // leave the deep part file fresh
+    Seq(top, new Path(top, "_temporary"), new Path(top, "_temporary/0"), task)
+      .foreach(p => fs.setTimes(p, old, -1))
+    assert(backend.sweepStaging(60000) == 0, "live stage must not be swept")
+    assert(fs.exists(part), "the in-flight task file survives")
+    fs.setTimes(part, old, -1) // now the whole tree is quiet past the cutoff
+    Seq(top, new Path(top, "_temporary"), new Path(top, "_temporary/0"), task)
+      .foreach(p => fs.setTimes(p, old, -1)) // setTimes(part) refreshed parents? re-age
+    assert(backend.sweepStaging(60000) == 1, "a truly quiet stage is reclaimed")
+    assert(!fs.exists(top))
+  }
+
   test("replaceLog rescues a direct part file racing the compaction swap") {
     TestFns.reset()
     val root = tmpDir("graft-race-file")
