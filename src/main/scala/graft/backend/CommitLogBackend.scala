@@ -69,7 +69,16 @@ final class CommitLogBackend(
       * the basic.return callback (reply 312 NO_ROUTE). Default logs, as
       * the reference's sample handler does. */
     returnListener: CommitLogBackend.ReturnedJob => Unit =
-      CommitLogBackend.defaultReturnListener)
+      CommitLogBackend.defaultReturnListener,
+    /** Write a `<version>.checkpoint` manifest snapshot every this-many
+      * commits (Delta/Iceberg-style, from their public designs): readers
+      * seed their fold from the latest checkpoint instead of replaying
+      * the whole history, and [[vacuum]] TRUNCATES commit files the
+      * checkpoint subsumes — without this the `_log` directory grows one
+      * file per commit forever and every fresh process's first snapshot
+      * is O(all commits ever) (r11 review find). Time-travel horizon
+      * after truncation: versions >= the latest checkpoint. */
+    checkpointEvery: Int = CommitLogBackend.DefaultCheckpointEvery)
     extends LogStructuredBackend(spark0) {
 
   override def capabilities: BrokerCapabilities = BrokerCapabilities(
@@ -96,9 +105,10 @@ final class CommitLogBackend(
   fs.mkdirs(logDir)
 
   /** In-process commit serialization; cross-process safety comes from the
-    * atomic no-overwrite CREATE of the commit file itself — O_EXCL via
-    * java.nio on a local FS, namespace-atomic `create(overwrite=false)`
-    * on HDFS-like stores. No check-then-act window. */
+    * atomic no-overwrite publish of the commit file itself — a hard-link
+    * rename of the fully-written payload on a local FS, namespace-atomic
+    * `create(overwrite=false)` on HDFS-like stores (see [[tryClaim]]).
+    * No check-then-act window. */
   private val commitLock = new Object
 
   // ---------- commit log ----------
@@ -120,12 +130,77 @@ final class CommitLogBackend(
 
   private def snapshot(): Map[String, Vector[String]] = {
     val commits = listCommits()
-    val base = cached
-    val newer = commits.filter(versionOf(_) > base.version)
-    if (newer.isEmpty) return base.tables.withDefaultValue(Vector.empty)
+    var base = cached
+    // Seed from the newest checkpoint ONLY when the cache can't bridge
+    // with commits alone — a fresh process (version 0), or a truncation
+    // gap (versions are dense, so the first commit past the cache being
+    // > cache+1 means vacuum removed the prefix; folding the surviving
+    // suffix from a stale base would silently drop history). Keeping the
+    // consult conditional spares the hot read path a second directory
+    // listing and a checkpoint re-parse per snapshot.
+    val newer0 = commits.filter(versionOf(_) > base.version)
+    val gap = newer0.headOption.exists(versionOf(_) > base.version + 1)
+    if (base.version == 0 || gap)
+      latestCheckpointAt(Long.MaxValue).foreach { case (v, tables) =>
+        if (v > base.version) base = LogState(v, tables)
+      }
+    val newer = newer0.filter(versionOf(_) > base.version)
+    if (newer.isEmpty) {
+      if (base.version > cached.version) cached = base
+      return base.tables.withDefaultValue(Vector.empty)
+    }
     val next = foldCommits(newer, base)
     cached = next
     next.tables.withDefaultValue(Vector.empty)
+  }
+
+  // ---------- checkpoints ----------
+
+  private def checkpointPaths(): Seq[Path] =
+    if (!fs.exists(logDir)) Nil
+    else fs.listStatus(logDir).map(_.getPath)
+      .filter(_.getName.endsWith(".checkpoint"))
+      .sortBy(_.getName.stripSuffix(".checkpoint").toLong).toSeq
+
+  /** Newest complete checkpoint at or below `version`, parsed. A torn
+    * checkpoint (HDFS-path crash mid-write) fails the end-trailer check
+    * and is skipped — checkpoints are an optimization, never load-bearing
+    * for correctness until vacuum truncates behind one (and vacuum only
+    * truncates behind a checkpoint it successfully parsed). */
+  private def latestCheckpointAt(version: Long): Option[(Long, Map[String, Vector[String]])] =
+    checkpointPaths().reverseIterator
+      .map(p => (p.getName.stripSuffix(".checkpoint").toLong, p))
+      .filter(_._1 <= version)
+      .flatMap { case (v, p) => parseCheckpoint(p).map(v -> _) }
+      .nextOption()
+
+  private def parseCheckpoint(p: Path): Option[Map[String, Vector[String]]] = {
+    val in = fs.open(p)
+    val lines = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+    val recs = lines.split('\n').filter(_.nonEmpty)
+    if (!recs.lastOption.exists(_ == s"end\t${recs.length - 1}")) None
+    else Some(recs.iterator.takeWhile(!_.startsWith("end\t")).map(_.split('\t') match {
+      case Array("replace", tbl, rest @ _*) => tbl -> rest.toVector
+      case Array("replace", tbl) => tbl -> Vector.empty[String]
+      case other => throw new IllegalStateException(
+        s"corrupt checkpoint record in ${p.getName}: ${other.mkString("\t")}")
+    }).toMap)
+  }
+
+  /** Serialize the state at `version` as `<version>.checkpoint`. Uses the
+    * same atomic publish as commits; a lost race means another process
+    * checkpointed the same version — identical content, nothing to do.
+    * Best-effort by contract: the caller's append already committed. */
+  private def writeCheckpoint(version: Long, tables: Map[String, Vector[String]]): Unit = {
+    val recs = tables.keys.toSeq.sorted.map(tbl =>
+      ("replace" +: tbl +: tables(tbl)).mkString("\t"))
+    val payload = (recs :+ s"end\t${recs.size}")
+      .mkString("", "\n", "\n").getBytes("UTF-8")
+    try { tryClaim(new Path(logDir, f"$version%012d.checkpoint"), payload); () }
+    catch {
+      case e: java.io.IOException =>
+        System.err.println(s"[commit-log] checkpoint $version failed: ${e.getMessage}")
+    }
   }
 
   /** The ONE fold over commit files — shared by the live [[snapshot]]
@@ -180,35 +255,72 @@ final class CommitLogBackend(
       .mkString("", "\n", "\n").getBytes("UTF-8")
     var attempt = 0
     while (true) {
-      val next = listCommits().lastOption.map(versionOf(_) + 1).getOrElse(1L)
+      // max over BOTH commits and checkpoints: after vacuum truncates
+      // every commit a checkpoint subsumes, an empty commit listing must
+      // not restart version numbering below the checkpoint
+      val lastCommit = listCommits().lastOption.map(versionOf).getOrElse(0L)
+      val lastCkpt = checkpointPaths().lastOption
+        .map(_.getName.stripSuffix(".checkpoint").toLong).getOrElse(0L)
+      val next = math.max(lastCommit, lastCkpt) + 1L
       val target = new Path(logDir, f"$next%012d.commit")
-      if (tryClaim(target, payload)) return
+      if (tryClaim(target, payload)) {
+        if (checkpointEvery > 0 && next % checkpointEvery == 0)
+          writeCheckpoint(next, foldThrough(next))
+        return
+      }
       attempt += 1
       if (attempt > 1000) throw new IllegalStateException("commit contention livelock")
     }
   }
 
-  /** Atomically claim `target` and write the payload. Local FS: O_EXCL
-    * create via java.nio (`Files.createFile` is atomic; Hadoop's
-    * RawLocalFileSystem create is a check-then-act). Remote stores:
-    * `fs.create(overwrite=false)` — an atomic namespace claim on
-    * HDFS-like filesystems. Returns false on a lost race. */
+  /** Atomically claim `target` publishing the payload in the same
+    * operation. Returns false ONLY on a genuinely lost race.
+    *
+    * Local FS: write the payload to a sibling tmp file, then
+    * `Files.createLink(target, tmp)` — link(2) fails with EEXIST if the
+    * version is taken and otherwise makes the COMPLETE payload appear at
+    * `target` in one atomic namespace op. No torn local commits exist at
+    * all: the claim IS the publish (the old claim-then-write left a
+    * window where a crashed or failed writer's empty claim stalled every
+    * reader's fold for [[CommitLogBackend.AbandonedCommitMs]]).
+    *
+    * HDFS-like stores (no hard links): `fs.create(overwrite=false)` is
+    * the atomic namespace claim, the payload streams after it — the torn
+    * window survives there and is what [[foldCommits]]' end-trailer +
+    * abandoned-age policy exists for.
+    *
+    * Exception discipline (r11 review find): only *AlreadyExists* means
+    * "lost the race". Any other IOException — disk full, quota, I/O
+    * error — must SURFACE, not return false: the old blanket catch made
+    * commit() retry at N+1 while the broken claim at N stalled readers
+    * ten minutes and the caller's append reported success. */
   private def tryClaim(target: Path, payload: Array[Byte]): Boolean =
-    try {
-      if (fs.getScheme == "file") {
-        val local = java.nio.file.Paths.get(target.toUri.getPath)
-        java.nio.file.Files.createFile(local) // atomic claim
-        java.nio.file.Files.write(local, payload)
-      } else {
+    if (fs.getScheme == "file") {
+      val local = java.nio.file.Paths.get(target.toUri.getPath)
+      val tmp = local.resolveSibling(s".tmp-${UUID.randomUUID()}")
+      java.nio.file.Files.write(tmp, payload)
+      try {
+        java.nio.file.Files.createLink(local, tmp)
+        true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => false
+      } finally java.nio.file.Files.deleteIfExists(tmp)
+    } else
+      try {
         val out = fs.create(target, false)
         try out.write(payload) finally out.close()
+        true
+      } catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+        case _: java.nio.file.FileAlreadyExistsException => false
+        case e: java.io.IOException =>
+          // the claim may have landed before the payload failed — leave
+          // no torn file behind for readers to wait on (best effort;
+          // if the delete also fails the abandoned-age policy still
+          // bounds the damage)
+          try fs.delete(target, false) catch { case _: java.io.IOException => () }
+          throw e
       }
-      true
-    } catch {
-      case _: java.nio.file.FileAlreadyExistsException => false
-      case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
-      case _: java.io.IOException => false
-    }
 
   /** Write `ds` as immutable parts under the table dir, returning the
     * staged file names (not yet visible — no commit record yet). */
@@ -237,7 +349,10 @@ final class CommitLogBackend(
     * referenced data files still exist — [[vacuum]] deletes files
     * unreferenced by the CURRENT snapshot, so the travel horizon is
     * "since the last replace+vacuum", the same contract
-    * snapshot-isolated readers already get. Untyped on purpose: this is
+    * snapshot-isolated readers already get — and vacuum's log truncation
+    * additionally bounds it at "versions >= the newest checkpoint"
+    * (older requests throw a horizon error rather than folding a
+    * silently partial prefix). Untyped on purpose: this is
     * the audit path, not a broker read, and it sees physical rows
     * (pre-visibility-fold). A request spanning an in-flight (young,
     * incomplete) commit folds only the settled prefix — identical
@@ -248,11 +363,33 @@ final class CommitLogBackend(
     if (files.isEmpty) spark.emptyDataFrame else spark.read.parquet(files: _*)
   }
 
-  /** Fold add/replace records through `version` inclusive. No cache —
-    * time travel is cold-path. */
-  private def foldThrough(version: Long): Map[String, Vector[String]] =
-    foldCommits(listCommits().filter(p => versionOf(p) <= version),
-      LogState(0L, Map.empty)).tables.withDefaultValue(Vector.empty)
+  /** Fold add/replace records through `version` inclusive, seeded from
+    * the newest checkpoint at or below it. No cache — time travel is
+    * cold-path. Loud horizon: if vacuum's truncation removed the commits
+    * this version needs (no checkpoint <= version, and the surviving
+    * commit sequence no longer starts at 1), the state is gone — fail
+    * rather than return a silently partial fold. */
+  private def foldThrough(version: Long): Map[String, Vector[String]] = {
+    val base = latestCheckpointAt(version)
+      .map { case (v, tables) => LogState(v, tables) }
+      .getOrElse(LogState(0L, Map.empty))
+    val all = listCommits()
+    if (base.version == 0 && version > 0) {
+      // no checkpoint at or below the requested version: reconstructible
+      // only if the commit sequence still starts at 1 (versions are
+      // dense; truncation removes prefixes). An empty commit list is fine
+      // on a genuinely fresh log but not when checkpoints prove history
+      // existed.
+      val truncated = all.headOption.map(versionOf(_) > 1L)
+        .getOrElse(checkpointPaths().nonEmpty)
+      if (truncated) throw new IllegalStateException(
+        s"time-travel horizon passed: the commits version $version needs were " +
+          "truncated behind a newer checkpoint; only versions at or after the " +
+          "oldest retained checkpoint are reconstructible")
+    }
+    val commits = all.filter(p => versionOf(p) > base.version && versionOf(p) <= version)
+    foldCommits(commits, base).tables.withDefaultValue(Vector.empty)
+  }
 
   // ---------- LogStructuredBackend primitives ----------
 
@@ -332,7 +469,18 @@ final class CommitLogBackend(
   /** Delete data files no longer referenced by the current snapshot
     * (post-compaction garbage). Callers ensure no reader is still using a
     * snapshot older than the last replace — the same horizon contract as
-    * Delta's VACUUM (public docs). Returns the number of files removed. */
+    * Delta's VACUUM (public docs). Returns the number of files removed.
+    *
+    * Cross-process safety (r11 review find): a file the manifest has
+    * NEVER referenced is not necessarily garbage — another process's
+    * [[stage]] renames part files into the table dir BEFORE its commit
+    * record lands, and deleting them here would lose that writer's
+    * committed data (its add-record would reference dead files). So
+    * unreferenced-by-any-commit files are reclaimed only past the
+    * [[CommitLogBackend.AbandonedCommitMs]] age gate (a live stage→commit
+    * span is seconds; ten minutes old means the stager died). Files that
+    * appear in commit HISTORY but not the current snapshot are replaced
+    * garbage — reclaimable at any age under the horizon contract. */
   def vacuum(): Int = {
     val live = snapshot()
     // staged-but-unconfirmed Async appends are referenced by no snapshot
@@ -342,25 +490,90 @@ final class CommitLogBackend(
         case Array("add", tbl, file) => (tbl, file)
       }.toSet
     }
+    // every (table, file) ANY commit ever referenced — including torn
+    // ones (their files are replaced-garbage-equivalent: some commit
+    // names them, no snapshot keeps them)
+    val everReferenced: Set[(String, String)] = listCommits().iterator.flatMap { p =>
+      val in = fs.open(p)
+      val lines = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+      lines.split('\n').iterator.filter(_.nonEmpty).flatMap(_.split('\t') match {
+        case Array("add", tbl, file) => Iterator((tbl, file))
+        case Array("replace", tbl, rest @ _*) => rest.iterator.map((tbl, _))
+        case _ => Iterator.empty
+      })
+    }.toSet
+    val orphanCutoff = System.currentTimeMillis() - CommitLogBackend.AbandonedCommitMs
     var removed = 0
     live.keys.toSeq.foreach { tbl =>
       val keep = live(tbl).toSet
       val d = new Path(s"$root/$tbl")
-      if (fs.exists(d)) fs.listStatus(d).map(_.getPath).foreach { p =>
-        if (p.getName.endsWith(".parquet") && !keep.contains(p.getName) &&
-          !pending.contains((tbl, p.getName))) {
-          fs.delete(p, false); removed += 1
+      if (fs.exists(d)) fs.listStatus(d).foreach { st =>
+        val name = st.getPath.getName
+        if (name.endsWith(".parquet") && !keep.contains(name) &&
+          !pending.contains((tbl, name)) &&
+          (everReferenced.contains((tbl, name)) ||
+            st.getModificationTime < orphanCutoff)) {
+          fs.delete(st.getPath, false); removed += 1
         }
+      }
+    }
+    // Truncate the log itself: commits at or below the newest COMPLETE
+    // checkpoint are subsumed by it (every reader seeds from the
+    // checkpoint), and checkpoints older than the newest are useless as
+    // bases once their suffix commits go. This bounds _log at
+    // ~checkpointEvery commit files + 1 checkpoint — without it the
+    // directory grows one file per commit forever and every fold/claim
+    // pays an O(history) listing (r11 review find). Shrinks the
+    // time-travel horizon to "versions >= the newest checkpoint",
+    // documented on [[readTableAt]].
+    latestCheckpointAt(Long.MaxValue).foreach { case (ckptV, _) =>
+      listCommits().foreach { p =>
+        if (versionOf(p) <= ckptV) fs.delete(p, false)
+      }
+      checkpointPaths().foreach { p =>
+        if (p.getName.stripSuffix(".checkpoint").toLong < ckptV) fs.delete(p, false)
       }
     }
     removed
   }
 
-  /** Number of commits in the log (diagnostics / tests). */
-  def logVersion: Long = listCommits().lastOption.map(versionOf).getOrElse(0L)
+  /** Current head version (diagnostics / tests). Checkpoints count: after
+    * vacuum truncates every commit a checkpoint subsumes, the head is the
+    * checkpoint itself. */
+  def logVersion: Long = math.max(
+    listCommits().lastOption.map(versionOf).getOrElse(0L),
+    checkpointPaths().lastOption
+      .map(_.getName.stripSuffix(".checkpoint").toLong).getOrElse(0L))
 
-  override def sweepStaging(olderThanMs: Long): Int =
-    DirectParquetAppend.sweepStaging(fs, new Path(root), olderThanMs)
+  override def sweepStaging(olderThanMs: Long): Int = {
+    val direct = DirectParquetAppend.sweepStaging(fs, new Path(root), olderThanMs)
+    val cutoff = System.currentTimeMillis() - olderThanMs
+    var swept = 0
+    // crashed stage() leaves root/.stage-<uuid> dirs — never committed,
+    // invisible to every reader, but disk until swept (r11 review find:
+    // neither the .staging sweep nor vacuum's table-dir scan saw them).
+    // Quiesce check is the recursive one (live Spark writes land task
+    // files two levels down).
+    val rootP = new Path(root)
+    if (fs.exists(rootP)) fs.listStatus(rootP).foreach { st =>
+      def quiet: Boolean =
+        (try DirectParquetAppend.newestMtime(fs, st.getPath)
+         catch { case _: java.io.IOException => Long.MaxValue }) < cutoff
+      if (st.getPath.getName.startsWith(".stage-") &&
+          st.getModificationTime < cutoff && quiet && fs.delete(st.getPath, true))
+        swept += 1
+    }
+    // a crashed local commit leaves its fully-written payload as
+    // _log/.tmp-<uuid> (the hard-link publish never ran or lost its
+    // race and the delete didn't happen) — harmless to readers
+    // (listCommits filters *.commit) but swept here for hygiene
+    if (fs.exists(logDir)) fs.listStatus(logDir).foreach { st =>
+      if (st.getPath.getName.startsWith(".tmp-") &&
+          st.getModificationTime < cutoff && fs.delete(st.getPath, false))
+        swept += 1
+    }
+    direct + swept
+  }
 
   // ---------- mandatory routing (basic.return) ----------
 
@@ -445,6 +658,12 @@ object CommitLogBackend {
     * is treated as a dead claimant and skipped — the commit never
     * happened. Younger ones block the fold briefly (writer in flight). */
   val AbandonedCommitMs: Long = 10L * 60 * 1000
+
+  /** Checkpoint cadence: bounds `_log` at ~this many commit files (see
+    * the constructor param). 100 keeps the incremental-fold suffix and
+    * per-commit listing cost trivial while checkpointing rarely enough
+    * that the fold-through cost is amortized away. */
+  val DefaultCheckpointEvery: Int = 100
 
   /** Driver-side bound on basic.returns per append (see enqueue). */
   val MaxReturnedJobs: Int = 10000

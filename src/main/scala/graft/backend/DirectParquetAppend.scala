@@ -247,6 +247,22 @@ object DirectParquetAppend {
     if (prof != null) prof.mark("rename")
   }
 
+  /** Newest modification time anywhere under `p` (dirs and files): the
+    * quiesce test for hidden staging trees. Must be recursive —
+    * FileOutputCommitter task output lands two levels down without
+    * touching the top dir's direct children, so a shallow scan judges a
+    * live long-running write "quiet" (r11 review find). Shared by the
+    * backends' sweepers. */
+  def newestMtime(fs: org.apache.hadoop.fs.FileSystem, p: Path): Long = {
+    val self = fs.getFileStatus(p).getModificationTime
+    val kids =
+      try fs.listStatus(p)
+      catch { case _: java.io.IOException => Array.empty[org.apache.hadoop.fs.FileStatus] }
+    kids.foldLeft(self) { (mx, k) =>
+      math.max(mx, if (k.isDirectory) newestMtime(fs, k.getPath) else k.getModificationTime)
+    }
+  }
+
   /** Reclaim `.staging` leftovers from crashed appends. Age-gated: an
     * in-flight append's write+rename is milliseconds, the gate is
     * minutes — a file that old has no living writer. Returns #deleted. */

@@ -73,25 +73,11 @@ class ParquetBackend(spark0: SparkSession, val root: String)
       // abandoned = the dir AND its newest entry AT ANY DEPTH are both
       // past the cutoff: a long replacement write keeps landing fresh
       // part files into .rw-, so an in-progress stage is never "old" no
-      // matter how long the Spark job runs (r11 review find). The walk
-      // must be RECURSIVE: FileOutputCommitter task output accumulates
-      // under .app-*/_temporary/0/task_* — two levels down, never
-      // touching the top dir's direct children — so a direct-child scan
-      // would judge a live >cutoff-old bulk append "quiesced" and
-      // delete its staging dir mid-write (second r11 review find).
-      // Directory mtimes ride along (task-attempt dirs churn even
-      // between file lands).
-      def newestMtime(p: Path): Long = {
-        val self = fs.getFileStatus(p).getModificationTime
-        val kids =
-          try fs.listStatus(p)
-          catch { case _: java.io.IOException => Array.empty[org.apache.hadoop.fs.FileStatus] }
-        kids.foldLeft(self) { (mx, k) =>
-          math.max(mx, if (k.isDirectory) newestMtime(k.getPath) else k.getModificationTime)
-        }
-      }
+      // matter how long the Spark job runs, and FileOutputCommitter task
+      // output lands two levels down — see
+      // [[DirectParquetAppend.newestMtime]] (r11 review finds)
       def quiesced: Boolean =
-        (try newestMtime(st.getPath)
+        (try DirectParquetAppend.newestMtime(fs, st.getPath)
          catch { case _: java.io.IOException => Long.MaxValue }) < cutoff
       if ((n.startsWith(".app-") || n.startsWith(".rw-") || n.startsWith(".old-")) &&
           st.getModificationTime < cutoff && quiesced && fs.delete(st.getPath, true))

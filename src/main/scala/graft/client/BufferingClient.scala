@@ -72,7 +72,21 @@ final class BufferingClient(
       buf.clear()
       b
     }
-    if (batch.nonEmpty) backend.enqueueRows(batch)
+    if (batch.nonEmpty) {
+      try backend.enqueueRows(batch)
+      catch {
+        case t: Throwable =>
+          // a failed append must NOT lose the drained jobs: their
+          // performAsync calls already returned ids, and the documented
+          // envelope is "a crash loses at most the UNFLUSHED tail" — an
+          // exception is not a crash. Re-prepend (jobs buffered during
+          // the failed attempt are strictly newer, so FIFO holds) and
+          // surface the failure to the tripping caller; the next flush
+          // retries the whole buffer.
+          buf.synchronized { buf.prependAll(batch) }
+          throw t
+      }
+    }
     lastFlushAt = nowFn()
     batch.size
   }

@@ -19,7 +19,15 @@ final case class BatchProgress(
     succeeded: Set[String],
     retrying: Set[String],
     dead: Set[String],
-    callbackEmitted: Boolean) {
+    callbackEmitted: Boolean,
+    /** Max finishedAt folded so far — PERSISTED, not recomputed per
+      * micro-batch: when the registration meta arrives in a LATER epoch
+      * than the completions (batches-log rewrite re-delivery, or plain
+      * scheduling skew), the terminal transition fires on a meta-only
+      * epoch whose local max would be 0 — and a BatchTerminal(at=0)
+      * makes the linger vacuum (`t_at + lingerSec <= now`) reclaim the
+      * batch instantly, silently voiding retention (r11 review find). */
+    lastAt: Long = 0L) {
 
   def enqueuedCount: Int = total - succeeded.size - retrying.size - dead.size
 
@@ -98,20 +106,27 @@ object BatchTracker extends Serializable {
       state: GroupState[BatchProgress]): Iterator[BatchTerminal] = {
     var progress = state.getOption.getOrElse(BatchProgress.empty(BatchProgress.TotalUnknown))
     var emitted: List[BatchTerminal] = Nil
-    var lastAt = 0L
     events.toArray.sortBy(e => (!e.isMeta, e.finishedAt)).foreach { e =>
       if (e.isMeta) progress = progress.copy(total = e.total)
-      else {
-        progress = progress.applyEvent(e.jobId, e.terminalState)
-        lastAt = math.max(lastAt, e.finishedAt)
-      }
+      else progress = progress.applyEvent(e.jobId, e.terminalState)
+        .copy(lastAt = math.max(progress.lastAt, e.finishedAt))
       val st = progress.status
       if (BatchStatus.terminal(st) && !progress.callbackEmitted) {
         progress = progress.copy(callbackEmitted = true)
-        emitted ::= BatchTerminal(batchId, st, lastAt)
+        emitted ::= BatchTerminal(batchId, st, progress.lastAt)
       }
     }
-    state.update(progress)
+    // Terminal + emitted = this slot's work is DONE: drop it instead of
+    // retaining every member job id in checkpointed state forever (a
+    // long-lived worker over millions of batches would grow the state
+    // store monotonically — r11 review find). Safe because the sink is
+    // idempotent: a rewrite-re-delivered meta/completion recreates the
+    // slot and may re-derive the terminal, but
+    // commitTerminalsIdempotent drops anything with a terminal status
+    // row or a vacuumed-batch marker, and the recreated slot removes
+    // itself again on its own re-emission.
+    if (progress.callbackEmitted) state.remove()
+    else state.update(progress)
     emitted.iterator
   }
 }

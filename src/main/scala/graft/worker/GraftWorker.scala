@@ -46,9 +46,22 @@ final class GraftWorker(
     nowFn: () => Long = () => System.currentTimeMillis(),
     /** Queue scope (reference worker.clj:27,43): a fleet runs one scoped
       * worker per queue; None consumes everything. Maintenance duties
-      * (scheduler, tracker, compaction) stay global — they are
-      * coordinator work, not consumer work. */
+      * (scheduler, tracker, compaction) are coordinator work, not
+      * consumer work — see [[coordinator]]. */
     queue: Option[String] = None,
+    /** Whether THIS worker runs the global maintenance duties (scheduler
+      * promotion, cron firing, batch tracking, linger vacuum, staging
+      * sweep, compaction). Exactly ONE worker per root should: the
+      * maintenance paths assume a single coordinator (BatchTracker's
+      * skip-if-terminal check and compaction's fold are serialized by
+      * in-process locks only — r11 review find: N fleet workers each
+      * running them raced cron double-fires and concurrent folds).
+      * Non-coordinators still consume, heartbeat, fold their latency
+      * WAL, and publish gauges. Deterministic cron job ids
+      * (SchedulerEngine.fireCron) additionally make an accidental
+      * second coordinator's cron fires collapse in the visibility fold
+      * — defense in depth, not a license to run two. */
+    coordinator: Boolean = true,
     /** Invoked with the failure description when one of THIS worker's
       * streaming queries dies abruptly — i.e. terminates with an
       * exception while the worker is running, not during [[stop]]
@@ -138,7 +151,7 @@ final class GraftWorker(
   def start(): this.type = {
     require(running.compareAndSet(false, true), "worker already started")
     query = engine.startStream(root, trigger)
-    if (streamingTracker)
+    if (streamingTracker && coordinator)
       trackerQuery = tracker.startStream(root, trigger, withReadGate _)
     // abrupt-death watch: only THIS worker's queries, only while running
     // (stop() flips `running` before stopping the queries, so an
@@ -168,11 +181,13 @@ final class GraftWorker(
             // consumer stream sees per-call enqueues (batch reads are
             // WAL-inclusive already)
             backend.drainLatencyPath()
-            scheduler.tick()
-            if (!streamingTracker) tracker.trackPass() // recovery/batch mode
+            if (coordinator) {
+              scheduler.tick()
+              if (!streamingTracker) tracker.trackPass() // recovery/batch mode
+            }
             Metrics.publishGauges(backend, spark, metrics)
           } finally gate.readLock().unlock()
-          if (compactEveryTicks > 0 && tick % compactEveryTicks == 0) {
+          if (coordinator && compactEveryTicks > 0 && tick % compactEveryTicks == 0) {
             vacuumLingered()
             backend match {
               // reclaim crashed direct-append staging files; age gate
@@ -237,11 +252,17 @@ final class GraftWorker(
     }
     while (System.currentTimeMillis() < deadline) {
       query.processAllAvailable()
-      if (streamingTracker) {
+      // a non-coordinator has no tracker mount at all — its fleet's
+      // coordinator owns terminal derivation; this helper only drains
+      // the local consumer + scheduler view
+      if (streamingTracker && trackerQuery != null) {
         withReadLock { scheduler.tick() }
         trackerQuery.processAllAvailable() // terminals → callback enqueues
       } else {
-        withReadLock { scheduler.tick(); tracker.trackPass() }
+        withReadLock {
+          scheduler.tick()
+          if (!streamingTracker && coordinator) tracker.trackPass()
+        }
       }
       query.processAllAvailable()
       // a scoped worker only drains ITS queue; other queues' jobs belong

@@ -84,7 +84,18 @@ final class SchedulerEngine(
       // cron-run-at = the fire time being honored (redis/cron.clj:83-87)
       e.description.instantiate(cronRunAt = Some(e.nextRunAt))
         // due cron jobs go to the front (redis/cron.clj:52-55)
-        .copy(priority = 1, enqueuedAt = now)
+        .copy(
+          // DETERMINISTIC id per (schedule, honored fire time): a crash
+          // between the enqueue below and the upsertCron advance re-fires
+          // the same due entries on restart, and a second maintenance
+          // runner can race this one to the same tick — with random ids
+          // each replay would be a distinct job executed twice; with a
+          // name@fire-time id the replays collapse in the visibility
+          // fold's latest-(id, attempt) rank exactly like promoteDue's
+          // crash-replays do (LogStructuredBackend.readySurvivors)
+          id = java.util.UUID.nameUUIDFromBytes(
+            s"cron:${e.cronName}@${e.nextRunAt}".getBytes("UTF-8")).toString,
+          priority = 1, enqueuedAt = now)
     }
     backend.enqueue(spark.createDataset(jobs.toIndexedSeq).coalesce(1))
     val advanced = due.map { e =>

@@ -106,4 +106,48 @@ class BatchSpec extends SparkSpec {
     assert(p.total == 3 && p.succeeded.size == 2 && p.retrying.size == 1 &&
       p.dead.isEmpty && p.enqueuedCount == 0)
   }
+
+  // ---- the streaming fold kernel, driven directly via TestGroupState ----
+
+  private def comp(jobId: String, at: Long): graft.worker.TrackerEvent =
+    graft.worker.TrackerEvent("b1", isMeta = false,
+      graft.worker.BatchProgress.TotalUnknown, jobId, "success", at)
+  private def meta(total: Int): graft.worker.TrackerEvent =
+    graft.worker.TrackerEvent("b1", isMeta = true, total, "", "", 100L)
+  private def groupState(prev: Option[graft.worker.BatchProgress]) =
+    org.apache.spark.sql.streaming.TestGroupState.create[graft.worker.BatchProgress](
+      org.apache.spark.api.java.Optional.fromNullable(prev.orNull),
+      org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout,
+      1L, org.apache.spark.api.java.Optional.empty[Long](), hasTimedOut = false)
+
+  test("tracker fold: terminal at-stamp survives a meta-after-completions epoch split") {
+    // epoch 1: completions only (meta not yet delivered — batches-log
+    // rewrite re-delivery or plain scheduling skew). No terminal yet.
+    val s1 = groupState(None)
+    val out1 = graft.worker.BatchTracker.fold(
+      "b1", Iterator(comp("j1", 5000L), comp("j2", 7000L)), s1).toSeq
+    assert(out1.isEmpty && s1.exists)
+    assert(s1.get.lastAt == 7000L, "max finishedAt persists in state")
+    // epoch 2: the meta alone closes the batch. The old fold stamped the
+    // terminal with THIS epoch's local max (0) — making the linger
+    // vacuum (`at + lingerSec <= now`) reclaim the batch instantly
+    // (r11 review find). The stamp must be the persisted 7000.
+    val s2 = groupState(Some(s1.get))
+    val out2 = graft.worker.BatchTracker.fold("b1", Iterator(meta(2)), s2).toSeq
+    assert(out2.map(t => (t.status, t.at)) == Seq((BatchStatus.Success, 7000L)))
+  }
+
+  test("tracker fold: a terminal emitted slot is removed from state, not kept forever") {
+    val s = groupState(None)
+    val out = graft.worker.BatchTracker.fold(
+      "b1", Iterator(meta(1), comp("j1", 5000L)), s).toSeq
+    assert(out.map(_.status) == Seq(BatchStatus.Success))
+    assert(s.isRemoved,
+      "terminal + callback-emitted state must be dropped — NoTimeout would " +
+        "otherwise retain every batch's member-id sets in the state store forever")
+    // an active (non-terminal) batch keeps its slot
+    val s2 = groupState(None)
+    graft.worker.BatchTracker.fold("b1", Iterator(meta(2), comp("j1", 5000L)), s2)
+    assert(s2.exists && !s2.isRemoved)
+  }
 }

@@ -247,4 +247,34 @@ class CapabilityMatrixSpec extends SparkSpec {
       assert(worker.runPass().succeeded == 0)
     }
   }
+
+  test("buffered enqueue: a failed flush keeps the drained jobs (nothing silently lost)") {
+    // the documented envelope is "a crash loses at most the UNFLUSHED
+    // tail" — a transient append failure is not a crash: the drained
+    // batch must return to the buffer and land on the next flush
+    // (r11 review find: the old drain-then-append dropped it)
+    TestFns.reset()
+    val clock = new java.util.concurrent.atomic.AtomicLong(1700000000000L)
+    val failOnce = new java.util.concurrent.atomic.AtomicBoolean(true)
+    val backend = new ParquetBackend(spark, tmpDir("graft-buffail")) {
+      override def enqueueRows(jobs: Seq[Job]): Unit = {
+        if (failOnce.compareAndSet(true, false))
+          throw new java.io.IOException("injected transient append failure")
+        super.enqueueRows(jobs)
+      }
+    }
+    val retry = RetryOpts(maxRetries = 1, retryDelaySecFn = "instant")
+    val client = new graft.client.BufferingClient(backend, spark, "test",
+      retry, () => clock.get(), flushEvery = 3, flushIntervalMs = 60000)
+    (1 to 2).foreach(i => client.performAsync("ok", i))
+    // the 3rd call trips the flush, which fails — surfaced to the caller
+    intercept[java.io.IOException] { client.performAsync("ok", 3) }
+    assert(client.pending == 3, "all drained jobs restored to the buffer")
+    assert(backend.readyJobs.count() == 0)
+    assert(client.flush() == 3, "the retry lands the whole restored batch")
+    val seqs = backend.readyJobs.collect().sortBy(_.seq).map(_.argsJson)
+    assert(seqs.sameElements((1 to 3).map(i => s"[$i]")), "FIFO preserved")
+    val worker = new WorkerEngine(backend, spark, Nil, () => clock.get())
+    assert(worker.runPass().succeeded == 3)
+  }
 }

@@ -149,6 +149,120 @@ class CommitLogBackendSpec extends SparkSpec {
     assert(b.readyJobs.count() == 1, "delivered after the fold, when due")
   }
 
+  test("checkpoints bound the log: seeded reads, truncation, numbering continuity") {
+    val root = tmpDir("graft-cl")
+    val b = new CommitLogBackend(spark, root, checkpointEvery = 5)
+    (1 to 12).foreach(i => b.enqueue(Seq(job(s"j$i")).toDS().coalesce(1)))
+    assert(b.logVersion == 12)
+    assert(b.readyJobs.count() == 12)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def logFiles(suffix: String) =
+      fs.listStatus(new org.apache.hadoop.fs.Path(s"$root/_log"))
+        .map(_.getPath.getName).filter(_.endsWith(suffix)).sorted.toSeq
+    assert(logFiles(".checkpoint") ==
+      Seq("000000000005.checkpoint", "000000000010.checkpoint"))
+    b.vacuum()
+    assert(logFiles(".commit").forall(_.stripSuffix(".commit").toLong > 10),
+      "commits a checkpoint subsumes are truncated")
+    assert(logFiles(".checkpoint") == Seq("000000000010.checkpoint"),
+      "superseded checkpoints go with their suffix commits")
+    // a FRESH process seeds its fold from the checkpoint — the truncated
+    // prefix is not needed to reconstruct the live state
+    val b2 = new CommitLogBackend(spark, root, checkpointEvery = 5)
+    assert(b2.readyJobs.collect().map(_.id).sorted.toSeq ==
+      (1 to 12).map(i => s"j$i").sorted)
+    // version numbering continues from the head even past truncation
+    b2.enqueue(Seq(job("j13")).toDS().coalesce(1))
+    assert(b2.logVersion == 13)
+    // time travel: at/after the checkpoint reconstructs; before it the
+    // history is gone and the read fails loudly, never partially
+    assert(b2.readTableAt("ready", 12).count() == 12)
+    intercept[IllegalStateException] { b2.readTableAt("ready", 3).count() }
+  }
+
+  test("truncating ALL commits keeps numbering and head version (checkpoint is the head)") {
+    val root = tmpDir("graft-cl")
+    val b = new CommitLogBackend(spark, root, checkpointEvery = 5)
+    (1 to 5).foreach(i => b.enqueue(Seq(job(s"j$i")).toDS().coalesce(1)))
+    b.vacuum() // truncates every commit: the checkpoint subsumes 1..5
+    assert(b.logVersion == 5, "the checkpoint itself is the head")
+    b.enqueue(Seq(job("j6")).toDS().coalesce(1))
+    assert(b.logVersion == 6, "numbering must not restart below the checkpoint")
+    assert(b.readyJobs.count() == 6)
+  }
+
+  test("vacuum spares a young unreferenced data file (cross-process stage window)") {
+    val root = tmpDir("graft-cl")
+    val b = new CommitLogBackend(spark, root)
+    b.enqueue(Seq(job("real")).toDS().coalesce(1))
+    // another process's stage(): part file in the table dir, commit not
+    // yet landed — deleting it would lose that writer's committed rows
+    Seq(job("staged")).toDS().coalesce(1)
+      .write.mode("append").parquet(s"$root/ready")
+    assert(b.vacuum() == 0, "young unreferenced file may be an in-flight stage")
+    // ...but past the abandoned age it is a crashed orphan: reclaimed
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val old = System.currentTimeMillis() - CommitLogBackend.AbandonedCommitMs - 60000
+    fs.listStatus(new org.apache.hadoop.fs.Path(s"$root/ready")).foreach { st =>
+      if (st.getPath.getName.endsWith(".parquet")) fs.setTimes(st.getPath, old, -1)
+    }
+    assert(b.vacuum() == 1, "aged orphan reclaimed; referenced file untouched")
+    assert(b.readyJobs.collect().map(_.id).toSeq == Seq("real"))
+  }
+
+  test("sweepStaging reclaims crashed .stage dirs and commit tmp files") {
+    val root = tmpDir("graft-cl")
+    val b = new CommitLogBackend(spark, root)
+    b.enqueue(Seq(job("a")).toDS().coalesce(1)) // creates _log
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$root/.stage-dead"))
+    fs.create(new org.apache.hadoop.fs.Path(s"$root/_log/.tmp-dead")).close()
+    assert(b.sweepStaging(-1000) >= 2, "crashed stage dir + commit tmp swept")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$root/.stage-dead")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$root/_log/.tmp-dead")))
+    assert(b.readyJobs.count() == 1, "live data untouched")
+  }
+
+  test("a failed commit payload write surfaces instead of stalling readers") {
+    // exception discipline: only *AlreadyExists* is a lost race. A fake
+    // torn commit (claimed, no end trailer) must still stall only until
+    // the abandoned age — but a WRITE failure in commit() must throw to
+    // the caller, which the local hard-link publish guarantees by
+    // construction (the claim IS the complete payload). Verify the
+    // atomicity: no .commit file is ever observable without its trailer.
+    val root = tmpDir("graft-cl")
+    val b = new CommitLogBackend(spark, root)
+    val threads = (1 to 4).map { t =>
+      new Thread(() =>
+        (1 to 5).foreach(i => b.enqueue(Seq(job(s"t$t-$i")).toDS().coalesce(1))))
+    }
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val torn = new java.util.concurrent.atomic.AtomicInteger(0)
+    val watcher = new Thread(() => {
+      val logDir = new org.apache.hadoop.fs.Path(s"$root/_log")
+      (1 to 200).foreach { _ =>
+        if (fs.exists(logDir)) fs.listStatus(logDir).foreach { st =>
+          if (st.getPath.getName.endsWith(".commit")) {
+            val in = fs.open(st.getPath)
+            val txt = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+            val recs = txt.split('\n').filter(_.nonEmpty)
+            if (!recs.lastOption.exists(_ == s"end\t${recs.length - 1}"))
+              torn.incrementAndGet()
+          }
+        }
+        Thread.sleep(1)
+      }
+    })
+    watcher.start(); threads.foreach(_.start())
+    threads.foreach(_.join()); watcher.join()
+    assert(torn.get() == 0, "local commits are torn-free: publish is atomic")
+    assert(b.readyJobs.count() == 20)
+  }
+
   test("async confirms: buffer threshold and fold/replace both force the group commit") {
     import graft.backend.ConfirmMode
     val b = new CommitLogBackend(spark, tmpDir("graft-cl"),

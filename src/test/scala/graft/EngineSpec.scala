@@ -229,6 +229,27 @@ class EngineSpec extends SparkSpec {
     assert(ready == 0)
   }
 
+  test("cron: a crash-replayed fire collapses via deterministic job ids") {
+    val (backend, client, worker, sched, api, clock) = fixture(
+      Instant.parse("2024-01-01T00:00:30Z").toEpochMilli)
+    client.performEveryTz("tick", "*/3 * * * *", "UTC", "ok")
+    clock.set(Instant.parse("2024-01-01T00:03:10Z").toEpochMilli)
+    assert(sched.fireCron() == 1)
+    // crash window: the enqueue landed but the next-run advance did not —
+    // restore the pre-advance registry row and fire again (this also
+    // models a second accidental maintenance runner racing the same
+    // tick). The replay instantiates the SAME name@fire-time job id, so
+    // the visibility fold's latest-(id, attempt) rank keeps exactly one.
+    val advanced = api.cronFind("tick").get
+    backend.upsertCron(Seq(advanced.copy(
+      nextRunAt = Instant.parse("2024-01-01T00:03:00Z").toEpochMilli)))
+    assert(sched.fireCron() == 1, "the replayed tick re-fires (it IS due again)")
+    assert(backend.readyJobs.count() == 1,
+      "replayed fire is the same job id — one visible job, not two")
+    assert(worker.runPass().succeeded == 1)
+    assert(worker.runPass().succeeded == 0, "nothing left to double-execute")
+  }
+
   test("cron registration is idempotent by name (redis/cron.clj:38-50)") {
     val (_, client, _, _, api, _) = fixture()
     client.performEveryTz("job-a", "0 * * * *", "UTC", "ok")

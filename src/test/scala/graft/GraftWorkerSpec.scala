@@ -53,6 +53,37 @@ class GraftWorkerSpec extends SparkSpec {
     assert(api.deadProcesses(now + 120000) == Seq(worker.processId))
   }
 
+  test("a non-coordinator worker consumes but runs no global maintenance") {
+    // fleet shape (worker.clj:27,43): one scoped worker per queue, ONE
+    // coordinator. A non-coordinator running scheduler/tracker/compaction
+    // with process-local locks only would race the coordinator's
+    // (r11 review find) — it must consume, heartbeat, and nothing else.
+    TestFns.reset()
+    val root = tmpDir("graft-noncoord")
+    val backend = new ParquetBackend(spark, root)
+    val retry = RetryOpts(maxRetries = 1, retryDelaySecFn = "instant")
+    val clock = new java.util.concurrent.atomic.AtomicLong(1700000000000L)
+    val client = new GraftClient(backend, spark, "test", retry, () => clock.get())
+    client.performAsync("ok", "now")
+    client.performInSec(3, "ok", "later") // due at +3s — promotion is coordinator work
+    val worker = new GraftWorker(backend, spark, root,
+      maintenanceIntervalMs = 50, coordinator = false,
+      nowFn = () => clock.get()).start()
+    try {
+      val deadline = System.currentTimeMillis() + 60000
+      while (TestFns.calls.get() < 1 && System.currentTimeMillis() < deadline)
+        Thread.sleep(50)
+      assert(TestFns.calls.get() == 1, "the ready job is consumed")
+      clock.addAndGet(10000) // scheduled job now overdue
+      Thread.sleep(500) // several maintenance ticks
+      assert(backend.scheduledJobs.count() == 1,
+        "a non-coordinator must NOT promote scheduled jobs")
+      assert(worker.compactionsRun.get() == 0, "nor compact")
+      assert(new ManagementApi(backend, spark).globalWorkersCount(clock.get()) == 1,
+        "it still heartbeats")
+    } finally worker.stop()
+  }
+
   test("tick-triggered compaction preserves visibility and bounds file count") {
     TestFns.reset()
     val root = tmpDir("graft-compact")
