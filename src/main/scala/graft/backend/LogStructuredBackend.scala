@@ -378,6 +378,25 @@ abstract class LogStructuredBackend(val spark: SparkSession) extends QueueBacken
           foldSnapshot[Tombstone]("tombstones").join(applied,
             $"tbl" === $"a_tbl" && $"id" === $"a_id" && $"seq" === $"a_seq",
             "left_anti").as[Tombstone])
+        // Purge markers are per-(tbl, queue) seq WATERMARKS — readers
+        // take max(seqAt) per key (readySurvivors), so every marker
+        // below its key's snapshot winner is dead weight that otherwise
+        // accrues forever and keeps logFileCount pressure up (r11 review
+        // find). Same applied-set discipline as the tombstone rewrite:
+        // the replacement drops ONLY snapshot rows judged superseded, so
+        // a marker landing mid-compaction survives on every backend.
+        val purgSnap = foldSnapshot[PurgeMarker]("purges")
+        val winners = purgSnap.groupBy($"tbl", $"queue")
+          .agg(max($"seqAt").as("w_seq"))
+          .select($"tbl".as("w_tbl"), $"queue".as("w_q"), $"w_seq")
+        val superseded = purgSnap.join(winners,
+          $"tbl" === $"w_tbl" && $"queue" === $"w_q" && $"seqAt" < $"w_seq",
+          "left_semi")
+          .select($"tbl".as("p_tbl"), $"queue".as("p_q"), $"seqAt".as("p_seq"))
+        replaceLog("purges",
+          foldSnapshot[PurgeMarker]("purges").join(superseded,
+            $"tbl" === $"p_tbl" && $"queue" === $"p_q" && $"seqAt" === $"p_seq",
+            "left_anti").as[PurgeMarker])
       } finally survivors.unpersist()
     } finally discardFoldMarks()
   }

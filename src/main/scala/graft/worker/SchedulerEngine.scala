@@ -42,12 +42,26 @@ final class SchedulerEngine(
     try {
       val n = due.count()
       if (n == 0) return 0
+      // Declared-queue envelopes gate the front bump here too: the direct
+      // past-due path clamps via the client (GraftClient.applyDecl), and
+      // a quorum queue that ignored priority at enqueue time must not
+      // acquire one at promotion (r11 review find). The registry is a
+      // bounded control-plane table (same envelope as the cron registry)
+      // — the collected map ships in the closure.
+      val decls = backend.queueDecls.collect()
+        .map(d => d.queue -> (d.queueType, d.maxPriority)).toMap
+      def clampedPriority(queue: String): Int = decls.get(queue) match {
+        case Some(("quorum", _)) => 0
+        case Some((_, maxP)) => math.min(1, maxP)
+        case None => 1
+      }
       // Route retried jobs to their retry queue (job.clj:21-25), bump to
       // front, and stamp the promotion time as the new enqueue time; the
       // ready row is a fresh version (new seq).
       val promoted = due.map { j =>
         j.copy(queue = j.readyOrRetryQueue, readyQueue = j.readyOrRetryQueue,
-          priority = 1, enqueuedAt = now, seq = Job.nextSeq())
+          priority = clampedPriority(j.readyOrRetryQueue), enqueuedAt = now,
+          seq = Job.nextSeq())
       }
       backend.enqueue(promoted)
       // Distributed tombstone: the due backlog after an outage can be

@@ -195,6 +195,19 @@ class CapabilityMatrixSpec extends SparkSpec {
       }
       assert(c.api.enqueuedPrioritise("normal",
         c.backend.readyJobs.filter(_.queue == "normal").collect().map(_.id).toSeq) == 1)
+      // the SCHEDULED path honors the envelope at promotion too: a
+      // quorum job due via the scheduler must not acquire the front
+      // bump the direct past-due path already clamps (r11 review find)
+      c.client.performAt(ClientOpts.queue("critical"),
+        java.time.Instant.ofEpochMilli(c.clock.get() + 5000), "ok", "q-later")
+      c.client.performAt(ClientOpts.queue("normal"),
+        java.time.Instant.ofEpochMilli(c.clock.get() + 5000), "ok", "n-later")
+      c.clock.addAndGet(6000)
+      c.sched.promoteDue()
+      val promoted = c.backend.readyJobs.collect()
+        .filter(_.argsJson.contains("later")).map(j => j.queue -> j.priority).toMap
+      assert(promoted == Map("critical" -> 0, "normal" -> 1),
+        "promotion clamps to the declared envelope like direct enqueue does")
     }
 
     test(s"[$name] compaction preserves visible sets") {

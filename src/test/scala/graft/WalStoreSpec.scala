@@ -372,6 +372,26 @@ class WalStoreSpec extends SparkSpec {
       "purge must drop everything, including rows landed after the last read")
   }
 
+  test("compaction folds purge markers to their per-queue watermark") {
+    TestFns.reset()
+    val (root, backend) = freshBackend()
+    val client = clientOn(backend, () => T0)
+    client.performAsync("ok", 1)
+    // repeated purges: each is an O(1) marker append; only the max seq
+    // per (tbl, queue) ever matters to readers
+    (1 to 5).foreach(_ => backend.purge("ready", "test"))
+    client.performAsync("ok", 2) // post-purge row: visible
+    backend.purge("ready", "other") // distinct key: its own watermark
+    backend.drainLatencyPath()
+    backend.compact("ready")
+    val visible = backend.readyJobs.collect()
+    assert(visible.length == 1 && visible.head.argsJson == "[2]",
+      "watermark semantics unchanged by the fold")
+    // the marker log folded to one winner per key (2 keys here)
+    assert(backend.dataFileCount("purges") <= 2,
+      "superseded markers are gone; logFileCount pressure is bounded")
+  }
+
   test("sweepStaging reclaims crashed append/replace staging dirs") {
     val (root, backend) = freshBackend()
     val fs = new org.apache.hadoop.fs.Path(root)
