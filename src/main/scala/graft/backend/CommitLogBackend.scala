@@ -47,7 +47,13 @@ import graft.model.ModelEncoders._
   *    ~40× async-over-sync publish throughput (BASELINE.md). Stricter
   *    than RMQ on visibility: an unconfirmed append is not yet visible
   *    to ANY reader (RMQ may deliver-then-lose an unconfirmed publish;
-  *    this never surfaces anything a crash could retract).
+  *    this never surfaces anything a crash could retract). Confirm-lag
+  *    bound in multi-process deployments: another process's `vacuum()`
+  *    treats a staged-but-unconfirmed data file older than
+  *    [[CommitLogBackend.AbandonedCommitMs]] as a crashed stager and
+  *    reclaims it — an async publisher must confirm (or be the only
+  *    vacuumer) within that window, the same liveness assumption RMQ
+  *    makes of an unconfirmed channel.
   */
 sealed trait ConfirmMode
 object ConfirmMode {
@@ -128,7 +134,31 @@ final class CommitLogBackend(
   private case class LogState(version: Long, tables: Map[String, Vector[String]])
   @volatile private var cached = LogState(0L, Map.empty)
 
-  private def snapshot(): Map[String, Vector[String]] = {
+  /** Retry wrapper for reads racing [[vacuum]]'s log truncation: a
+    * commit/checkpoint file deleted between our directory listing and the
+    * fold's open throws FileNotFoundException mid-fold (the race exists
+    * in-process too — GraftWorker's maintenance vacuum runs beside reader
+    * threads). The state a truncated commit carried is subsumed by a
+    * newer checkpoint, so a fresh listing re-seeds correctly; only a
+    * persistent FNF (a genuinely corrupt log) surfaces. */
+  private def retryOnVacuumRace[A](body: => A): A = {
+    var attempt = 0
+    var out: Option[A] = None
+    while (out.isEmpty) {
+      try out = Some(body)
+      catch {
+        case e: java.io.FileNotFoundException =>
+          attempt += 1
+          if (attempt > 3) throw e
+      }
+    }
+    out.get
+  }
+
+  private def snapshot(): Map[String, Vector[String]] =
+    retryOnVacuumRace(snapshotOnce())
+
+  private def snapshotOnce(): Map[String, Vector[String]] = {
     val commits = listCommits()
     var base = cached
     // Seed from the newest checkpoint ONLY when the cache can't bridge
@@ -174,7 +204,7 @@ final class CommitLogBackend(
       .flatMap { case (v, p) => parseCheckpoint(p).map(v -> _) }
       .nextOption()
 
-  private def parseCheckpoint(p: Path): Option[Map[String, Vector[String]]] = {
+  private def parseCheckpoint(p: Path): Option[Map[String, Vector[String]]] = try {
     val in = fs.open(p)
     val lines = try new String(in.readAllBytes(), "UTF-8") finally in.close()
     val recs = lines.split('\n').filter(_.nonEmpty)
@@ -185,6 +215,10 @@ final class CommitLogBackend(
       case other => throw new IllegalStateException(
         s"corrupt checkpoint record in ${p.getName}: ${other.mkString("\t")}")
     }).toMap)
+  } catch {
+    // deleted by a concurrent vacuum between listing and open: superseded
+    // by a newer checkpoint — skip it, the reverse iteration finds another
+    case _: java.io.FileNotFoundException => None
   }
 
   /** Serialize the state at `version` as `<version>.checkpoint`. Uses the
@@ -204,7 +238,7 @@ final class CommitLogBackend(
   }
 
   /** The ONE fold over commit files — shared by the live [[snapshot]]
-    * and the time-travel [[foldThrough]] so the torn-commit policy can
+    * and the time-travel [[foldStateThrough]] so the torn-commit policy can
     * never diverge between them: a commit is complete iff its
     * `end <count>` trailer matches (the claim is an atomic CREATE, so a
     * concurrent/crashed claimant's file can be observed before its
@@ -264,8 +298,21 @@ final class CommitLogBackend(
       val next = math.max(lastCommit, lastCkpt) + 1L
       val target = new Path(logDir, f"$next%012d.commit")
       if (tryClaim(target, payload)) {
-        if (checkpointEvery > 0 && next % checkpointEvery == 0)
-          writeCheckpoint(next, foldThrough(next))
+        if (checkpointEvery > 0 && next % checkpointEvery == 0) {
+          // A checkpoint named `next` MUST capture every commit <= next.
+          // foldCommits stops at a young in-flight (torn) commit below
+          // `next` (possible on the HDFS-like path where another writer's
+          // payload streams after its claim) — writing the partial state
+          // under `next`'s name would make every seeded reader silently
+          // skip the blocked suffix and let vacuum truncate those commits
+          // permanently. Skip instead: checkpoints are best-effort; the
+          // next boundary retries (r11 self-review find).
+          val st = retryOnVacuumRace(foldStateThrough(next))
+          if (st.version == next) writeCheckpoint(next, st.tables)
+          else System.err.println(
+            s"[commit-log] checkpoint $next skipped: in-flight commit at " +
+              s"${st.version + 1} blocks the fold")
+        }
         return
       }
       attempt += 1
@@ -359,7 +406,8 @@ final class CommitLogBackend(
     * stop-vs-skip policy to the live read, via the shared
     * [[foldCommits]]. */
   def readTableAt(tbl: String, version: Long): org.apache.spark.sql.DataFrame = {
-    val files = foldThrough(version)(tbl).map(f => s"$root/$tbl/$f")
+    val files = retryOnVacuumRace(foldStateThrough(version))
+      .tables.withDefaultValue(Vector.empty)(tbl).map(f => s"$root/$tbl/$f")
     if (files.isEmpty) spark.emptyDataFrame else spark.read.parquet(files: _*)
   }
 
@@ -369,7 +417,7 @@ final class CommitLogBackend(
     * this version needs (no checkpoint <= version, and the surviving
     * commit sequence no longer starts at 1), the state is gone — fail
     * rather than return a silently partial fold. */
-  private def foldThrough(version: Long): Map[String, Vector[String]] = {
+  private def foldStateThrough(version: Long): LogState = {
     val base = latestCheckpointAt(version)
       .map { case (v, tables) => LogState(v, tables) }
       .getOrElse(LogState(0L, Map.empty))
@@ -388,7 +436,7 @@ final class CommitLogBackend(
           "oldest retained checkpoint are reconstructible")
     }
     val commits = all.filter(p => versionOf(p) > base.version && versionOf(p) <= version)
-    foldCommits(commits, base).tables.withDefaultValue(Vector.empty)
+    foldCommits(commits, base)
   }
 
   // ---------- LogStructuredBackend primitives ----------
@@ -494,8 +542,14 @@ final class CommitLogBackend(
     // ones (their files are replaced-garbage-equivalent: some commit
     // names them, no snapshot keeps them)
     val everReferenced: Set[(String, String)] = listCommits().iterator.flatMap { p =>
-      val in = fs.open(p)
-      val lines = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+      // tolerate a commit truncated by a concurrent vacuum between list
+      // and open: its live files are protected via `live` (checkpoint-
+      // seeded snapshot); its replaced-garbage files merely fall back to
+      // the age gate — conservative, never unsafe
+      val lines = try {
+        val in = fs.open(p)
+        try new String(in.readAllBytes(), "UTF-8") finally in.close()
+      } catch { case _: java.io.FileNotFoundException => "" }
       lines.split('\n').iterator.filter(_.nonEmpty).flatMap(_.split('\t') match {
         case Array("add", tbl, file) => Iterator((tbl, file))
         case Array("replace", tbl, rest @ _*) => rest.iterator.map((tbl, _))

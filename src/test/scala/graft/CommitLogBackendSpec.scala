@@ -181,6 +181,66 @@ class CommitLogBackendSpec extends SparkSpec {
     intercept[IllegalStateException] { b2.readTableAt("ready", 3).count() }
   }
 
+  test("checkpoint is SKIPPED while an in-flight torn commit blocks the fold — no commits lost") {
+    // HDFS-like-path scenario: another process claimed version 4 but its
+    // payload is still streaming (no end trailer) when OUR commit at the
+    // checkpointEvery=5 boundary lands. A checkpoint named 5 folded past
+    // the block would capture state only through 3 — seeded readers would
+    // silently skip commit 4 (and vacuum would truncate it permanently).
+    // The fix skips the checkpoint; everything reconciles once the
+    // in-flight writer finishes.
+    val root = tmpDir("graft-cl")
+    val b = new CommitLogBackend(spark, root, checkpointEvery = 5)
+    (1 to 3).foreach(i => b.enqueue(Seq(job(s"j$i")).toDS().coalesce(1)))
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // stage the in-flight writer's data file the way stage() would
+    Seq(job("torn")).toDS().coalesce(1)
+      .write.mode("append").parquet(s"$root/ready")
+    val tornFile = fs.listStatus(new org.apache.hadoop.fs.Path(s"$root/ready"))
+      .map(_.getPath.getName).filter(_.endsWith(".parquet"))
+    // identify the staged file as the one no commit references yet
+    val referenced = fs.listStatus(new org.apache.hadoop.fs.Path(s"$root/_log"))
+      .filter(_.getPath.getName.endsWith(".commit"))
+      .flatMap { st =>
+        val in = fs.open(st.getPath)
+        val txt = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+        txt.split('\n').collect { case l if l.startsWith("add\t") => l.split('\t')(2) }
+      }.toSet
+    val staged = tornFile.filterNot(referenced).head
+    // handcraft the torn commit at version 4: claimed, payload incomplete
+    val tornPath = new org.apache.hadoop.fs.Path(s"$root/_log/000000000004.commit")
+    val out = fs.create(tornPath, false)
+    out.write(s"add\tready\t$staged\n".getBytes("UTF-8")) // no end trailer
+    out.close()
+    // our commit claims version 5 (the boundary) — checkpoint must be skipped
+    b.enqueue(Seq(job("j5")).toDS().coalesce(1))
+    assert(b.logVersion == 5)
+    def logFiles(suffix: String) =
+      fs.listStatus(new org.apache.hadoop.fs.Path(s"$root/_log"))
+        .map(_.getPath.getName).filter(_.endsWith(suffix)).sorted.toSeq
+    assert(logFiles(".checkpoint").isEmpty,
+      "a checkpoint folded short of its own version must not be written")
+    // with no checkpoint, vacuum must not truncate anything
+    b.vacuum()
+    assert(logFiles(".commit").size == 5, "no truncation without a checkpoint")
+    // the blocked fold reads only the settled prefix (1..3): commit 5 is
+    // complete but sits past the in-flight 4 in the total order
+    assert(b.readyJobs.count() == 3)
+    // the in-flight writer finishes: rewrite version 4 complete
+    fs.delete(tornPath, false)
+    val out2 = fs.create(tornPath, false)
+    out2.write(s"add\tready\t$staged\nend\t1\n".getBytes("UTF-8"))
+    out2.close()
+    assert(b.readyJobs.collect().map(_.id).sorted.toSeq ==
+      Seq("j1", "j2", "j3", "j5", "torn"), "nothing lost once the writer completes")
+    // the next boundary checkpoints normally and seeding reconstructs all
+    (6 to 10).foreach(i => b.enqueue(Seq(job(s"j$i")).toDS().coalesce(1)))
+    assert(logFiles(".checkpoint") == Seq("000000000010.checkpoint"))
+    val b2 = new CommitLogBackend(spark, root, checkpointEvery = 5)
+    assert(b2.readyJobs.count() == 10)
+  }
+
   test("truncating ALL commits keeps numbering and head version (checkpoint is the head)") {
     val root = tmpDir("graft-cl")
     val b = new CommitLogBackend(spark, root, checkpointEvery = 5)

@@ -379,7 +379,8 @@ class WalStoreSpec extends SparkSpec {
     client.performAsync("ok", 1)
     // repeated purges: each is an O(1) marker append; only the max seq
     // per (tbl, queue) ever matters to readers
-    (1 to 5).foreach(_ => backend.purge("ready", "test"))
+    // the client enqueues on queue "w" (clientOn) — purge that key
+    (1 to 5).foreach(_ => backend.purge("ready", "w"))
     client.performAsync("ok", 2) // post-purge row: visible
     backend.purge("ready", "other") // distinct key: its own watermark
     backend.drainLatencyPath()
