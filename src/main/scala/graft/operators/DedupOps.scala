@@ -910,11 +910,20 @@ object DedupOps {
     // pruned write commits. Cost shape at 100 TB: the window census is
     // one content-keyed groupBy with map-side partials; the join back
     // runs against the DEDUPED dup-window table (boilerplate repeated a
-    // million times adds map-side rows, never fan-out); the ×10
-    // position explode touches DUPLICATED occurrences only; everything
-    // after keys on (doc_id, position) — corpus-parallel, no quadratic
-    // term. Dual-salted 64-bit keys + window char length (the d24
-    // collision discipline) stand in for the oracle's raw-string key.
+    // million times adds map-side rows, never fan-out); per-position
+    // state comes from an ENDPOINT SWEEP, not a per-position explode
+    // (r11 judge find): each duplicated occurrence emits exactly TWO
+    // ±1 events — (+cover, +canon?) at st, the negation at st+W — and
+    // running sums over the per-doc event order recover coverage and
+    // canon protection for every interval between events. 2 shuffled
+    // rows per window instead of W=10, and the islands fall out of the
+    // SAME per-doc window pass (an interval is excised iff covered and
+    // canon-count 0; consecutive excised intervals share boundaries, so
+    // maximal runs of them ARE the old position islands, sized by
+    // interval length instead of row count). Everything keys on
+    // (doc_id, p) — corpus-parallel, no quadratic term. Dual-salted
+    // 64-bit keys + window char length (the d24 collision discipline)
+    // stand in for the oracle's raw-string key.
     "d26_dupspan_excision" -> ((s, d) => {
       val W = 10
       val docs = Tables.documents(s, d)
@@ -935,18 +944,34 @@ object DedupOps {
       val occ = wins.join(dup, Seq("h", "h2", "wl"))
         .select(col("doc_id"), col("st"),
           (struct(col("doc_id"), col("st")) === col("canon_k")).as("canon"))
-      val perpos = occ
-        .select(col("doc_id"), explode(expr(s"sequence(st, st + ${W - 1})")).as("p"),
-          when(col("canon"), 1L).otherwise(0L).as("pr"))
-        .groupBy("doc_id", "p").agg(max("pr").as("prot"))
+      val events = occ
+        .select(col("doc_id"), explode(array(
+          struct(col("st").cast("long").as("p"), lit(1L).as("dc"),
+            when(col("canon"), 1L).otherwise(0L).as("cc")),
+          struct((col("st") + W).cast("long").as("p"), lit(-1L).as("dc"),
+            when(col("canon"), -1L).otherwise(0L).as("cc")))).as("e"))
+        .select(col("doc_id"), col("e.p").as("p"), col("e.dc").as("dc"),
+          col("e.cc").as("cc"))
+        .groupBy("doc_id", "p").agg(sum("dc").as("dc"), sum("cc").as("cc"))
       val byDoc = org.apache.spark.sql.expressions.Window
         .partitionBy("doc_id").orderBy("p")
-      val perDoc = perpos.filter(col("prot") === 0L)
-        .withColumn("pv", lag("p", 1).over(byDoc))
+      val run = byDoc.rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      val perDoc = events
+        .withColumn("cov", sum("dc").over(run))
+        .withColumn("ccov", sum("cc").over(run))
+        // interval [p, next p): excised iff covered by some duplicated
+        // window and protected by NO canon one. The final event of a doc
+        // always closes coverage (cov = 0), so its null length never
+        // reaches an excised row.
+        .withColumn("len", lead("p", 1).over(byDoc) - col("p"))
+        .withColumn("ex", col("cov") > 0L && col("ccov") === 0L)
+        .withColumn("pex", lag("ex", 1).over(byDoc))
         .withColumn("brk",
-          when(col("pv").isNull || col("p") > col("pv") + 1, 1L).otherwise(0L))
-        .withColumn("isl", sum("brk").over(byDoc))
-        .groupBy("doc_id", "isl").agg(count(lit(1)).as("sz"))
+          when(col("ex") && (col("pex").isNull || !col("pex")), 1L).otherwise(0L))
+        .withColumn("isl", sum("brk").over(run))
+        .filter(col("ex"))
+        .groupBy("doc_id", "isl").agg(sum("len").as("sz"))
         .groupBy("doc_id")
         .agg(sum("sz").as("ex_tokens"), count(lit(1)).as("n_isl"),
           max("sz").as("mx_isl"))

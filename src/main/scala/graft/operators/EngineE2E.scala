@@ -1089,6 +1089,93 @@ object EngineE2E {
         .orderBy("job_id")
     }),
 
+    // D15 fleet mode end-to-end (reference worker.clj:27,43: fleet = one
+    // scoped worker per queue, plus goose's multi-worker deployment
+    // story): a COORDINATOR GraftWorker (queue fleet_a, global duties)
+    // and a NON-coordinator (queue fleet_b, consume-only) run against
+    // ONE shared CommitLogBackend root — each through its OWN backend
+    // instance, the separate-process shape the manifest log's optimistic
+    // multi-writer commit exists for. Seeds split by event-id parity
+    // across the two queues; one cron schedule fires into the
+    // coordinator's queue after a clock jump. Books per lane: n_jobs
+    // (distinct success completions in the SHARED log), n_exec (fixture
+    // execution counter — 1 per job proves no cross-worker
+    // double-execution), n_done (completion rows — exactly-once
+    // outcome). The cron lane at (1,1,1) proves the fire was neither
+    // lost nor duplicated across the fleet.
+    "q54_fleet_pass" -> ((s, d) => withScratch("graft-e2e-fleet") { root =>
+      import s.implicits._
+      val clock = new AtomicLong(T0)
+      val execCounts = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+      JobRegistry.register("e2e_fleet", args => {
+        execCounts.merge(args.head.toString, Integer.valueOf(1), (a, b) => a + b); "ok"
+      })
+      val coordBackend = new graft.backend.CommitLogBackend(s, root)
+      val consBackend = new graft.backend.CommitLogBackend(s, root)
+      val retry = RetryOpts(maxRetries = 1, retryDelaySecFn = "e2e_instant")
+      coordBackend.enqueue(Tables.events(s, d).orderBy("event_id").limit(SeedCount)
+        .select($"event_id".as[Long]).map { eid =>
+          val q = if (eid % 2 == 0) "fleet_a" else "fleet_b"
+          Job(id = eid.toString, executeFnSym = "e2e_fleet",
+            argsJson = s"""["$eid"]""", queue = q, readyQueue = q, priority = 0,
+            enqueuedAt = T0, scheduleRunAt = None, cronRunAt = None,
+            batchId = None, retryOpts = retry, state = None, seq = Job.nextSeq())
+        })
+      val cronFireAt = T0 + 60000
+      coordBackend.upsertCron(Seq(CronEntry("fleet-cron", "* * * * *", "UTC",
+        JobDescription("e2e_fleet", """["cron"]""", "fleet_a", "fleet_a", 0, retry),
+        cronFireAt)))
+      withShufflePartitions(s, 4) {
+        val coord = new graft.worker.GraftWorker(coordBackend, s, root,
+          trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime("100 milliseconds"),
+          maintenanceIntervalMs = 200, queue = Some("fleet_a"),
+          coordinator = true, nowFn = () => clock.get())
+        val cons = new graft.worker.GraftWorker(consBackend, s, root,
+          trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime("100 milliseconds"),
+          maintenanceIntervalMs = 200, queue = Some("fleet_b"),
+          coordinator = false, nowFn = () => clock.get())
+        coord.start(); cons.start()
+        try {
+          require(coord.awaitDrained(120000), "coordinator failed to drain fleet_a")
+          require(cons.awaitDrained(120000), "consumer failed to drain fleet_b")
+          // cron now due: ONLY the coordinator's maintenance may fire it
+          // (the non-coordinator runs no scheduler — and is NOT drained
+          // through awaitDrained past this point, so nothing else ticks)
+          clock.set(cronFireAt + 1000)
+          val deadline = System.currentTimeMillis() + 60000
+          while (!execCounts.containsKey("cron") &&
+            System.currentTimeMillis() < deadline) Thread.sleep(50)
+          require(coord.awaitDrained(120000), "cron fire failed to drain")
+          // several more maintenance intervals on both workers: a
+          // duplicated fire or cross-queue re-execution would land here
+          // and break the (1,1,1) cron book below
+          Thread.sleep(600)
+        } finally { cons.stop(graceful = true); coord.stop(graceful = true) }
+      }
+      val cronId = java.util.UUID.nameUUIDFromBytes(
+        s"cron:fleet-cron@$cronFireAt".getBytes("UTF-8")).toString
+      val counted = execCounts.entrySet().iterator()
+      val buf = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+      while (counted.hasNext) { val e = counted.next(); buf += ((e.getKey, e.getValue.toLong)) }
+      val lanes = buf.toSeq.toDF("key", "n_exec_k")
+        .withColumn("lane", when(col("key") === "cron", lit("cron"))
+          .otherwise(when(col("key").cast("long") % 2 === 0, lit("fleet_a"))
+            .otherwise(lit("fleet_b"))))
+      // exactly-once OUTCOME from the shared durable log (either
+      // instance's view — the manifest fold is the same)
+      val done = coordBackend.completions.toDF()
+        .filter(col("terminalState") === "success")
+        .withColumn("key", when(col("jobId") === cronId, lit("cron"))
+          .otherwise(col("jobId")))
+        .groupBy("key").agg(count(lit(1)).as("n_done_k"))
+      lanes.join(done, Seq("key"), "left_outer")
+        .groupBy("lane")
+        .agg(count(lit(1)).as("n_jobs"),
+          sum("n_exec_k").cast("long").as("n_exec"),
+          sum(coalesce(col("n_done_k"), lit(0L))).cast("long").as("n_done"))
+        .orderBy("lane")
+    }),
+
     // D7/D8: batch over the seed jobs → tracker folds completions → one
     // terminal status (partial-success when some jobs died).
     "e2e_batch_status" -> ((s, d) => withScratch("graft-e2e") { root =>
@@ -1483,6 +1570,20 @@ object EngineE2E {
          |UNION ALL
          |SELECT 'success', COUNT(*) FROM seed WHERE event_type <> 'error'
          |ORDER BY terminal_state""".stripMargin,
+    // per-lane fleet books: each seed job executed once and completed
+    // once by its queue's worker; the cron lane fired/executed/completed
+    // exactly once across the whole fleet
+    "q54_fleet_pass" ->
+      s"""WITH seed AS (SELECT * FROM events ORDER BY event_id LIMIT $SeedCount)
+         |SELECT 'cron' AS lane, CAST(1 AS BIGINT) AS n_jobs,
+         |  CAST(1 AS BIGINT) AS n_exec, CAST(1 AS BIGINT) AS n_done
+         |UNION ALL
+         |SELECT 'fleet_a', COUNT(*), COUNT(*), COUNT(*)
+         |FROM seed WHERE event_id % 2 = 0
+         |UNION ALL
+         |SELECT 'fleet_b', COUNT(*), COUNT(*), COUNT(*)
+         |FROM seed WHERE event_id % 2 = 1
+         |ORDER BY lane""".stripMargin,
     // wave 1 (raw event ids) deleted by the cutoff sweep; wave 2
     // (ids offset by 10M) survives — one row per seed error event
     "q53_dead_retention" ->

@@ -120,11 +120,13 @@ object SqlSurfaceOps {
     // d26's ExactSubstr excision books as SQL text — the hardest dedup
     // shape the SQL surface must carry: a higher-order transform lambda
     // building the window census, MIN over a struct for the canon pick,
-    // a generator explode, and the gaps-and-islands window, all in one
-    // statement. Compiles to the DataFrame twin's plan (content-keyed
-    // HashAggregate census, join-back against the deduped dup table,
-    // per-doc Window — no product anywhere), so the 100 TB cost story
-    // holds for a SQL-only user.
+    // the ±1 endpoint sweep (2 events per duplicated window, running
+    // sums recovering coverage/protection per interval — the d26 shape,
+    // NOT a per-position explode), and the gaps-and-islands window, all
+    // in one statement. Compiles to the DataFrame twin's plan
+    // (content-keyed HashAggregate census, join-back against the deduped
+    // dup table, per-doc Window — no product anywhere), so the 100 TB
+    // cost story holds for a SQL-only user.
     "s30_sql_dupspan" -> ((s, d) =>
       sqlOn(s, Tables.documents(s, d), "graft_s30_docs",
         """WITH docs AS (
@@ -146,22 +148,37 @@ object SqlSurfaceOps {
           |  SELECT wins.doc_id, wins.st,
           |    (struct(wins.doc_id, wins.st) = dup.canon_k) AS canon
           |  FROM wins JOIN dup USING (h, h2, wl)),
-          |perpos AS (
-          |  SELECT doc_id, p, MAX(CASE WHEN canon THEN 1L ELSE 0L END) AS prot
-          |  FROM (SELECT doc_id, explode(sequence(st, st + 9)) AS p, canon
-          |        FROM occ)
-          |  GROUP BY doc_id, p),
-          |marked AS (
+          |events AS (
+          |  SELECT doc_id, e.p AS p, SUM(e.dc) AS dc, SUM(e.cc) AS cc
+          |  FROM (SELECT doc_id, explode(array(
+          |      struct(CAST(st AS BIGINT) AS p, 1L AS dc,
+          |        CASE WHEN canon THEN 1L ELSE 0L END AS cc),
+          |      struct(CAST(st + 10 AS BIGINT) AS p, -1L AS dc,
+          |        CASE WHEN canon THEN -1L ELSE 0L END AS cc))) AS e
+          |    FROM occ)
+          |  GROUP BY doc_id, e.p),
+          |swept AS (
           |  SELECT doc_id, p,
-          |    CASE WHEN lag(p) OVER (PARTITION BY doc_id ORDER BY p) IS NULL
-          |           OR p > lag(p) OVER (PARTITION BY doc_id ORDER BY p) + 1
+          |    SUM(dc) OVER w_run AS cov, SUM(cc) OVER w_run AS ccov,
+          |    (lead(p) OVER w_ord) - p AS len
+          |  FROM events
+          |  WINDOW w_run AS (PARTITION BY doc_id ORDER BY p
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+          |    w_ord AS (PARTITION BY doc_id ORDER BY p)),
+          |marked AS (
+          |  SELECT doc_id, p, len, ex,
+          |    CASE WHEN ex AND NOT COALESCE(
+          |        lag(ex) OVER (PARTITION BY doc_id ORDER BY p), false)
           |      THEN 1L ELSE 0L END AS brk
-          |  FROM perpos WHERE prot = 0),
+          |  FROM (SELECT doc_id, p, len, (cov > 0 AND ccov = 0) AS ex
+          |        FROM swept)),
           |isl AS (
-          |  SELECT doc_id, SUM(brk) OVER (PARTITION BY doc_id ORDER BY p
+          |  SELECT doc_id, len, ex,
+          |    SUM(brk) OVER (PARTITION BY doc_id ORDER BY p
           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g
           |  FROM marked),
-          |szs AS (SELECT doc_id, g, COUNT(*) AS sz FROM isl GROUP BY doc_id, g),
+          |szs AS (SELECT doc_id, g, SUM(len) AS sz
+          |  FROM isl WHERE ex GROUP BY doc_id, g),
           |perdoc AS (
           |  SELECT doc_id, SUM(sz) AS ex_tokens, COUNT(*) AS n_isl,
           |    MAX(sz) AS mx_isl
