@@ -406,4 +406,72 @@ class CommitLogBackendSpec extends SparkSpec {
     b.compact("ready") // a fold must not silently drop buffered appends
     assert(b.readyJobs.count() == 4)
   }
+
+  test("multi-writer soak: appends race vacuum and checkpoint truncation — every committed row survives exactly once") {
+    // The concurrency shapes the single-scenario tests pin one at a
+    // time, all racing at once for real: four writer INSTANCES (the
+    // separate-process shape) appending through the optimistic version
+    // claim, checkpointEvery=5 forcing checkpoint+truncation churn mid-
+    // run, a vacuum loop testing the settled-boundary reclaim against
+    // live commit traffic, and a cold-cache reader re-seeding through
+    // truncations. The invariant is the only one that matters: a fresh
+    // process at the end sees every appended row exactly once.
+    val root = tmpDir("graft-cl-soak")
+    val nWriters = 4; val nBatches = 15; val rowsPer = 3
+    val writersB = (0 until nWriters).map(_ =>
+      new CommitLogBackend(spark, root, checkpointEvery = 5))
+    val vacB = new CommitLogBackend(spark, root, checkpointEvery = 5)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(nWriters + 2)
+    val done = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val vacuumed = new java.util.concurrent.atomic.AtomicInteger(0)
+    try {
+      val writers = (0 until nWriters).map { w =>
+        pool.submit(new java.util.concurrent.Callable[Unit] {
+          def call(): Unit = (0 until nBatches).foreach { n =>
+            writersB(w).enqueueRows(
+              (0 until rowsPer).map(r => job(s"w$w-b$n-r$r")))
+          }
+        })
+      }
+      val vacuumer = pool.submit(new java.util.concurrent.Callable[Unit] {
+        def call(): Unit = while (!done.get()) {
+          vacuumed.addAndGet(vacB.vacuum()); Thread.sleep(3)
+        }
+      })
+      val reader = pool.submit(new java.util.concurrent.Callable[Unit] {
+        def call(): Unit = while (!done.get()) {
+          // cold cache every pass: fresh instance must re-seed through
+          // whatever truncation state it lands on, and its count can
+          // never EXCEED the final total (dup visibility) — lower is
+          // fine, it raced the writers
+          val seen = new CommitLogBackend(spark, root).readyJobs.count()
+          assert(seen <= nWriters.toLong * nBatches * rowsPer)
+          Thread.sleep(5)
+        }
+      })
+      writers.foreach(_.get(120, java.util.concurrent.TimeUnit.SECONDS))
+      done.set(true)
+      vacuumer.get(30, java.util.concurrent.TimeUnit.SECONDS)
+      reader.get(30, java.util.concurrent.TimeUnit.SECONDS)
+    } finally { done.set(true); pool.shutdownNow() }
+    val fresh = new CommitLogBackend(spark, root, checkpointEvery = 5)
+    val ids = fresh.readyJobs.collect().map(_.id).toSeq
+    val expected = for {
+      w <- 0 until nWriters; n <- 0 until nBatches; r <- 0 until rowsPer
+    } yield s"w$w-b$n-r$r"
+    assert(ids.sorted == expected.sorted,
+      s"lost=${(expected.toSet -- ids.toSet).take(5)} dup=${ids.diff(ids.distinct).take(5)}")
+
+    // phase 2: post-soak maintenance from DIFFERENT instances — half
+    // tombstoned on one, compacted on another, vacuumed on a third; a
+    // final cold read sees exactly the survivors.
+    val half = expected.take(expected.size / 2)
+    val victims = fresh.readyJobs.collect()
+      .filter(j => half.contains(j.id)).map(j => (j.id, j.seq)).toSeq
+    fresh.tombstone("ready", victims, "soak")
+    new CommitLogBackend(spark, root, checkpointEvery = 5).compact("ready")
+    new CommitLogBackend(spark, root, checkpointEvery = 5).vacuum()
+    val after = new CommitLogBackend(spark, root).readyJobs.collect().map(_.id).toSeq
+    assert(after.sorted == expected.drop(expected.size / 2).sorted)
+  }
 }
