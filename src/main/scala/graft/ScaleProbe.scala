@@ -34,9 +34,17 @@ object ScaleProbe {
       else if (subset.isEmpty) s"SCALING_${factor}x.md"
       else s"SCALING_${factor}x_partial.md"
     val scaled = s"/tmp/graft-scale$factor"
+    // Shuffle partitions follow DATA at scale, not core count: the 1×
+    // suite default (32 = cores) under-partitions a 1000× shuffle —
+    // d26's 21M-row/partition SMJ sorts OOM'd a 24 GB heap at 32
+    // partitions and needed 48 GB to spill through, while 256 partitions
+    // fit the same sorts in memory. A 1000-executor cluster sizes this
+    // by maxPartitionBytes/AQE automatically; the probe exposes the knob
+    // so the at-scale configuration is measured, not asserted.
+    val shufflePartitions = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", "32")
     val spark = SparkSession.builder()
       .master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
