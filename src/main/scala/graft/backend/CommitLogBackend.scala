@@ -152,8 +152,15 @@ final class CommitLogBackend(
           if (attempt > 3) throw e
           // the racing vacuum is mid-truncation: a tight microsecond
           // retry loop can exhaust all attempts inside its window — give
-          // it real time to finish before each relisting (r11 advice)
-          Thread.sleep(20L * attempt)
+          // it real time to finish before each relisting (r11 advice).
+          // An interrupt during the sleep must NOT escape as
+          // InterruptedException (fatal per NonFatal — it would pierce
+          // the checkpoint path's containment and report a failure for
+          // an append that already committed): restore the flag and
+          // surface the original race as the IO failure it is.
+          try Thread.sleep(20L * attempt)
+          catch { case _: InterruptedException =>
+            Thread.currentThread().interrupt(); throw e }
       }
     }
     out.get
@@ -294,52 +301,63 @@ final class CommitLogBackend(
     LogState(folded, state)
   }
 
-  private def commit(records: Seq[String]): Unit = commitLock.synchronized {
+  private def commit(records: Seq[String]): Unit = {
     val payload = (records :+ s"end\t${records.size}")
       .mkString("", "\n", "\n").getBytes("UTF-8")
-    var attempt = 0
-    while (true) {
-      // max over BOTH commits and checkpoints: after vacuum truncates
-      // every commit a checkpoint subsumes, an empty commit listing must
-      // not restart version numbering below the checkpoint
-      val lastCommit = listCommits().lastOption.map(versionOf).getOrElse(0L)
-      val lastCkpt = checkpointPaths().lastOption
-        .map(_.getName.stripSuffix(".checkpoint").toLong).getOrElse(0L)
-      val next = math.max(lastCommit, lastCkpt) + 1L
-      val target = new Path(logDir, f"$next%012d.commit")
-      if (tryClaim(target, payload)) {
-        if (checkpointEvery > 0 && next % checkpointEvery == 0) {
-          // A checkpoint named `next` MUST capture every commit <= next.
-          // foldCommits stops at a young in-flight (torn) commit below
-          // `next` (possible on the HDFS-like path where another writer's
-          // payload streams after its claim) — writing the partial state
-          // under `next`'s name would make every seeded reader silently
-          // skip the blocked suffix and let vacuum truncate those commits
-          // permanently. Skip instead: checkpoints are best-effort; the
-          // next boundary retries (r11 self-review find).
-          // Best-effort END TO END: the caller's append already committed,
-          // so nothing thrown past this point may surface as its failure —
-          // a concurrent process can checkpoint past `next` and vacuum
-          // (horizon IllegalStateException from foldStateThrough) or
-          // truncate mid-fold after retries exhaust (FNF); both mean
-          // "someone else checkpointed", not "the append failed"
-          // (r11 advice — mirrors writeCheckpoint's own IOException
-          // handling).
-          try {
-            val st = retryOnVacuumRace(foldStateThrough(next))
-            if (st.version == next) writeCheckpoint(next, st.tables)
-            else System.err.println(
-              s"[commit-log] checkpoint $next skipped: in-flight commit at " +
-                s"${st.version + 1} blocks the fold")
-          } catch {
-            case scala.util.control.NonFatal(e) => System.err.println(
-              s"[commit-log] checkpoint $next skipped: ${e.getMessage}")
-          }
+    val next = commitLock.synchronized {
+      var attempt = 0
+      var claimed = -1L
+      while (claimed < 0) {
+        // max over BOTH commits and checkpoints: after vacuum truncates
+        // every commit a checkpoint subsumes, an empty commit listing must
+        // not restart version numbering below the checkpoint
+        val lastCommit = listCommits().lastOption.map(versionOf).getOrElse(0L)
+        val lastCkpt = checkpointPaths().lastOption
+          .map(_.getName.stripSuffix(".checkpoint").toLong).getOrElse(0L)
+        val n = math.max(lastCommit, lastCkpt) + 1L
+        if (tryClaim(new Path(logDir, f"$n%012d.commit"), payload)) claimed = n
+        else {
+          attempt += 1
+          if (attempt > 1000)
+            throw new IllegalStateException("commit contention livelock")
         }
-        return
       }
-      attempt += 1
-      if (attempt > 1000) throw new IllegalStateException("commit contention livelock")
+      claimed
+    }
+    // Checkpoint boundary work runs OUTSIDE commitLock (r12 review find:
+    // the vacuum-race retry backoff could otherwise sleep up to ~120 ms
+    // with the lock held, stalling every other committer in the
+    // process). Safe unlocked: the claim at `next` is durably published,
+    // foldStateThrough(next) folds only versions <= next so concurrent
+    // later commits don't perturb it, and checkpoint files are
+    // version-named (no two boundaries share a target).
+    if (checkpointEvery > 0 && next % checkpointEvery == 0) {
+      // A checkpoint named `next` MUST capture every commit <= next.
+      // foldCommits stops at a young in-flight (torn) commit below
+      // `next` (possible on the HDFS-like path where another writer's
+      // payload streams after its claim) — writing the partial state
+      // under `next`'s name would make every seeded reader silently
+      // skip the blocked suffix and let vacuum truncate those commits
+      // permanently. Skip instead: checkpoints are best-effort; the
+      // next boundary retries (r11 self-review find).
+      // Best-effort END TO END: the caller's append already committed,
+      // so nothing thrown past this point may surface as its failure —
+      // a concurrent process can checkpoint past `next` and vacuum
+      // (horizon IllegalStateException from foldStateThrough) or
+      // truncate mid-fold after retries exhaust (FNF); both mean
+      // "someone else checkpointed", not "the append failed"
+      // (r11 advice — mirrors writeCheckpoint's own IOException
+      // handling).
+      try {
+        val st = retryOnVacuumRace(foldStateThrough(next))
+        if (st.version == next) writeCheckpoint(next, st.tables)
+        else System.err.println(
+          s"[commit-log] checkpoint $next skipped: in-flight commit at " +
+            s"${st.version + 1} blocks the fold")
+      } catch {
+        case scala.util.control.NonFatal(e) => System.err.println(
+          s"[commit-log] checkpoint $next skipped: ${e.getMessage}")
+      }
     }
   }
 

@@ -1145,6 +1145,10 @@ object EngineE2E {
           val deadline = System.currentTimeMillis() + 60000
           while (!execCounts.containsKey("cron") &&
             System.currentTimeMillis() < deadline) Thread.sleep(50)
+          // fail HERE with the real cause, not three stages later as an
+          // opaque missing-lane diff in the oracle compare
+          require(execCounts.containsKey("cron"),
+            "cron never fired within the 60s deadline")
           require(coord.awaitDrained(120000), "cron fire failed to drain")
           // several more maintenance intervals on both workers: a
           // duplicated fire or cross-queue re-execution would land here
