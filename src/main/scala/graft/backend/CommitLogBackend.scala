@@ -348,12 +348,38 @@ final class CommitLogBackend(
       // "someone else checkpointed", not "the append failed"
       // (r11 advice — mirrors writeCheckpoint's own IOException
       // handling).
+      // Density audit (r12 advice): with the fold outside commitLock, a
+      // concurrent vacuum — behind a NEWER checkpoint from faster
+      // committers — deletes commits in version order, so this fold's
+      // (base, next] range can lose a PREFIX between choosing `base` and
+      // listing the commits. foldCommits never checks version density, so
+      // the fold would still reach version == next and writeCheckpoint
+      // would persist a state silently missing those commits (time-travel
+      // reads seeding from it would return partial state with no horizon
+      // error). Versions are dense among claimed files (skipped abandoned
+      // torn commits still exist in the listing), so the listed range
+      // must be exactly base+1..next; on any gap skip the checkpoint —
+      // best-effort, the next boundary retries with a fresh base.
       try {
-        val st = retryOnVacuumRace(foldStateThrough(next))
-        if (st.version == next) writeCheckpoint(next, st.tables)
-        else System.err.println(
-          s"[commit-log] checkpoint $next skipped: in-flight commit at " +
-            s"${st.version + 1} blocks the fold")
+        val st = retryOnVacuumRace {
+          val base = latestCheckpointAt(next)
+            .map { case (v, tables) => LogState(v, tables) }
+            .getOrElse(LogState(0L, Map.empty))
+          val commits = listCommits()
+            .filter(p => versionOf(p) > base.version && versionOf(p) <= next)
+          if (commits.map(versionOf) == (base.version + 1 to next))
+            Some(foldCommits(commits, base))
+          else None
+        }
+        st match {
+          case Some(s) if s.version == next => writeCheckpoint(next, s.tables)
+          case Some(s) => System.err.println(
+            s"[commit-log] checkpoint $next skipped: in-flight commit at " +
+              s"${s.version + 1} blocks the fold")
+          case None => System.err.println(
+            s"[commit-log] checkpoint $next skipped: commit range no longer " +
+              "dense (concurrent vacuum truncated a prefix mid-fold)")
+        }
       } catch {
         case scala.util.control.NonFatal(e) => System.err.println(
           s"[commit-log] checkpoint $next skipped: ${e.getMessage}")

@@ -441,11 +441,17 @@ class CommitLogBackendSpec extends SparkSpec {
       val reader = pool.submit(new java.util.concurrent.Callable[Unit] {
         def call(): Unit = while (!done.get()) {
           // cold cache every pass: fresh instance must re-seed through
-          // whatever truncation state it lands on, and its count can
-          // never EXCEED the final total (dup visibility) — lower is
-          // fine, it raced the writers
-          val seen = new CommitLogBackend(spark, root).readyJobs.count()
-          assert(seen <= nWriters.toLong * nBatches * rowsPer)
+          // whatever truncation state it lands on. Two invariants per
+          // read: the count can never EXCEED the final total (lower is
+          // fine, it raced the writers), and — because a count upper
+          // bound alone lets a transient double-visible row hide inside
+          // the not-yet-committed slack (r12 advice) — the ids seen must
+          // be duplicate-free on EVERY cold read, not just the final one.
+          val seen = new CommitLogBackend(spark, root).readyJobs
+            .collect().map(_.id).toSeq
+          assert(seen.size <= nWriters * nBatches * rowsPer)
+          assert(seen.distinct.size == seen.size,
+            s"transient duplicate visibility: ${seen.diff(seen.distinct).take(5)}")
           Thread.sleep(5)
         }
       })

@@ -44,8 +44,11 @@ def check(path):
         # zero tests executed is RED, not green: a bad testOnly filter or
         # discovery misconfiguration still prints a summary + [success],
         # and that is exactly the red-slips-through mode this tool exists
-        # to prevent (r12 review find)
-        if not ok and not failed:
+        # to prevent (r12 review find). Gate on canceled == 0 and
+        # ignored == 0 so a log that is red (or intentionally ignored)
+        # for a different reason doesn't get a misleading second
+        # diagnosis stacked on top (r12 advice).
+        if not ok and not failed and not canceled and not ignored:
             problems.append("0 tests executed — wrong command or filter?")
         if not failed and not canceled and ok:
             print(f"  {path}: {ok} succeeded, 0 failed, 0 canceled "
