@@ -120,6 +120,7 @@ object ScaleProbe {
       "m06_phash_dup_groups", "d23_band_sweep", "p13_unimax_mix",
       "t18_perplexity_buckets", "s17_pq_error",
       "p14_leakage_safe_split", "t19_bpe_pair_census",
+      "d23a_window_census",
       "d24_window_coverage", "s18_range_search", "s19_ivf_balance",
       "d25_editdist_verify", "s20_embedding_drift", "t20_encoding_audit",
       "d26_dupspan_excision",
@@ -176,10 +177,11 @@ object ScaleProbe {
 
     // Artifact-building queries first and only once cold: the first
     // touch per corpus builds and caches a prebuilt index artifact (s03
-    // the IVF centroid table, m04 the media-sketch table), so a
+    // the IVF centroid table, m04 the media-sketch table, d23a the
+    // stride-1 window census + dup stats that d24/d26/s30 ride), so a
     // best-of-2 would silently fold the warm path into the "cold" row —
     // and the cold row IS these probes' meaning (the ingest cost).
-    val ColdOnce = Seq("s03_ann_ivf", "m04_ahash")
+    val ColdOnce = Seq("s03_ann_ivf", "m04_ahash", "d23a_window_census")
     val coldRows = ColdOnce.filter(probeQueries.contains).map { q =>
       q -> (timeOnce(q, base), timeOnce(q, scaled))
     }.toMap

@@ -51,6 +51,75 @@ object DedupOps {
       (evalSh, graft.functions.BloomFunctions.serialize(bf))
     })
 
+  /** Token length of the stride-1 exact-substring windows shared by the
+    * d23a/d24/d26/s30 family (the ExactSubstr granularity of Lee et al.
+    * 2022 restated at token level). */
+  private[graft] val WindowLen = 10
+
+  /** The PERSISTED stride-1 window-census artifact (VERDICT r12 #1 — the
+    * mediaSketches pattern applied to the window family): d24, d26 and
+    * the s30 SQL twin each used to rebuild the identical
+    * (doc_id, st, h, h2, wl) census from raw text — the single most
+    * expensive shape on file (~60-70 s each at 100×, ~700 s each at
+    * 1000×). A real 100 TB deployment materializes the census once per
+    * corpus snapshot (content-addressed by the snapshot id) and runs
+    * every census-consumer against it; here the per-corpus-dir cache +
+    * eager localCheckpoint is the session-scoped stand-in. Three frames,
+    * built together on first touch:
+    *
+    *  - docsMeta: (doc_id, source, n_tok) — one row per doc (ALL docs,
+    *    including those shorter than a window: the consumers' per-source
+    *    books count them).
+    *  - wins: (doc_id, st, h, h2, wl) — one row per stride-1 window.
+    *    Dual-salted 64-bit keys + window char length stand in for the
+    *    oracle's raw-string key at ~2^-128 collision odds (the d24 r8/r9
+    *    discipline; one shared salt now that the census is shared).
+    *  - dupStats: (h, h2, wl, c, nd, canon_k) for DUPLICATED contents
+    *    only (c >= 2) — the one content-keyed groupBy both consumers
+    *    needed, paid once. `nd` (distinct docs) serves d24's cross-doc
+    *    rule; `canon_k` = min (doc_id, st) serves d26's canon pick.
+    *    Bounded by duplicated content, typically ≪ the census itself.
+    *
+    * The d23a gate is the artifact's cold-cost row AND its
+    * artifact==recompute audit: its oracle re-censuses from raw window
+    * strings in DuckDB, so a gate-green round proves the persisted
+    * census agrees with a from-scratch rebuild. */
+  private val windowCensusCache = scala.collection.concurrent.TrieMap
+    .empty[String, (DataFrame, DataFrame, DataFrame)]
+
+  private[graft] def windowCensusArtifact(
+      s: SparkSession, d: String): (DataFrame, DataFrame, DataFrame) =
+    windowCensusCache.getOrElseUpdate(d, {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), split(col("text"), "\\s+").as("a"))
+        .withColumn("n_tok", size(col("a")))
+      val meta = docs.select("doc_id", "source", "n_tok").localCheckpoint(true)
+      val wins = rawWindowCensus(docs).localCheckpoint(true)
+      val dup = wins.groupBy("h", "h2", "wl")
+        .agg(count(lit(1)).as("c"),
+          countDistinct(col("doc_id")).as("nd"),
+          min(struct(col("doc_id"), col("st"))).as("canon_k"))
+        .filter(col("c") >= 2)
+        .localCheckpoint(true)
+      (meta, wins, dup)
+    })
+
+  /** The raw census build — windows hashed AT THE SCAN (xxhash64, 8-byte
+    * exchange keys: the d11 r8 lesson), one row per token position.
+    * Package-visible so the artifact==recompute spec can diff the cached
+    * frame against a fresh build. */
+  private[graft] def rawWindowCensus(docs: DataFrame): DataFrame = {
+    val W = WindowLen
+    docs.filter(col("n_tok") >= W)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(0, n_tok - $W)," +
+          s" i -> struct(i AS st, xxhash64(concat_ws(' ', slice(a, i+1, $W))) AS h," +
+          s" xxhash64('wcb', concat_ws(' ', slice(a, i+1, $W))) AS h2," +
+          s" length(concat_ws(' ', slice(a, i+1, $W))) AS wl))")).as("w"))
+      .select(col("doc_id"), col("w.st").as("st"), col("w.h").as("h"),
+        col("w.h2").as("h2"), col("w.wl").as("wl"))
+  }
+
   /** Input bound for the two intentionally-quadratic diagnostic forms
     * (d05 unguarded LSH, d06 all-pairs Jaccard). Their cost grows with
     * pairs-within-corpus, so as shipped entry points they take a FIXED
@@ -782,52 +851,51 @@ object DedupOps {
         .orderBy("r")
     }),
 
+    // Per-source census books read off the PERSISTED window artifact —
+    // the artifact's cold-cost row (first touch per corpus builds the
+    // census; ScaleProbe cold-times it like m04/s03) and its
+    // artifact==recompute audit: the oracle re-censuses from raw window
+    // strings in DuckDB, so hash-green here proves the persisted frames
+    // agree with a from-scratch rebuild on every count they carry —
+    // window volume, distinct contents, duplicated occurrences (d26's
+    // rule), cross-doc-shared occurrences (d24's rule), per source.
+    "d23a_window_census" -> ((s, d) => {
+      val (meta, wins, dupStats) = windowCensusArtifact(s, d)
+      wins
+        .join(meta.select("doc_id", "source"), Seq("doc_id"))
+        .join(dupStats.select("h", "h2", "wl", "c", "nd"),
+          Seq("h", "h2", "wl"), "left_outer")
+        .groupBy("source")
+        .agg(countDistinct(col("doc_id")).as("n_docs_win"),
+          count(lit(1)).as("n_windows"),
+          countDistinct(col("h"), col("h2"), col("wl")).as("n_distinct"),
+          sum(when(col("c") >= 2, 1L).otherwise(0L)).as("n_dup_occ"),
+          sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("n_crossdoc_occ"))
+        .orderBy("source")
+    }),
+
     // Sliding-window exact-substring coverage (the ExactSubstr half of
     // Lee et al. 2022, restated at token granularity): d20's FIXED
     // 10-token chunks miss any duplicate span that shifts by one token,
-    // so this op re-censuses with stride-1 OVERLAPPING windows — every
-    // 10-token window, hashed at the scan (xxhash64, 8-byte exchange
-    // keys: the d11 r8 lesson), a census keeping window contents seen
-    // in >= 2 DISTINCT docs, and a per-doc interval UNION
-    // (gaps-and-islands: a new island starts where st exceeds the
-    // running max end; island coverage = max(en) - min(st), exact
-    // because chained intervals are contiguous by construction) pricing
-    // the duplicated-token share per source. Cost shape at 100 TB: the
-    // window explode is corpus-linear (one row per token), the census
-    // is a content-keyed partial-agg rollup, the join-back is a
-    // left-semi on the 8-byte key, and the island pass shuffles only
-    // SHARED windows keyed by doc_id — no self-join, no fan-out
-    // anywhere. The oracle joins on the window STRING itself; the Spark
-    // side censuses by a PAIR of independently-salted xxhash64 keys, so
-    // equivalence holds modulo a double collision (~2^-128).
+    // so this op censuses stride-1 OVERLAPPING windows — since r13 read
+    // from the SHARED persisted artifact ([[windowCensusArtifact]]:
+    // census built once per corpus snapshot, this op consumes it) — a
+    // cross-doc-shared filter over the prebuilt dup stats, and a per-doc
+    // interval UNION (gaps-and-islands: a new island starts where st
+    // exceeds the running max end; island coverage = max(en) - min(st),
+    // exact because chained intervals are contiguous by construction)
+    // pricing the duplicated-token share per source. Cost shape at
+    // 100 TB: the artifact build is corpus-linear and paid ONCE for the
+    // whole family; this consumer is a semi-join of the census against
+    // the (much smaller) duplicated-content table plus the doc_id-keyed
+    // island pass — no self-join, no fan-out anywhere. The oracle joins
+    // on the window STRING itself; the artifact censuses by a PAIR of
+    // independently-salted xxhash64 keys + char length, so equivalence
+    // holds modulo a double collision (~2^-128).
     "d24_window_coverage" -> ((s, d) => {
-      val W = 10
-      val docs = Tables.documents(s, d)
-        .select(col("doc_id"), col("source"), split(col("text"), "\\s+").as("a"))
-        .withColumn("n_tok", size(col("a")))
-      // TWO independently-salted 64-bit keys (ADVICE r8): the oracle
-      // joins on the raw window string, so a single-hash collision
-      // between windows in different docs would fail the gate with no
-      // diagnostic pointing at hashing. A (h, h2) pair collides at
-      // ~2^-128 — the asymmetry is now unobservable, at the cost of one
-      // extra 8-byte column in the census exchange. The window's CHAR
-      // LENGTH rides beside the hash pair as a third census key
-      // (ADVICE r9 carry): it is a pure function of the window string
-      // (the oracle's join key), so semantics are unchanged — but a
-      // residual cross-doc collision now has to match length too, and a
-      // future red bisects by diffing length histograms instead of
-      // re-guessing the hash.
-      val wins = docs.filter(col("n_tok") >= W)
-        .select(col("doc_id"), explode(expr(
-          s"transform(sequence(0, n_tok - $W)," +
-            s" i -> struct(i AS st, xxhash64(concat_ws(' ', slice(a, i+1, $W))) AS h," +
-            s" xxhash64('d24b', concat_ws(' ', slice(a, i+1, $W))) AS h2," +
-            s" length(concat_ws(' ', slice(a, i+1, $W))) AS wl))")).as("w"))
-        .select(col("doc_id"), col("w.st").as("st"), col("w.h").as("h"),
-          col("w.h2").as("h2"), col("w.wl").as("wl"))
-      val shared = wins.groupBy("h", "h2", "wl")
-        .agg(countDistinct(col("doc_id")).as("nd"))
-        .filter(col("nd") >= 2).select("h", "h2", "wl")
+      val W = WindowLen
+      val (meta, wins, dupStats) = windowCensusArtifact(s, d)
+      val shared = dupStats.filter(col("nd") >= 2).select("h", "h2", "wl")
       val dup = wins.join(shared, Seq("h", "h2", "wl"), "left_semi")
         .select(col("doc_id"), col("st"), (col("st") + W).as("en"))
       val byDoc = org.apache.spark.sql.expressions.Window
@@ -841,7 +909,7 @@ object DedupOps {
         .groupBy("doc_id", "isl")
         .agg((max("en") - min("st")).as("cov"))
         .groupBy("doc_id").agg(sum("cov").cast("long").as("dup_tokens"))
-      docs.select("doc_id", "source", "n_tok")
+      meta
         .join(covered, Seq("doc_id"), "left_outer")
         .withColumn("dup_tokens", coalesce(col("dup_tokens"), lit(0L)))
         .groupBy("source")
@@ -907,10 +975,12 @@ object DedupOps {
     // non-canon duplicated windows. Per source: docs, token totals,
     // excised tokens, excision islands (maximal runs of excised
     // positions) and the longest island — the review books before a
-    // pruned write commits. Cost shape at 100 TB: the window census is
-    // one content-keyed groupBy with map-side partials; the join back
-    // runs against the DEDUPED dup-window table (boilerplate repeated a
-    // million times adds map-side rows, never fan-out); per-position
+    // pruned write commits. Cost shape at 100 TB: the window census AND
+    // its content-keyed groupBy come from the SHARED persisted artifact
+    // ([[windowCensusArtifact]], built once per corpus snapshot — r13);
+    // the join back runs against the DEDUPED dup-stats table
+    // (boilerplate repeated a million times adds map-side rows, never
+    // fan-out); per-position
     // state comes from an ENDPOINT SWEEP, not a per-position explode
     // (r11 judge find): each duplicated occurrence emits exactly TWO
     // ±1 events — (+cover, +canon?) at st, the negation at st+W — and
@@ -925,22 +995,9 @@ object DedupOps {
     // 64-bit keys + window char length (the d24 collision discipline)
     // stand in for the oracle's raw-string key.
     "d26_dupspan_excision" -> ((s, d) => {
-      val W = 10
-      val docs = Tables.documents(s, d)
-        .select(col("doc_id"), col("source"), split(col("text"), "\\s+").as("a"))
-        .withColumn("n_tok", size(col("a")))
-      val wins = docs.filter(col("n_tok") >= W)
-        .select(col("doc_id"), explode(expr(
-          s"transform(sequence(0, n_tok - $W)," +
-            s" i -> struct(i AS st, xxhash64(concat_ws(' ', slice(a, i+1, $W))) AS h," +
-            s" xxhash64('d26b', concat_ws(' ', slice(a, i+1, $W))) AS h2," +
-            s" length(concat_ws(' ', slice(a, i+1, $W))) AS wl))")).as("w"))
-        .select(col("doc_id"), col("w.st").as("st"), col("w.h").as("h"),
-          col("w.h2").as("h2"), col("w.wl").as("wl"))
-      val dup = wins.groupBy("h", "h2", "wl")
-        .agg(count(lit(1)).as("c"),
-          min(struct(col("doc_id"), col("st"))).as("canon_k"))
-        .filter(col("c") >= 2).select("h", "h2", "wl", "canon_k")
+      val W = WindowLen
+      val (meta, wins, dupStats) = windowCensusArtifact(s, d)
+      val dup = dupStats.select("h", "h2", "wl", "canon_k")
       val occ = wins.join(dup, Seq("h", "h2", "wl"))
         .select(col("doc_id"), col("st"),
           (struct(col("doc_id"), col("st")) === col("canon_k")).as("canon"))
@@ -975,7 +1032,7 @@ object DedupOps {
         .groupBy("doc_id")
         .agg(sum("sz").as("ex_tokens"), count(lit(1)).as("n_isl"),
           max("sz").as("mx_isl"))
-      docs.select("doc_id", "source", "n_tok")
+      meta
         .join(perDoc, Seq("doc_id"), "left_outer")
         .groupBy("source")
         .agg(count(lit(1)).as("n_docs"),
@@ -1399,6 +1456,35 @@ object DedupOps {
          |LEFT JOIN det ON det.b = cfg.b AND det.r = cfg.r
          |ORDER BY cfg.r""".stripMargin
     },
+
+    // The artifact==recompute audit: every count the persisted census
+    // frames carry, recomputed from raw window STRINGS in DuckDB (the
+    // artifact keys by the dual-salted hash pair + length; both are pure
+    // functions of the string, so agreement holds modulo the ~2^-128
+    // double collision). A hash-green gate proves the artifact matches a
+    // from-scratch census on window volume, distinct contents, d26's
+    // duplicated-occurrence rule (c >= 2) and d24's cross-doc rule
+    // (nd >= 2), per source.
+    "d23a_window_census" ->
+      """WITH arr AS (
+        |  SELECT doc_id, source, regexp_split_to_array(text, '\s+') AS a
+        |  FROM documents),
+        |docs AS (SELECT doc_id, source, len(a) AS n_tok, a FROM arr),
+        |wins AS (
+        |  SELECT doc_id, source,
+        |    array_to_string(a[CAST(i + 1 AS INT) : CAST(i + 10 AS INT)], ' ') AS w
+        |  FROM (SELECT doc_id, source, a, unnest(generate_series(0, len(a) - 10)) AS i
+        |        FROM docs WHERE n_tok >= 10) t),
+        |cens AS (SELECT w, COUNT(*) AS c, COUNT(DISTINCT doc_id) AS nd
+        |         FROM wins GROUP BY w)
+        |SELECT source,
+        |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs_win,
+        |  CAST(COUNT(*) AS BIGINT) AS n_windows,
+        |  CAST(COUNT(DISTINCT w) AS BIGINT) AS n_distinct,
+        |  CAST(SUM(CASE WHEN c >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_occ,
+        |  CAST(SUM(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_crossdoc_occ
+        |FROM wins JOIN cens USING (w)
+        |GROUP BY source ORDER BY source""".stripMargin,
 
     // The oracle states d24's semantics over the window STRING (DuckDB
     // has no xxhash64); the Spark plan carries (h, h2, char-length)

@@ -118,36 +118,27 @@ object SqlSurfaceOps {
           |FROM graft_s29_docs GROUP BY 1 ORDER BY bucket""".stripMargin)),
 
     // d26's ExactSubstr excision books as SQL text — the hardest dedup
-    // shape the SQL surface must carry: a higher-order transform lambda
-    // building the window census, MIN over a struct for the canon pick,
-    // the ±1 endpoint sweep (2 events per duplicated window, running
-    // sums recovering coverage/protection per interval — the d26 shape,
-    // NOT a per-position explode), and the gaps-and-islands window, all
-    // in one statement. Compiles to the DataFrame twin's plan
-    // (content-keyed HashAggregate census, join-back against the deduped
-    // dup table, per-doc Window — no product anywhere), so the 100 TB
-    // cost story holds for a SQL-only user.
-    "s30_sql_dupspan" -> ((s, d) =>
-      sqlOn(s, Tables.documents(s, d), "graft_s30_docs",
-        """WITH docs AS (
-          |  SELECT doc_id, source, size(a) AS n_tok, a
-          |  FROM (SELECT doc_id, source, split(text, '\\s+') AS a
-          |        FROM graft_s30_docs)),
-          |wins AS (
-          |  SELECT doc_id, w.st AS st, w.h AS h, w.h2 AS h2, w.wl AS wl
-          |  FROM (SELECT doc_id, explode(transform(sequence(0, n_tok - 10),
-          |      i -> struct(i AS st,
-          |        xxhash64(concat_ws(' ', slice(a, i+1, 10))) AS h,
-          |        xxhash64('d26b', concat_ws(' ', slice(a, i+1, 10))) AS h2,
-          |        length(concat_ws(' ', slice(a, i+1, 10))) AS wl))) AS w
-          |    FROM docs WHERE n_tok >= 10)),
-          |dup AS (
-          |  SELECT h, h2, wl, MIN(struct(doc_id, st)) AS canon_k
-          |  FROM wins GROUP BY h, h2, wl HAVING COUNT(*) >= 2),
-          |occ AS (
-          |  SELECT wins.doc_id, wins.st,
-          |    (struct(wins.doc_id, wins.st) = dup.canon_k) AS canon
-          |  FROM wins JOIN dup USING (h, h2, wl)),
+    // shape the SQL surface must carry: the ±1 endpoint sweep (2 events
+    // per duplicated window, running sums recovering coverage/protection
+    // per interval — the d26 shape, NOT a per-position explode) and the
+    // gaps-and-islands window, all in one statement over the SAME
+    // persisted window-census artifact the DataFrame twin rides
+    // (r13 — [[graft.operators.DedupOps.windowCensusArtifact]]; the
+    // census/dup-stats views ARE the twin's checkpointed frames, so a
+    // SQL-only user gets the build-once-consume-many cost shape too).
+    // Compiles to the DataFrame twin's plan (artifact scans, join-back
+    // against the deduped dup-stats table, per-doc Window — no product
+    // anywhere), so the 100 TB cost story holds for a SQL-only user.
+    "s30_sql_dupspan" -> ((s, d) => {
+      val (meta, wins, dupStats) = DedupOps.windowCensusArtifact(s, d)
+      wins.createOrReplaceTempView("graft_s30_wins")
+      dupStats.createOrReplaceTempView("graft_s30_dup")
+      sqlOn(s, meta, "graft_s30_docs",
+        """WITH occ AS (
+          |  SELECT w.doc_id, w.st,
+          |    (struct(w.doc_id, w.st) = d.canon_k) AS canon
+          |  FROM graft_s30_wins w JOIN graft_s30_dup d
+          |    ON w.h = d.h AND w.h2 = d.h2 AND w.wl = d.wl),
           |events AS (
           |  SELECT doc_id, e.p AS p, SUM(e.dc) AS dc, SUM(e.cc) AS cc
           |  FROM (SELECT doc_id, explode(array(
@@ -190,8 +181,9 @@ object SqlSurfaceOps {
           |  CAST(MAX(COALESCE(p.mx_isl, 0L)) AS BIGINT) AS max_island,
           |  CAST(FLOOR(SUM(COALESCE(p.ex_tokens, 0L)) * 10000.0
           |    / GREATEST(CAST(SUM(d.n_tok) AS BIGINT), 1L)) AS BIGINT) AS excised_bp
-          |FROM docs d LEFT JOIN perdoc p USING (doc_id)
-          |GROUP BY d.source ORDER BY d.source""".stripMargin))
+          |FROM graft_s30_docs d LEFT JOIN perdoc p USING (doc_id)
+          |GROUP BY d.source ORDER BY d.source""".stripMargin)
+    })
   )
 
   /** Oracles are the DataFrame twins' oracles, verbatim — one DuckDB

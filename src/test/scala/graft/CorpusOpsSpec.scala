@@ -856,6 +856,31 @@ class CorpusOpsSpec extends SparkSpec {
     assert(out == expect)
   }
 
+  test("window-census artifact equals a from-scratch recompute (cold-path audit)") {
+    import org.apache.spark.sql.functions._
+    // the artifact the d23a/d24/d26/s30 family rides (warm or cold —
+    // the equality must hold either way)
+    val (meta, wins, dupStats) = operators.DedupOps.windowCensusArtifact(spark, sf)
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("source"), split(col("text"), "\\s+").as("a"))
+      .withColumn("n_tok", size(col("a")))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq.map(String.valueOf).mkString("")).sorted.toSeq
+    assert(rows(meta) == rows(docs.select("doc_id", "source", "n_tok")),
+      "doc-meta frame == recompute")
+    val freshWins = operators.DedupOps.rawWindowCensus(docs)
+    assert(rows(wins) == rows(freshWins), "window census == recompute")
+    val freshDup = freshWins.groupBy("h", "h2", "wl")
+      .agg(count(lit(1)).as("c"), countDistinct(col("doc_id")).as("nd"),
+        min(struct(col("doc_id"), col("st"))).as("canon_k"))
+      .filter(col("c") >= 2)
+    assert(rows(dupStats) == rows(freshDup), "dup stats == recompute")
+    // the cache returns the SAME frames on a second touch (the
+    // build-once contract the family's cost story depends on)
+    val (m2, w2, d2) = operators.DedupOps.windowCensusArtifact(spark, sf)
+    assert((m2 eq meta) && (w2 eq wins) && (d2 eq dupStats))
+  }
+
   test("d26 dupspan excision equals a brute-force canon-protected model at sf0.001") {
     val out = operators.DedupOps.queries("d26_dupspan_excision")(spark, sf)
       .collect()
