@@ -224,6 +224,19 @@ object Bench {
     val enqSync = enq.map(_._1).sorted.apply(1)
     val enqBuf = enq.map(_._2).sorted.apply(1)
 
+    // Multi-producer per-call lane (VERDICT r12 #3): goose's reference
+    // perf client publishes from 25 threads; this lane measures N
+    // producer threads sharing ONE client against one backend root, at
+    // constant total work per point, so the fields compare as aggregate
+    // throughput. The per-call WAL serializes appends on the table
+    // writer's monitor — these numbers price that section's scaling,
+    // published instead of asserted.
+    val enqProducers = Seq(1, 4, 16).map { n =>
+      val (rate, ext) = withExternalLoad(benchEnqueueProducers(spark, n))
+      extLoads(s"enqueue_p$n") = ext
+      n -> rate
+    }
+
     val all = results :+ ("pipeline_noop_100k" -> pipeline._1)
 
     // Second scale point: ONE pass over the pure-query surface at sf0.01
@@ -348,7 +361,7 @@ object Bench {
     def toJson(rows: Seq[(String, Double)], withSf001Detail: Boolean): String = {
       val extra = if (withSf001Detail) f""","queries_sf001":${qjson(sf001)}"""
         else f""","detail_file":"$outFile""""
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${qjson(rows)},"jobs_per_sec":${pipeline._2}%.0f,"jobs_per_sec_samples":${samples.map(s => f"${s._2._2}%.0f").mkString("[", ",", "]")},"enqueue_percall_jobs_sec":$enqSync%.0f,"enqueue_buffered_jobs_sec":$enqBuf%.0f,"enqueue_percall_samples":${enq.map(e => f"${e._1}%.0f").mkString("[", ",", "]")},"enqueue_buffered_samples":${enq.map(e => f"${e._2}%.0f").mkString("[", ",", "]")},"n_queries":${all.size},"samples":3,"wall_sec":$wallSec%.1f,"total_sf001":$totalSf001%.3f,"sf001_skipped":$sf001Skipped,"errored":${sjson(errors)},"errored_sf001":${sjson(errorsSf001)},"leaked_scratch":${sjson(leakedScratch)},"stored_rdds_per_pass":${storedPerPass.mkString("[", ",", "]")},"effective_cores":${coreProbes.map(c => f"$c%.1f").mkString("[", ",", "]")},"external_load_cores":${extLoads.map { case (k, v) => "\"" + k + f"\":$v%.1f" }.mkString("{", ",", "}")},"contended":$contended,"contended_burn":$burnContended,"contended_external":$extContended,"contended_crossround":$crossContended,"sf":$sfNum%.3f,"sf_path":"$sfDir"$extra}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${qjson(rows)},"jobs_per_sec":${pipeline._2}%.0f,"jobs_per_sec_samples":${samples.map(s => f"${s._2._2}%.0f").mkString("[", ",", "]")},"enqueue_percall_jobs_sec":$enqSync%.0f,"enqueue_buffered_jobs_sec":$enqBuf%.0f,"enqueue_percall_samples":${enq.map(e => f"${e._1}%.0f").mkString("[", ",", "]")},"enqueue_buffered_samples":${enq.map(e => f"${e._2}%.0f").mkString("[", ",", "]")},"enqueue_producers":${enqProducers.map { case (n, r) => "\"p" + n + f"\":$r%.0f" }.mkString("{", ",", "}")},"n_queries":${all.size},"samples":3,"wall_sec":$wallSec%.1f,"total_sf001":$totalSf001%.3f,"sf001_skipped":$sf001Skipped,"errored":${sjson(errors)},"errored_sf001":${sjson(errorsSf001)},"leaked_scratch":${sjson(leakedScratch)},"stored_rdds_per_pass":${storedPerPass.mkString("[", ",", "]")},"effective_cores":${coreProbes.map(c => f"$c%.1f").mkString("[", ",", "]")},"external_load_cores":${extLoads.map { case (k, v) => "\"" + k + f"\":$v%.1f" }.mkString("{", ",", "}")},"contended":$contended,"contended_burn":$burnContended,"contended_external":$extContended,"contended_crossround":$crossContended,"sf":$sfNum%.3f,"sf_path":"$sfDir"$extra}"""
     }
     // Full per-query detail → BENCH.json (env-overridable path). Stdout
     // gets a COMPACT line (slowest 10 queries only, plus a detail_file
@@ -451,5 +464,40 @@ object Bench {
       buffered.close()
       val bufSec = (System.nanoTime() - t1) / 1e9
       (nSync / syncSec, nBuf / bufSec)
+    }
+
+  /** Aggregate per-call enqueue rate with `nThreads` producers sharing
+    * ONE client on one fresh backend root (VERDICT r12 #3 — the goose
+    * 25-thread perf-client shape). Constant total work (`total` calls)
+    * regardless of N, split across the threads, so points compare as
+    * aggregate throughput; sized with the warm-up to stay under the WAL
+    * record cap (no fold inside the timed window — same discipline as
+    * the single-producer lane). */
+  def benchEnqueueProducers(spark: SparkSession, nThreads: Int,
+      total: Int = 8192): Double =
+    graft.Scratch.withDir("graft-bench-enqp") { root =>
+      JobRegistry.register("bench_noop", _ => "ok")
+      val client = new graft.client.GraftClient(
+        new ParquetBackend(spark, s"$root/mp"), spark, "bench")
+      var w = 0
+      while (w < 4096) { client.performAsync("bench_noop", w); w += 1 }
+      val per = total / nThreads
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(nThreads)
+      val start = new java.util.concurrent.CountDownLatch(1)
+      try {
+        val tasks = (0 until nThreads).map { _ =>
+          pool.submit(new java.util.concurrent.Callable[Unit] {
+            def call(): Unit = {
+              start.await()
+              var i = 0
+              while (i < per) { client.performAsync("bench_noop", i); i += 1 }
+            }
+          })
+        }
+        val t0 = System.nanoTime()
+        start.countDown()
+        tasks.foreach(_.get(120, java.util.concurrent.TimeUnit.SECONDS))
+        (per.toLong * nThreads) / ((System.nanoTime() - t0) / 1e9)
+      } finally pool.shutdown()
     }
 }

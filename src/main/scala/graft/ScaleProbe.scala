@@ -119,7 +119,7 @@ object ScaleProbe {
       "t17_zipf_slope", "p12_curriculum_phases", "s16_knn_graph",
       "m06_phash_dup_groups", "d23_band_sweep", "p13_unimax_mix",
       "t18_perplexity_buckets", "s17_pq_error",
-      "p14_leakage_safe_split", "t19_bpe_pair_census",
+      "p14_leakage_safe_split", "t19_bpe_pair_census", "t22_bpe_apply",
       "d23a_window_census",
       "d24_window_coverage", "s18_range_search", "s19_ivf_balance",
       "d25_editdist_verify", "s20_embedding_drift", "t20_encoding_audit",

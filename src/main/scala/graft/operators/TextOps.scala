@@ -33,6 +33,61 @@ object TextOps {
   // non-space symbol (the GPT-2 pre-tokenizer shape, simplified).
   private val BpeTok = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"
 
+  /** Offline BPE trainer (the [[BpeMerges]] artifact builder — run once
+    * per tokenizer release, never in a gate's hot path): Sennrich et al.
+    * 2016 iterated to `n` merges over whitespace words. Per rank, encode
+    * every word with the merges learned so far (each merged symbol is
+    * ONE private-use char, U+E000+rank, so encoding is a fold of literal
+    * replaces and every adjacent symbol pair is a 2-char substring),
+    * census all adjacent pairs (t19's kernel), and merge the most
+    * frequent — ties broken by pair asc, so the table is deterministic
+    * for a fixed corpus. The per-iteration census is one scan + one
+    * rollup + a top-1 collect; at 100 TB production trainers update the
+    * census incrementally instead of rescanning (t19's note) — this
+    * exhaustive form is the spec of WHAT each iteration computes. */
+  private[graft] def trainBpeMerges(docs: DataFrame, n: Int): Seq[(String, String)] = {
+    val words = docs
+      .select(explode(split(col("text"), "\\s+")).as("tok"))
+      .filter(col("tok") =!= "")
+    var merges = Vector.empty[(String, String)]
+    var done = false
+    while (merges.size < n && !done) {
+      val enc = merges.foldLeft(col("tok")) { case (c, (p, m)) =>
+        replace(c, lit(p), lit(m))
+      }
+      val top = words.select(enc.as("e"))
+        .filter(length(col("e")) >= 2)
+        .withColumn("g", explode(sequence(lit(1), length(col("e")) - 1)))
+        .select(col("e").substr(col("g"), lit(2)).as("pair"))
+        .groupBy("pair").agg(count(lit(1)).as("n_occ"))
+        .orderBy(col("n_occ").desc, col("pair").asc)
+        .limit(1).collect()
+      if (top.isEmpty) done = true
+      else merges :+= (top(0).getString(0) ->
+        new String(Character.toChars(0xE000 + merges.size)))
+    }
+    merges
+  }
+
+  // trainBpeMerges(documents@sf0.01, 24) output, pair strings in rank
+  // order ("\uE0xx" = the rank-xx merged symbol appearing inside a later
+  // pair). Regenerate with the trainer if the corpus snapshot changes;
+  // the CorpusOpsSpec pin will name the drift.
+  private val BpeMergesTrained: Seq[String] = Seq("er", "in", "ow",
+    "or", "st", "m\uE000", "at", "lu", "ar", "p\uE008", "jo",
+    "\uE00A\uE001", "as", "h\uE00C", "\uE00Dh", "r\uE002", "b\uE006",
+    "ch", "\uE010\uE011", "an", "c\uE013", "s\uE014", "co", "cu")
+
+  /** The pinned t22 merge table: [[trainBpeMerges]] at sf0.01, 24 merges
+    * (CorpusOpsSpec re-trains and asserts this pin, so the constant can
+    * never drift from the recipe silently). Pairs may reference earlier
+    * merge outputs (the U+E0xx chars) — rank-order application is the
+    * BPE contract. */
+  private[graft] val BpeMerges: Seq[(String, String)] =
+    BpeMergesTrained.zipWithIndex.map { case (p, i) =>
+      p -> new String(Character.toChars(0xE000 + i))
+    }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Language-ID: argmax of stopword-hit counts; 'und' (undetermined)
     // when nothing matches. Reported as a confusion summary vs the lang
@@ -526,6 +581,43 @@ object TextOps {
         .orderBy(col("n_occ").desc, col("pair").asc)
         .limit(20)),
 
+    // BPE APPLICATION — the tokenizer step every token-budget operator
+    // (p02/p07/p11/p13) proxies with whitespace tokens (VERDICT r12 #5):
+    // apply a FIXED, deterministic merge table to every word and book
+    // per-source token totals + chars/token. The merge table is a build
+    // artifact trained OFFLINE at sf0.01 by [[trainBpeMerges]] (t19's
+    // pair census iterated to its fixpoint: per rank, re-encode with the
+    // merges so far, take the most frequent adjacent symbol pair, ties
+    // by pair asc — the Sennrich et al. 2016 loop) and pinned as the
+    // [[BpeMerges]] constant; a spec re-trains and asserts the pin.
+    // Each merged symbol is ONE private-use char (U+E000+rank), so rank-
+    // order application is a fold of literal `replace` calls — leftmost
+    // non-overlapping, identical semantics in Spark and DuckDB — and the
+    // post-merge TOKEN COUNT is just the encoded string's length. Cost
+    // shape at 100 TB: the encode is scan-local (a chain of codegen'd
+    // replaces inside the scan's project — no shuffle, no UDF), followed
+    // by ONE per-source rollup; the merge table rides the plan as
+    // literals, the broadcast-a-constant degenerate case. All-integer
+    // books: chars/token in floor basis points.
+    "t22_bpe_apply" -> ((s, d) => {
+      val enc = BpeMerges.foldLeft(col("tok")) { case (c, (p, m)) =>
+        replace(c, lit(p), lit(m))
+      }
+      Tables.documents(s, d)
+        .select(col("source"), explode(split(col("text"), "\\s+")).as("tok"))
+        .filter(col("tok") =!= "")
+        .select(col("source"), length(col("tok")).cast("long").as("nc"),
+          length(enc).cast("long").as("nt"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_words"), sum("nc").as("n_chars"),
+          sum("nt").as("n_tokens"))
+        .withColumn("chars_per_token_bp",
+          floor(col("n_chars") * 10000.0 /
+            greatest(col("n_tokens"), lit(1L))).cast("long"))
+        .select("source", "n_words", "n_chars", "n_tokens", "chars_per_token_bp")
+        .orderBy("source")
+    }),
+
     "t17_zipf_slope" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       val counts = Tables.documents(s, d)
@@ -887,6 +979,26 @@ object TextOps {
         |  CAST(COUNT(DISTINCT tok) AS BIGINT) AS n_types
         |FROM pairs GROUP BY pair
         |ORDER BY n_occ DESC, pair ASC LIMIT 20""".stripMargin,
+    // t22: the SAME pinned merge table applied in rank order as a chain
+    // of literal replaces (generated from the BpeMerges constant, quotes
+    // SQL-escaped; merged symbols are the literal U+E0xx chars, single
+    // characters in both engines, so token count == encoded length)
+    "t22_bpe_apply" -> {
+      val encSql = BpeMerges.foldLeft("tok") { case (e, (p, m)) =>
+        s"replace($e, '${p.replace("'", "''")}', '$m')"
+      }
+      s"""WITH w AS (
+         |  SELECT source, unnest(regexp_split_to_array(text, '\\s+')) AS tok
+         |  FROM documents),
+         |f AS (SELECT source, tok FROM w WHERE tok <> ''),
+         |enc AS (SELECT source, length(tok) AS nc, length($encSql) AS nt FROM f)
+         |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_words,
+         |  CAST(SUM(nc) AS BIGINT) AS n_chars,
+         |  CAST(SUM(nt) AS BIGINT) AS n_tokens,
+         |  CAST(FLOOR(SUM(nc) * 10000.0 / GREATEST(SUM(nt), 1)) AS BIGINT)
+         |    AS chars_per_token_bp
+         |FROM enc GROUP BY source ORDER BY source""".stripMargin
+    },
     "t17_zipf_slope" ->
       """WITH toks AS (
         |  SELECT source, unnest(regexp_split_to_array(text, '\s+')) AS tok

@@ -480,4 +480,129 @@ class CommitLogBackendSpec extends SparkSpec {
     val after = new CommitLogBackend(spark, root).readyJobs.collect().map(_.id).toSeq
     assert(after.sorted == expected.drop(expected.size / 2).sorted)
   }
+
+  test("soak with writer DEATH mid-payload: torn claim blocks only its window, ages out, orphan reclaimed") {
+    // The death case the settled-boundary vacuum exists for, soaked under
+    // real churn instead of fixture-staged (VERDICT r12 #6): a writer
+    // dies BETWEEN its version claim and payload completion (the
+    // HDFS-like torn window; local hard-link commits can't tear, so the
+    // torn claim is injected the way the fixture tests stage it) while
+    // live writers, a vacuum loop and cold-cache readers keep running.
+    // Invariants: while the torn claim is young it blocks only the fold
+    // PAST it (no duplicate or phantom visibility below, commits above
+    // keep landing, vacuum reclaims nothing it shouldn't); once aged, the
+    // claim "never happened" — every live writer's row is visible exactly
+    // once, the dead writer's staged data file is age-reclaimed, and
+    // checkpointing resumes.
+    val root = tmpDir("graft-cl-death")
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val nWriters = 3; val nBatches = 10; val rowsPer = 2
+    val writersB = (0 until nWriters).map(_ =>
+      new CommitLogBackend(spark, root, checkpointEvery = 5))
+    val vacB = new CommitLogBackend(spark, root, checkpointEvery = 5)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(nWriters + 2)
+    val done = new java.util.concurrent.atomic.AtomicBoolean(false)
+    def runWriters(half: Int): Unit = {
+      val fs2 = (0 until nWriters).map { w =>
+        pool.submit(new java.util.concurrent.Callable[Unit] {
+          def call(): Unit = (0 until nBatches / 2).foreach { n =>
+            writersB(w).enqueueRows((0 until rowsPer).map(r =>
+              job(s"w$w-h$half-b$n-r$r")))
+          }
+        })
+      }
+      fs2.foreach(_.get(120, java.util.concurrent.TimeUnit.SECONDS))
+    }
+    val vacuumer = pool.submit(new java.util.concurrent.Callable[Unit] {
+      def call(): Unit = while (!done.get()) { vacB.vacuum(); Thread.sleep(3) }
+    })
+    val reader = pool.submit(new java.util.concurrent.Callable[Unit] {
+      def call(): Unit = while (!done.get()) {
+        val seen = new CommitLogBackend(spark, root).readyJobs
+          .collect().map(_.id).toSeq
+        assert(seen.distinct.size == seen.size,
+          s"duplicate visibility under the torn block: ${seen.diff(seen.distinct).take(5)}")
+        assert(seen.forall(_.startsWith("w")), "phantom row from the dead writer")
+        Thread.sleep(5)
+      }
+    })
+    try {
+      runWriters(0)
+      // the dying writer: stage a data file the way stage() would...
+      Seq(job("doomed")).toDS().coalesce(1)
+        .write.mode("append").parquet(s"$root/ready")
+      val referenced = fs.listStatus(new org.apache.hadoop.fs.Path(s"$root/_log"))
+        .filter(_.getPath.getName.endsWith(".commit"))
+        .flatMap { st =>
+          val in = fs.open(st.getPath)
+          val txt = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+          txt.split('\n').collect { case l if l.startsWith("add\t") => l.split('\t')(2) }
+        }.toSet
+      // NOTE "unreferenced by a surviving commit" is NOT "garbage": the
+      // vacuum loop truncates commits behind each checkpoint, so files
+      // added by truncated commits are live-in-checkpoint yet invisible
+      // to this scan. The dead writer's stage went through the Spark
+      // writer (part-*), the live writers' through DirectParquetAppend
+      // (data-*) — the part-* member of the unreferenced set IS the
+      // orphan, unambiguously.
+      val orphan = fs.listStatus(new org.apache.hadoop.fs.Path(s"$root/ready"))
+        .map(_.getPath.getName).filter(_.endsWith(".parquet"))
+        .filterNot(referenced).filter(_.startsWith("part-")).head
+      // ...then claim the next free version with an INCOMPLETE payload
+      // (no end trailer) and die. Claim races live committers: retry up.
+      var tornPath: org.apache.hadoop.fs.Path = null
+      var v = vacB.logVersion + 1
+      while (tornPath == null) {
+        val p = new org.apache.hadoop.fs.Path(f"$root/_log/$v%012d.commit")
+        try {
+          val out = fs.create(p, false)
+          out.write(s"add\tready\t$orphan\n".getBytes("UTF-8"))
+          out.close()
+          tornPath = p
+        } catch { case _: java.io.IOException => v += 1 }
+      }
+      // live writers + vacuum churn continue above the torn claim
+      runWriters(1)
+      // while young: the fold stops at the settled prefix — second-half
+      // rows (above the claim) are invisible, nothing duplicates, and
+      // the orphan data file is NOT reclaimed (age gate)
+      val blocked = new CommitLogBackend(spark, root).readyJobs
+        .collect().map(_.id).toSeq
+      val expected = for {
+        w <- 0 until nWriters; h <- 0 to 1; n <- 0 until nBatches / 2
+        r <- 0 until rowsPer
+      } yield s"w$w-h$h-b$n-r$r"
+      assert(blocked.distinct.size == blocked.size)
+      assert(blocked.toSet.subsetOf(expected.toSet))
+      assert(blocked.size < expected.size, "the torn claim actually blocked the fold")
+      vacB.vacuum()
+      assert(fs.exists(new org.apache.hadoop.fs.Path(s"$root/ready/$orphan")),
+        "a YOUNG unreferenced stage file must survive vacuum (its writer may be alive)")
+      // the writer is dead: age the claim and its staged file past the
+      // abandoned window (what wall-clock would do in 10 minutes)
+      val old = System.currentTimeMillis() - CommitLogBackend.AbandonedCommitMs - 60000
+      fs.setTimes(tornPath, old, old)
+      fs.setTimes(new org.apache.hadoop.fs.Path(s"$root/ready/$orphan"), old, old)
+      done.set(true)
+      vacuumer.get(30, java.util.concurrent.TimeUnit.SECONDS)
+      reader.get(30, java.util.concurrent.TimeUnit.SECONDS)
+      // aged out: the claim never happened — exactly-once visibility of
+      // every live writer's row, and vacuum reclaims the orphan
+      val ids = new CommitLogBackend(spark, root).readyJobs
+        .collect().map(_.id).toSeq
+      assert(ids.sorted == expected.sorted,
+        s"lost=${(expected.toSet -- ids.toSet).take(5)} dup=${ids.diff(ids.distinct).take(5)}")
+      new CommitLogBackend(spark, root, checkpointEvery = 5).vacuum()
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$root/ready/$orphan")),
+        "the dead writer's staged file is age-reclaimed")
+      // checkpointing resumes past the skipped claim and a fresh process
+      // seeds to the same exactly-once state
+      val b2 = new CommitLogBackend(spark, root, checkpointEvery = 5)
+      (1 to 10).foreach(i => b2.enqueueRows(Seq(job(s"post-$i"))))
+      val finalIds = new CommitLogBackend(spark, root).readyJobs
+        .collect().map(_.id).toSeq
+      assert(finalIds.sorted == (expected ++ (1 to 10).map(i => s"post-$i")).sorted)
+    } finally { done.set(true); pool.shutdownNow() }
+  }
 }

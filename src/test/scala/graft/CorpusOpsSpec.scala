@@ -735,6 +735,35 @@ class CorpusOpsSpec extends SparkSpec {
     }
   }
 
+  test("t22 merge table pin: trainBpeMerges at sf0.01 reproduces the BpeMerges constant") {
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    val trained = operators.TextOps.trainBpeMerges(docs, 24)
+    assert(trained == operators.TextOps.BpeMerges,
+      s"merge-table drift: trained=${trained.map(_._1)} " +
+        s"pinned=${operators.TextOps.BpeMerges.map(_._1)}")
+  }
+
+  test("t22 bpe apply equals a brute-force rank-order encode at sf0.001") {
+    val out = operators.TextOps.queries("t22_bpe_apply")(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val merges = operators.TextOps.BpeMerges
+    val expect = docs.groupBy(_._1).map { case (src, ds) =>
+      val words = ds.flatMap(_._2.split("\\s+", -1)).filter(_.nonEmpty)
+      val encs = words.map(w =>
+        merges.foldLeft(w) { case (e, (p, m)) => e.replace(p, m) })
+      val (nc, nt) = (words.map(_.length.toLong).sum, encs.map(_.length.toLong).sum)
+      src -> ((words.length.toLong, nc, nt,
+        math.floor(nc * 10000.0 / math.max(nt, 1L)).toLong))
+    }
+    assert(out == expect)
+    // the table actually compresses this corpus (merges fire for real)
+    assert(out.values.map(_._3).sum < out.values.map(_._2).sum)
+  }
+
   test("s17 pq error: bp fields bounded, census covers every vector") {
     val sf01 = "/root/testdata/sf0.01"
     val rows = operators.SimilarityOps.queries("s17_pq_error")(spark, sf01).collect()

@@ -214,6 +214,47 @@ class WalStoreSpec extends SparkSpec {
     assert(backend.scheduledJobs.count() == 12)
   }
 
+  test("concurrent producers racing folds: every per-call enqueue lands exactly once") {
+    // The durability envelope under concurrency (VERDICT r12 #3): N
+    // producer threads share ONE client against one backend root —
+    // goose's 25-thread perf-client shape — while a compaction loop
+    // folds the ready WAL into parquet under them. No append may be
+    // lost (truncated with a fold that didn't include it) and none may
+    // double (visible on both the WAL tail and the folded parquet).
+    val (root, backend) = freshBackend()
+    val client = clientOn(backend, () => T0)
+    val nThreads = 8; val perThread = 150
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(nThreads + 1)
+    val done = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val ids = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    try {
+      val folder = pool.submit(new java.util.concurrent.Callable[Unit] {
+        def call(): Unit = while (!done.get()) {
+          backend.compact("ready"); Thread.sleep(2)
+        }
+      })
+      val producers = (0 until nThreads).map { t =>
+        pool.submit(new java.util.concurrent.Callable[Unit] {
+          def call(): Unit = (0 until perThread).foreach { i =>
+            ids.add(client.performAsync("ok", t, i)); ()
+          }
+        })
+      }
+      producers.foreach(_.get(120, java.util.concurrent.TimeUnit.SECONDS))
+      done.set(true)
+      folder.get(30, java.util.concurrent.TimeUnit.SECONDS)
+    } finally { done.set(true); pool.shutdownNow() }
+    backend.compact("ready")
+    assert(WalStore.recordCount(root, "ready", JobEnc) == 0)
+    val seen = backend.readyJobs.collect().map(_.id).toSeq
+    assert(seen.distinct.size == seen.size,
+      s"double-visible enqueue: ${seen.diff(seen.distinct).take(5)}")
+    import scala.jdk.CollectionConverters._
+    assert(seen.toSet == ids.asScala.toSet,
+      s"lost=${(ids.asScala.toSet -- seen.toSet).take(5)}")
+    assert(seen.size == nThreads * perThread)
+  }
+
   /** A ParquetBackend whose replaceLog fires `inject` once, for the
     * named table, AFTER the compaction caller materialized survivors
     * but BEFORE the swap — the exact window ADVICE r9 flagged as
