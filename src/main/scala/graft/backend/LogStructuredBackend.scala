@@ -332,6 +332,39 @@ abstract class LogStructuredBackend(val spark: SparkSession) extends QueueBacken
             .toDS().coalesce(1))
         return
       }
+      if (tbl == "completions") {
+        // Standalone-safe completions fold — GraftWorker's LIGHT
+        // compaction lane (r13 fleet find): mid-drain the consumption
+        // log is the fastest-growing file pressure (one append per
+        // micro-batch per worker), but relieving it through the "ready"
+        // fold rewrites the ready SURVIVOR set, and every streaming
+        // worker's file source re-ingests that file — N workers re-scan
+        // the whole remaining backlog per fold (measured 2.9× the
+        // 1-worker wall on a 2-worker drain; SCALING.md fleet rows). This
+        // fold coalesces completions WITHOUT touching ready. A completion
+        // may be GC'd only when BOTH hold: no ready-log row with its job
+        // id remains (readySurvivors subtracts completions by
+        // (id, attempt) — dropping one while its row is still in the log
+        // would make the consumed attempt visible again), and its batch
+        // is terminal or absent (the tracker re-derives live-batch status
+        // from member completions). Mid-drain that keeps every row — the
+        // win is the file-count collapse feeding the per-micro-batch
+        // visibility anti-join. foldSnapshot arms the delta mark, so an
+        // event landing mid-fold survives the replace; the ready side is
+        // a plain readLog — this fold never replaces ready, and an armed
+        // ready mark would leak into a later unrelated replace.
+        val comps = foldSnapshot[CompletionEvent]("completions")
+        val readyIds = readLog[Job]("ready").select($"id".as("s_id")).distinct()
+        val terminalB = readLog[BatchStatusEvent]("batch_status")
+          .filter(e => BatchStatus.terminal(e.status)).select($"batchId".as("tb"))
+        val liveBatches = readLog[BatchMeta]("batches").select($"id".as("lb"))
+          .join(terminalB, $"lb" === $"tb", "left_anti")
+        replaceLog("completions",
+          comps.join(readyIds, $"jobId" === $"s_id", "left_semi")
+            .union(comps.join(liveBatches, $"batchId" === $"lb", "left_semi"))
+            .distinct().as[CompletionEvent])
+        return
+      }
       // Snapshot the tombstones BEFORE computing the survivor set: the
       // set it is safe to drop is exactly the `tbl` rows of THIS
       // snapshot — the ones the survivor computation could apply. The

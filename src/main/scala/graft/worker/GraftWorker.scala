@@ -37,6 +37,13 @@ final class GraftWorker(
       * bound — goose gets the same GC for free from Redis key deletion. */
     compactEveryTicks: Int = 30,
     compactMinFiles: Int = 64,
+    /** Flood bound for the policy-triggered "ready" fold: when only
+      * completions pressure asks for it, the fold runs IF the visible
+      * backlog (≈ the survivor rows the rewrite would re-deliver to every
+      * streaming worker's file source) is at most this many rows — the
+      * post-drain GC shape. A larger backlog gets the standalone
+      * completions fold instead (see [[compactionPolicy]]). */
+    compactMaxRedeliverRows: Long = 4096,
     /** Batch tracking mount. Default: a second streaming query
       * (BatchTracker.startStream) — per-key checkpointed state, no
       * per-tick rescan of completion history. false = the batch-mode
@@ -85,16 +92,59 @@ final class GraftWorker(
   /** Number of compaction rounds run (policy-triggered or manual). */
   val compactionsRun = new java.util.concurrent.atomic.AtomicInteger(0)
 
-  /** Data-file pressure feeding the compaction policy. Counted through
-    * the backend's own storage (Hadoop FileSystem / manifest snapshot),
-    * not java.io.File — an hdfs:// or s3a:// root would otherwise always
-    * report 0 and the policy would silently never fire. */
-  private def logFileCount(): Int = {
-    val tables = Seq("ready", "scheduled", "dead", "completions", "tombstones", "purges")
-    backend match {
-      case ls: graft.backend.LogStructuredBackend => tables.map(ls.dataFileCount).sum
-      case _ => 0 // driver-local backends have no file pressure
-    }
+  /** The compaction decision, per policy round (r13 — replaces the
+    * aggregate file-count trigger after the fleet probe exposed its
+    * pathology): file pressure is counted PER TABLE through the backend's
+    * own storage (Hadoop FileSystem / manifest snapshot, never
+    * java.io.File — an hdfs:// or s3a:// root would otherwise report 0
+    * and the policy would silently never fire), and the expensive fold —
+    * the "ready" rewrite, whose survivor file every streaming worker's
+    * file source RE-INGESTS — only runs when either the enqueue side
+    * itself built the pressure (tiny per-call files: the rewrite's
+    * re-delivery is then pending work the streams must scan anyway) or
+    * the re-delivery is provably small (pending backlog ≤
+    * `compactMaxRedeliverRows` — the post-drain GC that shrinks ready and
+    * completions to their survivor sets). Mid-drain, completions pressure
+    * (one file per micro-batch per worker — the fastest grower) is
+    * relieved by the standalone completions fold instead, which never
+    * touches ready. The old SUM-of-tables trigger folded ready on
+    * completions churn: a 2-worker 200k-job fleet drain ran 2.9× the
+    * 1-worker wall, every fold re-delivering the full remainder to both
+    * file sources (SCALING.md fleet rows). */
+  private[graft] def compactionPolicy(): Unit = backend match {
+    case ls: graft.backend.LogStructuredBackend =>
+      def n(t: String) = ls.dataFileCount(t)
+      val enqueuePressure = n("ready") + n("tombstones") + n("purges")
+      val compsPressure = n("completions")
+      val fullFold =
+        enqueuePressure > compactMinFiles || (compsPressure > compactMinFiles && {
+          // visible backlog ≈ the rows a ready rewrite would re-deliver
+          // to every worker's stream; one bounded count per policy round
+          val pending = withReadGateValue(backend.readyJobs.count())
+          pending <= compactMaxRedeliverRows
+        })
+      if (fullFold) compactNow()
+      else {
+        var folded = false
+        def light(t: String): Unit = {
+          gate.writeLock().lock()
+          try backend.compact(t) finally gate.writeLock().unlock()
+          folded = true
+        }
+        if (compsPressure > compactMinFiles) light("completions")
+        if (n("scheduled") > compactMinFiles) light("scheduled")
+        if (n("dead") > compactMinFiles) light("dead")
+        if (n("cron") > compactMinFiles) light("cron")
+        // manifest backends retain replaced files for snapshot readers;
+        // reclaim under the write gate, like compactNow
+        if (folded) backend match {
+          case cl: graft.backend.CommitLogBackend =>
+            gate.writeLock().lock()
+            try cl.vacuum() finally gate.writeLock().unlock()
+          case _ =>
+        }
+      }
+    case _ => // driver-local backends have no file pressure
   }
 
   /** D8 linger retention on the compaction cadence: terminal batches past
@@ -142,6 +192,11 @@ final class GraftWorker(
   @volatile private var maintenance: Thread = _
 
   private def withReadGate(body: => Unit): Unit = {
+    gate.readLock().lock()
+    try body finally gate.readLock().unlock()
+  }
+
+  private def withReadGateValue[A](body: => A): A = {
     gate.readLock().lock()
     try body finally gate.readLock().unlock()
   }
@@ -196,7 +251,7 @@ final class GraftWorker(
                 lsb.sweepStaging(graft.backend.CommitLogBackend.AbandonedCommitMs)
               case _ =>
             }
-            if (logFileCount() > compactMinFiles) compactNow()
+            compactionPolicy()
           }
         } catch {
           case _: InterruptedException => // stopping

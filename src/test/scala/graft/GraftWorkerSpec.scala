@@ -138,6 +138,57 @@ class GraftWorkerSpec extends SparkSpec {
       s"expected folded logs to shrink: before=$filesBefore after=${fileCount()}")
   }
 
+  test("per-table compaction policy: completions churn never rewrites ready mid-drain (r13 fleet find)") {
+    // The fleet probe measured a 2-worker drain at 2.9× the 1-worker
+    // wall: the old SUM-of-tables trigger folded "ready" on completions
+    // churn, and every fold's survivor rewrite was re-ingested by every
+    // worker's streaming file source. The policy must relieve completions
+    // pressure WITHOUT touching ready while a backlog is pending, and
+    // escalate to the full fold once the re-delivery would be small.
+    val root = tmpDir("graft-policy")
+    val backend = new graft.backend.CommitLogBackend(spark, root)
+    import spark.implicits._
+    val t0 = 1700000000000L
+    val retry = RetryOpts()
+    def mkJob(i: Int) = Job(id = s"j$i", executeFnSym = "ok", argsJson = "[]",
+      queue = "test", readyQueue = "test", priority = 0, enqueuedAt = t0,
+      scheduleRunAt = None, cronRunAt = None, batchId = None,
+      retryOpts = retry, state = None, seq = Job.nextSeq())
+    backend.enqueue(spark.createDataset((1 to 100).map(mkJob)).coalesce(2))
+    def comp(i: Int) = CompletionEvent(s"j$i", 0, None, "test", "success",
+      wasRetried = false, None, 1L, t0 + i)
+    // the per-micro-batch shape: one small completions file per commit
+    (1 to 50).grouped(5).foreach(g =>
+      backend.recordCompletions(spark.createDataset(g.map(comp)).coalesce(1)))
+    val worker = new GraftWorker(backend, spark, root,
+      compactMinFiles = 8, compactMaxRedeliverRows = 10)
+    val readyFiles = backend.dataFileCount("ready")
+    assert(readyFiles <= 8 && backend.dataFileCount("completions") >= 9)
+    val visBefore = backend.readyJobs.select("id").as[String].collect().toSet
+    assert(visBefore.size == 50)
+
+    worker.compactionPolicy() // completions pressure; 50 pending > 10
+
+    assert(worker.compactionsRun.get() == 0, "mid-drain: no full fold")
+    assert(backend.dataFileCount("ready") == readyFiles,
+      "ready log untouched — nothing re-delivered to worker file sources")
+    assert(backend.dataFileCount("completions") <= 2, "churn collapsed")
+    assert(backend.completions.count() == 50,
+      "every completion kept: its job row is still in the ready log")
+    assert(backend.readyJobs.select("id").as[String].collect().toSet == visBefore,
+      "visibility unchanged across the light fold")
+
+    // drain the rest; backlog 0 ≤ compactMaxRedeliverRows → the policy
+    // escalates to the full fold and the logs shrink to survivor sets
+    (51 to 100).grouped(5).foreach(g =>
+      backend.recordCompletions(spark.createDataset(g.map(comp)).coalesce(1)))
+    worker.compactionPolicy()
+    assert(worker.compactionsRun.get() == 1, "post-drain: full fold ran")
+    assert(backend.readyJobs.isEmpty)
+    assert(backend.completions.count() == 0,
+      "drained completions GC'd by the paired ready fold")
+  }
+
   test("latency source selection mirrors job.clj:45-61") {
     val base = Job("fn", Nil, "q", RetryOpts())
     val now = base.enqueuedAt + 500
