@@ -290,6 +290,67 @@ object ScaleProbe {
       println(f"PROBE pipeline: $sec1%.2fs ($jps1%.0f j/s) -> $sec10%.2fs ($jps10%.0f j/s)")
     }
 
+    // D15 fleet at scale (VERDICT r12 #4 — q54's shape priced): N live
+    // GraftWorker instances (worker 0 = the coordinator, running the
+    // global maintenance duties beside its consumption) drain one
+    // workload from ONE shared CommitLogBackend root, each through its
+    // OWN backend instance — the separate-process multi-writer shape the
+    // manifest log's optimistic version claim exists for. Jobs split
+    // across N queues (one per worker); noop bodies, so the row prices
+    // commit-claim contention + coordinator-tick interference, not the
+    // retry path (the pipeline row above prices that; q54 gates fleet
+    // retry/cron semantics). Published beside the wall: the fleet-wide
+    // lost-claim count (each is one extra list+claim round trip) and an
+    // exactly-once completion audit over the shared log.
+    def timeFleet(nWorkers: Int, n: Int): (Double, Long) =
+      graft.Scratch.withDir(s"probe-fleet-$nWorkers") { root =>
+        import spark.implicits._
+        graft.model.JobRegistry.register("probe_noop", _ => "ok")
+        val t0v = 1700000000000L
+        val retry = graft.model.RetryOpts()
+        val backends = (0 until nWorkers).map(_ =>
+          new graft.backend.CommitLogBackend(spark, root))
+        backends.head.enqueue(
+          spark.range(0, n, 1, math.max(8, n / 12500)).map { i =>
+            val q = s"fleet${i % nWorkers}"
+            graft.model.Job(
+              id = i.toString, executeFnSym = "probe_noop", argsJson = "[]",
+              queue = q, readyQueue = q, priority = 0, enqueuedAt = t0v,
+              scheduleRunAt = None, cronRunAt = None, batchId = None,
+              retryOpts = retry, state = None, seq = graft.model.Job.nextSeq())
+          })
+        val claimed0 = backends.map(_.claimRetries.get).sum
+        val workers = backends.zipWithIndex.map { case (b, i) =>
+          new graft.worker.GraftWorker(b, spark, root,
+            trigger = org.apache.spark.sql.streaming.Trigger
+              .ProcessingTime("100 milliseconds"),
+            maintenanceIntervalMs = 200, queue = Some(s"fleet$i"),
+            coordinator = i == 0, nowFn = () => t0v)
+        }
+        val t0 = System.nanoTime()
+        workers.foreach(_.start())
+        val sec = try {
+          workers.foreach(w => require(w.awaitDrained(600000), "fleet drain timeout"))
+          (System.nanoTime() - t0) / 1e9
+        } finally workers.foreach(_.stop(graceful = true))
+        // exactly-once over the shared log: no lost or double-executed
+        // job across the fleet (a contention pathology would land here)
+        val doneIds = backends.head.completions.toDF()
+          .filter(org.apache.spark.sql.functions.col("terminalState") === "success")
+          .select("jobId").distinct().count()
+        require(doneIds == n, s"fleet drain not exactly-once: $doneIds of $n")
+        (sec, backends.map(_.claimRetries.get).sum - claimed0)
+      }
+    locally {
+      val n = 200000
+      val fleet = Seq(1, 2, 4).map(w => w -> timeFleet(w, n))
+      val (w1sec, _) = fleet.head._2
+      fleet.foreach { case (w, (sec, claims)) =>
+        sb.append(f"| fleet drain ($w worker(s), ${n / 1000}k jobs, shared commit-log root) | $w1sec%.2f | $sec%.2f | ${sec / w1sec}%.2f× | ${n / sec}%.0f jobs/s aggregate; $claims lost claim races |\n")
+        println(f"PROBE fleet$w: $sec%.2fs (${n / sec}%.0f j/s, $claims lost claims)")
+      }
+    }
+
     // D10 orphan recovery at scale: a crashed worker's unconsumed
     // attempts are exactly the ready rows with no (id, attempt)
     // completion record, and recovery is an ordinary pass over that

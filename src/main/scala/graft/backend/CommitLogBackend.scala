@@ -14,7 +14,10 @@ import graft.model.ModelEncoders._
   *  - Data files are immutable parquet parts under `root/<tbl>/`; the
   *    directory listing is NEVER trusted.
   *  - The table state lives in `root/_log/<version>.commit` files, each
-  *    holding `add tbl file` / `replace tbl file...` records (plain
+  *    holding `add tbl file` / `retract tbl file...` (a fold's
+  *    remove-these-add-those, Delta/Iceberg's remove/add actions — see
+  *    [[replaceLog]]) / `replace tbl file...` (wholesale overwrite,
+  *    delete-intent callers and checkpoints only) records (plain
   *    tab-separated lines; version = zero-padded file name).
   *  - A reader resolves the CURRENT snapshot by folding the commit files
   *    in version order — so a reader planning at version N keeps a
@@ -116,6 +119,12 @@ final class CommitLogBackend(
     * `create(overwrite=false)` on HDFS-like stores (see [[tryClaim]]).
     * No check-then-act window. */
   private val commitLock = new Object
+
+  /** Lost optimistic version-claim races on THIS instance (each is one
+    * extra list+claim round trip). Pure diagnostics: the fleet scale
+    * probe publishes the fleet-wide sum beside aggregate drain
+    * throughput so multi-writer contention is priced, not asserted. */
+  val claimRetries = new java.util.concurrent.atomic.AtomicLong
 
   // ---------- commit log ----------
 
@@ -291,6 +300,11 @@ final class CommitLogBackend(
           line.split('\t') match {
             case Array("add", tbl, file) => state += tbl -> (state(tbl) :+ file)
             case Array("replace", tbl, rest @ _*) => state += tbl -> rest.toVector
+            // fold replace: drop exactly the files the fold consumed; an
+            // add that raced the fold is not in the list and survives
+            case Array("retract", tbl, rest @ _*) =>
+              val dead = rest.toSet
+              state += tbl -> state(tbl).filterNot(dead)
             case other => throw new IllegalStateException(
               s"corrupt commit record in ${p.getName}: ${other.mkString("\t")}")
           }
@@ -318,6 +332,7 @@ final class CommitLogBackend(
         if (tryClaim(new Path(logDir, f"$n%012d.commit"), payload)) claimed = n
         else {
           attempt += 1
+          claimRetries.incrementAndGet()
           if (attempt > 1000)
             throw new IllegalStateException("commit contention livelock")
         }
@@ -516,6 +531,33 @@ final class CommitLogBackend(
     else spark.read.parquet(files: _*).as[T]
   }
 
+  /** The exact per-table file set the current thread's last
+    * [[foldSnapshot]] resolved, consumed by the next [[replaceLog]] on
+    * that table (the same mark discipline as ParquetBackend's delta
+    * rescue, serving the manifest equivalent): a fold's replace commits
+    * as `retract <the files it read>` + `add <its output>` instead of a
+    * wholesale `replace`, so a concurrent cross-instance append —
+    * another fleet worker's enqueue or completion landing between the
+    * fold's snapshot and the replace commit — keeps its file in the
+    * snapshot instead of being silently wiped by a full-set overwrite
+    * (r13 find: the wholesale record lost racing appends in version
+    * order; reachable the moment a coordinator compacts while scoped
+    * workers commit through their own instances, the q54 fleet shape). */
+  private val foldMarks = new ThreadLocal[scala.collection.mutable.Map[String, Vector[String]]] {
+    override def initialValue() = scala.collection.mutable.Map.empty[String, Vector[String]]
+  }
+
+  override protected def foldSnapshot[T: Encoder](tbl: String): Dataset[T] = {
+    // resolve the file list ONCE and bake the same list into both the
+    // mark and the plan — two snapshot() calls could straddle a commit
+    val files = snapshot()(tbl)
+    foldMarks.get.update(tbl, files)
+    if (files.isEmpty) spark.emptyDataset[T]
+    else spark.read.parquet(files.map(f => s"$root/$tbl/$f"): _*).as[T]
+  }
+
+  override protected def discardFoldMarks(): Unit = foldMarks.get.clear()
+
   /** Staged-but-unconfirmed append records (Async mode's in-flight
     * publishes; the delivery-tag ledger of rmq/commands.clj:25-39). */
   private val pendingConfirms = scala.collection.mutable.ArrayBuffer.empty[String]
@@ -575,8 +617,31 @@ final class CommitLogBackend(
     // rows may read the files being replaced: staging executes the plan
     // BEFORE the commit flips the snapshot, and old files stay on disk
     // for any in-flight reader (vacuum reclaims them later).
+    val mark = foldMarks.get.remove(tbl)
     val files = stage(tbl, rows)
-    commit(Seq(("replace" +: tbl +: files).mkString("\t")))
+    mark match {
+      case Some(read) =>
+        // Fold replace (r13, fleet-safe): retract exactly the files the
+        // fold READ and add its output — order-independent with
+        // concurrent appends from other instances. A wholesale `replace`
+        // here wiped any `add` committed between the fold's snapshot and
+        // this commit (another worker's enqueue/completion/tombstone:
+        // lost job, or a consumed attempt turning visible again).
+        // Empty fold OUTPUTS commit their retracts only — repeatedly
+        // adding zero-row part files would grow every idle table by one
+        // file per compaction round (the old wholesale replace pinned
+        // the count at 1; retract-only pins it at 0).
+        val outputEmpty = files.isEmpty ||
+          spark.read.parquet(files.map(f => s"$root/$tbl/$f"): _*).isEmpty
+        if (outputEmpty) files.foreach(f => fs.delete(new Path(s"$root/$tbl/$f"), false))
+        val recs = read.map(f => s"retract\t$tbl\t$f") ++
+          (if (outputEmpty) Nil else files.map(f => s"add\t$tbl\t$f"))
+        if (recs.nonEmpty) commit(recs)
+      case None =>
+        // exact replace — delete-intent callers (purgeCron) overwrite
+        // the CURRENT set by design (r10: no rescue wanted here)
+        commit(Seq(("replace" +: tbl +: files).mkString("\t")))
+    }
   }
 
   // ---------- maintenance ----------
@@ -644,6 +709,8 @@ final class CommitLogBackend(
       val refs = lines.split('\n').iterator.filter(_.nonEmpty).flatMap(_.split('\t') match {
         case Array("add", tbl, file) => Iterator((tbl, file))
         case Array("replace", tbl, rest @ _*) => rest.iterator.map((tbl, _))
+        // a retract names files it REMOVES — their liveness is decided by
+        // their own add (and the folded snapshot), never by the retract
         case _ => Iterator.empty
       })
       if (versionOf(p) <= settled) settledRefs ++= refs else aboveRefs ++= refs

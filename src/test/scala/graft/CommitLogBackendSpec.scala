@@ -481,6 +481,106 @@ class CommitLogBackendSpec extends SparkSpec {
     assert(after.sorted == expected.drop(expected.size / 2).sorted)
   }
 
+  test("a fold's replace never wipes a concurrent append: retract/add commit records") {
+    // r13 fleet-safe folds: a fold used to commit `replace tbl <full new
+    // set>`, computed from a snapshot taken BEFORE the commit landed —
+    // any `add` from another instance committed inside that window (a
+    // fleet worker's enqueue or completion racing the coordinator's
+    // compaction) was wiped in version order: a lost job, or a consumed
+    // attempt turning visible again. Folds now commit `retract <exactly
+    // the files the fold read>` + `add <its output>`, which is
+    // order-independent with concurrent appends.
+    val root = tmpDir("graft-cl-retract")
+    val fsys = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def commitFiles() = fsys.listStatus(new org.apache.hadoop.fs.Path(s"$root/_log"))
+      .map(_.getPath).filter(_.getName.endsWith(".commit")).sortBy(_.getName)
+    def text(p: org.apache.hadoop.fs.Path) = {
+      val in = fsys.open(p); try new String(in.readAllBytes(), "UTF-8") finally in.close()
+    }
+    val b = new CommitLogBackend(spark, root)
+    b.enqueueRows(Seq(job("a1"), job("a2")))
+    b.compact("ready")
+    // emission: the fold's commit carries retract+add, never a wholesale
+    // replace (which stays reserved for delete-intent exact overwrites);
+    // empty-read side folds (completions/tombstones/purges here) commit
+    // NOTHING rather than growing their tables by one empty part each
+    val all = commitFiles().map(text)
+    val foldTxt = all.find(_.contains("retract\tready\t")).getOrElse(
+      fail(s"no retract/add fold commit found in:\n${all.mkString("---\n")}"))
+    assert(foldTxt.contains("add\tready\t"))
+    assert(!all.exists(_.split('\n').exists(_.startsWith("replace\t"))))
+    assert(!all.exists(t => t.contains("\tcompletions\t") || t.contains("\ttombstones\t")
+      || t.contains("\tpurges\t")), "empty-read folds must be commit-free no-ops")
+    assert(b.readyJobs.collect().map(_.id).sorted.toSeq == Seq("a1", "a2"))
+
+    // the race, reconstructed exactly: the fold's snapshot saw only f1
+    // (a1, a2); another instance's add (f2 = a3) committed before the
+    // fold's own commit landed. Fold result: f1 retracted, its folded
+    // output (a1 only — say a2 was consumed) added. a3 MUST survive.
+    val root2 = tmpDir("graft-cl-retract2")
+    val b2 = new CommitLogBackend(spark, root2)
+    b2.enqueueRows(Seq(job("a1"), job("a2")))
+    val f1 = {
+      val t = text(fsys.listStatus(new org.apache.hadoop.fs.Path(s"$root2/_log"))
+        .map(_.getPath).filter(_.getName.endsWith(".commit")).sortBy(_.getName).last)
+      t.split('\n').collectFirst { case l if l.startsWith("add\tready\t") => l.split('\t')(2) }.get
+    }
+    b2.enqueueRows(Seq(job("a3"))) // the racing cross-instance append
+    // the fold's commit, written the way replaceLog stages it
+    Seq(job("a1")).toDS().coalesce(1).write.mode("append")
+      .parquet(s"$root2/.race-stage")
+    val part = fsys.listStatus(new org.apache.hadoop.fs.Path(s"$root2/.race-stage"))
+      .map(_.getPath).filter(_.getName.endsWith(".parquet")).head
+    assert(fsys.rename(part, new org.apache.hadoop.fs.Path(s"$root2/ready/data-race-0.parquet")))
+    val v = b2.logVersion + 1
+    val payload = s"retract\tready\t$f1\nadd\tready\tdata-race-0.parquet\nend\t2\n"
+    val out = fsys.create(new org.apache.hadoop.fs.Path(s"$root2/_log/${"%012d".format(v)}.commit"), false)
+    out.write(payload.getBytes("UTF-8")); out.close()
+    val seen = new CommitLogBackend(spark, root2).readyJobs.collect().map(_.id).sorted.toSeq
+    assert(seen == Seq("a1", "a3"),
+      s"racing append must survive the fold and the folded row set apply: $seen")
+  }
+
+  test("soak: folds racing live cross-instance appends lose nothing") {
+    // The q54 fleet shape under churn: a coordinator's compact+vacuum
+    // loop runs CONCURRENTLY with writers committing through their own
+    // instances. Every enqueued row must be visible exactly once at the
+    // end — with wholesale replace records this lost rows with high
+    // probability (each fold's stage is a multi-hundred-ms window).
+    val root = tmpDir("graft-cl-foldrace")
+    val nWriters = 3; val nBatches = 20; val rowsPer = 2
+    val writers = (0 until nWriters).map(_ =>
+      new CommitLogBackend(spark, root, checkpointEvery = 5))
+    val compB = new CommitLogBackend(spark, root, checkpointEvery = 5)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(nWriters + 1)
+    val done = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val compactor = pool.submit(new java.util.concurrent.Callable[Unit] {
+      def call(): Unit = while (!done.get()) {
+        compB.compact("ready"); compB.vacuum(); Thread.sleep(1)
+      }
+    })
+    try {
+      val ws = (0 until nWriters).map { w =>
+        pool.submit(new java.util.concurrent.Callable[Unit] {
+          def call(): Unit = (0 until nBatches).foreach { n =>
+            writers(w).enqueueRows((0 until rowsPer).map(r => job(s"w$w-b$n-r$r")))
+            Thread.sleep(2)
+          }
+        })
+      }
+      ws.foreach(_.get(300, java.util.concurrent.TimeUnit.SECONDS))
+      done.set(true)
+      compactor.get(60, java.util.concurrent.TimeUnit.SECONDS)
+    } finally { done.set(true); pool.shutdownNow() }
+    val ids = new CommitLogBackend(spark, root).readyJobs.collect().map(_.id).toSeq
+    val expected = for {
+      w <- 0 until nWriters; n <- 0 until nBatches; r <- 0 until rowsPer
+    } yield s"w$w-b$n-r$r"
+    assert(ids.sorted == expected.sorted,
+      s"lost=${(expected.toSet -- ids.toSet).take(5)} dup=${ids.diff(ids.distinct).take(5)}")
+  }
+
   test("soak with writer DEATH mid-payload: torn claim blocks only its window, ages out, orphan reclaimed") {
     // The death case the settled-boundary vacuum exists for, soaked under
     // real churn instead of fixture-staged (VERDICT r12 #6): a writer
