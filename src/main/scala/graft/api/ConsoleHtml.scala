@@ -50,7 +50,38 @@ final class ConsoleHtml(backend: QueueBackend, spark: SparkSession) {
       case "batch" :: Nil => p.get("id").map(batchPage)
       case _ => None
     }
-    body.map(b => ConsoleResponse(200, b))
+    body.map(b => ConsoleResponse(200, livePoll(b, segs, p)))
+  }
+
+  /** "Live poll" (reference CHANGELOG 0.5.3; console.clj:224-230 — its
+    * JS poll button reloads the page every N seconds). Server-side
+    * rendering of the same data path: `?poll=N` adds a
+    * `<meta http-equiv=refresh>` so the browser re-requests the page —
+    * every GET recomputes from the live backend, so each reload IS the
+    * poll. Interval clamped to the reference slider's 2-10 s range; a
+    * nav toggle turns it on/off preserving the page's other params. */
+  private def livePoll(html: String, segs: List[String],
+      p: Map[String, String]): String = {
+    val poll = p.get("poll").flatMap(_.toIntOption).map(v => v.max(2).min(10))
+    def enc(s: String) = java.net.URLEncoder.encode(s, "UTF-8").replace("+", "%20")
+    val base = "/console/" + segs.map(enc).mkString("/")
+    def qs(m: Map[String, String]) =
+      if (m.isEmpty) ""
+      else "?" + m.toSeq.sortBy(_._1)
+        .map { case (k, v) => enc(k) + "=" + enc(v) }.mkString("&")
+    val toggle = poll match {
+      case Some(sec) =>
+        s"""<a class="poll" href="${esc(base + qs(p - "poll"))}">Stop poll (${sec}s)</a>"""
+      case None =>
+        s"""<a class="poll" href="${esc(base + qs(p + ("poll" -> "2")))}">Live poll</a>"""
+    }
+    val withMeta = poll match {
+      case Some(sec) => html.replaceFirst("<head>",
+        s"""<head><meta http-equiv="refresh" content="$sec">""")
+      case None => html
+    }
+    withMeta.replaceFirst("</nav>",
+      java.util.regex.Matcher.quoteReplacement(s"$toggle</nav>"))
   }
 
   // ---------- actions ----------

@@ -323,5 +323,21 @@ class ConsoleRoutesSpec extends SparkSpec {
     val htmlDead = html.handle(ConsoleRequest("GET", "dead",
       Map("filter-type" -> "queue", "filter-value" -> "test"))).get.body
     assert(htmlDead.contains(deadId))
+
+    // --- Live poll (reference 0.5.3): ?poll=N meta-refreshes the page,
+    // the nav toggle flips it preserving other params, interval clamps
+    // to the reference slider's 2-10 s range ---
+    val off = html.handle(ConsoleRequest("GET", "dead", Map.empty)).get.body
+    assert(!off.contains("http-equiv") && off.contains("Live poll") &&
+      off.contains("?poll=2"))
+    val on = html.handle(ConsoleRequest("GET", "dead", Map("poll" -> "3"))).get.body
+    assert(on.contains("""<meta http-equiv="refresh" content="3">"""))
+    assert(on.contains("Stop poll (3s)"))
+    val clamped = html.handle(ConsoleRequest("GET", "dead",
+      Map("poll" -> "999"))).get.body
+    assert(clamped.contains("""content="10""""))
+    val withParams = html.handle(ConsoleRequest("GET", "dead",
+      Map("poll" -> "2", "page" -> "1"))).get.body
+    assert(withParams.contains("page=1") && withParams.contains("Stop poll"))
   }
 }
