@@ -490,6 +490,15 @@ object QuickProbe {
       // benchJobPipeline partitions by data volume (12.5k jobs/slice),
       // so 10M jobs is 800 slices over the same 32 cores: the shape a
       // 1000-executor backfill sees, minus the cluster.
+      // pseudo-query: the multi-producer per-call enqueue lane in
+      // isolation ("__producers=N") — same shape as Bench's
+      // enqueue_producers field, for convoy-fix A/Bs without a full run
+      case s if s.startsWith("__producers=") =>
+        val n = s.stripPrefix("__producers=").toInt
+        (1 to 3).foreach { pass =>
+          val r = Bench.benchEnqueueProducers(spark, n)
+          println(f"PROBE producers n=$n pass$pass ${r}%.0f calls/s aggregate")
+        }
       case s if s.startsWith("__pipeline=") =>
         val n = s.stripPrefix("__pipeline=").toInt
         val (sec, rate) = Bench.benchJobPipeline(spark, n)

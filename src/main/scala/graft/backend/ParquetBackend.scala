@@ -270,13 +270,17 @@ class ParquetBackend(spark0: SparkSession, val root: String)
         // so "landed before the batch" always implies "stream-visible
         // before the batch". Cost when uncontended: one reentrant
         // monitor; when a fold is running the append already waited on
-        // the table writeLock, so p99 is unchanged.
+        // the table writeLock, so p99 is unchanged. FRAMING (serialize +
+        // CRC) happens before any lock — it's pure computation, and
+        // inside the locks it convoyed N concurrent producers down to
+        // below single-producer aggregate throughput (r13).
+        val frames = WalStore.frame(enc, rows)
         foldLock(tbl).synchronized {
           if (WalStore.recordCount(root, tbl, enc) + rows.size > WalStore.MaxRecords)
             drainWal(tbl, enc)
           val lock = writeLocks.computeIfAbsent(tbl, _ => new Object)
           lock.synchronized {
-            WalStore.append(root, tbl, enc, rows,
+            WalStore.appendFrames(root, tbl, enc, frames, rows.size,
               force = spark.conf.getOption("graft.wal.fsync").contains("true"))
           }
         }

@@ -116,16 +116,18 @@ object WalStore {
     def mark: (Long, Int) = synchronized((gen, count))
     private var gen = 0L
 
-    /** Append one serialized row; buffered write (Redis-AOF-class
-      * durability), `force=true` opts into fsync-per-append. */
-    def append(rowBytes: Array[Byte], force: Boolean): Unit = synchronized {
-      crc.reset(); crc.update(rowBytes)
-      val buf = ByteBuffer.allocate(8 + rowBytes.length)
-      buf.putInt(rowBytes.length).putInt(crc.getValue.toInt).put(rowBytes).flip()
+    /** Append `n` pre-framed records (len|crc|payload each) in ONE
+      * buffered channel write (Redis-AOF-class durability; `force=true`
+      * opts into fsync-per-append). Framing — serialization, CRC, length
+      * prefix — happens on the CALLER's thread outside this monitor
+      * (r13: with framing inside the lock, N concurrent producers
+      * convoyed on serialization and aggregate per-call enqueue HALVED
+      * from 1 producer to 4; see SCALING.md multi-producer lane). */
+    def appendFramed(frames: ByteBuffer, n: Int, force: Boolean): Unit = synchronized {
       channel.position(channel.size())
-      while (buf.hasRemaining) channel.write(buf)
+      while (frames.hasRemaining) channel.write(frames)
       if (force) channel.force(false)
-      count += 1
+      count += n
     }
 
     /** Decode every live record (driver-side; bounded by [[MaxRecords]]
@@ -212,24 +214,66 @@ object WalStore {
     else Files.exists(Paths.get(key)) && Files.size(Paths.get(key)) > HeaderLen
   }
 
-  /** Append rows; serializer reuses an internal buffer so serialization
-    * and the channel write share the writer's monitor. */
-  def append[T](root: String, tbl: String, enc: Encoder[T], rows: Seq[T],
-      force: Boolean): Unit = {
-    val (ser, _, _) = codec(enc)
-    val w = forTable(root, tbl, enc)
-    w.synchronized {
-      rows.foreach { r =>
-        val bytes = ser(r) match {
-          case u: UnsafeRow => u.getBytes
-          case other => throw new IllegalStateException(
-            s"encoder serializer produced ${other.getClass.getName}, expected UnsafeRow")
-        }
-        w.append(bytes, force = false)
-      }
-      if (force) w.sync()
-    }
+  /** Per-thread serializers: an ExpressionEncoder serializer reuses an
+    * internal UnsafeRow buffer, so it cannot be shared across threads —
+    * the first design shared one under the writer's monitor, which put
+    * serialization (the dominant per-call cost) inside the lock and made
+    * N concurrent producers SLOWER in aggregate than one (the convoy the
+    * r12 verdict's multi-producer lane measured). One serializer per
+    * (thread, encoder) keeps serialization lock-free. */
+  private val localSerializers = new ThreadLocal[
+      java.util.HashMap[Encoder[_], ExpressionEncoder.Serializer[_]]] {
+    override def initialValue() =
+      new java.util.HashMap[Encoder[_], ExpressionEncoder.Serializer[_]]()
   }
+
+  private def serializerFor[T](enc: Encoder[T]): ExpressionEncoder.Serializer[T] = {
+    val m = localSerializers.get
+    var s = m.get(enc)
+    if (s == null) {
+      s = exprEncoder(enc).resolveAndBind().createSerializer()
+      m.put(enc, s)
+    }
+    s.asInstanceOf[ExpressionEncoder.Serializer[T]]
+  }
+
+  /** Frame rows for the WAL (serialize + CRC + length prefix each) —
+    * PURE computation on this thread with a thread-local serializer.
+    * Callers that hold locks around the append (ParquetBackend's
+    * fold-lock visibility contract) frame BEFORE taking them, so N
+    * concurrent producers parallelize everything but the channel write
+    * itself. */
+  def frame[T](enc: Encoder[T], rows: Seq[T]): Array[Byte] = {
+    val ser = serializerFor(enc)
+    val out = new java.io.ByteArrayOutputStream(rows.size * 64)
+    val dos = new java.io.DataOutputStream(out) // big-endian, like ByteBuffer
+    val crc = new CRC32
+    rows.foreach { r =>
+      val bytes = ser(r) match {
+        // copied into the frame before the serializer's buffer is reused
+        case u: UnsafeRow => u.getBytes
+        case other => throw new IllegalStateException(
+          s"encoder serializer produced ${other.getClass.getName}, expected UnsafeRow")
+      }
+      crc.reset(); crc.update(bytes)
+      dos.writeInt(bytes.length)
+      dos.writeInt(crc.getValue.toInt)
+      dos.write(bytes)
+    }
+    out.toByteArray
+  }
+
+  /** Append pre-framed records ([[frame]]) — one channel write under
+    * the writer's monitor, a call's rows contiguous. */
+  def appendFrames[T](root: String, tbl: String, enc: Encoder[T],
+      frames: Array[Byte], n: Int, force: Boolean): Unit =
+    forTable(root, tbl, enc).appendFramed(ByteBuffer.wrap(frames), n, force)
+
+  /** Frame-and-append convenience for callers with no lock discipline
+    * of their own. */
+  def append[T](root: String, tbl: String, enc: Encoder[T], rows: Seq[T],
+      force: Boolean): Unit =
+    appendFrames(root, tbl, enc, frame(enc, rows), rows.size, force)
 
   /** Decode all live rows of one table (empty if no WAL). */
   def rows[T](root: String, tbl: String, enc: Encoder[T]): Seq[T] = {
