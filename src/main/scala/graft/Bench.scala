@@ -121,13 +121,47 @@ object Bench {
       (busy, self(11).toLong + self(12).toLong, System.nanoTime())
     }
     val jiffiesPerSec = 100.0 // USER_HZ on linux
-    /** Average EXTERNAL cores busy while `f` ran (host busy minus self). */
-    def withExternalLoad[A](f: => A): (A, Double) = {
+    // Disk-weather telemetry (VERDICT r13 what's-wrong #3: write-heavy
+    // fixtures blew 3-8× past the CPU weather band while the burn probe —
+    // CPU-only — read mild, leaving the blowout unattributable). Two
+    // readings per timed section, from /proc/diskstats (whole physical
+    // disks only — vd*/sd*/xvd*/nvme* — partitions and dm- would
+    // double-count the same sectors) and /proc/self/io:
+    //  - disk_util: fraction of the section's wall time the device was
+    //    servicing ANY request (Δ io_ms / elapsed); ~1.0 = saturated;
+    //  - external_io_mb_s: host bytes moved minus THIS process's bytes,
+    //    per second — someone else's data volume on the shared device.
+    // Writeback attribution is async (self page-cache writes surface as
+    // host sectors seconds later), so these are attribution aids
+    // published beside the CPU readings, not a new contention gate.
+    def ioSnapshot(): (Long, Long, Long) = {
+      val disks = scala.io.Source.fromFile("/proc/diskstats").getLines()
+        .map(_.trim.split("\\s+"))
+        .filter(t => t.length > 12 && t(2).matches("(sd|vd|xvd)[a-z]+|nvme\\d+n\\d+"))
+        .toSeq
+      val hostBytes = disks.map(t => (t(5).toLong + t(9).toLong) * 512L).sum
+      val ioMs = disks.map(_(12).toLong).sum
+      val self = scala.io.Source.fromFile("/proc/self/io").getLines()
+        .map(_.split(":\\s*")).collect {
+          case Array("read_bytes", v) => v.toLong
+          case Array("write_bytes", v) => v.toLong
+        }.sum
+      (hostBytes, ioMs, self)
+    }
+    val extIoMb = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    val diskUtil = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    /** Average EXTERNAL cores busy while `f` ran (host busy minus self);
+      * also records the section's disk-weather readings under `key`. */
+    def withExternalLoad[A](key: String)(f: => A): (A, Double) = {
       val (b0, s0, t0) = cpuSnapshot()
+      val (h0, m0, io0) = ioSnapshot()
       val r = f
       val (b1, s1, t1) = cpuSnapshot()
+      val (h1, m1, io1) = ioSnapshot()
       val elapsed = math.max((t1 - t0) / 1e9, 1e-3)
       val ext = ((b1 - b0) - (s1 - s0)) / jiffiesPerSec / elapsed
+      extIoMb(key) = math.max((h1 - h0) - (io1 - io0), 0L) / 1048576.0 / elapsed
+      diskUtil(key) = math.min((m1 - m0) / 1e3 / elapsed, 1.0)
       (r, math.max(ext, 0.0))
     }
 
@@ -196,9 +230,9 @@ object Bench {
     // per-probe external-load readings let a future delta be attributed
     // to code vs host in one read instead of re-running on a quiet host).
     val samples = (1 to 3).map { i =>
-      val (r, ext) = withExternalLoad(pass())
+      val (r, ext) = withExternalLoad(s"pass$i")(pass())
       extLoads(s"pass$i") = ext
-      val (pipe, pipeExt) = withExternalLoad(benchJobPipeline(spark))
+      val (pipe, pipeExt) = withExternalLoad(s"pipeline$i")(benchJobPipeline(spark))
       extLoads(s"pipeline$i") = pipeExt
       storedPerPass += storedRdds()
       // Mid-pass probes (VERDICT r8 #4): endpoint-only sampling let a
@@ -217,7 +251,7 @@ object Bench {
     // the r10 collapse hit exactly one of these windows and a merged
     // reading averaged it away.
     val enq = (1 to 3).map { i =>
-      val (s, ext) = withExternalLoad(benchEnqueue(spark))
+      val (s, ext) = withExternalLoad(s"enqueue$i")(benchEnqueue(spark))
       extLoads(s"enqueue$i") = ext
       s
     }
@@ -232,7 +266,7 @@ object Bench {
     // writer's monitor — these numbers price that section's scaling,
     // published instead of asserted.
     val enqProducers = Seq(1, 4, 16).map { n =>
-      val (rate, ext) = withExternalLoad(benchEnqueueProducers(spark, n))
+      val (rate, ext) = withExternalLoad(s"enqueue_p$n")(benchEnqueueProducers(spark, n))
       extLoads(s"enqueue_p$n") = ext
       n -> rate
     }
@@ -250,7 +284,7 @@ object Bench {
     val sf001Dir = sys.env.getOrElse("SPARK_GRAFT_SF001_DIR",
       java.nio.file.Paths.get(sfDir).resolveSibling("sf0.01").toString)
     val fixtureNames = graft.operators.EngineE2E.queries.keySet
-    val (sf001, sf001Ext) = withExternalLoad(
+    val (sf001, sf001Ext) = withExternalLoad("sf001")(
       if (!java.nio.file.Files.isDirectory(java.nio.file.Paths.get(sf001Dir))) Nil
       else SparkEntry.queries.toSeq.sortBy(_._1)
         .filterNot { case (n, _) => fixtureNames(n) }
@@ -259,6 +293,7 @@ object Bench {
     // turn ONE background jiffy into "10 external cores" and flag a
     // quiet run contended — no section, no external-load claim
     extLoads("sf001") = if (sf001.isEmpty) 0.0 else sf001Ext
+    if (sf001.isEmpty) { extIoMb("sf001") = 0.0; diskUtil("sf001") = 0.0 }
 
     def qjson(rows: Seq[(String, Double)]): String =
       rows.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
@@ -361,7 +396,7 @@ object Bench {
     def toJson(rows: Seq[(String, Double)], withSf001Detail: Boolean): String = {
       val extra = if (withSf001Detail) f""","queries_sf001":${qjson(sf001)}"""
         else f""","detail_file":"$outFile""""
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${qjson(rows)},"jobs_per_sec":${pipeline._2}%.0f,"jobs_per_sec_samples":${samples.map(s => f"${s._2._2}%.0f").mkString("[", ",", "]")},"enqueue_percall_jobs_sec":$enqSync%.0f,"enqueue_buffered_jobs_sec":$enqBuf%.0f,"enqueue_percall_samples":${enq.map(e => f"${e._1}%.0f").mkString("[", ",", "]")},"enqueue_buffered_samples":${enq.map(e => f"${e._2}%.0f").mkString("[", ",", "]")},"enqueue_producers":${enqProducers.map { case (n, r) => "\"p" + n + f"\":$r%.0f" }.mkString("{", ",", "}")},"n_queries":${all.size},"samples":3,"wall_sec":$wallSec%.1f,"total_sf001":$totalSf001%.3f,"sf001_skipped":$sf001Skipped,"errored":${sjson(errors)},"errored_sf001":${sjson(errorsSf001)},"leaked_scratch":${sjson(leakedScratch)},"stored_rdds_per_pass":${storedPerPass.mkString("[", ",", "]")},"effective_cores":${coreProbes.map(c => f"$c%.1f").mkString("[", ",", "]")},"external_load_cores":${extLoads.map { case (k, v) => "\"" + k + f"\":$v%.1f" }.mkString("{", ",", "}")},"contended":$contended,"contended_burn":$burnContended,"contended_external":$extContended,"contended_crossround":$crossContended,"sf":$sfNum%.3f,"sf_path":"$sfDir"$extra}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${qjson(rows)},"jobs_per_sec":${pipeline._2}%.0f,"jobs_per_sec_samples":${samples.map(s => f"${s._2._2}%.0f").mkString("[", ",", "]")},"enqueue_percall_jobs_sec":$enqSync%.0f,"enqueue_buffered_jobs_sec":$enqBuf%.0f,"enqueue_percall_samples":${enq.map(e => f"${e._1}%.0f").mkString("[", ",", "]")},"enqueue_buffered_samples":${enq.map(e => f"${e._2}%.0f").mkString("[", ",", "]")},"enqueue_producers":${enqProducers.map { case (n, r) => "\"p" + n + f"\":$r%.0f" }.mkString("{", ",", "}")},"n_queries":${all.size},"samples":3,"wall_sec":$wallSec%.1f,"total_sf001":$totalSf001%.3f,"sf001_skipped":$sf001Skipped,"errored":${sjson(errors)},"errored_sf001":${sjson(errorsSf001)},"leaked_scratch":${sjson(leakedScratch)},"stored_rdds_per_pass":${storedPerPass.mkString("[", ",", "]")},"effective_cores":${coreProbes.map(c => f"$c%.1f").mkString("[", ",", "]")},"external_load_cores":${extLoads.map { case (k, v) => "\"" + k + f"\":$v%.1f" }.mkString("{", ",", "}")},"external_io_mb_s":${extIoMb.map { case (k, v) => "\"" + k + f"\":$v%.1f" }.mkString("{", ",", "}")},"disk_util":${diskUtil.map { case (k, v) => "\"" + k + f"\":$v%.2f" }.mkString("{", ",", "}")},"contended":$contended,"contended_burn":$burnContended,"contended_external":$extContended,"contended_crossround":$crossContended,"sf":$sfNum%.3f,"sf_path":"$sfDir"$extra}"""
     }
     // Full per-query detail → BENCH.json (env-overridable path). Stdout
     // gets a COMPACT line (slowest 10 queries only, plus a detail_file
