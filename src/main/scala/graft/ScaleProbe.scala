@@ -120,6 +120,7 @@ object ScaleProbe {
       "m06_phash_dup_groups", "d23_band_sweep", "p13_unimax_mix",
       "t18_perplexity_buckets", "s17_pq_error",
       "p14_leakage_safe_split", "t19_bpe_pair_census", "t22_bpe_apply",
+      "t23_bpe_encode_native",
       "d23a_window_census",
       "d24_window_coverage", "s18_range_search", "s19_ivf_balance",
       "d25_editdist_verify", "s20_embedding_drift", "t20_encoding_audit",
@@ -182,6 +183,14 @@ object ScaleProbe {
     // best-of-2 would silently fold the warm path into the "cold" row —
     // and the cold row IS these probes' meaning (the ingest cost).
     val ColdOnce = Seq("s03_ann_ivf", "m04_ahash", "d23a_window_census")
+    // The artifact store is cross-session persistent (r14): without an
+    // explicit eviction a prior probe/verify run's stored census would
+    // make the "cold" rows silently warm. Evict both corpora's
+    // artifacts so cold means built-from-raw-text.
+    if (!engineOnly) Seq(base, scaled).foreach { dir =>
+      val n = graft.ArtifactStore.evict(s"$dir/documents.parquet")
+      if (n > 0) println(s"PROBE evicted $n stored artifact(s) for $dir (cold-path reset)")
+    }
     val coldRows = ColdOnce.filter(probeQueries.contains).map { q =>
       q -> (timeOnce(q, base), timeOnce(q, scaled))
     }.toMap
@@ -203,6 +212,36 @@ object ScaleProbe {
       val t10 = math.min(timeOnce(q, scaled), timeOnce(q, scaled))
       sb.append(f"| $q (artifact prebuilt) | $t1%.2f | $t10%.2f | ${t10 / t1}%.1f× |\n")
       println(f"PROBE $q cached: $t1%.2fs -> $t10%.2fs (${t10 / t1}%.1fx)")
+    }
+
+    // BPE vocabulary-size probe (VERDICT r13 #4): native encode cost as
+    // a function of MERGE TABLE size over the same corpus. The replace
+    // chain compiles one nested expression per merge (64 is already the
+    // oracle's comfortable ceiling; 30-100k cannot compile at all); the
+    // native encoder carries the table as one reference object and its
+    // per-word cost tracks merges APPLIED (bounded by word length), not
+    // table size — so the 64-merge and 1200-merge rows should sit flat
+    // against each other at every corpus size.
+    if (!engineOnly && subset.forall(_.contains("t23_bpe_encode_native"))) {
+      val (_, bigMerges) = graft.operators.TextOps.syntheticVocabMerges(1200)
+      val smallMerges = graft.operators.TextOps.BpeMerges64
+      def timeEncode(merges: Seq[(String, String)], dir: String): Double = {
+        val enc = graft.functions.BpeFunctions.bpe_encode(col("tok"), merges)
+        val df = spark.read.parquet(s"$dir/documents.parquet")
+          .select(explode(split(col("text"), "\\s+")).as("tok"))
+          .filter(col("tok") =!= "")
+          .select(sum(length(enc)).as("n"))
+        val t0 = System.nanoTime()
+        Bench.force(df)
+        (System.nanoTime() - t0) / 1e9
+      }
+      Seq("64-merge corpus table" -> smallMerges,
+          "1200-merge synthetic table" -> bigMerges).foreach { case (label, m) =>
+        val t1 = math.min(timeEncode(m, base), timeEncode(m, base))
+        val t10 = math.min(timeEncode(m, scaled), timeEncode(m, scaled))
+        sb.append(f"| native bpe_encode ($label) | $t1%.2f | $t10%.2f | ${t10 / t1}%.1f× |\n")
+        println(f"PROBE bpe_encode $label: $t1%.2fs -> $t10%.2fs (${t10 / t1}%.1fx)")
+      }
     }
 
     // engine-side probes are factor-independent: run them on full sweeps
@@ -333,12 +372,22 @@ object ScaleProbe {
           workers.foreach(w => require(w.awaitDrained(600000), "fleet drain timeout"))
           (System.nanoTime() - t0) / 1e9
         } finally workers.foreach(_.stop(graceful = true))
-        // exactly-once over the shared log: no lost or double-executed
-        // job across the fleet (a contention pathology would land here)
-        val doneIds = backends.head.completions.toDF()
-          .filter(org.apache.spark.sql.functions.col("terminalState") === "success")
-          .select("jobId").distinct().count()
-        require(doneIds == n, s"fleet drain not exactly-once: $doneIds of $n")
+        // exactly-once over the shared log: no lost AND no double-executed
+        // job across the fleet (a contention pathology would land here).
+        // Distinct jobIds catch losses; the TOTAL success row count
+        // catches doubles — noop bodies never retry, so any extra row is
+        // a second execution (ADVICE r13: distinct-only counted two
+        // success rows for one job as one).
+        val fns = org.apache.spark.sql.functions
+        val done = backends.head.completions.toDF()
+          .filter(fns.col("terminalState") === "success")
+          .agg(fns.countDistinct(fns.col("jobId")).as("d"),
+            fns.count(fns.lit(1)).as("t"))
+          .head()
+        val (doneIds, doneRows) = (done.getLong(0), done.getLong(1))
+        require(doneIds == n, s"fleet drain lost jobs: $doneIds of $n")
+        require(doneRows == n,
+          s"fleet drain double-executed: $doneRows success rows for $n jobs")
         (sec, backends.map(_.claimRetries.get).sum - claimed0)
       }
     locally {
@@ -350,6 +399,91 @@ object ScaleProbe {
         println(f"PROBE fleet$w: $sec%.2fs (${n / sec}%.0f j/s, $claims lost claims)")
       }
     }
+
+    // Cross-PROCESS fleet drain (VERDICT r13 #3): the lanes above share
+    // one JVM; this one forks a second JVM (FleetWorkerMain — own
+    // SparkSession, own backend instance, same classpath/--add-opens)
+    // scoped to half the jobs, while THIS process's coordinator worker
+    // drains the other half. Only the filesystem arbitrates: commit
+    // claims by atomic rename, folds by retract/add, vacuum behind the
+    // retention linger. Books published: per-side drain seconds (child's
+    // measured inside the child, excluding its ~15 s JVM+Spark cold
+    // start, priced separately), claim races both sides, and the
+    // exactly-once audit (distinct ids AND total success rows — the
+    // double-execution check).
+    def timeFleetCrossProcess(n: Int): Unit =
+      graft.Scratch.withDir("probe-fleet2p") { root =>
+        import spark.implicits._
+        graft.model.JobRegistry.register("fleet_noop", _ => "ok")
+        val t0v = 1700000000000L
+        val retry = graft.model.RetryOpts()
+        val backend = new graft.backend.CommitLogBackend(spark, root)
+        backend.enqueue(spark.range(0, n, 1, math.max(8, n / 12500)).map { i =>
+          val q = if (i % 2 == 0) "fleetA" else "fleetB"
+          graft.model.Job(
+            id = i.toString, executeFnSym = "fleet_noop", argsJson = "[]",
+            queue = q, readyQueue = q, priority = 0, enqueuedAt = t0v,
+            scheduleRunAt = None, cronRunAt = None, batchId = None,
+            retryOpts = retry, state = None, seq = graft.model.Job.nextSeq())
+        })
+        val claimed0 = backend.claimRetries.get
+        val cmd = graft.worker.FleetWorkerMain.command(
+          root, "fleetB", coordinator = false, cpus = 8)
+        val pb = new ProcessBuilder(cmd: _*)
+        pb.redirectErrorStream(true)
+        val tChild0 = System.nanoTime()
+        val child = pb.start()
+        val childOut = new StringBuilder
+        val pump = new Thread(() => {
+          val r = new java.io.BufferedReader(
+            new java.io.InputStreamReader(child.getInputStream))
+          var line = r.readLine()
+          while (line != null) {
+            childOut.synchronized { childOut.append(line).append('\n'); () }
+            line = r.readLine()
+          }
+        })
+        pump.setDaemon(true)
+        pump.start()
+        val w = new graft.worker.GraftWorker(backend, spark, root,
+          trigger = org.apache.spark.sql.streaming.Trigger
+            .ProcessingTime("100 milliseconds"),
+          maintenanceIntervalMs = 200, queue = Some("fleetA"),
+          coordinator = true, nowFn = () => t0v)
+        val t0 = System.nanoTime()
+        w.start()
+        val (localSec, childWallSec) = try {
+          require(w.awaitDrained(600000), "cross-process local drain timeout")
+          val sec = (System.nanoTime() - t0) / 1e9
+          require(child.waitFor(600, java.util.concurrent.TimeUnit.SECONDS),
+            "cross-process child never exited")
+          (sec, (System.nanoTime() - tChild0) / 1e9)
+        } finally {
+          w.stop(graceful = true)
+          if (child.isAlive) { child.destroyForcibly(); () }
+        }
+        val out = childOut.synchronized(childOut.toString)
+        require(child.exitValue() == 0, s"child failed: $out")
+        def childField(k: String): String =
+          s"FLEET_${k}_fleetB=([0-9.]+)".r.findFirstMatchIn(out)
+            .map(_.group(1)).getOrElse("?")
+        val fns = org.apache.spark.sql.functions
+        val done = new graft.backend.CommitLogBackend(spark, root)
+          .completions.toDF()
+          .filter(fns.col("terminalState") === "success")
+          .agg(fns.countDistinct(fns.col("jobId")).as("d"),
+            fns.count(fns.lit(1)).as("t"))
+          .head()
+        require(done.getLong(0) == n,
+          s"cross-process drain lost jobs: ${done.getLong(0)} of $n")
+        require(done.getLong(1) == n,
+          s"cross-process drain double-executed: ${done.getLong(1)} rows")
+        val claims = backend.claimRetries.get - claimed0
+        sb.append(f"| fleet drain CROSS-PROCESS (2 JVMs, ${n / 1000}k jobs, shared root) | — | $localSec%.2f local / ${childField("SECONDS")} child (wall $childWallSec%.2f incl cold start) | — | exactly-once audit green; claim races local=$claims child=${childField("CLAIMRETRIES")} |\n")
+        println(f"PROBE fleet2p: local $localSec%.2fs, child ${childField("SECONDS")}s " +
+          f"(wall $childWallSec%.2fs), claims local=$claims child=${childField("CLAIMRETRIES")}")
+      }
+    timeFleetCrossProcess(200000)
 
     // D10 orphan recovery at scale: a crashed worker's unconsumed
     // attempts are exactly the ready rows with no (id, attempt)

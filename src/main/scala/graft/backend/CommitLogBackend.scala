@@ -618,7 +618,6 @@ final class CommitLogBackend(
     // BEFORE the commit flips the snapshot, and old files stay on disk
     // for any in-flight reader (vacuum reclaims them later).
     val mark = foldMarks.get.remove(tbl)
-    val files = stage(tbl, rows)
     mark match {
       case Some(read) =>
         // Fold replace (r13, fleet-safe): retract exactly the files the
@@ -631,8 +630,19 @@ final class CommitLogBackend(
         // adding zero-row part files would grow every idle table by one
         // file per compaction round (the old wholesale replace pinned
         // the count at 1; retract-only pins it at 0).
-        val outputEmpty = files.isEmpty ||
-          spark.read.parquet(files.map(f => s"$root/$tbl/$f"): _*).isEmpty
+        // The survivor count rides the fold's OWN write job as an
+        // observed metric (VERDICT r13 #6: the previous read-back
+        // `isEmpty` probe cost one extra Spark action per fold per
+        // table — at the measured ~0.10-0.15 s per action that taxed
+        // every compaction round). Observation.get returns immediately:
+        // stage() already ran the write synchronously.
+        val obs = new org.apache.spark.sql.Observation(
+          s"graft-fold-${UUID.randomUUID().toString.take(8)}")
+        val files = stage(tbl, rows.observe(obs,
+          org.apache.spark.sql.functions.count(
+            org.apache.spark.sql.functions.lit(1)).as("n")))
+        val survivors = obs.get("n").asInstanceOf[Long]
+        val outputEmpty = files.isEmpty || survivors == 0L
         if (outputEmpty) files.foreach(f => fs.delete(new Path(s"$root/$tbl/$f"), false))
         val recs = read.map(f => s"retract\t$tbl\t$f") ++
           (if (outputEmpty) Nil else files.map(f => s"add\t$tbl\t$f"))
@@ -640,7 +650,7 @@ final class CommitLogBackend(
       case None =>
         // exact replace — delete-intent callers (purgeCron) overwrite
         // the CURRENT set by design (r10: no rescue wanted here)
-        commit(Seq(("replace" +: tbl +: files).mkString("\t")))
+        commit(Seq(("replace" +: tbl +: stage(tbl, rows)).mkString("\t")))
     }
   }
 
@@ -668,8 +678,27 @@ final class CommitLogBackend(
     * committed data the fold merely hasn't reached yet, and deleting
     * them would destroy rows the moment the in-flight writer finishes.
     * Any file referenced by a commit ABOVE the boundary is treated as
-    * live, unconditionally. */
-  def vacuum(): Int = {
+    * live, unconditionally.
+    *
+    * Retention linger (ADVICE r13, the Delta VACUUM retention analog):
+    * once-referenced garbage is NOT reclaimed the first time vacuum sees
+    * it. In the shared-root fleet shape, another PROCESS's in-flight
+    * micro-batch may hold a read plan over a pre-fold snapshot — plain
+    * `spark.read.parquet` with no missing-file tolerance — and this
+    * instance's write gate cannot see that reader. So vacuum runs
+    * mark-then-sweep: a garbage file is first recorded in
+    * `_log/vacuum-marks` with the time it was first seen unreferenced,
+    * and deleted only on a later pass once it has been continuously
+    * unreferenced for `retentionMs` (default
+    * [[CommitLogBackend.VacuumRetentionMs]] — orders of magnitude longer
+    * than any micro-batch plan's life). The mark, not the file's mtime,
+    * carries the age: an old data file retracted seconds ago must NOT be
+    * reclaimable immediately, and the retracting commit itself may
+    * already be checkpoint-truncated by the time the sweep runs.
+    * `vacuum(0)` collapses mark and sweep into one pass (the spec /
+    * single-process shape). Mark-file races between fleet vacuums are
+    * benign: a lost mark only delays reclamation one pass. */
+  def vacuum(retentionMs: Long = CommitLogBackend.VacuumRetentionMs): Int = {
     // Fold from the newest checkpoint ourselves (not via the cached
     // snapshot) so the SETTLED boundary — the version the fold actually
     // reached before stopping at a young torn commit — is known exactly.
@@ -715,21 +744,49 @@ final class CommitLogBackend(
       })
       if (versionOf(p) <= settled) settledRefs ++= refs else aboveRefs ++= refs
     }
-    val orphanCutoff = System.currentTimeMillis() - CommitLogBackend.AbandonedCommitMs
+    val now = System.currentTimeMillis()
+    val orphanCutoff = now - CommitLogBackend.AbandonedCommitMs
+    val marksPath = new Path(s"$root/_log/vacuum-marks")
+    val prevMarks: Map[(String, String), Long] =
+      if (!fs.exists(marksPath)) Map.empty
+      else {
+        val in = fs.open(marksPath)
+        val txt = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+        txt.split('\n').iterator.filter(_.nonEmpty).map(_.split('\t')).collect {
+          case Array(ts, tbl, file) => (tbl, file) -> ts.toLong
+        }.toMap
+      }
+    val newMarks = scala.collection.mutable.LinkedHashMap.empty[(String, String), Long]
     var removed = 0
     live.keys.toSeq.foreach { tbl =>
       val keep = live(tbl).toSet
       val d = new Path(s"$root/$tbl")
       if (fs.exists(d)) fs.listStatus(d).foreach { st =>
         val name = st.getPath.getName
-        if (name.endsWith(".parquet") && !keep.contains(name) &&
+        val garbage = name.endsWith(".parquet") && !keep.contains(name) &&
           !pending.contains((tbl, name)) && !aboveRefs.contains((tbl, name)) &&
           (settledRefs.contains((tbl, name)) ||
-            st.getModificationTime < orphanCutoff)) {
-          fs.delete(st.getPath, false); removed += 1
+            st.getModificationTime < orphanCutoff)
+        if (garbage) {
+          val firstSeen = prevMarks.getOrElse((tbl, name), now)
+          if (now - firstSeen >= retentionMs) {
+            fs.delete(st.getPath, false); removed += 1
+          } else newMarks((tbl, name)) = firstSeen
         }
       }
     }
+    // Persist the mark book atomically; files that left the garbage set
+    // (a racing stage's add landed) drop out by not being re-marked.
+    if (newMarks.nonEmpty) {
+      val tmp = new Path(s"$root/_log/.vacmarks-tmp-${UUID.randomUUID()}")
+      val out = fs.create(tmp, true)
+      try out.write(newMarks.iterator
+        .map { case ((t, f), ts) => s"$ts\t$t\t$f" }.mkString("", "\n", "\n")
+        .getBytes("UTF-8"))
+      finally out.close()
+      fs.delete(marksPath, false)
+      require(fs.rename(tmp, marksPath), "vacuum-marks publish failed")
+    } else if (prevMarks.nonEmpty) fs.delete(marksPath, false)
     // Truncate the log itself: commits at or below the newest COMPLETE
     // checkpoint are subsumed by it (every reader seeds from the
     // checkpoint), and checkpoints older than the newest are useless as
@@ -871,6 +928,13 @@ object CommitLogBackend {
     * is treated as a dead claimant and skipped — the commit never
     * happened. Younger ones block the fold briefly (writer in flight). */
   val AbandonedCommitMs: Long = 10L * 60 * 1000
+
+  /** How long once-referenced garbage lingers on disk after [[vacuum]]
+    * first sees it unreferenced, protecting cross-instance readers whose
+    * in-flight plans still name the replaced files (ADVICE r13; the
+    * Delta VACUUM retention analog, sized like [[AbandonedCommitMs]]:
+    * a live read plan spans seconds, ten minutes means it's gone). */
+  val VacuumRetentionMs: Long = 10L * 60 * 1000
 
   /** Checkpoint cadence: bounds `_log` at ~this many commit files (see
     * the constructor param). 100 keeps the incremental-fold suffix and

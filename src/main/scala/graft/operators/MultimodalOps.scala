@@ -298,20 +298,21 @@ object MultimodalOps {
     * every bit without decoding — the decode + sampling path is verified
     * bit-for-bit, not trusted. Integer-only threshold (64*lum >= total)
     * keeps the compare engine-exact. */
-  /** The PERSISTED media-sketch artifact (VERDICT r8 #6): aHash is
-    * computed ONCE per corpus at ingest — the s03 prebuilt-centroid
-    * pattern applied to pixels — and every downstream funnel stage
-    * (m05's Hamming-LSH near-dup join, m06's exact-dup groups) reads the
-    * 64-bit sketches, never re-decoding rasters. At 100 TB the artifact
-    * is a stored column/table written by the ingest job; here the
-    * per-corpus materialized checkpoint is its session-scoped stand-in.
-    * m04 remains the ingest-cost probe: its timing prices the one
-    * decode pass the artifact costs to build. */
-  private val sketchCache =
-    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
-
+  /** The PERSISTED media-sketch artifact (VERDICT r8 #6; promoted to
+    * the content-addressed store r14 alongside the window census): aHash
+    * is computed ONCE per corpus snapshot at ingest — the s03
+    * prebuilt-centroid pattern applied to pixels — written as parquet in
+    * [[graft.ArtifactStore]] keyed by the documents table's file
+    * manifest, and every downstream funnel stage (m05's Hamming-LSH
+    * near-dup join, m06's exact-dup groups) mounts the 64-bit sketches
+    * as a lazy scan, never re-decoding rasters and never pinning
+    * executor blocks. m04 remains the ingest-cost probe: its FIRST
+    * touch per corpus snapshot prices the decode pass the artifact
+    * costs to build; later touches (and later sessions) price the
+    * mounted read, which is the steady-state 100 TB shape. */
   private def mediaSketches(s: SparkSession, d: String): DataFrame =
-    sketchCache.getOrElseUpdate(d, ahashed(s, d).localCheckpoint(true))
+    graft.ArtifactStore.getOrBuild(s, "media_sketches", s"$d/documents.parquet")(
+      ahashed(s, d))
 
   private def ahashed(s: SparkSession, d: String): DataFrame = {
     import s.implicits._

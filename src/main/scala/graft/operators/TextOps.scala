@@ -88,6 +88,114 @@ object TextOps {
       p -> new String(Character.toChars(0xE000 + i))
     }
 
+  /** Driver-local twin of [[trainBpeMerges]] for LARGE merge counts
+    * (r14): the Spark trainer re-plans an r-deep replace chain per
+    * iteration — O(n²) expression nodes over a run, unusable past a few
+    * dozen merges — while the census it computes depends only on the
+    * distinct-word frequency table, which for any corpus is tiny next
+    * to the corpus itself (31 types here; ~10⁷ even at web scale — the
+    * one collect a 100 TB tokenizer build actually ships to a driver).
+    * Same loop, same tie-break, same leftmost-non-overlapping replace:
+    * the pin spec asserts it reproduces the Spark trainer's table. */
+  private[graft] def trainBpeMergesLocal(
+      wordCounts: Seq[(String, Long)], n: Int): Seq[(String, String)] = {
+    val enc = wordCounts.map(_._1).toArray
+    val cnt = wordCounts.map(_._2).toArray
+    var merges = Vector.empty[(String, String)]
+    var done = false
+    while (merges.size < n && !done) {
+      val pairCounts = scala.collection.mutable.HashMap.empty[String, Long]
+      var i = 0
+      while (i < enc.length) {
+        val w = enc(i)
+        var j = 0
+        while (j < w.length - 1) {
+          val p = w.substring(j, j + 2)
+          pairCounts.update(p, pairCounts.getOrElse(p, 0L) + cnt(i))
+          j += 1
+        }
+        i += 1
+      }
+      if (pairCounts.isEmpty) done = true
+      else {
+        // most frequent pair, ties by pair ascending (UTF-16 order ==
+        // codepoint order here: no surrogates in ASCII + U+E0xx symbols)
+        val pair = pairCounts.minBy { case (p, c) => (-c, p) }._1
+        val m = new String(Character.toChars(0xE000 + merges.size))
+        merges :+= (pair -> m)
+        i = 0
+        while (i < enc.length) { enc(i) = enc(i).replace(pair, m); i += 1 }
+      }
+    }
+    merges
+  }
+
+  /** Deterministic synthetic vocabulary + trained merge table for the
+    * table-size regime the real corpus cannot reach (its 31-word
+    * vocabulary saturates at 89 merges): seeded LCG words through the
+    * local trainer. One source of truth for the vocabulary-scale spec
+    * (CorpusOpsSpec) and the ScaleProbe table-size row. */
+  private[graft] def syntheticVocabMerges(nMerges: Int, nWords: Int = 4000)
+      : (Seq[String], Seq[(String, String)]) = {
+    val rng = new java.util.Random(0xB9E5EED)
+    val alpha = "abcdefghijklmnopqrstuvwxyz"
+    val words = (0 until nWords).map { _ =>
+      val len = 4 + rng.nextInt(10)
+      (0 until len).map(_ => alpha(rng.nextInt(26))).mkString
+    }.distinct
+    val wc = words.map(w => w -> (1L + rng.nextInt(50)))
+    (words, trainBpeMergesLocal(wc, nMerges))
+  }
+
+  /** Distinct-word frequency table of a corpus — the local trainer's
+    * input, computed distributed (one scan + one rollup), collected
+    * bounded (word TYPES, not occurrences). */
+  private[graft] def wordCounts(docs: DataFrame): Seq[(String, Long)] =
+    docs.select(explode(split(col("text"), "\\s+")).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy("tok").agg(count(lit(1)).as("n"))
+      .orderBy("tok")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+
+  // trainBpeMerges*(documents@sf0.01) run to SATURATION: the corpus'
+  // 31-word vocabulary exhausts at 89 merges (every distinct word
+  // collapses to one symbol; the pair census then empties and the
+  // trainer stops). Prefix-stable by construction — ranks are chosen
+  // greedily in order — so BpeMergesTrained above IS rows 0-23 of this
+  // table, and the pin spec re-derives the whole table. A production
+  // 30-100k-merge vocabulary needs a corpus with real lexical diversity;
+  // this synthetic corpus cannot train one, so vocabulary-SCALE behavior
+  // is pinned on a deterministic synthetic vocabulary instead
+  // (CorpusOpsSpec / ScaleProbe), priced there rather than faked here.
+  private val BpeMergesSatTrained: Seq[String] = Seq(
+    "er", "in", "ow", "or", "st", "m\ue000",
+    "at", "lu", "ar", "p\ue008", "jo", "\ue00a\ue001",
+    "as", "h\ue00c", "\ue00dh", "r\ue002", "b\ue006", "ch",
+    "\ue010\ue011", "an", "c\ue013", "s\ue014", "co", "cu",
+    "mn", "o\ue005", "\ue004\ue019", "\ue007\ue018", "\ue016\ue01b", "\ue017\ue01a",
+    "fi", "lt", "\ue01e\ue01f", "\ue020\ue000", "al", "m\ue022",
+    "s\ue023", "\ue024l", "ge", "l\ue002", "s\ue027", "\ue005\ue026",
+    "ct", "d\ue000", "e\ue02a", "v\ue02c", "\ue003\ue02b", "\ue02d\ue003",
+    "l\ue001", "\ue030e", "ab", "d\ue006", "le", "t\ue032",
+    "\ue033a", "\ue035\ue034", "up", "ag", "\ue039g", "a\ue007",
+    "v\ue03b", "\ue03ce", "ey", "k\ue03e", "am", "e\ue040",
+    "r\ue041", "\ue004\ue042", "d\ue002", "w\ue001", "\ue045\ue044", "s\ue009",
+    "\ue047k", "gr", "o\ue038", "\ue009t", "\ue049\ue04a", "bi",
+    "\ue04dg", "s\ue003", "\ue04ft", "qu", "\ue000y", "\ue051\ue052",
+    "a\ue004", "f\ue054", "he", "t\ue056", "d\ue038")
+
+  private[graft] val BpeMergesSat: Seq[(String, String)] =
+    BpeMergesSatTrained.zipWithIndex.map { case (p, i) =>
+      p -> new String(Character.toChars(0xE000 + i))
+    }
+
+  /** The t23 gate table: 64 of the 89 saturation merges. At full
+    * saturation every word encodes to ONE symbol, so token books stop
+    * discriminating (any encoder that merges everything passes); at 64
+    * the encoded forms still vary per word and the gate compares the
+    * encoded STRINGS themselves cross-engine. */
+  private[graft] val BpeMerges64: Seq[(String, String)] = BpeMergesSat.take(64)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Language-ID: argmax of stopword-hit counts; 'und' (undetermined)
     // when nothing matches. Reported as a confusion summary vs the lang
@@ -618,6 +726,31 @@ object TextOps {
         .orderBy("source")
     }),
 
+    // NATIVE BPE ENCODE (VERDICT r13 #4): the same rank-order semantics
+    // as t22's replace chain, but as ONE codegen'd expression holding
+    // the whole merge table as a reference object
+    // ([[graft.functions.BpeTable]]) — the form that survives a
+    // 30-100k-merge production vocabulary, where the chain (one nested
+    // expression per merge) cannot compile. The gate output is the
+    // encoded-token census itself, so the encoded STRINGS are
+    // value-compared against the oracle's replace chain in DuckDB —
+    // native==chain equivalence is oracle-audited, not just
+    // spec-asserted. 64 merges: past the t22 table, below the 89-merge
+    // saturation where every word collapses to one symbol and the
+    // census stops discriminating. Plan shape: scan-local encode inside
+    // the scan's project, one partial-agg rollup — no shuffle of raw
+    // text, no UDF.
+    "t23_bpe_encode_native" -> ((s, d) => {
+      val enc = graft.functions.BpeFunctions.bpe_encode(col("tok"), BpeMerges64)
+      Tables.documents(s, d)
+        .select(explode(split(col("text"), "\\s+")).as("tok"))
+        .filter(col("tok") =!= "")
+        .select(enc.as("enc_tok"))
+        .groupBy("enc_tok")
+        .agg(count(lit(1)).as("n_occ"))
+        .orderBy(col("n_occ").desc, col("enc_tok").asc)
+    }),
+
     "t17_zipf_slope" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       val counts = Tables.documents(s, d)
@@ -998,6 +1131,31 @@ object TextOps {
          |  CAST(FLOOR(SUM(nc) * 10000.0 / GREATEST(SUM(nt), 1)) AS BIGINT)
          |    AS chars_per_token_bp
          |FROM enc GROUP BY source ORDER BY source""".stripMargin
+    },
+    // t23: the oracle is the rank-order replace CHAIN over the same 64
+    // merges — cross-engine proof that the native min-rank encoder
+    // equals the chain on every encoded string. 64 nested replace()
+    // calls would nest past comfortable parser depth, so the chain is
+    // CHUNKED through CTE stages (16 replaces per stage, rank order
+    // preserved across stages — stage k's output is exactly the chain
+    // state after 16k merges).
+    "t23_bpe_encode_native" -> {
+      val chunks = BpeMerges64.grouped(16).toVector
+      val stages = chunks.zipWithIndex.map { case (ms, i) =>
+        val prev = if (i == 0) "f" else s"e$i"
+        val encSql = ms.foldLeft("tok") { case (e, (p, m)) =>
+          s"replace($e, '${p.replace("'", "''")}', '$m')"
+        }
+        s"e${i + 1} AS (SELECT $encSql AS tok FROM $prev)"
+      }
+      s"""WITH w AS (
+         |  SELECT unnest(regexp_split_to_array(text, '\\s+')) AS tok
+         |  FROM documents),
+         |f AS (SELECT tok FROM w WHERE tok <> ''),
+         |${stages.mkString(",\n")}
+         |SELECT tok AS enc_tok, CAST(COUNT(*) AS BIGINT) AS n_occ
+         |FROM e${chunks.size}
+         |GROUP BY tok ORDER BY n_occ DESC, enc_tok ASC""".stripMargin
     },
     "t17_zipf_slope" ->
       """WITH toks AS (

@@ -170,8 +170,13 @@ final class GraftWorker(
     } else body
 
   /** Reclaim manifest garbage under the write gate: no micro-batch is in
-    * flight, so no in-process reader holds a snapshot older than the
-    * last replace (the vacuum horizon contract). */
+    * flight, so no IN-PROCESS reader holds a snapshot older than the
+    * last replace. CROSS-instance readers — other fleet workers' gates
+    * are invisible here — are covered by vacuum's retention linger
+    * instead (ADVICE r13): once-referenced garbage lingers
+    * VacuumRetentionMs after first being seen unreferenced, far past
+    * any in-flight micro-batch plan's life, so this coordinator can
+    * never unlink a file out from under another process's read. */
   private def vacuumGated(): Unit = backend match {
     case cl: graft.backend.CommitLogBackend =>
       gate.writeLock().lock()

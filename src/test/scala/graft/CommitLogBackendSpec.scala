@@ -60,8 +60,40 @@ class CommitLogBackendSpec extends SparkSpec {
     assert(b.readyJobs.count() == 50)
 
     // only after vacuum are the unreferenced files reclaimed
-    assert(b.vacuum() > 0)
+    // (retention 0: reclamation mechanics under test, not the linger)
+    assert(b.vacuum(0) > 0)
     assert(b.readyJobs.count() == 50)
+  }
+
+  test("vacuum retention linger: replaced files outlive a cross-instance reader's plan (ADVICE r13)") {
+    val root = tmpDir("graft-cl")
+    val b = new CommitLogBackend(spark, root)
+    b.enqueue(Seq(job("a"), job("b")).toDS().coalesce(1))
+    b.enqueue(Seq(job("c")).toDS().coalesce(1))
+    // a cross-instance reader resolves its file list BEFORE the fold —
+    // the q54 fleet shape vacuum's linger exists to protect
+    val preFold = new CommitLogBackend(spark, root).readyJobs
+    b.compact("ready")
+    // default-retention vacuum only MARKS the replaced files
+    assert(b.vacuum() == 0, "once-referenced garbage lingers for the retention window")
+    assert(preFold.count() == 3, "the pre-fold reader's plan still evaluates after vacuum")
+    assert(b.vacuum() == 0, "a second pass inside the window still reclaims nothing")
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val marks = new org.apache.hadoop.fs.Path(s"$root/_log/vacuum-marks")
+    assert(fs.exists(marks), "lingering garbage is recorded in the mark book")
+    // age every mark past the retention window (what wall clock would do)
+    val txt = { val in = fs.open(marks)
+      try new String(in.readAllBytes(), "UTF-8") finally in.close() }
+    val old = System.currentTimeMillis() - CommitLogBackend.VacuumRetentionMs - 60000
+    val aged = txt.split('\n').filter(_.nonEmpty).map { l =>
+      val p = l.split('\t'); s"$old\t${p(1)}\t${p(2)}"
+    }.mkString("", "\n", "\n")
+    val out = fs.create(marks, true)
+    out.write(aged.getBytes("UTF-8")); out.close()
+    assert(b.vacuum() > 0, "marks past the retention window sweep")
+    assert(!fs.exists(marks), "a fully-swept mark book is removed")
+    assert(b.readyJobs.count() == 3)
   }
 
   test("directory garbage is invisible: only manifested files are read") {
@@ -106,7 +138,8 @@ class CommitLogBackendSpec extends SparkSpec {
     // unconfirmed publishes: staged durable, visible to no reader yet
     assert(b.readyJobs.count() == 0 && b.logVersion == v0)
     // vacuum must treat in-flight publishes as live, not garbage
-    assert(b.vacuum() == 0)
+    // (retention 0 so pending protection, not the linger, is what holds)
+    assert(b.vacuum(0) == 0)
     assert(b.waitForConfirms() == 5) // the group ack: one commit round-trip
     assert(b.logVersion == v0 + 1)
     assert(b.readyJobs.collect().map(_.id).sorted.toSeq ==
@@ -339,7 +372,7 @@ class CommitLogBackendSpec extends SparkSpec {
     fs.listStatus(new org.apache.hadoop.fs.Path(s"$root/ready")).foreach { st =>
       if (st.getPath.getName.endsWith(".parquet")) fs.setTimes(st.getPath, old, -1)
     }
-    assert(b.vacuum() == 1, "aged orphan reclaimed; referenced file untouched")
+    assert(b.vacuum(0) == 1, "aged orphan reclaimed; referenced file untouched")
     assert(b.readyJobs.collect().map(_.id).toSeq == Seq("real"))
   }
 
@@ -435,7 +468,7 @@ class CommitLogBackendSpec extends SparkSpec {
       }
       val vacuumer = pool.submit(new java.util.concurrent.Callable[Unit] {
         def call(): Unit = while (!done.get()) {
-          vacuumed.addAndGet(vacB.vacuum()); Thread.sleep(3)
+          vacuumed.addAndGet(vacB.vacuum(0)); Thread.sleep(3)
         }
       })
       val reader = pool.submit(new java.util.concurrent.Callable[Unit] {
@@ -557,7 +590,7 @@ class CommitLogBackendSpec extends SparkSpec {
     val done = new java.util.concurrent.atomic.AtomicBoolean(false)
     val compactor = pool.submit(new java.util.concurrent.Callable[Unit] {
       def call(): Unit = while (!done.get()) {
-        compB.compact("ready"); compB.vacuum(); Thread.sleep(1)
+        compB.compact("ready"); compB.vacuum(0); Thread.sleep(1)
       }
     })
     try {
@@ -615,7 +648,7 @@ class CommitLogBackendSpec extends SparkSpec {
       fs2.foreach(_.get(120, java.util.concurrent.TimeUnit.SECONDS))
     }
     val vacuumer = pool.submit(new java.util.concurrent.Callable[Unit] {
-      def call(): Unit = while (!done.get()) { vacB.vacuum(); Thread.sleep(3) }
+      def call(): Unit = while (!done.get()) { vacB.vacuum(0); Thread.sleep(3) }
     })
     val reader = pool.submit(new java.util.concurrent.Callable[Unit] {
       def call(): Unit = while (!done.get()) {
@@ -693,7 +726,7 @@ class CommitLogBackendSpec extends SparkSpec {
         .collect().map(_.id).toSeq
       assert(ids.sorted == expected.sorted,
         s"lost=${(expected.toSet -- ids.toSet).take(5)} dup=${ids.diff(ids.distinct).take(5)}")
-      new CommitLogBackend(spark, root, checkpointEvery = 5).vacuum()
+      new CommitLogBackend(spark, root, checkpointEvery = 5).vacuum(0)
       assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$root/ready/$orphan")),
         "the dead writer's staged file is age-reclaimed")
       // checkpointing resumes past the skipped claim and a fresh process

@@ -743,6 +743,62 @@ class CorpusOpsSpec extends SparkSpec {
         s"pinned=${operators.TextOps.BpeMerges.map(_._1)}")
   }
 
+  test("local BPE trainer reproduces the Spark trainer's pin and saturates at 89 merges") {
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    val wc = operators.TextOps.wordCounts(docs)
+    // asked for far more than the corpus supports: stops at saturation
+    val sat = operators.TextOps.trainBpeMergesLocal(wc, 5000)
+    assert(sat == operators.TextOps.BpeMergesSat,
+      s"saturation-table drift: trained ${sat.size} merges, " +
+        s"first diff at ${sat.zip(operators.TextOps.BpeMergesSat).indexWhere(t => t._1 != t._2)}")
+    // prefix-stability: the greedy trainer's first 24 ARE the t22 pin
+    assert(sat.take(24) == operators.TextOps.BpeMerges)
+  }
+
+  test("t23 native BPE encode equals the rank-order replace chain (64 merges, sf0.001)") {
+    val merges = operators.TextOps.BpeMerges64
+    val enc = graft.functions.BpeFunctions.bpe_encode(col("tok"), merges)
+    val toks = spark.read.parquet(s"$sf/documents.parquet")
+      .select(explode(split(col("text"), "\\s+")).as("tok"))
+      .filter(col("tok") =!= "")
+    val out = toks.select(col("tok"), enc.as("e")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    assert(out.nonEmpty)
+    out.foreach { case (tok, e) =>
+      val chain = merges.foldLeft(tok) { case (s0, (p, m)) => s0.replace(p, m) }
+      assert(e == chain, s"native != chain for '$tok': " +
+        s"${e.map(c => f"${c.toInt}%04x")} vs ${chain.map(c => f"${c.toInt}%04x")}")
+    }
+    // merges actually fire below saturation: encoded forms vary in length
+    assert(out.map(_._2.length).distinct.length > 1)
+  }
+
+  test("native BPE encode at production vocabulary scale: >=1k merges, chain-equal (VERDICT r13 #4)") {
+    // The real corpus' 31-word vocabulary saturates at 89 merges — it
+    // cannot train a production-size table (documented on
+    // BpeMergesSatTrained). Vocabulary-SCALE behavior is pinned here on
+    // a deterministic synthetic vocabulary instead: 4000 distinct words
+    // from a seeded LCG, trained to 1200 merges with the SAME local
+    // trainer, then the native encoder is asserted chain-equal on every
+    // word — the table-size regime the replace chain cannot compile.
+    val (words, merges) = operators.TextOps.syntheticVocabMerges(1200)
+    assert(merges.size == 1200,
+      s"synthetic vocabulary must support 1200 merges, got ${merges.size}")
+    val table = new graft.functions.BpeTable(merges.map(_._1).toIndexedSeq)
+    words.foreach { w =>
+      val chain = merges.foldLeft(w) { case (s0, (p, m)) => s0.replace(p, m) }
+      val native = table.encode(
+        org.apache.spark.unsafe.types.UTF8String.fromString(w)).toString
+      assert(native == chain, s"native != chain at 1200 merges for '$w'")
+    }
+    // the rank-order property the min-rank loop relies on holds (the
+    // BpeTable constructor enforces it — constructing above proved it)
+    // and the table genuinely compresses: most words shrink
+    val shrunk = words.count(w => table.encode(
+      org.apache.spark.unsafe.types.UTF8String.fromString(w)).numChars() < w.length)
+    assert(shrunk > words.size / 2)
+  }
+
   test("t22 bpe apply equals a brute-force rank-order encode at sf0.001") {
     val out = operators.TextOps.queries("t22_bpe_apply")(spark, sf).collect()
       .map(r => r.getString(0) ->
@@ -904,10 +960,47 @@ class CorpusOpsSpec extends SparkSpec {
         min(struct(col("doc_id"), col("st"))).as("canon_k"))
       .filter(col("c") >= 2)
     assert(rows(dupStats) == rows(freshDup), "dup stats == recompute")
-    // the cache returns the SAME frames on a second touch (the
-    // build-once contract the family's cost story depends on)
+    // a second touch serves the STORED artifact without rebuilding (the
+    // build-once contract the family's cost story depends on) — witness
+    // is the per-key build counter, not frame identity: the store hands
+    // out fresh lazy parquet scans by design
+    val key = "wcensus_wins/" + ArtifactStore.corpusId(s"$sf/documents.parquet")
+    // NOTE: before may be 0 — an artifact stored by an EARLIER JVM mounts
+    // without building here, which is exactly the store's contract
+    val before = ArtifactStore.buildCounts.getOrElse(key, 0L)
     val (m2, w2, d2) = operators.DedupOps.windowCensusArtifact(spark, sf)
-    assert((m2 eq meta) && (w2 eq wins) && (d2 eq dupStats))
+    assert(ArtifactStore.buildCounts.getOrElse(key, 0L) == before,
+      "second touch must mount the stored artifact, not rebuild")
+    assert(rows(w2) == rows(wins) && rows(m2) == rows(meta) && rows(d2) == rows(dupStats))
+  }
+
+  test("window-census artifact store: cross-session mount, in-place regeneration rebuild") {
+    // a FRESH session (no shared in-memory state with the builder)
+    // mounts the stored artifact without rebuilding — the 100 TB
+    // contract: the ingest job builds, every later session reads cold
+    Scratch.withDir("graft-censustest") { dir =>
+      val src = spark.read.parquet(s"$sf/documents.parquet")
+      src.write.parquet(s"$dir/documents.parquet")
+      val (_, wins1, _) = operators.DedupOps.windowCensusArtifact(spark, dir)
+      val n1 = wins1.count()
+      val key = "wcensus_wins/" + ArtifactStore.corpusId(s"$dir/documents.parquet")
+      assert(ArtifactStore.buildCounts.getOrElse(key, 0L) == 1L)
+      val fresh = spark.newSession()
+      val (_, wins2, _) = operators.DedupOps.windowCensusArtifact(fresh, dir)
+      assert(wins2.count() == n1)
+      assert(ArtifactStore.buildCounts.getOrElse(key, 0L) == 1L,
+        "fresh session must read the stored artifact, not rebuild")
+      // regenerate the corpus IN PLACE (same path, different content):
+      // the manifest fingerprint changes, so the store must rebuild
+      // rather than serve the stale census (ADVICE r13 staleness bug)
+      src.limit(10).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val key2 = "wcensus_wins/" + ArtifactStore.corpusId(s"$dir/documents.parquet")
+      assert(key2 != key, "in-place regeneration must change the corpus id")
+      val (_, wins3, _) = operators.DedupOps.windowCensusArtifact(spark, dir)
+      assert(ArtifactStore.buildCounts.getOrElse(key2, 0L) == 1L,
+        "regenerated corpus must trigger a rebuild under the new id")
+      assert(wins3.select("doc_id").distinct().count() <= 10L)
+    }
   }
 
   test("d26 dupspan excision equals a brute-force canon-protected model at sf0.001") {

@@ -105,8 +105,9 @@ class DirectAppendSpec extends SparkSpec {
     backend.enqueueRows(Seq(job(2)))
     assert(backend.logVersion == v0 + 2) // one durable commit per call
     assert(backend.readyJobs.collect().map(_.id).toSet == Set("j1", "j2"))
-    // vacuum must not eat committed direct files
-    assert(backend.vacuum() == 0)
+    // vacuum must not eat committed direct files (retention 0 so the
+    // linger isn't what protects them)
+    assert(backend.vacuum(0) == 0)
     assert(backend.readyJobs.count() == 2)
   }
 

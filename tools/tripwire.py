@@ -44,12 +44,17 @@ def check(path):
         # zero tests executed is RED, not green: a bad testOnly filter or
         # discovery misconfiguration still prints a summary + [success],
         # and that is exactly the red-slips-through mode this tool exists
-        # to prevent (r12 review find). Gate on canceled == 0 and
-        # ignored == 0 so a log that is red (or intentionally ignored)
-        # for a different reason doesn't get a misleading second
-        # diagnosis stacked on top (r12 advice).
-        if not ok and not failed and not canceled and not ignored:
-            problems.append("0 tests executed — wrong command or filter?")
+        # to prevent (r12 review find). Canceled runs skip this second
+        # diagnosis (already reported red above), but an ALL-IGNORED run
+        # (ok=0, failed=0, canceled=0, ignored>0) must be red too —
+        # nothing else flags it (r13 advice).
+        if not ok and not failed and not canceled:
+            if ignored:
+                problems.append(
+                    f"0 tests executed, {ignored} ignored — all-ignored "
+                    "run proves nothing")
+            else:
+                problems.append("0 tests executed — wrong command or filter?")
         if not failed and not canceled and ok:
             print(f"  {path}: {ok} succeeded, 0 failed, 0 canceled "
                   f"({ignored} ignored, {pending} pending)")
