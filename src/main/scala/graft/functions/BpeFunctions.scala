@@ -48,17 +48,26 @@ final class BpeTable(val pairs: IndexedSeq[String]) extends Serializable {
 
   // Open-addressed (c1 << 16 | c2) → rank map: allocation-free lookups
   // in the per-pair scan (a boxed HashMap would allocate per probe on
-  // the hot path). Capacity = next pow2 ≥ 2× entries; -1 = empty.
-  private val mask: Int = {
+  // the hot path). Capacity = next pow2 ≥ 2× entries; -1 = empty key.
+  // The raw key MUST be mixed before masking: `k & mask` indexes by the
+  // second char's low bits alone, so every pair sharing a second char
+  // lands in one linear-probe cluster — measured 7.6× encode slowdown
+  // at a 1200-entry table vs 64 (the r14 ScaleProbe table-size row that
+  // was supposed to be flat). Fibonacci hashing (golden-ratio multiply,
+  // take the TOP bits) spreads both chars into the index.
+  private val shift: Int = {
     var c = 16
-    while (c < pairs.size * 2) c <<= 1
-    c - 1
+    var s = 28
+    while (c < pairs.size * 2) { c <<= 1; s -= 1 }
+    s
   }
+  private val mask: Int = (1 << (32 - shift)) - 1
+  @inline private def slot(k: Int): Int = (k * 0x9E3779B9) >>> shift
   private val keys = Array.fill(mask + 1)(-1)
   private val ranks = new Array[Int](mask + 1)
   pairs.zipWithIndex.foreach { case (p, r) =>
     val k = (p.charAt(0) << 16) | p.charAt(1)
-    var i = k & mask
+    var i = slot(k)
     while (keys(i) != -1 && keys(i) != k) i = (i + 1) & mask
     if (keys(i) == -1) { keys(i) = k; ranks(i) = r }
     // duplicate pair: first (lowest) rank wins — the chain's later
@@ -67,7 +76,7 @@ final class BpeTable(val pairs: IndexedSeq[String]) extends Serializable {
 
   @inline private def rankOf(c1: Char, c2: Char): Int = {
     val k = (c1 << 16) | c2
-    var i = k & mask
+    var i = slot(k)
     while (keys(i) != -1) {
       if (keys(i) == k) return ranks(i)
       i = (i + 1) & mask
