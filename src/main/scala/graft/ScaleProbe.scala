@@ -485,6 +485,87 @@ object ScaleProbe {
       }
     timeFleetCrossProcess(200000)
 
+    // SHARED-queue contended consumption (VERDICT r13 #8 stretch — the
+    // BLMOVE analog under the reference's own workload shape): N workers
+    // CONTEND on ONE queue under the r14 claim protocol, with the goose
+    // perf workload (1% of jobs fail once and retry instantly). Books:
+    // wall + aggregate rate per N, the exactly-once audit per ATTEMPT
+    // (first attempts all succeed-or-retry once, retried attempts
+    // succeed once — any extra success row is a double execution), and
+    // the claim overhead (one commit + one as-of read per micro-batch
+    // per worker) priced against the scoped 1-worker lane above.
+    def timeSharedQueue(nWorkers: Int, n: Int): (Double, Long) =
+      graft.Scratch.withDir(s"probe-shared-$nWorkers") { root =>
+        import spark.implicits._
+        graft.model.JobRegistry.register("probe_noop", _ => "ok")
+        graft.model.JobRegistry.register("probe_flaky",
+          _ => throw new RuntimeException("probe"))
+        graft.model.JobRegistry.registerBackoff("probe_instant", _ => 0)
+        val t0v = 1700000000000L
+        val retry = graft.model.RetryOpts(
+          maxRetries = 1, retryDelaySecFn = "probe_instant")
+        val backends = (0 until nWorkers).map(_ =>
+          new graft.backend.CommitLogBackend(spark, root))
+        backends.head.enqueue(
+          spark.range(0, n, 1, math.max(8, n / 12500)).map { i =>
+            graft.model.Job(
+              id = i.toString,
+              executeFnSym = if (i % 100 == 0) "probe_flaky" else "probe_noop",
+              argsJson = "[]", queue = "shared", readyQueue = "shared",
+              priority = 0, enqueuedAt = t0v, scheduleRunAt = None,
+              cronRunAt = None, batchId = None, retryOpts = retry,
+              state = None, seq = graft.model.Job.nextSeq())
+          })
+        // FIXED clock (not ticking): a mutable clock is cloned into each
+        // serialized task closure, so executor-side now() would stamp
+        // retryAt into the driver clock's future and awaitDrained would
+        // settle with retries pending (the first r14 lane run lost
+        // 996/1000 retries to exactly this). A constant clock keeps
+        // instant retries due (retryAt = t0v <= t0v).
+        val workers = backends.zipWithIndex.map { case (b, i) =>
+          new graft.worker.GraftWorker(b, spark, root,
+            trigger = org.apache.spark.sql.streaming.Trigger
+              .ProcessingTime("100 milliseconds"),
+            maintenanceIntervalMs = 200, queue = Some("shared"),
+            coordinator = i == 0, claimedConsumption = true,
+            nowFn = () => t0v)
+        }
+        val t0 = System.nanoTime()
+        workers.foreach(_.start())
+        val sec = try {
+          workers.foreach(w => require(w.awaitDrained(600000),
+            "shared-queue drain timeout"))
+          (System.nanoTime() - t0) / 1e9
+        } finally workers.foreach(_.stop(graceful = true))
+        // exactly-once per ATTEMPT: the 1% flaky jobs retry once then die
+        // (the goose perf workload with maxRetries=1), so the books are
+        // 99% success / 1% dead — and each figure must hold for BOTH
+        // distinct ids and total rows (doubles show up in rows)
+        val flaky = n / 100L
+        val fns = org.apache.spark.sql.functions
+        val byState = backends.head.completions.toDF()
+          .groupBy("terminalState")
+          .agg(fns.countDistinct(fns.col("jobId")).as("d"),
+            fns.count(fns.lit(1)).as("t"))
+          .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+        require(byState.get("success").contains((n - flaky, n - flaky)),
+          s"shared-queue success books off: ${byState.get("success")} vs ${n - flaky}")
+        require(byState.get("dead").contains((flaky, flaky)),
+          s"shared-queue dead books off: ${byState.get("dead")} vs $flaky")
+        require(byState.get("retrying").contains((flaky, flaky)),
+          s"shared-queue retry books off: ${byState.get("retrying")} vs $flaky")
+        (sec, n - flaky)
+      }
+    locally {
+      val n = 100000
+      val lanes = Seq(1, 2, 4).map(w => w -> timeSharedQueue(w, n))
+      val (s1, _) = lanes.head._2
+      lanes.foreach { case (w, (sec, _)) =>
+        sb.append(f"| SHARED-queue contended drain ($w worker(s), ${n / 1000}k jobs, 1%% retry, claimed consumption) | $s1%.2f | $sec%.2f | ${sec / s1}%.2f× | ${n / sec}%.0f jobs/s aggregate; exactly-once per attempt audited |\n")
+        println(f"PROBE shared$w: $sec%.2fs (${n / sec}%.0f j/s)")
+      }
+    }
+
     // D10 orphan recovery at scale: a crashed worker's unconsumed
     // attempts are exactly the ready rows with no (id, attempt)
     // completion record, and recovery is an ordinary pass over that

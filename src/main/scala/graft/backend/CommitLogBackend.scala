@@ -3,7 +3,7 @@ package graft.backend
 import java.util.UUID
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{Dataset, Encoder, SaveMode, SparkSession}
-import graft.model.{Job, QueueDecl}
+import graft.model.{ClaimEvent, Job, JobAttempt, QueueDecl}
 import graft.model.ModelEncoders._
 
 /** Manifest-commit-log binding of [[LogStructuredBackend]] — the second
@@ -315,7 +315,9 @@ final class CommitLogBackend(
     LogState(folded, state)
   }
 
-  private def commit(records: Seq[String]): Unit = {
+  /** Returns the version this commit claimed (r14: the claimed-
+    * consumption protocol arbitrates on it — see [[claimSlice]]). */
+  private def commit(records: Seq[String]): Long = {
     val payload = (records :+ s"end\t${records.size}")
       .mkString("", "\n", "\n").getBytes("UTF-8")
     val next = commitLock.synchronized {
@@ -400,6 +402,7 @@ final class CommitLogBackend(
           s"[commit-log] checkpoint $next skipped: ${e.getMessage}")
       }
     }
+    next
   }
 
   /** Atomically claim `target` publishing the payload in the same
@@ -653,6 +656,61 @@ final class CommitLogBackend(
         commit(Seq(("replace" +: tbl +: stage(tbl, rows)).mkString("\t")))
     }
   }
+
+  /** Claimed consumption (r14 — the shared-queue BLMOVE / in-progress
+    * analog): commit this claimant's claims for the slice in ONE
+    * manifest version V, then read the claims table AS OF V. Every
+    * other claim visible in that view was committed STRICTLY EARLIER
+    * (versions are unique and mine IS V), and the earlier claimant's
+    * own as-of view cannot contain mine — so "skip any attempt with a
+    * live foreign claim in my view" yields exactly one executor per
+    * attempt, with no coordination beyond the log's total order.
+    * Claims from claimants that died before completing age out after
+    * `leaseMs` and the attempt becomes claimable again (the lease is
+    * minutes-scale vs ms-scale cross-process clock skew). My OWN older
+    * claims never block me: re-executing my claimed-but-uncompleted
+    * attempt is the ordinary at-least-once crash replay.
+    *
+    * Returned winners are eagerly checkpointed (the claim and the
+    * execution must cover the same rows); the caller unpersists after
+    * its pass (WorkerEngine.withClaims). */
+  override def claimSlice(slice: Dataset[Job], claimantId: String,
+      now: Long, leaseMs: Long): Dataset[Job] = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{coalesce, col, lit}
+    val pinned = slice.localCheckpoint(true)
+    if (pinned.isEmpty) return pinned
+    try {
+      val claims = pinned.map(j =>
+        ClaimEvent(j.id, JobAttempt.of(j), claimantId, now))
+      val v = commit(stage("claims", claims).map(f => s"add\tclaims\t$f"))
+      val foreign = readTableAt("claims", v)
+        .filter(col("claimantId") =!= claimantId &&
+          col("claimedAt") > now - leaseMs)
+        .select(col("jobId").as("c_jid"), col("attempt").as("c_att"))
+      pinned.join(foreign,
+          pinned("id") === col("c_jid") &&
+            coalesce(pinned("state.retryCount") + 1, lit(0)) === col("c_att"),
+          "left_anti")
+        .as[Job]
+        .localCheckpoint(true)
+    } finally { pinned.unpersist(); () }
+  }
+
+  /** Append claim records directly in one commit — diagnostics, spec
+    * fixtures, and the hook an orphan-checker would use to re-assert a
+    * lease it inherited. */
+  def recordClaims(claims: Seq[ClaimEvent]): Unit =
+    if (claims.nonEmpty) {
+      val ds = spark.createDataset(claims)(
+        graft.model.ModelEncoders.claimEventEncoder).coalesce(1)
+      commit(stage("claims", ds).map(f => s"add\tclaims\t$f"))
+      ()
+    }
+
+  /** The folded claim log (diagnostics / specs). */
+  def readClaims(): Dataset[ClaimEvent] =
+    readLog[ClaimEvent]("claims")(graft.model.ModelEncoders.claimEventEncoder)
 
   // ---------- maintenance ----------
 

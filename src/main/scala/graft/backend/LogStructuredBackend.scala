@@ -365,6 +365,23 @@ abstract class LogStructuredBackend(val spark: SparkSession) extends QueueBacken
             .distinct().as[CompletionEvent])
         return
       }
+      if (tbl == "claims") {
+        // fold the claim log (r14 shared-queue claimed consumption) to
+        // claims whose attempt has no completion yet: a completed
+        // attempt's claim can never matter again (filterReadyVisible
+        // already drops the attempt), while an UNCOMPLETED claim is kept
+        // even past its lease — its attempt may be mid-replay, and
+        // keeping it is only bytes, never wrongness. One micro-batch per
+        // worker appends one claim batch, so this table grows at the
+        // completions rate and folds with the same light lane.
+        val comps = readLog[CompletionEvent]("completions")
+          .select($"jobId".as("d_jid"), $"attempt".as("d_att"))
+        replaceLog("claims",
+          foldSnapshot[ClaimEvent]("claims")
+            .join(comps, $"jobId" === $"d_jid" && $"attempt" === $"d_att", "left_anti")
+            .as[ClaimEvent])
+        return
+      }
       // Snapshot the tombstones BEFORE computing the survivor set: the
       // set it is safe to drop is exactly the `tbl` rows of THIS
       // snapshot — the ones the survivor computation could apply. The

@@ -121,6 +121,20 @@ trait QueueBackend {
     * tombstones, queue purges) to an arbitrary slice of the ready log —
     * used by the streaming worker on each micro-batch. */
   def filterReadyVisible(slice: Dataset[Job]): Dataset[Job]
+
+  /** Claim `slice` for exclusive execution by `claimantId` and return the
+    * subset this claimant won — the BLMOVE / in-progress-queue analog
+    * that makes a SHARED queue consumable by N workers without
+    * systematic double execution (r14). Default: no claim protocol —
+    * the whole slice comes back, which is correct for the scoped
+    * topology (one worker per queue, goose's worker.clj:27,43 shape)
+    * where at-least-once + idempotent (id, attempt) commit already
+    * suffices. Only backends with a totally ordered multi-process log
+    * can arbitrate claims; see CommitLogBackend's override. A claim
+    * from a claimant that died before completing expires after
+    * `leaseMs` and the attempt becomes claimable again. */
+  def claimSlice(slice: Dataset[Job], claimantId: String, now: Long,
+      leaseMs: Long): Dataset[Job] = slice
   def scheduledJobs: Dataset[Job]
   def deadJobs: Dataset[Job]
   def completions: Dataset[CompletionEvent]

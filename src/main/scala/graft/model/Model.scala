@@ -222,6 +222,19 @@ final case class CompletionEvent(
     executionTimeMs: Long,
     finishedAt: Long)
 
+/** One worker's exclusive claim on a ready ATTEMPT before executing it —
+  * the BLMOVE / in-progress-queue analog for SHARED-queue fleets (r14).
+  * Scoped fleets (one worker per queue, the reference's worker.clj:27,43
+  * recommendation) never write these; a shared-queue fleet commits a
+  * claim batch per micro-batch and executes only attempts no OTHER live
+  * claim (younger than the lease) had already claimed in an earlier
+  * manifest version — see CommitLogBackend.claimSlice. */
+final case class ClaimEvent(
+    jobId: String,
+    attempt: Int,
+    claimantId: String,
+    claimedAt: Long)
+
 object JobAttempt {
   /** Which attempt a ready-row represents: goose stamps retryCount = n-1
     * on the n-th retry's failure state (retry.clj:79-91). */

@@ -26,6 +26,8 @@ object ModelEncoders {
   implicit val jobEncoder: Encoder[Job] = Encoders.product[Job]
   implicit val completionEventEncoder: Encoder[CompletionEvent] =
     Encoders.product[CompletionEvent]
+  implicit val claimEventEncoder: Encoder[ClaimEvent] =
+    Encoders.product[ClaimEvent]
   implicit val tombstoneEncoder: Encoder[Tombstone] = Encoders.product[Tombstone]
   implicit val purgeMarkerEncoder: Encoder[PurgeMarker] = Encoders.product[PurgeMarker]
   implicit val cronLogRecordEncoder: Encoder[CronLogRecord] =

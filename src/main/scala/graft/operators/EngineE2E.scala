@@ -1180,6 +1180,61 @@ object EngineE2E {
         .orderBy("lane")
     }),
 
+    // r14 shared-queue claimed consumption end-to-end: TWO streaming
+    // workers CONTEND on ONE queue — the BLMOVE shape q54's scoped
+    // topology deliberately avoids — with claimedConsumption on, so
+    // each micro-batch commits its claim in one manifest version and
+    // executes only attempts with no earlier live foreign claim.
+    // Books: n_jobs (distinct executed keys), n_exec (total fixture
+    // executions — a contention double lands HERE), n_done (success
+    // completion rows — a double COMMIT lands here). All three must
+    // equal the seed count.
+    "q55_shared_queue" -> ((s, d) => withScratch("graft-e2e-shared") { root =>
+      import s.implicits._
+      val clock = new AtomicLong(T0)
+      val execCounts = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+      JobRegistry.register("e2e_shared", args => {
+        execCounts.merge(args.head.toString, Integer.valueOf(1), (a, b) => a + b); "ok"
+      })
+      val b1 = new graft.backend.CommitLogBackend(s, root)
+      val b2 = new graft.backend.CommitLogBackend(s, root)
+      val retry = RetryOpts(maxRetries = 1, retryDelaySecFn = "e2e_instant")
+      b1.enqueue(Tables.events(s, d).orderBy("event_id").limit(SeedCount)
+        .select($"event_id".as[Long]).map { eid =>
+          Job(id = eid.toString, executeFnSym = "e2e_shared",
+            argsJson = s"""["$eid"]""", queue = "shared", readyQueue = "shared",
+            priority = 0, enqueuedAt = T0, scheduleRunAt = None,
+            cronRunAt = None, batchId = None, retryOpts = retry,
+            state = None, seq = Job.nextSeq())
+        })
+      withShufflePartitions(s, 4) {
+        def worker(b: graft.backend.CommitLogBackend, coord: Boolean) =
+          new graft.worker.GraftWorker(b, s, root,
+            trigger = org.apache.spark.sql.streaming.Trigger
+              .ProcessingTime("100 milliseconds"),
+            maintenanceIntervalMs = 200, queue = Some("shared"),
+            coordinator = coord, claimedConsumption = true,
+            nowFn = () => clock.get())
+        val w1 = worker(b1, coord = true)
+        val w2 = worker(b2, coord = false)
+        w1.start(); w2.start()
+        try {
+          require(w1.awaitDrained(120000), "shared-queue w1 failed to drain")
+          require(w2.awaitDrained(120000), "shared-queue w2 failed to drain")
+          // several more trigger+maintenance rounds on both workers: a
+          // late contention double would land in the books below
+          Thread.sleep(600)
+        } finally { w2.stop(graceful = true); w1.stop(graceful = true) }
+      }
+      val nJobs = execCounts.size().toLong
+      var nExec = 0L
+      val it = execCounts.values().iterator()
+      while (it.hasNext) nExec += it.next().toLong
+      val nDone = b1.completions.toDF()
+        .filter(col("terminalState") === "success").count()
+      Seq((nJobs, nExec, nDone)).toDF("n_jobs", "n_exec", "n_done")
+    }),
+
     // D7/D8: batch over the seed jobs → tracker folds completions → one
     // terminal status (partial-success when some jobs died).
     "e2e_batch_status" -> ((s, d) => withScratch("graft-e2e") { root =>
@@ -1588,6 +1643,13 @@ object EngineE2E {
          |SELECT 'fleet_b', COUNT(*), COUNT(*), COUNT(*)
          |FROM seed WHERE event_id % 2 = 1
          |ORDER BY lane""".stripMargin,
+    // shared-queue contended books: every seed executed once and
+    // committed once despite two workers consuming the SAME queue —
+    // the claim protocol's exactly-once-per-attempt, gate-audited
+    "q55_shared_queue" ->
+      s"""WITH seed AS (SELECT * FROM events ORDER BY event_id LIMIT $SeedCount)
+         |SELECT COUNT(*) AS n_jobs, COUNT(*) AS n_exec, COUNT(*) AS n_done
+         |FROM seed""".stripMargin,
     // wave 1 (raw event ids) deleted by the cutoff sweep; wave 2
     // (ids offset by 10M) survives — one row per seed error event
     "q53_dead_retention" ->

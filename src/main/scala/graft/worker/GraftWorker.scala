@@ -69,6 +69,12 @@ final class GraftWorker(
       * second coordinator's cron fires collapse in the visibility fold
       * — defense in depth, not a license to run two. */
     coordinator: Boolean = true,
+    /** Claimed consumption (r14): N workers may CONTEND on one shared
+      * queue — each micro-batch commits a claim and executes only
+      * attempts it won (the BLMOVE analog; WorkerEngine/
+      * CommitLogBackend.claimSlice). Leave off for the scoped topology;
+      * costs one commit + one as-of read per micro-batch when on. */
+    claimedConsumption: Boolean = false,
     /** Invoked with the failure description when one of THIS worker's
       * streaming queries dies abruptly — i.e. terminates with an
       * exception while the worker is running, not during [[stop]]
@@ -85,7 +91,8 @@ final class GraftWorker(
   private val gate = new java.util.concurrent.locks.ReentrantReadWriteLock()
 
   private val engine = new WorkerEngine(backend, spark,
-    middlewares :+ Metrics.middleware(sinkName), nowFn, gate, queue)
+    middlewares :+ Metrics.middleware(sinkName), nowFn, gate, queue,
+    claimedConsumption)
   private val scheduler = new SchedulerEngine(backend, spark, nowFn)
   private val tracker = new BatchTracker(backend, spark)
 
@@ -131,6 +138,10 @@ final class GraftWorker(
           folded = true
         }
         if (compsPressure > compactMinFiles) light("completions")
+        // claims grow at the completions rate under shared-queue claimed
+        // consumption (one claim batch per micro-batch per worker) and
+        // fold with the same light lane; zero files otherwise
+        if (n("claims") > compactMinFiles) light("claims")
         if (n("scheduled") > compactMinFiles) light("scheduled")
         if (n("dead") > compactMinFiles) light("dead")
         if (n("cron") > compactMinFiles) light("cron")

@@ -109,9 +109,28 @@ final class WorkerEngine(
       * queue). None = consume everything (the single-process mode). The
       * filter is a Catalyst predicate on the ready scan, so a scoped
       * worker never reads other queues' row groups (min/max pruning). */
-    queue: Option[String] = None) extends Serializable {
+    queue: Option[String] = None,
+    /** Claimed consumption (r14): when true, each pass commits a claim
+      * batch and executes only attempts it won — the BLMOVE analog that
+      * lets N workers CONTEND on one shared queue without systematic
+      * double execution (backend.claimSlice; only manifest-log backends
+      * arbitrate — elsewhere this flag is a no-op pass-through). The
+      * scoped topology (one worker per queue) should leave it off: the
+      * claim costs one commit + one as-of read per micro-batch. */
+    claimedConsumption: Boolean = false) extends Serializable {
 
   import spark.implicits._
+
+  /** This consumer's claim identity (per engine instance, like goose's
+    * consumer tag). */
+  private val claimantId = java.util.UUID.randomUUID().toString
+
+  private def withClaims(jobs: Dataset[Job])(body: Dataset[Job] => PassStats): PassStats =
+    if (!claimedConsumption) body(jobs)
+    else {
+      val won = backend.claimSlice(jobs, claimantId, nowFn(), WorkerEngine.ClaimLeaseMs)
+      try body(won) finally { won.unpersist(); () }
+    }
 
   final case class PassStats(executed: Long, succeeded: Long, retried: Long, died: Long)
 
@@ -123,7 +142,8 @@ final class WorkerEngine(
   /** Drain-and-execute every currently visible ready job of this
     * worker's scope (the batch-mode twin of the streaming query; also
     * the foreachBatch body). */
-  def runPass(): PassStats = gated(executeBatchInner(scoped(backend.readyJobs)))
+  def runPass(): PassStats =
+    gated(withClaims(scoped(backend.readyJobs))(executeBatchInner))
 
   /** Plan CONSTRUCTION must happen inside the gate as well: building
     * `readyJobs`/`filterReadyVisible` lists the live log files, and a
@@ -202,7 +222,15 @@ final class WorkerEngine(
         * memory/latency footprint when a huge backlog appears at once;
         * None = drain everything available each trigger. */
       prefetchFiles: Option[Int] = None): StreamingQuery = {
-    val qn = Option(queryName).getOrElse(s"graft-worker${queue.fold("")("-" + _)}")
+    val qn = Option(queryName).getOrElse {
+      val base = s"graft-worker${queue.fold("")("-" + _)}"
+      // Shared-queue claimed consumers are MEANT to coexist on one queue
+      // — each needs its own query name, file-source offsets and
+      // checkpoint dir (two streams on one checkpoint corrupt offsets).
+      // A restarted claimed worker gets a fresh identity and re-reads
+      // the log cold; completions visibility + claims make that safe.
+      if (claimedConsumption) s"$base-${claimantId.take(8)}" else base
+    }
     val jobSchema = implicitly[org.apache.spark.sql.Encoder[Job]].schema
     // The file source requires the log dir to exist before the query
     // starts — created via Hadoop FS so hdfs://-style roots work too.
@@ -222,8 +250,21 @@ final class WorkerEngine(
       .option("checkpointLocation", s"$root/checkpoints/$qn")
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
         // gate covers the visibility-plan construction too (file listing)
-        gated { executeBatchInner(scoped(backend.filterReadyVisible(batch.as[Job]))); () }
+        gated {
+          withClaims(scoped(backend.filterReadyVisible(batch.as[Job])))(executeBatchInner)
+          ()
+        }
       }
       .start()
   }
+}
+
+object WorkerEngine {
+  /** How long a committed claim excludes other claimants before it is
+    * presumed dead and the attempt becomes claimable again — goose's
+    * orphan-checker window for the in-progress queue. Minutes-scale on
+    * purpose: a live pass completes in milliseconds-to-seconds, and the
+    * lease only matters when a claimant died between claim and
+    * completion commit. */
+  val ClaimLeaseMs: Long = 60000L
 }

@@ -1,0 +1,140 @@
+package graft
+
+import graft.backend.CommitLogBackend
+import graft.model._
+import graft.worker.WorkerEngine
+import org.apache.spark.sql.functions._
+
+/** Shared-queue claimed consumption (r14, the BLMOVE / in-progress-queue
+  * analog): without claims, two workers consuming the SAME queue would
+  * both execute every visible attempt (at-least-once, goose's own
+  * guarantee, but systematic 2× under contention); with claims, each
+  * micro-batch commits its claim in one manifest version and executes
+  * only attempts with no earlier live foreign claim — the log's total
+  * order is the arbiter, so the protocol holds across processes too. */
+class ClaimedConsumptionSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val executions = new java.util.concurrent.atomic.AtomicLong
+
+  private def job(i: Int, q: String = "shared"): Job = Job(
+    id = s"c$i", executeFnSym = "claim_count", argsJson = "[]", queue = q,
+    readyQueue = q, priority = 0, enqueuedAt = 1700000000000L,
+    scheduleRunAt = None, cronRunAt = None, batchId = None,
+    retryOpts = RetryOpts(), state = None, seq = Job.nextSeq())
+
+  test("two engines contending on ONE queue execute each attempt exactly once") {
+    JobRegistry.register("claim_count", _ => { executions.incrementAndGet(); "ok" })
+    executions.set(0)
+    val root = tmpDir("graft-claims")
+    val n = 300
+    val a = new CommitLogBackend(spark, root)
+    val b = new CommitLogBackend(spark, root)
+    a.enqueue((0 until n).map(job(_)).toDS().repartition(4))
+    val ea = new WorkerEngine(a, spark, queue = Some("shared"), claimedConsumption = true)
+    val eb = new WorkerEngine(b, spark, queue = Some("shared"), claimedConsumption = true)
+    // race the two engines' passes until the queue drains
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    try {
+      val fa = pool.submit(new java.util.concurrent.Callable[Long] {
+        def call(): Long = { var done = 0L
+          (1 to 6).foreach { _ => done += ea.runPass().executed }; done }
+      })
+      val fb = pool.submit(new java.util.concurrent.Callable[Long] {
+        def call(): Long = { var done = 0L
+          (1 to 6).foreach { _ => done += eb.runPass().executed }; done }
+      })
+      val (da, db) = (fa.get(300, java.util.concurrent.TimeUnit.SECONDS),
+        fb.get(300, java.util.concurrent.TimeUnit.SECONDS))
+      assert(da + db == n, s"pass-reported executions $da+$db != $n")
+    } finally pool.shutdown()
+    assert(executions.get() == n,
+      s"each attempt must run exactly once, ran ${executions.get()}")
+    // ...and the completion log agrees: n distinct ids, n total rows
+    val done = a.completions.toDF().filter(col("terminalState") === "success")
+      .agg(countDistinct(col("jobId")).as("d"), count(lit(1)).as("t")).head()
+    assert(done.getLong(0) == n && done.getLong(1) == n)
+    assert(a.readyJobs.isEmpty)
+  }
+
+  test("a live foreign claim excludes the attempt; an expired one does not") {
+    JobRegistry.register("claim_count", _ => { executions.incrementAndGet(); "ok" })
+    val root = tmpDir("graft-claims")
+    val b = new CommitLogBackend(spark, root)
+    b.enqueue(Seq(job(1), job(2), job(3)).toDS().coalesce(1))
+    val now = System.currentTimeMillis()
+    // c1: claimed seconds ago by a live foreign claimant — must be skipped;
+    // c2: claimed LONG ago by a dead claimant — lease expired, must run
+    b.recordClaims(Seq(
+      ClaimEvent("c1", 0, "other-live", now - 1000),
+      ClaimEvent("c2", 0, "other-dead", now - WorkerEngine.ClaimLeaseMs - 60000)))
+    val e = new WorkerEngine(b, spark, queue = Some("shared"), claimedConsumption = true)
+    val stats = e.runPass()
+    assert(stats.executed == 2, s"c2 (expired lease) and c3 must run: $stats")
+    val doneIds = b.completions.collect().map(_.jobId).toSet
+    assert(doneIds == Set("c2", "c3"))
+    // the foreign claim ages out: a later pass picks c1 up — simulate by
+    // recording time passing via a fresh engine after expiring the claim
+    // (claims are immutable; expiry is read-side, so just wait it out
+    // with a backdated second claim scenario instead of sleeping: c1's
+    // claim is still young here, so it stays excluded)
+    assert(e.runPass().executed == 0, "young foreign claim still excludes c1")
+  }
+
+  test("streaming worker with claims drains retries to death (probe regression)") {
+    // The r14 10x probe's shared-queue lane lost 996/1000 retries. The
+    // cause was the probe harness, not the engine: a TICKING test clock
+    // (clock.addAndGet(1)) is cloned into each serialized task closure,
+    // so executor-side now() stamps retryAt into the DRIVER clock's
+    // future, and awaitDrained correctly settles with not-yet-due
+    // retries pending. A FIXED clock (a constant survives closure
+    // cloning coherently) keeps instant retries due; this test pins the
+    // streaming + retry + claims flow under that discipline.
+    executions.set(0)
+    JobRegistry.register("claim_count", _ => { executions.incrementAndGet(); "ok" })
+    JobRegistry.register("claim_boom", _ => throw new RuntimeException("boom"))
+    JobRegistry.registerBackoff("claim_instant", _ => 0)
+    val root = tmpDir("graft-claims")
+    val n = 200
+    val retry = RetryOpts(maxRetries = 1, retryDelaySecFn = "claim_instant")
+    val b = new CommitLogBackend(spark, root)
+    val clock = new java.util.concurrent.atomic.AtomicLong(1700000000000L)
+    b.enqueue((0 until n).map { i =>
+      Job(id = s"r$i",
+        executeFnSym = if (i % 10 == 0) "claim_boom" else "claim_count",
+        argsJson = "[]", queue = "shared", readyQueue = "shared", priority = 0,
+        enqueuedAt = clock.get(), scheduleRunAt = None, cronRunAt = None,
+        batchId = None, retryOpts = retry, state = None, seq = Job.nextSeq())
+    }.toDS().repartition(2))
+    val w = new graft.worker.GraftWorker(b, spark, root,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime("100 milliseconds"),
+      maintenanceIntervalMs = 200, queue = Some("shared"), coordinator = true,
+      claimedConsumption = true, nowFn = () => clock.get())
+    w.start()
+    try assert(w.awaitDrained(120000), "claimed streaming drain timed out")
+    finally w.stop(graceful = true)
+    val byState = b.completions.toDF()
+      .groupBy("terminalState").agg(count(lit(1)).as("t"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byState.getOrElse("success", 0L) == n - n / 10, s"books: $byState")
+    assert(byState.getOrElse("retrying", 0L) == n / 10, s"books: $byState")
+    assert(byState.getOrElse("dead", 0L) == n / 10,
+      s"every failed retry must die, books: $byState")
+  }
+
+  test("compact('claims') drops completed claims, keeps unconsumed ones") {
+    JobRegistry.register("claim_count", _ => "ok")
+    val root = tmpDir("graft-claims")
+    val b = new CommitLogBackend(spark, root)
+    b.enqueue(Seq(job(1)).toDS().coalesce(1))
+    val e = new WorkerEngine(b, spark, queue = Some("shared"), claimedConsumption = true)
+    assert(e.runPass().executed == 1)
+    // c1 completed: its claim is garbage. An unconsumed foreign claim
+    // survives the fold (its attempt may be mid-replay elsewhere).
+    b.recordClaims(Seq(ClaimEvent("c9", 0, "other", System.currentTimeMillis())))
+    b.compact("claims")
+    val left = b.readClaims().collect()
+    assert(left.map(_.jobId).toSeq == Seq("c9"),
+      s"completed claim folded away, unconsumed kept: ${left.mkString(",")}")
+  }
+}
