@@ -100,6 +100,65 @@ object QuickProbe {
         }
       // pseudo-query: client-side cost split of one performAsync/performAt
       // call (everything OUTSIDE the storage append)
+      // pseudo-query: WHERE does multi-producer per-call enqueue
+      // serialize? (r14: the official bench's producer lane shows
+      // p4/p1 ≈ 0.7 while every absolute point sits above the prior
+      // record — this splits the path so the serialized section is
+      // NAMED, not guessed.) Three stages at N ∈ {1,4,16} threads,
+      // constant total work per point:
+      //  - frame_only: serialization + CRC on the caller thread — the
+      //    r13 lock-free section; must scale ~linearly;
+      //  - wal_frame_plus_append: adds the WAL writer's monitor (one
+      //    buffered channel write) — its ceiling bounds every lane;
+      //  - full_perform_async: adds job build, args codec, and backend
+      //    bookkeeping through GraftClient on a fresh root per point.
+      case "__producers_profile" =>
+        graft.Scratch.withDir("probe-prodprof") { root =>
+          import graft.model._
+          JobRegistry.register("bench_noop", _ => "ok")
+          val enc = org.apache.spark.sql.Encoders.product[Job]
+          val tmpl = Job("bench_noop", Seq(1), "bench", RetryOpts())
+          def lane(label: String, total: Int, perPoint: Int => (Int => Unit)): Unit =
+            Seq(1, 4, 16).foreach { nThreads =>
+              val op = perPoint(nThreads)
+              val per = total / nThreads
+              val pool = java.util.concurrent.Executors.newFixedThreadPool(nThreads)
+              val start = new java.util.concurrent.CountDownLatch(1)
+              try {
+                val fs = (0 until nThreads).map { t =>
+                  pool.submit(new java.util.concurrent.Callable[Unit] {
+                    def call(): Unit = {
+                      start.await()
+                      var i = 0
+                      while (i < per) { op(t * per + i); i += 1 }
+                    }
+                  })
+                }
+                val t0 = System.nanoTime()
+                start.countDown()
+                fs.foreach(_.get(300, java.util.concurrent.TimeUnit.SECONDS))
+                val rate = total.toDouble / ((System.nanoTime() - t0) / 1e9)
+                println(f"PROBE producers_profile $label n$nThreads $rate%.0f/s")
+              } finally pool.shutdown()
+            }
+          // warm: JIT the codec + open the writer
+          (1 to 2048).foreach(i => graft.backend.WalStore.append(
+            root, "probe_warm", enc, Seq(tmpl.copy(id = s"w$i")), force = false))
+          lane("frame_only", 65536, _ => i => {
+            graft.backend.WalStore.frame(enc, Seq(tmpl.copy(id = i.toString))); ()
+          })
+          lane("wal_frame_plus_append", 16000, n => {
+            val tbl = s"probe_mp_$n" // fresh table per point: stay under MaxRecords
+            i => graft.backend.WalStore.append(
+              root, tbl, enc, Seq(tmpl.copy(id = i.toString)), force = false)
+          })
+          lane("full_perform_async", 8192, n => {
+            val client = new graft.client.GraftClient(
+              new graft.backend.ParquetBackend(spark, s"$root/cli$n"), spark, "bench")
+            (1 to 2048).foreach(i => client.performAsync("bench_noop", -i))
+            i => client.performAsync("bench_noop", i)
+          })
+        }
       case "__client_profile" =>
         graft.Scratch.withDir("probe-cliprof") { root =>
           import graft.model._

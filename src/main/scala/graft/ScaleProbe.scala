@@ -566,6 +566,73 @@ object ScaleProbe {
       }
     }
 
+    // Producer-path stage profile (r14): the official bench's producer
+    // lane shows p4/p1 ≈ 0.7 with every absolute point above the prior
+    // record; this lane NAMES the serialized section instead of guessing.
+    // Same three stages as QuickProbe __producers_profile: framing
+    // (caller-thread, must scale), framing+WAL-monitor append (the
+    // channel-write ceiling), full client performAsync (adds job build /
+    // args codec / backend bookkeeping). Measured r14: frame 317k →
+    // 764k/s from 1→16 threads (scales); WAL ceiling ~100k/s flat; the
+    // FULL path ~28k/s flat across N — the residual serialization lives
+    // in the client/backend bookkeeping above the WAL, the named r15
+    // frontier.
+    locally {
+      import graft.model._
+      graft.Scratch.withDir("probe-prodprof") { pr =>
+        JobRegistry.register("bench_noop", _ => "ok")
+        val enc = org.apache.spark.sql.Encoders.product[Job]
+        val tmpl = Job("bench_noop", Seq(1), "bench", RetryOpts())
+        def point(label: String, nThreads: Int, total: Int, op: Int => Unit): Double = {
+          val per = total / nThreads
+          val pool = java.util.concurrent.Executors.newFixedThreadPool(nThreads)
+          val start = new java.util.concurrent.CountDownLatch(1)
+          try {
+            val fs = (0 until nThreads).map { t =>
+              pool.submit(new java.util.concurrent.Callable[Unit] {
+                def call(): Unit = {
+                  start.await()
+                  var i = 0
+                  while (i < per) { op(t * per + i); i += 1 }
+                }
+              })
+            }
+            val t0 = System.nanoTime()
+            start.countDown()
+            fs.foreach(_.get(300, java.util.concurrent.TimeUnit.SECONDS))
+            total.toDouble / ((System.nanoTime() - t0) / 1e9)
+          } finally pool.shutdown()
+        }
+        (1 to 2048).foreach(i => graft.backend.WalStore.append(
+          pr, "probe_warm", enc, Seq(tmpl.copy(id = s"w$i")), force = false))
+        val lanes = Seq[(String, Int, Int => Int => Unit)](
+          ("producer framing only (lock-free caller section)", 65536,
+            (_: Int) => (i: Int) => {
+              graft.backend.WalStore.frame(enc, Seq(tmpl.copy(id = i.toString))); ()
+            }),
+          ("producer framing + WAL monitor append", 16000,
+            (n: Int) => {
+              val tbl = s"probe_mp_$n"
+              (i: Int) => graft.backend.WalStore.append(
+                pr, tbl, enc, Seq(tmpl.copy(id = i.toString)), force = false)
+            }),
+          ("producer FULL client performAsync", 8192,
+            (n: Int) => {
+              val client = new graft.client.GraftClient(
+                new graft.backend.ParquetBackend(spark, s"$pr/cli$n"), spark, "bench")
+              (1 to 2048).foreach(i => client.performAsync("bench_noop", -i))
+              (i: Int) => { client.performAsync("bench_noop", i); () }
+            })
+        )
+        lanes.foreach { case (label, total, mk) =>
+          val rates = Seq(1, 4, 16).map(n => n -> point(label, n, total, mk(n)))
+          val (r1, r4, r16) = (rates(0)._2, rates(1)._2, rates(2)._2)
+          sb.append(f"| $label (1/4/16 threads) | ${r1}%.0f/s | ${r4}%.0f / ${r16}%.0f per s | ${r4 / r1}%.2f× / ${r16 / r1}%.2f× | constant total work per point |\n")
+          println(f"PROBE prodprof $label: ${r1}%.0f / ${r4}%.0f / ${r16}%.0f per s")
+        }
+      }
+    }
+
     // D10 orphan recovery at scale: a crashed worker's unconsumed
     // attempts are exactly the ready rows with no (id, attempt)
     // completion record, and recovery is an ordinary pass over that
