@@ -158,6 +158,25 @@ object QuickProbe {
             (1 to 2048).foreach(i => client.performAsync("bench_noop", -i))
             i => client.performAsync("bench_noop", i)
           })
+          // the two halves of the full path, separately: client-side
+          // validation+build (pure computation — must scale) and the
+          // backend appendSmallRows wrapper (conf lookups + fold/write
+          // locks around the WAL append)
+          lane("client_build_only", 65536, _ => i => {
+            ArgsSerializers.active.roundTripConsistent(Seq(i))
+            Job("bench_noop", Seq(i), "bench", RetryOpts()); ()
+          })
+          lane("backend_enqueue_rows", 8192, n => {
+            val be = new graft.backend.ParquetBackend(spark, s"$root/be$n")
+            (1 to 2048).foreach(i => be.enqueueRows(Seq(tmpl.copy(id = s"w$i"))))
+            i => be.enqueueRows(Seq(tmpl.copy(id = i.toString)))
+          })
+          // the conf lookups appendSmallRows runs per call (one of them
+          // inside BOTH locks): if RuntimeConfig.getOption contends,
+          // this lane names it
+          lane("spark_conf_getoption", 65536, _ => _ => {
+            spark.conf.getOption("graft.wal.fsync"); ()
+          })
         }
       case "__client_profile" =>
         graft.Scratch.withDir("probe-cliprof") { root =>

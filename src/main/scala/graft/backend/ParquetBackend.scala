@@ -90,10 +90,31 @@ class ParquetBackend(spark0: SparkSession, val root: String)
     * against a WAL→parquet fold, so a reader can never see a folded row
     * twice (listed file + still-in-WAL) or zero times (pre-fold listing
     * + post-fold WAL). Lock order everywhere: walFoldLock → table
-    * writeLock → TableWal monitor. */
-  private val walFoldLocks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
-  private def foldLock(tbl: String): Object =
-    walFoldLocks.computeIfAbsent(tbl, _ => new Object)
+    * writeLock → TableWal monitor.
+    *
+    * READ/WRITE split (r14 — the producer-path profile measured the
+    * old per-table monitor convoying 4 concurrent per-call enqueues
+    * BELOW single-producer aggregate, 50k → 25k/s, while the WAL
+    * monitor alone sustains ~100k/s): folds, drains and replaces take
+    * the EXCLUSIVE side; WAL-lane appends and readLog take the SHARED
+    * side. Appends commute with each other (one atomic appendFramed
+    * each, ordered by the TableWal monitor) and with readers (a read
+    * sees a concurrent append's record or not — never half, never
+    * twice); only a FOLD moving rows between the WAL and the parquet
+    * dir can tear a reader's cut, and folds are exclusive. */
+  private val walFoldLocks = new java.util.concurrent
+    .ConcurrentHashMap[String, java.util.concurrent.locks.ReentrantReadWriteLock]()
+  private def foldLock(tbl: String): java.util.concurrent.locks.ReentrantReadWriteLock =
+    walFoldLocks.computeIfAbsent(tbl,
+      _ => new java.util.concurrent.locks.ReentrantReadWriteLock())
+  private def withFoldShared[A](tbl: String)(body: => A): A = {
+    val l = foldLock(tbl).readLock(); l.lock()
+    try body finally l.unlock()
+  }
+  private def withFoldExclusive[A](tbl: String)(body: => A): A = {
+    val l = foldLock(tbl).writeLock(); l.lock()
+    try body finally l.unlock()
+  }
 
   /** What this thread's last [[foldSnapshot]] of a table saw: the
     * parquet part-file set (post-fold, WAL empty). replaceLog
@@ -131,7 +152,7 @@ class ParquetBackend(spark0: SparkSession, val root: String)
     * OUTSIDE the lock and publish via renames (ADVICE r10 latency
     * note), so a read never waits on a write job. */
   override protected def readLog[T: Encoder](tbl: String): Dataset[T] =
-    foldLock(tbl).synchronized {
+    withFoldShared(tbl) {
       val lock = writeLocks.computeIfAbsent(tbl, _ => new Object)
       lock.synchronized {
         val enc = implicitly[Encoder[T]]
@@ -157,7 +178,7 @@ class ParquetBackend(spark0: SparkSession, val root: String)
     * costs one driver-side write on a path that is about to run a full
     * compaction job — noise. */
   override protected def foldSnapshot[T: Encoder](tbl: String): Dataset[T] =
-    foldLock(tbl).synchronized {
+    withFoldExclusive(tbl) {
       val lock = writeLocks.computeIfAbsent(tbl, _ => new Object)
       lock.synchronized {
         val enc = implicitly[Encoder[T]]
@@ -257,7 +278,7 @@ class ParquetBackend(spark0: SparkSession, val root: String)
         // (monitors are reentrant — drainWal retakes it), so a per-call
         // WAL append can't slip between the check and the file landing
         // and become stream-visible after it (ADVICE r10).
-        foldLock(tbl).synchronized {
+        withFoldExclusive(tbl) {
           if (WalStore.hasRecords(root, tbl)) drainWal(tbl, enc)
           val lock = writeLocks.computeIfAbsent(tbl, _ => new Object)
           lock.synchronized {
@@ -265,24 +286,28 @@ class ParquetBackend(spark0: SparkSession, val root: String)
           }
         }
       } else {
-        // WAL lane under the fold lock too: a fold (or the mixed-lane
-        // direct append above) and a per-call append fully serialize,
-        // so "landed before the batch" always implies "stream-visible
-        // before the batch". Cost when uncontended: one reentrant
-        // monitor; when a fold is running the append already waited on
-        // the table writeLock, so p99 is unchanged. FRAMING (serialize +
-        // CRC) happens before any lock — it's pure computation, and
-        // inside the locks it convoyed N concurrent producers down to
-        // below single-producer aggregate throughput (r13).
+        // WAL lane on the SHARED side of the fold lock (r14): a fold or
+        // the mixed-lane direct append holds the EXCLUSIVE side, so
+        // "landed before the batch" still implies "stream-visible
+        // before the batch" — but N concurrent per-call producers now
+        // commute, serializing only on the TableWal monitor's one
+        // buffered channel write (~100k/s ceiling) instead of convoying
+        // on a per-table monitor (measured 50k → 25k/s aggregate from
+        // 1 → 4 producers before this split). FRAMING (serialize + CRC)
+        // happens before any lock (r13); the fsync conf and the
+        // record-cap check are hoisted outside too — the cap pre-check
+        // races only other appends, so the cap is a soft bound
+        // overshootable by the number of in-flight producers, and the
+        // next append drains.
         val frames = WalStore.frame(enc, rows)
-        foldLock(tbl).synchronized {
-          if (WalStore.recordCount(root, tbl, enc) + rows.size > WalStore.MaxRecords)
-            drainWal(tbl, enc)
-          val lock = writeLocks.computeIfAbsent(tbl, _ => new Object)
-          lock.synchronized {
-            WalStore.appendFrames(root, tbl, enc, frames, rows.size,
-              force = spark.conf.getOption("graft.wal.fsync").contains("true"))
+        val fsync = spark.conf.getOption("graft.wal.fsync").contains("true")
+        if (WalStore.recordCount(root, tbl, enc) + rows.size > WalStore.MaxRecords)
+          withFoldExclusive(tbl) {
+            if (WalStore.recordCount(root, tbl, enc) + rows.size > WalStore.MaxRecords)
+              drainWal(tbl, enc)
           }
+        withFoldShared(tbl) {
+          WalStore.appendFrames(root, tbl, enc, frames, rows.size, force = fsync)
         }
       }
     }
@@ -293,7 +318,7 @@ class ParquetBackend(spark0: SparkSession, val root: String)
     * lock; atomic vs per-call appends via the TableWal monitor held
     * across decode→write→truncate. */
   private def drainWal[T](tbl: String, enc: Encoder[T]): Unit =
-    foldLock(tbl).synchronized {
+    withFoldExclusive(tbl) {
       if (WalStore.hasRecords(root, tbl)) {
         val lock = writeLocks.computeIfAbsent(tbl, _ => new Object)
         lock.synchronized {
@@ -350,7 +375,7 @@ class ParquetBackend(spark0: SparkSession, val root: String)
     val tmp = s"$root/.rw-${UUID.randomUUID()}"
     rows.write.mode(SaveMode.Overwrite).parquet(tmp)
     val mark = snapshotMarks.get.get(tbl)
-    foldLock(tbl).synchronized {
+    withFoldExclusive(tbl) {
       val lock = writeLocks.computeIfAbsent(tbl, _ => new Object)
       lock.synchronized {
         val enc = rows.encoder
