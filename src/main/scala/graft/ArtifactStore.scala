@@ -46,19 +46,29 @@ object ArtifactStore {
   val buildCounts = scala.collection.concurrent.TrieMap.empty[String, Long]
 
   /** Manifest fingerprint of one source table (file or directory):
-    * every data file's (name, size, mtime) in sorted order, hashed.
-    * Listing only — no data read; microseconds for a local table,
-    * one LIST call per build/mount at object-store scale. */
+    * every data file's (relative path, size, mtime) in sorted order,
+    * hashed. RECURSIVE (ADVICE r14): a PARTITIONED table regenerated
+    * in place keeps its partition-directory names, so a top-level-only
+    * listing could fingerprint unchanged and serve a stale artifact —
+    * the exact staleness this key exists to prevent. Walking leaf
+    * FILES keys on what the scan actually reads. Listing only — no
+    * data read; microseconds for a local table, one recursive LIST per
+    * build/mount at object-store scale. */
   def corpusId(tableDir: String): String = {
     val p = Paths.get(tableDir)
     val entries: Seq[String] =
       if (Files.isDirectory(p)) {
-        val s = Files.list(p)
+        val s = Files.walk(p)
         try {
           import scala.jdk.CollectionConverters._
           s.iterator().asScala
-            .filterNot(_.getFileName.toString.startsWith("."))
-            .map(f => s"${f.getFileName}:${Files.size(f)}:${Files.getLastModifiedTime(f).toMillis}")
+            .filter(Files.isRegularFile(_))
+            .filterNot(f => {
+              val rel = p.relativize(f)
+              (0 until rel.getNameCount)
+                .exists(i => rel.getName(i).toString.startsWith("."))
+            })
+            .map(f => s"${p.relativize(f)}:${Files.size(f)}:${Files.getLastModifiedTime(f).toMillis}")
             .toSeq.sorted
         } finally s.close()
       } else if (Files.isRegularFile(p))
@@ -96,11 +106,17 @@ object ArtifactStore {
           catch {
             // another process won the rename race between our existence
             // check and move — its artifact is complete (only complete
-            // builds are ever renamed in); drop our attempt, read theirs
-            case _: java.nio.file.FileAlreadyExistsException |
+            // builds are ever renamed in); drop our attempt, read theirs.
+            // AccessDeniedException is ALSO what a genuinely unwritable
+            // store root raises (ADVICE r14): only swallow it when the
+            // winner's artifact is actually present, else rethrow the
+            // root cause instead of failing later with a confusing
+            // path-not-found on the read.
+            case e @ (_: java.nio.file.FileAlreadyExistsException |
                  _: java.nio.file.DirectoryNotEmptyException |
-                 _: java.nio.file.AccessDeniedException =>
+                 _: java.nio.file.AccessDeniedException) =>
               deleteRecursively(tmp)
+              if (!Files.isDirectory(dir)) throw e
           }
         }
       }

@@ -114,69 +114,15 @@ object QuickProbe {
       //    bookkeeping through GraftClient on a fresh root per point.
       case "__producers_profile" =>
         graft.Scratch.withDir("probe-prodprof") { root =>
-          import graft.model._
-          JobRegistry.register("bench_noop", _ => "ok")
-          val enc = org.apache.spark.sql.Encoders.product[Job]
-          val tmpl = Job("bench_noop", Seq(1), "bench", RetryOpts())
-          def lane(label: String, total: Int, perPoint: Int => (Int => Unit)): Unit =
-            Seq(1, 4, 16).foreach { nThreads =>
-              val op = perPoint(nThreads)
-              val per = total / nThreads
-              val pool = java.util.concurrent.Executors.newFixedThreadPool(nThreads)
-              val start = new java.util.concurrent.CountDownLatch(1)
-              try {
-                val fs = (0 until nThreads).map { t =>
-                  pool.submit(new java.util.concurrent.Callable[Unit] {
-                    def call(): Unit = {
-                      start.await()
-                      var i = 0
-                      while (i < per) { op(t * per + i); i += 1 }
-                    }
-                  })
-                }
-                val t0 = System.nanoTime()
-                start.countDown()
-                fs.foreach(_.get(300, java.util.concurrent.TimeUnit.SECONDS))
-                val rate = total.toDouble / ((System.nanoTime() - t0) / 1e9)
-                println(f"PROBE producers_profile $label n$nThreads $rate%.0f/s")
-              } finally pool.shutdown()
+          // shared harness with ScaleProbe's engine-section block
+          // (ADVICE r14: the two copies could drift); extended = the
+          // full-path attribution lanes (client build / backend
+          // enqueueRows / conf lookup) only this probe publishes
+          graft.ProducersProfile.run(spark, root, extended = true).foreach {
+            case (label, rates) => rates.foreach { case (n, rate) =>
+              println(f"PROBE producers_profile $label n$n $rate%.0f/s")
             }
-          // warm: JIT the codec + open the writer
-          (1 to 2048).foreach(i => graft.backend.WalStore.append(
-            root, "probe_warm", enc, Seq(tmpl.copy(id = s"w$i")), force = false))
-          lane("frame_only", 65536, _ => i => {
-            graft.backend.WalStore.frame(enc, Seq(tmpl.copy(id = i.toString))); ()
-          })
-          lane("wal_frame_plus_append", 16000, n => {
-            val tbl = s"probe_mp_$n" // fresh table per point: stay under MaxRecords
-            i => graft.backend.WalStore.append(
-              root, tbl, enc, Seq(tmpl.copy(id = i.toString)), force = false)
-          })
-          lane("full_perform_async", 8192, n => {
-            val client = new graft.client.GraftClient(
-              new graft.backend.ParquetBackend(spark, s"$root/cli$n"), spark, "bench")
-            (1 to 2048).foreach(i => client.performAsync("bench_noop", -i))
-            i => client.performAsync("bench_noop", i)
-          })
-          // the two halves of the full path, separately: client-side
-          // validation+build (pure computation — must scale) and the
-          // backend appendSmallRows wrapper (conf lookups + fold/write
-          // locks around the WAL append)
-          lane("client_build_only", 65536, _ => i => {
-            ArgsSerializers.active.roundTripConsistent(Seq(i))
-            Job("bench_noop", Seq(i), "bench", RetryOpts()); ()
-          })
-          lane("backend_enqueue_rows", 8192, n => {
-            val be = new graft.backend.ParquetBackend(spark, s"$root/be$n")
-            (1 to 2048).foreach(i => be.enqueueRows(Seq(tmpl.copy(id = s"w$i"))))
-            i => be.enqueueRows(Seq(tmpl.copy(id = i.toString)))
-          })
-          // the conf lookups appendSmallRows runs per call (one of them
-          // inside BOTH locks): if RuntimeConfig.getOption contends,
-          // this lane names it
-          lane("spark_conf_getoption", 65536, _ => _ => {
-            spark.conf.getOption("graft.wal.fsync"); ()
-          })
+          }
         }
       case "__client_profile" =>
         graft.Scratch.withDir("probe-cliprof") { root =>

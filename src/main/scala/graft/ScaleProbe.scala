@@ -485,6 +485,91 @@ object ScaleProbe {
       }
     timeFleetCrossProcess(200000)
 
+    // Cross-process fleet at 4 JVMs under AGGRESSIVE coordinator
+    // maintenance (VERDICT r14 #3): three child JVMs stream their queues
+    // while THIS process's coordinator compacts on a hair trigger and
+    // vacuums with a seconds-scale retention linger — so replaced
+    // manifest files are genuinely unlinked while other PROCESSES hold
+    // read plans over them. The books prove the linger's contract at
+    // fleet scale: zero FileNotFoundException in any child, every queue
+    // drained, exactly-once on both distinct ids and total rows.
+    def timeFleetCrossProcessVacuum(n: Int): Unit =
+      graft.Scratch.withDir("probe-fleet4p") { root =>
+        import spark.implicits._
+        graft.model.JobRegistry.register("fleet_noop", _ => "ok")
+        val t0v = 1700000000000L
+        val retry = graft.model.RetryOpts()
+        val backend = new graft.backend.CommitLogBackend(spark, root)
+        val queues = Vector("fleetA", "fleetB", "fleetC", "fleetD")
+        backend.enqueue(spark.range(0, n, 1, math.max(8, n / 12500)).map { i =>
+          val q = queues((i % 4).toInt)
+          graft.model.Job(
+            id = i.toString, executeFnSym = "fleet_noop", argsJson = "[]",
+            queue = q, readyQueue = q, priority = 0, enqueuedAt = t0v,
+            scheduleRunAt = None, cronRunAt = None, batchId = None,
+            retryOpts = retry, state = None, seq = graft.model.Job.nextSeq())
+        })
+        val children = queues.tail.map { q =>
+          val pb = new ProcessBuilder(graft.worker.FleetWorkerMain.command(
+            root, q, coordinator = false, cpus = 4, maxHeap = "3g"): _*)
+          pb.redirectErrorStream(true)
+          val child = pb.start()
+          val out = new StringBuilder
+          val pump = new Thread(() => {
+            val r = new java.io.BufferedReader(
+              new java.io.InputStreamReader(child.getInputStream))
+            var line = r.readLine()
+            while (line != null) {
+              out.synchronized { out.append(line).append('\n'); () }
+              line = r.readLine()
+            }
+          })
+          pump.setDaemon(true)
+          pump.start()
+          (q, child, out)
+        }
+        val w = new graft.worker.GraftWorker(backend, spark, root,
+          trigger = org.apache.spark.sql.streaming.Trigger
+            .ProcessingTime("100 milliseconds"),
+          maintenanceIntervalMs = 200, compactEveryTicks = 2,
+          compactMinFiles = 4, queue = Some("fleetA"), coordinator = true,
+          vacuumRetentionMs = 2000, nowFn = () => t0v)
+        val t0 = System.nanoTime()
+        w.start()
+        val localSec = try {
+          require(w.awaitDrained(600000), "4-JVM local drain timeout")
+          val sec = (System.nanoTime() - t0) / 1e9
+          children.foreach { case (q, child, _) =>
+            require(child.waitFor(600, java.util.concurrent.TimeUnit.SECONDS),
+              s"4-JVM child $q never exited") }
+          sec
+        } finally {
+          w.stop(graceful = true)
+          children.foreach { case (_, child, _) =>
+            if (child.isAlive) { child.destroyForcibly(); () } }
+        }
+        var fnf = 0
+        children.foreach { case (q, child, out) =>
+          val o = out.synchronized(out.toString)
+          require(child.exitValue() == 0, s"4-JVM child $q failed: $o")
+          require(o.contains(s"FLEET_DRAINED_$q"), s"4-JVM child $q not drained: $o")
+          fnf += "FileNotFoundException".r.findAllIn(o).length
+        }
+        require(fnf == 0, s"$fnf FileNotFoundException hits under aggressive vacuum")
+        val fns = org.apache.spark.sql.functions
+        val done = new graft.backend.CommitLogBackend(spark, root)
+          .completions.toDF()
+          .filter(fns.col("terminalState") === "success")
+          .agg(fns.countDistinct(fns.col("jobId")).as("d"),
+            fns.count(fns.lit(1)).as("t"))
+          .head()
+        require(done.getLong(0) == n, s"4-JVM drain lost jobs: ${done.getLong(0)} of $n")
+        require(done.getLong(1) == n, s"4-JVM drain double-executed: ${done.getLong(1)} rows")
+        sb.append(f"| fleet drain CROSS-PROCESS under AGGRESSIVE vacuum (4 JVMs, ${n / 1000}k jobs, 2 s linger, fold pressure 4 files) | — | $localSec%.2f local wall | — | 0 FileNotFoundException across 3 child JVMs; exactly-once audit green |\n")
+        println(f"PROBE fleet4p: local $localSec%.2fs, fnf=$fnf, books green")
+      }
+    timeFleetCrossProcessVacuum(100000)
+
     // SHARED-queue contended consumption (VERDICT r13 #8 stretch — the
     // BLMOVE analog under the reference's own workload shape): N workers
     // CONTEND on ONE queue under the r14 claim protocol, with the goose
@@ -578,57 +663,14 @@ object ScaleProbe {
     // in the client/backend bookkeeping above the WAL, the named r15
     // frontier.
     locally {
-      import graft.model._
       graft.Scratch.withDir("probe-prodprof") { pr =>
-        JobRegistry.register("bench_noop", _ => "ok")
-        val enc = org.apache.spark.sql.Encoders.product[Job]
-        val tmpl = Job("bench_noop", Seq(1), "bench", RetryOpts())
-        def point(label: String, nThreads: Int, total: Int, op: Int => Unit): Double = {
-          val per = total / nThreads
-          val pool = java.util.concurrent.Executors.newFixedThreadPool(nThreads)
-          val start = new java.util.concurrent.CountDownLatch(1)
-          try {
-            val fs = (0 until nThreads).map { t =>
-              pool.submit(new java.util.concurrent.Callable[Unit] {
-                def call(): Unit = {
-                  start.await()
-                  var i = 0
-                  while (i < per) { op(t * per + i); i += 1 }
-                }
-              })
-            }
-            val t0 = System.nanoTime()
-            start.countDown()
-            fs.foreach(_.get(300, java.util.concurrent.TimeUnit.SECONDS))
-            total.toDouble / ((System.nanoTime() - t0) / 1e9)
-          } finally pool.shutdown()
-        }
-        (1 to 2048).foreach(i => graft.backend.WalStore.append(
-          pr, "probe_warm", enc, Seq(tmpl.copy(id = s"w$i")), force = false))
-        val lanes = Seq[(String, Int, Int => Int => Unit)](
-          ("producer framing only (lock-free caller section)", 65536,
-            (_: Int) => (i: Int) => {
-              graft.backend.WalStore.frame(enc, Seq(tmpl.copy(id = i.toString))); ()
-            }),
-          ("producer framing + WAL monitor append", 16000,
-            (n: Int) => {
-              val tbl = s"probe_mp_$n"
-              (i: Int) => graft.backend.WalStore.append(
-                pr, tbl, enc, Seq(tmpl.copy(id = i.toString)), force = false)
-            }),
-          ("producer FULL client performAsync", 8192,
-            (n: Int) => {
-              val client = new graft.client.GraftClient(
-                new graft.backend.ParquetBackend(spark, s"$pr/cli$n"), spark, "bench")
-              (1 to 2048).foreach(i => client.performAsync("bench_noop", -i))
-              (i: Int) => { client.performAsync("bench_noop", i); () }
-            })
-        )
-        lanes.foreach { case (label, total, mk) =>
-          val rates = Seq(1, 4, 16).map(n => n -> point(label, n, total, mk(n)))
-          val (r1, r4, r16) = (rates(0)._2, rates(1)._2, rates(2)._2)
-          sb.append(f"| $label (1/4/16 threads) | ${r1}%.0f/s | ${r4}%.0f / ${r16}%.0f per s | ${r4 / r1}%.2f× / ${r16 / r1}%.2f× | constant total work per point |\n")
-          println(f"PROBE prodprof $label: ${r1}%.0f / ${r4}%.0f / ${r16}%.0f per s")
+        // shared harness (ADVICE r14: this block and QuickProbe's
+        // __producers_profile were verbatim copies that could drift)
+        graft.ProducersProfile.run(spark, pr, extended = false).foreach {
+          case (label, rates) =>
+            val (r1, r4, r16) = (rates(0)._2, rates(1)._2, rates(2)._2)
+            sb.append(f"| producer $label (1/4/16 threads) | ${r1}%.0f/s | ${r4}%.0f / ${r16}%.0f per s | ${r4 / r1}%.2f× / ${r16 / r1}%.2f× | constant total work per point |\n")
+            println(f"PROBE prodprof $label: ${r1}%.0f / ${r4}%.0f / ${r16}%.0f per s")
         }
       }
     }

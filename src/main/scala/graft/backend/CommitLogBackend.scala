@@ -658,43 +658,100 @@ final class CommitLogBackend(
   }
 
   /** Claimed consumption (r14 — the shared-queue BLMOVE / in-progress
-    * analog): commit this claimant's claims for the slice in ONE
-    * manifest version V, then read the claims table AS OF V. Every
-    * other claim visible in that view was committed STRICTLY EARLIER
-    * (versions are unique and mine IS V), and the earlier claimant's
-    * own as-of view cannot contain mine — so "skip any attempt with a
-    * live foreign claim in my view" yields exactly one executor per
-    * attempt, with no coordination beyond the log's total order.
-    * Claims from claimants that died before completing age out after
-    * `leaseMs` and the attempt becomes claimable again (the lease is
-    * minutes-scale vs ms-scale cross-process clock skew). My OWN older
-    * claims never block me: re-executing my claimed-but-uncompleted
-    * attempt is the ordinary at-least-once crash replay.
+    * analog; r15 rework, VERDICT r14 #1/#6 + ADVICE lease renewal):
+    * commit this claimant's claims for the slice in ONE manifest
+    * version V, then read the claims table AS OF V. Every other claim
+    * visible in that view was committed STRICTLY EARLIER (versions are
+    * unique and mine IS V), and the earlier claimant's own as-of view
+    * cannot contain mine — so "skip any attempt with a live foreign
+    * claim in my view" yields exactly one executor per attempt, with
+    * no coordination beyond the log's total order. My OWN older claims
+    * never block me: re-executing my claimed-but-uncompleted attempt
+    * is the ordinary at-least-once crash replay.
     *
-    * Returned winners are eagerly checkpointed (the claim and the
-    * execution must cover the same rows); the caller unpersists after
-    * its pass (WorkerEngine.withClaims). */
+    * Foreign-claim LIVENESS is per CLAIMANT, not per claim (ADVICE
+    * r14: a fixed per-claim lease let a contender steal attempts from
+    * a pass still executing past 60 s): a foreign claim excludes its
+    * attempt while its claimant's newest row in the as-of view — real
+    * claim or heartbeat beacon ([[recordClaimantBeacon]], renewed by
+    * WorkerEngine during long passes) — is younger than `leaseMs`.
+    * goose's orphan-checker model exactly: an ALIVE worker keeps its
+    * in-progress jobs; a silent one forfeits them after the window.
+    * `now` comparisons assume wall-clock-comparable clocks across
+    * claimants (the same assumption goose's heartbeat liveness makes);
+    * cross-process skew is ms-scale vs the minutes-scale lease.
+    *
+    * Cost diet (VERDICT r14 #6): the caller pins the slice (its
+    * localCheckpoint both freezes the claim/execute row set and is the
+    * pass's one materialization of it), this method's ONLY eager action
+    * is the claim stage write — whose job carries the row count as an
+    * `Observation`, replacing the old separate `isEmpty` probe — and
+    * the returned winners are a LAZY anti-join plan over the pinned
+    * slice (the caller's execution checkpoint materializes it once).
+    * The as-of file list is immutable and vacuum's retention linger
+    * keeps retracted claim files on disk far past a pass's life, so the
+    * lazy plan cannot lose its inputs mid-pass. */
   override def claimSlice(slice: Dataset[Job], claimantId: String,
       now: Long, leaseMs: Long): Dataset[Job] = {
     import spark.implicits._
-    import org.apache.spark.sql.functions.{coalesce, col, lit}
-    val pinned = slice.localCheckpoint(true)
-    if (pinned.isEmpty) return pinned
-    try {
-      val claims = pinned.map(j =>
-        ClaimEvent(j.id, JobAttempt.of(j), claimantId, now))
-      val v = commit(stage("claims", claims).map(f => s"add\tclaims\t$f"))
-      val foreign = readTableAt("claims", v)
-        .filter(col("claimantId") =!= claimantId &&
-          col("claimedAt") > now - leaseMs)
-        .select(col("jobId").as("c_jid"), col("attempt").as("c_att"))
-      pinned.join(foreign,
-          pinned("id") === col("c_jid") &&
-            coalesce(pinned("state.retryCount") + 1, lit(0)) === col("c_att"),
-          "left_anti")
-        .as[Job]
-        .localCheckpoint(true)
-    } finally { pinned.unpersist(); () }
+    import org.apache.spark.sql.functions.{coalesce, col, lit, max}
+    val claims = slice.map(j => ClaimEvent(j.id, JobAttempt.of(j), claimantId, now))
+    val obs = new org.apache.spark.sql.Observation(
+      s"graft-claim-${UUID.randomUUID().toString.take(8)}")
+    val files = stage("claims", claims.observe(obs,
+      org.apache.spark.sql.functions.count(lit(1)).as("n")))
+    val staged = obs.get("n").asInstanceOf[Long]
+    if (staged == 0L) {
+      files.foreach(f => fs.delete(new Path(s"$root/claims/$f"), false))
+      return slice.limit(0)
+    }
+    val v = commit(files.map(f => s"add\tclaims\t$f"))
+    val asOf = readTableAt("claims", v)
+    // claimants whose newest activity (claim or beacon) is inside the
+    // lease window are ALIVE; every claim of a live foreign claimant
+    // excludes its attempt, a dead claimant's claims expire together
+    val liveForeign = asOf
+      .groupBy(col("claimantId")).agg(max(col("claimedAt")).as("lastSeen"))
+      .filter(col("claimantId") =!= claimantId && col("lastSeen") > now - leaseMs)
+      .select(col("claimantId").as("live_cid"))
+    val foreign = asOf
+      .filter(col("claimantId") =!= claimantId &&
+        col("attempt") >= 0) // beacons carry attempt = -1
+      .join(liveForeign, col("claimantId") === col("live_cid"), "left_semi")
+      .select(col("jobId").as("c_jid"), col("attempt").as("c_att"))
+    slice.join(foreign,
+        slice("id") === col("c_jid") &&
+          coalesce(slice("state.retryCount") + 1, lit(0)) === col("c_att"),
+        "left_anti")
+      .as[Job]
+  }
+
+  /** Claimant liveness beacon — a sentinel claims-table row (attempt
+    * [[CommitLogBackend.BeaconAttempt]]) advertising that `claimantId`
+    * is alive at `at`. Two consumers: [[claimSlice]]'s per-claimant
+    * lease (a beacon renews EVERY claim the claimant holds — the ADVICE
+    * r14 long-pass fix, without re-committing per-claim rows), and
+    * [[liveClaimants]]' shard membership. Rides the driver-side small
+    * append + one manifest commit (~ms). */
+  override def recordClaimantBeacon(claimantId: String, at: Long): Unit =
+    appendSmallRows("claims",
+      Seq(ClaimEvent(CommitLogBackend.BeaconJobId,
+        CommitLogBackend.BeaconAttempt, claimantId, at)))(
+      graft.model.ModelEncoders.claimEventEncoder)
+
+  /** Claimants with a liveness beacon younger than `ttlMs`, sorted —
+    * the shared-queue shard membership view (VERDICT r14 #1: claims
+    * should be DISJOINT by construction in steady state; WorkerEngine
+    * hashes attempts across this list). Driver collect bounded by the
+    * live fleet size (beacons, not claims — a fixture that records raw
+    * claims does not inflate membership). */
+  override def liveClaimants(now: Long, ttlMs: Long): Seq[String] = {
+    import org.apache.spark.sql.functions.col
+    readClaims().toDF()
+      .filter(col("attempt") === CommitLogBackend.BeaconAttempt &&
+        col("claimedAt") > now - ttlMs)
+      .select("claimantId").distinct()
+      .collect().map(_.getString(0)).toSeq.sorted
   }
 
   /** Append claim records directly in one commit — diagnostics, spec
@@ -1002,6 +1059,14 @@ object CommitLogBackend {
 
   /** Driver-side bound on basic.returns per append (see enqueue). */
   val MaxReturnedJobs: Int = 10000
+
+  /** Sentinel (jobId, attempt) of a claimant liveness beacon row in the
+    * claims table ([[CommitLogBackend.recordClaimantBeacon]]): a real
+    * attempt is never negative, so arbitration filters beacons out with
+    * `attempt >= 0` and the per-claimant lease / membership reads select
+    * them with `attempt = BeaconAttempt`. */
+  val BeaconJobId: String = ""
+  val BeaconAttempt: Int = -1
 
   /** The basic.return payload (reference return_listener.clj:14-20
     * wrapper fields, minus AMQP wire details that have no analog). */

@@ -374,12 +374,22 @@ abstract class LogStructuredBackend(val spark: SparkSession) extends QueueBacken
         // keeping it is only bytes, never wrongness. One micro-batch per
         // worker appends one claim batch, so this table grows at the
         // completions rate and folds with the same light lane.
+        // Liveness BEACONS (attempt = BeaconAttempt, r15) fold to the
+        // newest row per claimant — older beacons are superseded by
+        // definition, and one row per live claimant is all the lease /
+        // membership reads consult. Keeping the newest even when stale
+        // is bytes-bounded by the fleet's total claimant count.
+        val snap = foldSnapshot[ClaimEvent]("claims")
         val comps = readLog[CompletionEvent]("completions")
           .select($"jobId".as("d_jid"), $"attempt".as("d_att"))
-        replaceLog("claims",
-          foldSnapshot[ClaimEvent]("claims")
-            .join(comps, $"jobId" === $"d_jid" && $"attempt" === $"d_att", "left_anti")
-            .as[ClaimEvent])
+        val live = snap.filter($"attempt" >= 0)
+          .join(comps, $"jobId" === $"d_jid" && $"attempt" === $"d_att", "left_anti")
+        val beacons = snap.toDF().filter($"attempt" < 0)
+          .withColumn("brank", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy($"claimantId").orderBy($"claimedAt".desc)))
+          .filter($"brank" === 1).drop("brank")
+        replaceLog("claims", live.unionByName(beacons).as[ClaimEvent])
         return
       }
       // Snapshot the tombstones BEFORE computing the survivor set: the

@@ -131,10 +131,30 @@ trait QueueBackend {
     * where at-least-once + idempotent (id, attempt) commit already
     * suffices. Only backends with a totally ordered multi-process log
     * can arbitrate claims; see CommitLogBackend's override. A claim
-    * from a claimant that died before completing expires after
-    * `leaseMs` and the attempt becomes claimable again. */
+    * whose claimant stopped advertising liveness (no newer claim or
+    * [[recordClaimantBeacon]] beacon) expires after `leaseMs` and the
+    * attempt becomes claimable again.
+    *
+    * CONTRACT (r15): the caller passes a PINNED slice (localCheckpoint
+    * — WorkerEngine.withClaims does) and keeps it pinned until it has
+    * materialized the result; the returned Dataset may be a lazy plan
+    * over it (the claim and the execution must cover the same rows, and
+    * a pinned input is what makes the lazy plan deterministic). */
   def claimSlice(slice: Dataset[Job], claimantId: String, now: Long,
       leaseMs: Long): Dataset[Job] = slice
+
+  /** Advertise that `claimantId` is alive at `at` — renews every claim
+    * it holds ([[claimSlice]]'s per-claimant lease) and feeds the shard
+    * membership view ([[liveClaimants]]). No-op on backends without a
+    * claim protocol. */
+  def recordClaimantBeacon(claimantId: String, at: Long): Unit = ()
+
+  /** Claimant ids with a liveness beacon younger than `ttlMs`, sorted —
+    * the shared-queue fleet's shard membership (WorkerEngine hashes
+    * attempts across this list so steady-state claims are disjoint by
+    * construction). Empty on backends without a claim protocol, which
+    * disables sharding (the scoped topology needs none). */
+  def liveClaimants(now: Long, ttlMs: Long): Seq[String] = Nil
   def scheduledJobs: Dataset[Job]
   def deadJobs: Dataset[Job]
   def completions: Dataset[CompletionEvent]

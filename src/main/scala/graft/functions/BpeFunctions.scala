@@ -36,11 +36,23 @@ import org.apache.spark.unsafe.types.UTF8String
   * diverging silently.
   */
 final class BpeTable(val pairs: IndexedSeq[String]) extends Serializable {
+  // Merged symbols are single chars U+E000+rank, so the table is capped
+  // at the BMP private-use area's size (ADVICE r14: past it, merged
+  // symbols spill into assigned CJK-compat codepoints — colliding with
+  // real corpus chars — and `(0xE000 + rank).toChar` silently wraps at
+  // 8192). Reject oversized tables loudly; a vocabulary past ~6k merges
+  // needs the int-token-stream representation, a deliberate non-goal
+  // while every shipped table is ≤ 1200 entries.
+  require(pairs.size <= BpeTable.MaxMerges,
+    s"BPE table of ${pairs.size} merges exceeds the ${BpeTable.MaxMerges} " +
+      "single-char merged-symbol cap (U+E000..U+F8FF private-use area)")
   require(pairs.forall(_.length == 2),
     "BPE merge pairs must be two symbols (one char each) long")
   pairs.zipWithIndex.foreach { case (p, r) =>
     p.foreach { ch =>
-      require(ch < 0xE000 || ch >= 0xF8FF || (ch - 0xE000) < r,
+      // inclusive of U+F8FF (ADVICE r14: the old `>= 0xF8FF` exempted
+      // the PUA's last codepoint from the rank-order check)
+      require(ch < 0xE000 || ch > 0xF8FF || (ch - 0xE000) < r,
         s"rank-$r pair references merged symbol of rank ${ch - 0xE000}: " +
           "table breaks the rank-order property the min-rank loop needs")
     }
@@ -142,6 +154,11 @@ case class BpeEncodeFast(child: Expression, table: BpeTable)
     copy(child = newChild)
 
   override def prettyName: String = "bpe_encode_fast"
+}
+
+object BpeTable {
+  /** U+E000..U+F8FF inclusive — 6400 single-char merged symbols. */
+  val MaxMerges: Int = 0xF8FF - 0xE000 + 1
 }
 
 object BpeFunctions {

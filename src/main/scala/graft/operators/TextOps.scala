@@ -196,6 +196,17 @@ object TextOps {
     * encoded STRINGS themselves cross-engine. */
   private[graft] val BpeMerges64: Seq[(String, String)] = BpeMergesSat.take(64)
 
+  /** The t24 gate table: 1200 merges trained on the deterministic
+    * synthetic vocabulary (the corpus' own 31 word types saturate at 89
+    * merges — graft-domain constraint, documented on
+    * [[syntheticVocabMerges]]). This is the REALISTIC table-size regime
+    * for the native encoder: far past anything a replace chain could
+    * compile as one expression, well under [[graft.functions.BpeTable]]'s
+    * 6400 single-char merged-symbol cap. Lazy: the local trainer runs
+    * once per JVM (~hundreds of ms), only when t24 is invoked. */
+  private[graft] lazy val BpeMerges1200: Seq[(String, String)] =
+    syntheticVocabMerges(1200)._2
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Language-ID: argmax of stopword-hit counts; 'und' (undetermined)
     // when nothing matches. Reported as a confusion summary vs the lang
@@ -751,6 +762,34 @@ object TextOps {
         .orderBy(col("n_occ").desc, col("enc_tok").asc)
     }),
 
+    // BPE PRE-TOKENIZED ENCODE AT VOCABULARY SCALE (VERDICT r14 #4):
+    // t23 proves the native encoder at whitespace-word granularity, but
+    // the corpus' 31-word vocabulary caps its table at 89 merges. This
+    // is the realistic tokenizer shape: the GPT-2-style pre-token split
+    // (letter runs | digit runs | single non-alnum — the same BpeTok
+    // alternation t03 counts with) feeds the native encoder under the
+    // 1200-merge synthetic-vocabulary table — a table size where the
+    // replace-chain form cannot compile as one expression, which is
+    // exactly what [[graft.functions.BpeTable]] exists for. The gate
+    // output is the encoded-token census, so every encoded STRING is
+    // value-compared against the chunked replace chain in DuckDB (the
+    // t23 oracle pattern, 75 CTE stages × 16 replaces, applied to
+    // DISTINCT pre-token types with occurrence counts — same census,
+    // linear in types instead of occurrences). Plan shape: scan-local
+    // pre-token split + encode inside the scan's project, one
+    // partial-agg rollup — no shuffle of raw text, no UDF; the merge
+    // table rides the plan as one reference object.
+    "t24_bpe_pretoken" -> ((s, d) => {
+      val enc = graft.functions.BpeFunctions.bpe_encode(col("tok"), BpeMerges1200)
+      Tables.documents(s, d)
+        .select(explode(regexp_extract_all(col("text"), lit(BpeTok), lit(0))).as("tok"))
+        .filter(col("tok") =!= "")
+        .select(enc.as("enc_tok"))
+        .groupBy("enc_tok")
+        .agg(count(lit(1)).as("n_occ"))
+        .orderBy(col("n_occ").desc, col("enc_tok").asc)
+    }),
+
     "t17_zipf_slope" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       val counts = Tables.documents(s, d)
@@ -1154,6 +1193,30 @@ object TextOps {
          |f AS (SELECT tok FROM w WHERE tok <> ''),
          |${stages.mkString(",\n")}
          |SELECT tok AS enc_tok, CAST(COUNT(*) AS BIGINT) AS n_occ
+         |FROM e${chunks.size}
+         |GROUP BY tok ORDER BY n_occ DESC, enc_tok ASC""".stripMargin
+    },
+    // t24: the chunked replace chain over all 1200 synthetic-vocabulary
+    // merges, applied to DISTINCT pre-token types carrying their
+    // occurrence counts (the census is identical and the chain cost
+    // drops from occurrences to types — 1200 replaces over a few
+    // thousand distinct tokens instead of every token instance).
+    "t24_bpe_pretoken" -> {
+      val chunks = BpeMerges1200.grouped(16).toVector
+      val stages = chunks.zipWithIndex.map { case (ms, i) =>
+        val prev = if (i == 0) "tc" else s"e$i"
+        val encSql = ms.foldLeft("tok") { case (e, (p, m)) =>
+          s"replace($e, '${p.replace("'", "''")}', '$m')"
+        }
+        s"e${i + 1} AS (SELECT $encSql AS tok, c FROM $prev)"
+      }
+      s"""WITH w AS (
+         |  SELECT unnest(regexp_extract_all(text, '$BpeTok', 0)) AS tok
+         |  FROM documents),
+         |f AS (SELECT tok FROM w WHERE tok <> ''),
+         |tc AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM f GROUP BY tok),
+         |${stages.mkString(",\n")}
+         |SELECT tok AS enc_tok, CAST(SUM(c) AS BIGINT) AS n_occ
          |FROM e${chunks.size}
          |GROUP BY tok ORDER BY n_occ DESC, enc_tok ASC""".stripMargin
     },

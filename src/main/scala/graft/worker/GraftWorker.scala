@@ -75,6 +75,14 @@ final class GraftWorker(
       * CommitLogBackend.claimSlice). Leave off for the scoped topology;
       * costs one commit + one as-of read per micro-batch when on. */
     claimedConsumption: Boolean = false,
+    /** How long once-referenced manifest garbage lingers after vacuum
+      * first sees it unreferenced (CommitLogBackend.vacuum's retention —
+      * the Delta-VACUUM-retention analog protecting OTHER processes'
+      * in-flight read plans). Default is the production ten minutes;
+      * the fleet reader-vs-vacuum soak (VERDICT r14 #3) shortens it to
+      * seconds to drive the race deliberately. Must stay longer than
+      * any co-reader's micro-batch plan life. */
+    vacuumRetentionMs: Long = graft.backend.CommitLogBackend.VacuumRetentionMs,
     /** Invoked with the failure description when one of THIS worker's
       * streaming queries dies abruptly — i.e. terminates with an
       * exception while the worker is running, not during [[stop]]
@@ -191,7 +199,7 @@ final class GraftWorker(
   private def vacuumGated(): Unit = backend match {
     case cl: graft.backend.CommitLogBackend =>
       gate.writeLock().lock()
-      try { cl.vacuum(); () } finally gate.writeLock().unlock()
+      try { cl.vacuum(vacuumRetentionMs); () } finally gate.writeLock().unlock()
     case _ =>
   }
 

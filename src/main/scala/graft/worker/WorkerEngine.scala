@@ -117,19 +117,105 @@ final class WorkerEngine(
       * arbitrate — elsewhere this flag is a no-op pass-through). The
       * scoped topology (one worker per queue) should leave it off: the
       * claim costs one commit + one as-of read per micro-batch. */
-    claimedConsumption: Boolean = false) extends Serializable {
+    claimedConsumption: Boolean = false,
+    /** How long this claimant's claims exclude other claimants after its
+      * LAST liveness signal (claim commit or renewal beacon — renewed
+      * automatically every [[WorkerEngine.ClaimRenewMs]] during a pass,
+      * so a long micro-batch never forfeits its claims mid-execution,
+      * ADVICE r14). Raise only if renewal cadence must be slower than
+      * the default; requires wall-clock-comparable `nowFn` across
+      * claimants sharing a queue. */
+    claimLeaseMs: Long = WorkerEngine.ClaimLeaseMs) extends Serializable {
 
   import spark.implicits._
 
   /** This consumer's claim identity (per engine instance, like goose's
-    * consumer tag). */
-  private val claimantId = java.util.UUID.randomUUID().toString
+    * consumer tag). ROTATED when a claimed pass fails (r15): the failed
+    * pass may have committed claims it will never complete, and a
+    * caller that swallows the failure and re-passes under a fresh shard
+    * map could otherwise strand those attempts behind a forever-renewed
+    * identity — rotation lets them lapse with the lease, goose's
+    * dead-consumer orphan window. */
+  @volatile private var claimantId = java.util.UUID.randomUUID().toString
 
+  /** Cached shard membership view (sorted live claimant ids + fetch
+    * time): refreshed at most every [[WorkerEngine.MembershipRefreshMs]]
+    * — a small driver-side read off the claims table. Staleness is a
+    * THROUGHPUT concern only: disagreeing membership views mean claims
+    * collide (or an attempt waits for the views to converge), and the
+    * claim protocol arbitrates exactly as before sharding existed. */
+  @volatile private var members: (Vector[String], Long) = (Vector.empty, 0L)
+  // MinValue/4, not MinValue: `now - lastBeaconAt` must not overflow on
+  // the first pass under any test clock
+  @volatile private var lastBeaconAt = Long.MinValue / 4
+
+  private def beacon(at: Long): Unit = {
+    backend.recordClaimantBeacon(claimantId, at)
+    lastBeaconAt = at
+  }
+
+  /** (my shard index, live shard count) under the current membership
+    * view; self is always a member even before its first beacon lands. */
+  private def shardOf(now: Long): (Int, Int) = {
+    if (now - members._2 > WorkerEngine.MembershipRefreshMs ||
+        members._2 == 0L)
+      members = (backend.liveClaimants(
+        now, WorkerEngine.MembershipTtlMs).toVector, now)
+    val me = claimantId
+    val m = members._1
+    val all = if (m.contains(me)) m else (m :+ me).sorted
+    (all.indexOf(me), all.size)
+  }
+
+  /** Claimed-consumption pass wrapper (r15 rework — VERDICT r14 #1/#6):
+    *
+    *  1. SHARD the slice: attempts hash across the live claimant list
+    *     (`pmod(xxhash64(id), n) = myIdx`), so steady-state claims are
+    *     disjoint by construction and the foreign-claim anti-join only
+    *     arbitrates during membership transitions — goose's N consumers
+    *     each BLMOVE-ing a DISJOINT job (redis/consumer.clj:12-21),
+    *     without a per-pop round trip. Membership changes reshard
+    *     automatically; a dead worker's shard is re-covered once its
+    *     beacons age out of [[liveClaimants]], and its claimed-but-
+    *     uncompleted attempts lapse with its lease.
+    *  2. PIN the shard slice once (the claim and the execution must
+    *     cover the same rows; claimSlice returns a lazy plan over it).
+    *  3. RENEW liveness while the body runs (every ClaimRenewMs): a
+    *     pass longer than the lease keeps its claims (ADVICE r14).
+    */
   private def withClaims(jobs: Dataset[Job])(body: Dataset[Job] => PassStats): PassStats =
     if (!claimedConsumption) body(jobs)
     else {
-      val won = backend.claimSlice(jobs, claimantId, nowFn(), WorkerEngine.ClaimLeaseMs)
-      try body(won) finally { won.unpersist(); () }
+      val now0 = nowFn()
+      if (now0 - lastBeaconAt > WorkerEngine.BeaconIntervalMs) beacon(now0)
+      val (idx, n) = shardOf(now0)
+      val mine =
+        if (n <= 1) jobs
+        else {
+          import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
+          jobs.filter(pmod(xxhash64(col("id")), lit(n.toLong)) === lit(idx.toLong))
+        }
+      val pinned = mine.localCheckpoint(true)
+      // renewal cadence rides WELL inside the lease (a custom short
+      // lease gets a proportionally faster renewal, never a lapsed one)
+      val renewMs = math.max(50L,
+        math.min(WorkerEngine.ClaimRenewMs, claimLeaseMs / 3))
+      val renewal = WorkerEngine.renewalPool.scheduleAtFixedRate(
+        () => try beacon(nowFn()) catch { case scala.util.control.NonFatal(e) =>
+          System.err.println(s"[graft-worker] claim renewal failed: ${e.getMessage}") },
+        renewMs, renewMs, java.util.concurrent.TimeUnit.MILLISECONDS)
+      try {
+        val won = backend.claimSlice(pinned, claimantId, now0, claimLeaseMs)
+        body(won)
+      } catch {
+        case t: Throwable =>
+          claimantId = java.util.UUID.randomUUID().toString
+          throw t
+      } finally {
+        renewal.cancel(false)
+        pinned.unpersist()
+        ()
+      }
     }
 
   final case class PassStats(executed: Long, succeeded: Long, retried: Long, died: Long)
@@ -260,11 +346,44 @@ final class WorkerEngine(
 }
 
 object WorkerEngine {
-  /** How long a committed claim excludes other claimants before it is
-    * presumed dead and the attempt becomes claimable again — goose's
+  /** How long a claimant's claims exclude other claimants past its LAST
+    * liveness signal (claim commit or beacon) before it is presumed
+    * dead and its attempts become claimable again — goose's
     * orphan-checker window for the in-progress queue. Minutes-scale on
-    * purpose: a live pass completes in milliseconds-to-seconds, and the
-    * lease only matters when a claimant died between claim and
-    * completion commit. */
+    * purpose: renewal beacons ride every [[ClaimRenewMs]] during a
+    * pass, so the lease only matters when a claimant genuinely died. */
   val ClaimLeaseMs: Long = 60000L
+
+  /** Liveness-renewal cadence during a claimed pass: well inside both
+    * the lease (claims stay held through arbitrarily long passes) and
+    * the membership TTL (a busy worker keeps its shard). */
+  val ClaimRenewMs: Long = 7500L
+
+  /** How recent a claimant's beacon must be to count it a live SHARD
+    * member. Short so a dead worker's shard is re-covered quickly; safe
+    * to be aggressive because membership only steers sharding — the
+    * claim protocol still arbitrates any disagreement. */
+  val MembershipTtlMs: Long = 15000L
+
+  /** How often a claimed worker re-reads the membership view (one small
+    * driver-side read off the claims table per refresh, amortized over
+    * the triggers in between). */
+  val MembershipRefreshMs: Long = 3000L
+
+  /** Idle beacon throttle: a pass beacons at most this often outside
+    * the renewal schedule (busy workers' claim commits carry no
+    * membership signal — beacons do). */
+  val BeaconIntervalMs: Long = 5000L
+
+  /** Shared daemon scheduler for claim-renewal beacons (one thread
+    * serves every engine in the process; beacons are ~ms appends). */
+  private[worker] lazy val renewalPool = {
+    val p = new java.util.concurrent.ScheduledThreadPoolExecutor(1, { (r: Runnable) =>
+      val t = new Thread(r, "graft-claim-renewal")
+      t.setDaemon(true)
+      t
+    })
+    p.setRemoveOnCancelPolicy(true)
+    p
+  }
 }

@@ -122,7 +122,86 @@ class ClaimedConsumptionSpec extends SparkSpec {
       s"every failed retry must die, books: $byState")
   }
 
-  test("compact('claims') drops completed claims, keeps unconsumed ones") {
+  test("steady-state sharding: established members claim DISJOINT slices") {
+    JobRegistry.register("claim_count", _ => { executions.incrementAndGet(); "ok" })
+    executions.set(0)
+    val root = tmpDir("graft-claims")
+    val n = 200
+    val a = new CommitLogBackend(spark, root)
+    val b = new CommitLogBackend(spark, root)
+    val ea = new WorkerEngine(a, spark, queue = Some("shared"), claimedConsumption = true)
+    val eb = new WorkerEngine(b, spark, queue = Some("shared"), claimedConsumption = true)
+    // establish membership: the first (empty) pass beacons; views refresh
+    // on the MembershipRefreshMs cadence, so wait one refresh out
+    ea.runPass(); eb.runPass()
+    Thread.sleep(WorkerEngine.MembershipRefreshMs + 500)
+    a.enqueue((0 until n).map(job(_)).toDS().repartition(4))
+    val da = ea.runPass().executed
+    val db = eb.runPass().executed
+    // with sharding, ea's pass covers ONLY its hash shard (strictly
+    // between 0 and n — xxhash64 over 200 ids cannot land one-sided);
+    // without it, ea's first pass would claim and execute everything
+    assert(da > 0 && da < n, s"ea must execute exactly its shard, got $da of $n")
+    assert(da + db == n, s"shards must partition the queue: $da + $db != $n")
+    assert(executions.get() == n)
+    // disjointness in the log itself: one real claim row per attempt —
+    // colliding claims would land two
+    val realClaims = a.readClaims().collect().filter(_.attempt >= 0)
+    assert(realClaims.length == n,
+      s"steady-state claims must be disjoint: ${realClaims.length} rows for $n attempts")
+  }
+
+  test("a beacon renews a claimant's OLD claims past the lease (ADVICE r14)") {
+    // Backend-level semantics, deterministic: a claim older than the
+    // lease whose claimant beaconed RECENTLY must still exclude; the
+    // same-age claim of a silent claimant must not. Before per-claimant
+    // liveness, a micro-batch longer than the lease forfeited its claims
+    // mid-pass and a contender systematically re-executed them.
+    JobRegistry.register("claim_count", _ => { executions.incrementAndGet(); "ok" })
+    executions.set(0)
+    val root = tmpDir("graft-claims")
+    val b = new CommitLogBackend(spark, root)
+    b.enqueue(Seq(job(1), job(2)).toDS().coalesce(1))
+    val now = System.currentTimeMillis()
+    val lease = WorkerEngine.ClaimLeaseMs
+    // both claims are 2 leases old; claimant of c1 beaconed within the
+    // lease (the mid-pass renewal), claimant of c2 went silent. The
+    // beacon is deliberately OLDER than MembershipTtlMs: lease-live but
+    // no longer a shard member, so the engine under test still scans
+    // the full queue (membership and lease decay independently — a
+    // paused worker loses its shard before it loses its claims).
+    b.recordClaims(Seq(
+      ClaimEvent("c1", 0, "renewing", now - 2 * lease),
+      ClaimEvent("c2", 0, "silent", now - 2 * lease)))
+    b.recordClaimantBeacon("renewing",
+      now - WorkerEngine.MembershipTtlMs - 5000)
+    val e = new WorkerEngine(b, spark, queue = Some("shared"), claimedConsumption = true)
+    val stats = e.runPass()
+    assert(stats.executed == 1,
+      s"only the silent claimant's attempt must run: $stats")
+    assert(b.completions.collect().map(_.jobId).toSet == Set("c2"))
+  }
+
+  test("the renewal thread beacons DURING a pass longer than the lease") {
+    executions.set(0)
+    JobRegistry.register("claim_slow",
+      _ => { Thread.sleep(3000); executions.incrementAndGet(); "ok" })
+    val root = tmpDir("graft-claims")
+    val b = new CommitLogBackend(spark, root)
+    b.enqueue(Seq(job(1).copy(executeFnSym = "claim_slow")).toDS().coalesce(1))
+    // lease 1500 → renewal cadence 500 ms; the 3 s job body must see
+    // several renewal beacons land while it runs
+    val e = new WorkerEngine(b, spark, queue = Some("shared"),
+      claimedConsumption = true, claimLeaseMs = 1500)
+    assert(e.runPass().executed == 1)
+    val beacons = b.readClaims().collect()
+      .filter(_.attempt == CommitLogBackend.BeaconAttempt)
+    assert(beacons.length >= 3,
+      s"renewal must beacon repeatedly during a long pass, saw ${beacons.length}")
+    assert(executions.get() == 1)
+  }
+
+  test("compact('claims') drops completed claims, keeps unconsumed ones and newest beacons") {
     JobRegistry.register("claim_count", _ => "ok")
     val root = tmpDir("graft-claims")
     val b = new CommitLogBackend(spark, root)
@@ -130,11 +209,22 @@ class ClaimedConsumptionSpec extends SparkSpec {
     val e = new WorkerEngine(b, spark, queue = Some("shared"), claimedConsumption = true)
     assert(e.runPass().executed == 1)
     // c1 completed: its claim is garbage. An unconsumed foreign claim
-    // survives the fold (its attempt may be mid-replay elsewhere).
+    // survives the fold (its attempt may be mid-replay elsewhere). A
+    // claimant's liveness BEACONS (r15) fold to the newest per claimant
+    // — here a second, older beacon for the engine's claimant must fold
+    // away while its newest survives (the lease/membership reads only
+    // consult the newest).
     b.recordClaims(Seq(ClaimEvent("c9", 0, "other", System.currentTimeMillis())))
+    val newestBeacon = b.readClaims().collect()
+      .filter(_.attempt == CommitLogBackend.BeaconAttempt)
+      .maxBy(_.claimedAt)
+    b.recordClaims(Seq(newestBeacon.copy(claimedAt = newestBeacon.claimedAt - 9999)))
     b.compact("claims")
     val left = b.readClaims().collect()
-    assert(left.map(_.jobId).toSeq == Seq("c9"),
+    val (beacons, claims) = left.partition(_.attempt == CommitLogBackend.BeaconAttempt)
+    assert(claims.map(_.jobId).toSeq == Seq("c9"),
       s"completed claim folded away, unconsumed kept: ${left.mkString(",")}")
+    assert(beacons.toSeq == Seq(newestBeacon),
+      s"exactly the newest beacon per claimant survives: ${beacons.mkString(",")}")
   }
 }
