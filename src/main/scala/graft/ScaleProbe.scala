@@ -21,7 +21,17 @@ object ScaleProbe {
     // the literal "engine" to run ONLY the engine-side probes (promote/
     // track/pipeline/orphan) without the 40-query sweep.
     val factor = if (args.nonEmpty) args(0).toInt else 10
-    val engineOnly = args.length > 1 && args(1).trim == "engine"
+    // "engine" runs every engine lane; "engine:<lane>" runs ONE lane
+    // (promote|track|pipeline|fleet|fleet2p|fleet4p|shared|shared1m|
+    // producers|orphan|rocks|tinyfile|visibility) — a focused
+    // re-measurement shouldn't pay minutes of unrelated probes.
+    val engineArg: Option[String] =
+      if (args.length > 1 && args(1).trim.startsWith("engine")) Some(args(1).trim)
+      else None
+    val engineOnly = engineArg.isDefined
+    val engineLane: Option[String] =
+      engineArg.filter(_.contains(":")).map(_.split(":", 2)(1))
+    def laneOn(name: String): Boolean = engineLane.forall(_ == name)
     val subset: Option[Set[String]] =
       if (args.length > 1 && !engineOnly)
         Some(args(1).split(",").map(_.trim).filter(_.nonEmpty).toSet)
@@ -271,7 +281,7 @@ object ScaleProbe {
       (System.nanoTime() - t0) / 1e9
     }
     sb.append("| probe | small | large | ratio | note |\n|---|---|---|---|---|\n")
-    locally {
+    if (laneOn("promote")) locally {
       val t1 = math.min(timePromote(100000), timePromote(100000))
       val t10 = math.min(timePromote(1000000), timePromote(1000000))
       sb.append(f"| promoteDue (100k → 1M due backlog) | $t1%.2f | $t10%.2f | ${t10 / t1}%.1f× | distributed tombstones, no driver collect |\n")
@@ -306,7 +316,7 @@ object ScaleProbe {
       require(tracker.trackPass().isEmpty) // nothing newly terminal
       (System.nanoTime() - t0) / 1e9
     }
-    locally {
+    if (laneOn("track")) locally {
       val t1 = math.min(timeTrackPass(50000), timeTrackPass(50000))
       val t10 = math.min(timeTrackPass(500000), timeTrackPass(500000))
       sb.append(f"| trackPass (50k → 500k terminal-history events, constant live load) | $t1%.2f | $t10%.2f | ${t10 / t1}%.1f× | pre-fold anti-join of terminal batches |\n")
@@ -318,7 +328,7 @@ object ScaleProbe {
     // follow volume inside benchJobPipeline, so throughput should HOLD
     // (ratio ≈ 10 in time, ≈ 1 in jobs/s). Best-of-2 like every other
     // row — one contaminated sample would fabricate the ratio.
-    locally {
+    if (laneOn("pipeline")) locally {
       val (a1, b1) = (Bench.benchJobPipeline(spark, 100000),
         Bench.benchJobPipeline(spark, 100000))
       val (a10, b10) = (Bench.benchJobPipeline(spark, 1000000),
@@ -390,7 +400,7 @@ object ScaleProbe {
           s"fleet drain double-executed: $doneRows success rows for $n jobs")
         (sec, backends.map(_.claimRetries.get).sum - claimed0)
       }
-    locally {
+    if (laneOn("fleet")) locally {
       val n = 200000
       val fleet = Seq(1, 2, 4).map(w => w -> timeFleet(w, n))
       val (w1sec, _) = fleet.head._2
@@ -483,7 +493,7 @@ object ScaleProbe {
         println(f"PROBE fleet2p: local $localSec%.2fs, child ${childField("SECONDS")}s " +
           f"(wall $childWallSec%.2fs), claims local=$claims child=${childField("CLAIMRETRIES")}")
       }
-    timeFleetCrossProcess(200000)
+    if (laneOn("fleet2p")) timeFleetCrossProcess(200000)
 
     // Cross-process fleet at 4 JVMs under AGGRESSIVE coordinator
     // maintenance (VERDICT r14 #3): three child JVMs stream their queues
@@ -492,11 +502,17 @@ object ScaleProbe {
     // manifest files are genuinely unlinked while other PROCESSES hold
     // read plans over them. The books prove the linger's contract at
     // fleet scale: zero FileNotFoundException in any child, every queue
-    // drained, exactly-once on both distinct ids and total rows.
+    // drained, exactly-once by per-process EXECUTION counts (completion
+    // ROWS are retention-GC'd under this cadence by design — see
+    // FleetWorkerMain.executed; the r15 soak caught the old row-count
+    // audit measuring retention timing, not correctness).
     def timeFleetCrossProcessVacuum(n: Int): Unit =
       graft.Scratch.withDir("probe-fleet4p") { root =>
         import spark.implicits._
+        val localExec = new java.util.concurrent.atomic.AtomicLong()
         graft.model.JobRegistry.register("fleet_noop", _ => "ok")
+        graft.model.JobRegistry.register("fleet_count_local",
+          _ => { localExec.incrementAndGet(); "ok" })
         val t0v = 1700000000000L
         val retry = graft.model.RetryOpts()
         val backend = new graft.backend.CommitLogBackend(spark, root)
@@ -504,7 +520,9 @@ object ScaleProbe {
         backend.enqueue(spark.range(0, n, 1, math.max(8, n / 12500)).map { i =>
           val q = queues((i % 4).toInt)
           graft.model.Job(
-            id = i.toString, executeFnSym = "fleet_noop", argsJson = "[]",
+            id = i.toString,
+            executeFnSym = if (q == "fleetA") "fleet_count_local" else "fleet_noop",
+            argsJson = "[]",
             queue = q, readyQueue = q, priority = 0, enqueuedAt = t0v,
             scheduleRunAt = None, cronRunAt = None, batchId = None,
             retryOpts = retry, state = None, seq = graft.model.Job.nextSeq())
@@ -549,26 +567,29 @@ object ScaleProbe {
             if (child.isAlive) { child.destroyForcibly(); () } }
         }
         var fnf = 0
+        var childExec = 0L
         children.foreach { case (q, child, out) =>
           val o = out.synchronized(out.toString)
           require(child.exitValue() == 0, s"4-JVM child $q failed: $o")
           require(o.contains(s"FLEET_DRAINED_$q"), s"4-JVM child $q not drained: $o")
+          childExec += "FLEET_EXECUTED_[A-Za-z]+=(\\d+)".r
+            .findFirstMatchIn(o).map(_.group(1).toLong)
+            .getOrElse(sys.error(s"4-JVM child $q printed no execution count: $o"))
           fnf += "FileNotFoundException".r.findAllIn(o).length
         }
         require(fnf == 0, s"$fnf FileNotFoundException hits under aggressive vacuum")
-        val fns = org.apache.spark.sql.functions
-        val done = new graft.backend.CommitLogBackend(spark, root)
-          .completions.toDF()
-          .filter(fns.col("terminalState") === "success")
-          .agg(fns.countDistinct(fns.col("jobId")).as("d"),
-            fns.count(fns.lit(1)).as("t"))
-          .head()
-        require(done.getLong(0) == n, s"4-JVM drain lost jobs: ${done.getLong(0)} of $n")
-        require(done.getLong(1) == n, s"4-JVM drain double-executed: ${done.getLong(1)} rows")
-        sb.append(f"| fleet drain CROSS-PROCESS under AGGRESSIVE vacuum (4 JVMs, ${n / 1000}k jobs, 2 s linger, fold pressure 4 files) | — | $localSec%.2f local wall | — | 0 FileNotFoundException across 3 child JVMs; exactly-once audit green |\n")
-        println(f"PROBE fleet4p: local $localSec%.2fs, fnf=$fnf, books green")
+        // exactly-once by execution counts: each process counts its own
+        // body invocations; the sum must be exactly n (losses undershoot,
+        // crash replays / claim-race doubles overshoot)
+        val executed = localExec.get() + childExec
+        require(executed == n, s"4-JVM executions off: $executed of $n " +
+          s"(local=${localExec.get()} children=$childExec)")
+        require(new graft.backend.CommitLogBackend(spark, root).readyJobs.isEmpty,
+          "4-JVM drain left ready rows")
+        sb.append(f"| fleet drain CROSS-PROCESS under AGGRESSIVE vacuum (4 JVMs, ${n / 1000}k jobs, 2 s linger, fold pressure 4 files) | — | $localSec%.2f local wall | — | 0 FileNotFoundException across 3 child JVMs; exactly-once by per-process execution counts |\n")
+        println(f"PROBE fleet4p: local $localSec%.2fs, fnf=$fnf, executed=$executed books green")
       }
-    timeFleetCrossProcessVacuum(100000)
+    if (laneOn("fleet4p")) timeFleetCrossProcessVacuum(100000)
 
     // SHARED-queue contended consumption (VERDICT r13 #8 stretch — the
     // BLMOVE analog under the reference's own workload shape): N workers
@@ -641,13 +662,26 @@ object ScaleProbe {
           s"shared-queue retry books off: ${byState.get("retrying")} vs $flaky")
         (sec, n - flaky)
       }
-    locally {
+    if (laneOn("shared")) locally {
       val n = 100000
       val lanes = Seq(1, 2, 4).map(w => w -> timeSharedQueue(w, n))
       val (s1, _) = lanes.head._2
       lanes.foreach { case (w, (sec, _)) =>
         sb.append(f"| SHARED-queue contended drain ($w worker(s), ${n / 1000}k jobs, 1%% retry, claimed consumption) | $s1%.2f | $sec%.2f | ${sec / s1}%.2f× | ${n / sec}%.0f jobs/s aggregate; exactly-once per attempt audited |\n")
         println(f"PROBE shared$w: $sec%.2fs (${n / sec}%.0f j/s)")
+      }
+    }
+
+    // VERDICT r14 #8 stretch: the q55 shape at a 1M-job shared queue —
+    // does the claims-table fold keep the per-trigger as-of read
+    // bounded as consumed claims accumulate 10×? Run explicitly via
+    // `ScaleProbe 10 engine:shared1m` (too slow for the default sweep).
+    if (engineLane.contains("shared1m")) locally {
+      val n = 1000000
+      Seq(1, 4).foreach { w =>
+        val (sec, _) = timeSharedQueue(w, n)
+        sb.append(f"| SHARED-queue contended drain ($w worker(s), ${n / 1000}k jobs, 1%% retry, claimed consumption) | — | $sec%.2f | — | ${n / sec}%.0f jobs/s aggregate; exactly-once per attempt audited |\n")
+        println(f"PROBE shared1m w$w: $sec%.2fs (${n / sec}%.0f j/s)")
       }
     }
 
@@ -662,7 +696,7 @@ object ScaleProbe {
     // FULL path ~28k/s flat across N — the residual serialization lives
     // in the client/backend bookkeeping above the WAL, the named r15
     // frontier.
-    locally {
+    if (laneOn("producers")) locally {
       graft.Scratch.withDir("probe-prodprof") { pr =>
         // shared harness (ADVICE r14: this block and QuickProbe's
         // __producers_profile were verbatim copies that could drift)
@@ -710,7 +744,7 @@ object ScaleProbe {
         require(worker.runPass().succeeded == orphans) // replay ONLY orphans
         (System.nanoTime() - t0) / 1e9
       }
-    locally {
+    if (laneOn("orphan")) locally {
       val h1 = math.min(timeOrphanRecovery(50000, 100), timeOrphanRecovery(50000, 100))
       val h10 = math.min(timeOrphanRecovery(500000, 100), timeOrphanRecovery(500000, 100))
       sb.append(f"| orphan recovery (100 orphans; 50k → 500k completed history) | $h1%.2f | $h10%.2f | ${h10 / h1}%.1f× | cost tracks orphans, not history |\n")
@@ -759,7 +793,7 @@ object ScaleProbe {
           old.fold(spark.conf.unset(k))(v => spark.conf.set(k, v))
         }
       }
-    locally {
+    if (laneOn("rocks")) locally {
       val r1 = math.min(timeRocksState(100000), timeRocksState(100000))
       val r10 = math.min(timeRocksState(1000000), timeRocksState(1000000))
       sb.append(f"| streaming dedup state, RocksDB provider (100k → 1M distinct keys) | $r1%.2f | $r10%.2f | ${r10 / r1}%.1f× | off-heap state, one row per key |\n")
@@ -772,7 +806,7 @@ object ScaleProbe {
     // the visible-set read at K accumulated per-call files, then after
     // one compact() — the number that justifies the worker's
     // file-count-pressure compaction policy (compactMinFiles).
-    locally {
+    if (laneOn("tinyfile")) locally {
       graft.Scratch.withDir("probe-tinyfiles") { root =>
         val backend = new graft.backend.ParquetBackend(spark, root)
         val t0v = 1700000000000L
@@ -841,7 +875,7 @@ object ScaleProbe {
         val after = math.min(timeRead(), timeRead())
         (before, after)
       }
-    locally {
+    if (laneOn("visibility")) locally {
       val (h1, c1) = timeVisibilityRead(50000)
       val (h10, c10) = timeVisibilityRead(500000)
       sb.append(f"| visibility read, 1k live jobs (50k → 500k consumed history, pre-compact) | $h1%.2f | $h10%.2f | ${h10 / h1}%.1f× | completions+tombstone anti-joins scan history |\n")

@@ -323,7 +323,7 @@ class ParquetBackend(spark0: SparkSession, val root: String)
         val lock = writeLocks.computeIfAbsent(tbl, _ => new Object)
         lock.synchronized {
           val wal = WalStore.forTable(root, tbl, enc)
-          wal.synchronized {
+          wal.locked {
             val rows = WalStore.rows(root, tbl, enc)
             if (rows.nonEmpty)
               DirectParquetAppend.append(spark, enc, dir(tbl), rows)

@@ -57,13 +57,24 @@ object WalStore {
 
   final class TableWal(path: java.nio.file.Path, numFields: Int, schemaHash: Int) {
     private var channel: FileChannel = _
-    private var count = 0
+    /** Volatile so [[size]] (the per-append MaxRecords pre-check — a
+      * documented SOFT bound that races in-flight producers anyway) is
+      * a plain read instead of a lock round-trip: the r15 producer
+      * profile measured the full enqueue path paying TWO serialized
+      * lock acquisitions per op (cap check + append), and the second
+      * one never moved the count. Writes stay under [[lock]]. */
+    @volatile private var count = 0
     private val crc = new CRC32
     /** Cached end-of-file position: every append otherwise pays a
       * `channel.size()` fstat before its write. Maintained under the
-      * monitor (writes advance it, truncate resets it); the recovery
-      * scan below seeds it. */
+      * lock (writes advance it, truncate resets it); the recovery
+      * scan below seeds it. The CHANNEL's own position equals endPos
+      * by induction (constructor and truncate set it; every complete
+      * gathering write advances it by exactly the batch's bytes), so
+      * the happy-path drain skips both lseek syscalls; only a torn
+      * write desyncs them, and [[needSeek]] forces one reseek. */
     private var endPos: Long = HeaderLen.toLong
+    private var needSeek = false
 
     // open + recover: validate header (or write one), scan to the last
     // valid record, truncate any torn tail
@@ -112,85 +123,162 @@ object WalStore {
       }
     }
 
-    def size: Int = synchronized(count)
+    def size: Int = count
 
     /** Monotonic truncation generation + live record count — the
       * snapshot mark for delta-preserving replaceLog: records past a
       * captured (gen, count) were appended after the capture; a gen
       * bump means an intervening fold moved the prefix into a parquet
       * part file (which the file-set mark then accounts for). */
-    def mark: (Long, Int) = synchronized((gen, count))
+    def mark: (Long, Int) = locked((gen, count))
     private var gen = 0L
 
     /** One producer's pending append awaiting a group-commit leader.
-      * `committed`/`failure` are written and read under the TableWal
-      * monitor, so plain fields suffice (monitor entry/exit is the
-      * happens-before edge). */
+      * `state` transitions 0 (pending) → 1 (committed) / 2 (failed);
+      * `failure` is written before the volatile state store, so the
+      * producer's state read publishes it. `parked` is the Dekker flag
+      * that lets the leader SKIP the futex wake for a producer that is
+      * still spinning: the waiter stores parked=true then re-reads
+      * state; the leader stores state then reads parked — volatile
+      * total order guarantees at least one side sees the other, so a
+      * missed unpark implies the waiter saw the commit and never
+      * parks. */
     private final class Waiter(val buf: ByteBuffer, val n: Int, val force: Boolean) {
-      var committed = false
+      @volatile var state = 0
+      @volatile var parked = false
       var failure: Throwable = _
+      val owner: Thread = Thread.currentThread()
     }
     private val pendingAppends =
       new java.util.concurrent.ConcurrentLinkedQueue[Waiter]()
 
+    /** THE table lock — guards the channel, count, gen and endPos.
+      * A ReentrantLock (not the object monitor) so producers can
+      * `tryLock` and PARK OFF THE LOCK while a leader batches their
+      * appends: under a contended monitor every producer still paid one
+      * blocking entry per op, and the measured handoff convoy kept the
+      * lane flat (~85k/s at 1/4/16 threads) even with the writes
+      * batched. Every release hands leadership to the queue head (see
+      * [[locked]]) so a waiter enqueued during a drain is never
+      * stranded. */
+    private val lock = new java.util.concurrent.locks.ReentrantLock()
+
+    /** Run `body` under the table lock, then wake the append-queue head
+      * (if any) so a producer that arrived mid-section becomes leader.
+      * ALSO the external exclusion hook: ParquetBackend's drainWal wraps
+      * its decode→fold→truncate cut in this, excluding appends exactly
+      * as the old `wal.synchronized` did — an enqueued-but-undrained
+      * waiter is not yet in the file, and its producer cannot return
+      * until a leader running AFTER the truncate writes it. */
+    def locked[A](body: => A): A = {
+      lock.lock()
+      try body
+      finally {
+        lock.unlock()
+        wakeNextLeader()
+      }
+    }
+
     /** Append `n` pre-framed records (len|crc|payload each) — GROUP
-      * COMMITTED (VERDICT r14 #2): the caller enqueues its buffer, and
-      * whichever producer holds the monitor next drains EVERY queued
-      * buffer in one gathering `write(ByteBuffer[])` (plus one fsync if
-      * any waiter asked). Under N concurrent producers the syscall +
-      * monitor-hold cost amortizes over the whole batch instead of
-      * paying one write per producer — the flat ~100k/s single-append
-      * ceiling the r14 producer profile named (SCALING.md). A producer
-      * whose frames were already drained by another leader enters the
-      * monitor, sees `committed`, and leaves without touching the
-      * channel. Framing — serialization, CRC, length prefix — still
-      * happens on the CALLER's thread before any lock (r13: with framing
-      * inside the lock, N producers convoyed on serialization).
+      * COMMITTED via a leader/waiter queue (VERDICT r14 #2, the
+      * LevelDB-writers shape from its public source): the caller
+      * enqueues its pre-framed buffer; whichever producer wins
+      * `tryLock` drains EVERY queued buffer in one gathering
+      * `write(ByteBuffer[])` (plus one fsync if any waiter asked).
+      * Losers SPIN on their own waiter's state first and only park
+      * after ~a drain's worth of spinning — the r15 profile showed
+      * batching the write alone left the lane flat (~98k/s at 1/4/16
+      * threads): the serialized cost was never the syscall but the
+      * per-op handoff (a futex wake per waiter, paid by the leader,
+      * plus two lock round-trips per append on the full path). Spinning
+      * waiters cost the leader nothing (it reads `parked=false` and
+      * skips the unpark — the Dekker exchange on the Waiter), wakes for
+      * the parked minority happen AFTER the lock is released, and the
+      * cap pre-check reads a volatile count instead of locking.
+      * Framing — serialization, CRC, length prefix — still happens on
+      * the CALLER's thread before anything shared (r13).
       *
-      * Contract unchanged: on return the records are written (and
-      * fsync'd when `force`), rows of one call contiguous, ordered by
-      * drain order. External `wal.synchronized` sections (drainWal's
-      * decode→write→truncate) still exclude appends — an enqueued-but-
-      * undrained waiter is not yet in the file, and its producer cannot
-      * return (and so cannot report the append durable) until a leader
-      * running AFTER the truncate writes it. */
+      * Contract unchanged: on return the records are written (fsync'd
+      * when `force`), rows of one call contiguous, order = drain order. */
     def appendFramed(frames: ByteBuffer, n: Int, force: Boolean): Unit = {
       val w = new Waiter(frames, n, force)
       pendingAppends.add(w)
-      synchronized { if (!w.committed && w.failure == null) drainPendingLocked() }
-      if (w.failure != null)
+      var spins = 0
+      while (w.state == 0) {
+        if ((spins & 63) == 0 && lock.tryLock()) {
+          val batch =
+            try { if (w.state == 0) drainPendingLocked() else Vector.empty[Waiter] }
+            finally lock.unlock()
+          // wakes OUTSIDE the lock, and only for waiters that actually
+          // parked — a spinning producer sees its volatile state flip
+          var i = 0
+          while (i < batch.length) {
+            val b = batch(i)
+            if ((b ne w) && b.parked) java.util.concurrent.locks.LockSupport.unpark(b.owner)
+            i += 1
+          }
+          wakeNextLeader()
+        } else if (spins < 4096) {
+          Thread.onSpinWait()
+          spins += 1
+        } else {
+          w.parked = true
+          // re-read AFTER publishing parked (volatile ordering): either
+          // the leader sees parked=true and unparks, or this read sees
+          // the commit — never both missed
+          if (w.state == 0) {
+            // bounded park: pure defense against a missed edge
+            java.util.concurrent.locks.LockSupport.parkNanos(this, 200000L)
+          }
+          w.parked = false
+          spins = 0 // retry leadership before spinning again
+        }
+      }
+      if (w.state == 2)
         throw new java.io.IOException("WAL group commit failed", w.failure)
     }
 
-    /** Drain every queued waiter in one gathering write; caller holds the
-      * monitor. On an I/O failure the whole batch is failed — a torn tail
-      * fails the next open's CRC scan, the established crash contract. */
-    private def drainPendingLocked(): Unit = {
+    /** Hand leadership to the append-queue head (if any): a waiter that
+      * enqueued while a leader or an external [[locked]] section held
+      * the lock may be parked with nobody left to drain it. */
+    private def wakeNextLeader(): Unit = {
+      val next = pendingAppends.peek()
+      if (next != null) java.util.concurrent.locks.LockSupport.unpark(next.owner)
+    }
+
+    /** Drain every queued waiter in one gathering write; caller holds
+      * [[lock]] and owes the returned batch its wakes (outside the
+      * lock). On an I/O failure the whole batch is failed — a torn tail
+      * fails the next open's CRC scan, the established crash contract —
+      * and endPos is NOT advanced (needSeek forces a reseek), so the
+      * next drain overwrites the torn region instead of leaving a
+      * gap. */
+    private def drainPendingLocked(): Vector[Waiter] = {
       var batch = Vector.empty[Waiter]
       var x = pendingAppends.poll()
       while (x != null) { batch :+= x; x = pendingAppends.poll() }
-      if (batch.isEmpty) return
+      if (batch.isEmpty) return batch
       try {
         val bufs = batch.iterator.map(_.buf).toArray
-        var remaining = 0L
-        bufs.foreach(b => remaining += b.remaining().toLong)
-        channel.position(endPos)
+        var total = 0L
+        bufs.foreach(b => total += b.remaining().toLong)
+        if (needSeek) { channel.position(endPos); needSeek = false }
+        var remaining = total
         while (remaining > 0) remaining -= channel.write(bufs)
-        endPos = channel.position()
+        endPos += total
         if (batch.exists(_.force)) channel.force(false)
-        batch.foreach { b => count += b.n; b.committed = true }
+        batch.foreach { b => count += b.n; b.state = 1 }
       } catch {
-        // fail the whole batch via the waiters (each producer — leader
-        // included — reports its own failure after the monitor section);
-        // endPos is NOT advanced, so the next drain overwrites the torn
-        // region instead of leaving a gap
-        case t: Throwable => batch.foreach(_.failure = t)
+        case t: Throwable =>
+          needSeek = true
+          batch.foreach { b => b.failure = t; b.state = 2 }
       }
+      batch
     }
 
     /** Decode every live record (driver-side; bounded by [[MaxRecords]]
       * plus the compaction cadence). */
-    def readAll(): Seq[Array[Byte]] = synchronized {
+    def readAll(): Seq[Array[Byte]] = locked {
       val out = Vector.newBuilder[Array[Byte]]
       var pos = HeaderLen.toLong
       val end = channel.size()
@@ -209,18 +297,19 @@ object WalStore {
     }
 
     /** Drop every record (post-compaction fold). */
-    def truncate(): Unit = synchronized {
+    def truncate(): Unit = locked {
       channel.truncate(HeaderLen.toLong)
       channel.position(HeaderLen.toLong)
       endPos = HeaderLen.toLong
+      needSeek = false // position re-pinned to endPos
       count = 0
       gen += 1
     }
 
     /** fsync (once per batch, not per record). */
-    def sync(): Unit = synchronized(channel.force(false))
+    def sync(): Unit = locked(channel.force(false))
 
-    def close(): Unit = synchronized {
+    def close(): Unit = locked {
       try channel.close() catch { case _: java.io.IOException => () }
     }
   }

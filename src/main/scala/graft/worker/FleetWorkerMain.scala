@@ -25,6 +25,21 @@ import org.apache.spark.sql.streaming.Trigger
   * on drain timeout, nonzero on any failure.
   */
 object FleetWorkerMain {
+
+  /** Executions observed INSIDE this process — the exactly-once
+    * evidence the parent parses (`FLEET_EXECUTED_<queue>=<n>`).
+    * Completion ROWS cannot serve as that audit under aggressive
+    * maintenance: the completions fold deliberately GCs events whose
+    * job has left the ready log and whose batch is terminal/absent
+    * (the q46-gated retention design), so a parent counting completion
+    * rows after the drain is auditing a garbage-collected log (the r15
+    * 4-JVM soak failed exactly this way: the LOCAL worker's books were
+    * collected mid-drain while the children's survived by timing).
+    * Counting body invocations measures what exactly-once is ABOUT —
+    * executions — and is immune to retention. local[*] keeps executor
+    * code in-process, so a plain AtomicLong sees every invocation. */
+  val executed = new java.util.concurrent.atomic.AtomicLong()
+
   def main(args: Array[String]): Unit = {
     val root = args(0)
     val queue = args(1)
@@ -38,7 +53,8 @@ object FleetWorkerMain {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    graft.model.JobRegistry.register("fleet_noop", _ => "ok")
+    graft.model.JobRegistry.register("fleet_noop",
+      _ => { executed.incrementAndGet(); "ok" })
     val backend = new graft.backend.CommitLogBackend(spark, root)
     val worker = new GraftWorker(backend, spark, root,
       trigger = Trigger.ProcessingTime("100 milliseconds"),
@@ -56,6 +72,7 @@ object FleetWorkerMain {
     // prices separately), plus the claim-race diagnostic counter
     println(f"FLEET_SECONDS_$queue=$sec%.3f")
     println(s"FLEET_CLAIMRETRIES_$queue=${backend.claimRetries.get}")
+    println(s"FLEET_EXECUTED_$queue=${executed.get}")
     println(s"FLEET_DRAINED_$queue")
     sys.exit(0)
   }
