@@ -664,7 +664,17 @@ object ScaleProbe {
       }
     if (laneOn("shared")) locally {
       val n = 100000
-      val lanes = Seq(1, 2, 4).map(w => w -> timeSharedQueue(w, n))
+      val lanes = Seq(1, 2, 4).map { w =>
+        graft.Prof.snapshot(reset = true)
+        val r = w -> timeSharedQueue(w, n)
+        // stage attribution for the claimed path (graft.Prof labels in
+        // WorkerEngine.withClaims / CommitLogBackend.claimSlice)
+        val stages = graft.Prof.snapshot(reset = true).toSeq
+          .sortBy(-_._2._1)
+          .map { case (k, (s, c)) => f"$k=$s%.1fs/$c%d" }.mkString(" ")
+        println(s"PROBE sharedstages w$w: $stages")
+        r
+      }
       val (s1, _) = lanes.head._2
       lanes.foreach { case (w, (sec, _)) =>
         sb.append(f"| SHARED-queue contended drain ($w worker(s), ${n / 1000}k jobs, 1%% retry, claimed consumption) | $s1%.2f | $sec%.2f | ${sec / s1}%.2f× | ${n / sec}%.0f jobs/s aggregate; exactly-once per attempt audited |\n")

@@ -503,9 +503,23 @@ final class CommitLogBackend(
     * commit sequence no longer starts at 1), the state is gone — fail
     * rather than return a silently partial fold. */
   private def foldStateThrough(version: Long): LogState = {
-    val base = latestCheckpointAt(version)
-      .map { case (v, tables) => LogState(v, tables) }
-      .getOrElse(LogState(0L, Map.empty))
+    // Seed preference: the LIVE incremental snapshot cache when it is at
+    // or below the requested version (r15 — claimSlice reads as-of its
+    // own just-committed claim every pass, so the cache is typically
+    // one-or-two commits behind `version` and the fold replays a couple
+    // of files instead of everything since the last checkpoint; the
+    // claimed shared-queue lane measured ~0.33 s per as-of read from a
+    // checkpoint seed under heartbeat commit churn). Checkpoint seed
+    // only when the cache is ahead of `version` (genuine time travel)
+    // or empty. Correctness: both seeds are exact folds at their
+    // version; folding the (dense) suffix from either yields the same
+    // state, and the density check below still guards truncation.
+    val snap = cached
+    val base =
+      if (snap.version > 0 && snap.version <= version) snap
+      else latestCheckpointAt(version)
+        .map { case (v, tables) => LogState(v, tables) }
+        .getOrElse(LogState(0L, Map.empty))
     val all = listCommits()
     if (base.version == 0 && version > 0) {
       // no checkpoint at or below the requested version: reconstructible
@@ -521,6 +535,17 @@ final class CommitLogBackend(
           "oldest retained checkpoint are reconstructible")
     }
     val commits = all.filter(p => versionOf(p) > base.version && versionOf(p) <= version)
+    // density guard for the cache seed: versions are dense, so any hole
+    // in (base.version, version] means vacuum truncated a prefix this
+    // seed cannot bridge — re-seed from the checkpoint (the pre-r15
+    // path) rather than fold a silently partial suffix
+    if ((base eq snap) && commits.size.toLong != version - base.version) {
+      val ckpt = latestCheckpointAt(version)
+        .map { case (v, tables) => LogState(v, tables) }
+        .getOrElse(LogState(0L, Map.empty))
+      val cs = all.filter(p => versionOf(p) > ckpt.version && versionOf(p) <= version)
+      return foldCommits(cs, ckpt)
+    }
     foldCommits(commits, base)
   }
 
@@ -691,39 +716,144 @@ final class CommitLogBackend(
     * The as-of file list is immutable and vacuum's retention linger
     * keeps retracted claim files on disk far past a pass's life, so the
     * lazy plan cannot lose its inputs mid-pass. */
-  override def claimSlice(slice: Dataset[Job], claimantId: String,
+  override def claimSlice(slice: => Dataset[Job], claimantId: String,
+      now: Long, leaseMs: Long,
+      shard: Option[(Int, Int)] = None): Dataset[Job] = shard match {
+
+    // SHARD-CLAIM protocol (r15 — VERDICT r14 #1's end state): the
+    // caller consumes a deterministic hash shard, so ONE row — "I am
+    // consuming shard idx of n" — carries the same exclusion
+    // information as a claim row per attempt. Exclusion: an attempt is
+    // skipped iff a LIVE foreign claimant's NEWEST shard claim (its
+    // older ones are superseded — that is how a resharded fleet
+    // releases coverage) covers the attempt's id, or — mixed-mode
+    // legacy, e.g. a fixture's recordClaims — a live foreign
+    // per-ATTEMPT claim targets it (arbitrated by the exact anti-join,
+    // rare path). Symmetry at startup (two claimants both believing
+    // n = 1) is broken by the log's total order exactly as in the
+    // per-attempt protocol: my claim IS version V, every foreign claim
+    // in my as-of-V view committed strictly earlier, so the later
+    // claimant defers and the earlier one proceeds. The claim commits
+    // BEFORE `slice` (by-name) is evaluated — see the QueueBackend
+    // ordering contract: a foreign claimant whose superseding shard
+    // claim precedes mine has, by pass serialization, committed its
+    // prior pass's completions before it, and my post-claim visibility
+    // listing therefore excludes every attempt it executed. Cost per
+    // pass: one direct-append file + one manifest commit (~ms), one
+    // as-of fold of a claims table that is O(fleet × passes) — never
+    // O(jobs) — and a driver-side fold over a handful of rows; the
+    // execution plan re-scans NOTHING in steady state.
+    case Some((idx, n)) =>
+      import org.apache.spark.sql.functions.{col, lit, max, max_by, pmod, struct, sum, when, xxhash64}
+      val name = s"data-${UUID.randomUUID()}-0.parquet"
+      graft.Prof.stage("claim_stage_write")(
+        DirectParquetAppend.appendAs(spark,
+          graft.model.ModelEncoders.claimEventEncoder, s"$root/claims", name,
+          Seq(ClaimEvent(CommitLogBackend.shardClaimJobId(idx, n),
+            CommitLogBackend.ShardClaimAttempt, claimantId, now))))
+      val v = graft.Prof.stage("claim_commit")(
+        commit(Seq(s"add\tclaims\t$name")))
+      val asOf = graft.Prof.stage("asof_read_build")(
+        readTableAt("claims", v))
+      // one bounded driver aggregation per pass: per foreign claimant —
+      // last activity (lease), count of legacy per-attempt claims in MY
+      // shard (mixed-mode fallback trigger), and the newest shard claim
+      // by (claimedAt, jobId) — jobId's zero-padded seq orders
+      // supersession even under a pinned test clock
+      val stats = graft.Prof.stage("claim_foreign_probe")(
+        asOf.filter(col("claimantId") =!= claimantId)
+          .groupBy(col("claimantId"))
+          .agg(
+            max(col("claimedAt")).as("lastSeen"),
+            sum(when(col("attempt") >= 0 &&
+              pmod(xxhash64(col("jobId")), lit(n.toLong)) === lit(idx.toLong), 1L)
+              .otherwise(0L)).as("perAttemptInShard"),
+            max_by(
+              when(col("attempt") === lit(CommitLogBackend.ShardClaimAttempt), col("jobId")),
+              when(col("attempt") === lit(CommitLogBackend.ShardClaimAttempt),
+                struct(col("claimedAt"), col("jobId")))).as("latestShard"))
+          .collect())
+      val live = stats.filter(_.getLong(1) > now - leaseMs)
+      val foreignShards = live
+        .flatMap(r => Option(r.getString(3)))
+        .flatMap(CommitLogBackend.parseShardClaim)
+        // releases (n = 0) assert no coverage; a foreign shard under MY
+        // OWN map (same n, different idx) is disjoint from my slice by
+        // construction — neither excludes anything
+        .filter { case (fi, fn) => fn > 0 && !(fn == n && fi != idx) }
+        .distinct
+      val needJoin = live.exists(_.getLong(2) > 0L)
+      if (foreignShards.nonEmpty) {
+        // my coverage is CONTESTED by an earlier-committed live claim
+        // (it is in my as-of view, so it precedes mine): RELEASE my
+        // claim and make the caller RETRY (ShardContended). Executing
+        // only the uncontested remainder is tempting but unsound to
+        // combine with a held claim; holding while deferring deadlocks
+        // the symmetric case; and silently returning empty would ack
+        // the caller's micro-batch without executing it. The retry
+        // loop refreshes membership, so contention converges to
+        // disjoint shards within a few rounds.
+        graft.Prof.stage("claim_release")(releaseShardClaim(claimantId, now))
+        throw CommitLogBackend.ShardContended(claimantId,
+          foreignShards.toSeq, live.map(_.getString(0)).toSeq)
+      } else {
+        // `slice` evaluates HERE — strictly after the claim commit
+        var won: Dataset[Job] = slice
+        if (needJoin) won = arbitratePerAttempt(won, asOf, claimantId, now, leaseMs)
+        won
+      }
+
+    // Per-ATTEMPT protocol (unsharded callers — API completeness and
+    // spec fixtures; engines always shard): claim every attempt of the
+    // slice in one manifest version, then anti-join away attempts with
+    // an earlier live foreign claim.
+    case None =>
+      import org.apache.spark.sql.functions.lit
+      val s = slice // bind the by-name once; this path reuses it
+      // ONE claim file per pass: staging the shuffle-width slice as-is
+      // wrote up to 32 near-empty parquet parts per micro-batch.
+      val claims = s.map(j => ClaimEvent(j.id, JobAttempt.of(j), claimantId, now))
+        .coalesce(1)
+      val obs = new org.apache.spark.sql.Observation(
+        s"graft-claim-${UUID.randomUUID().toString.take(8)}")
+      val files = graft.Prof.stage("claim_stage_write")(
+        stage("claims", claims.observe(obs,
+          org.apache.spark.sql.functions.count(lit(1)).as("n"))))
+      val staged = obs.get("n").asInstanceOf[Long]
+      if (staged == 0L) {
+        files.foreach(f => fs.delete(new Path(s"$root/claims/$f"), false))
+        s.limit(0)
+      } else {
+        val v = graft.Prof.stage("claim_commit")(
+          commit(files.map(f => s"add\tclaims\t$f")))
+        val asOf = graft.Prof.stage("asof_read_build")(
+          readTableAt("claims", v))
+        arbitratePerAttempt(s, asOf, claimantId, now, leaseMs)
+      }
+  }
+
+  /** Exact per-attempt arbitration: drop every attempt of `slice` with
+    * a live foreign per-attempt claim in `asOf` (claimants whose newest
+    * activity — claim or beacon — is inside the lease window are ALIVE;
+    * a dead claimant's claims expire together). */
+  private def arbitratePerAttempt(slice: Dataset[Job],
+      asOf: org.apache.spark.sql.DataFrame, claimantId: String,
       now: Long, leaseMs: Long): Dataset[Job] = {
-    import spark.implicits._
     import org.apache.spark.sql.functions.{coalesce, col, lit, max}
-    val claims = slice.map(j => ClaimEvent(j.id, JobAttempt.of(j), claimantId, now))
-    val obs = new org.apache.spark.sql.Observation(
-      s"graft-claim-${UUID.randomUUID().toString.take(8)}")
-    val files = stage("claims", claims.observe(obs,
-      org.apache.spark.sql.functions.count(lit(1)).as("n")))
-    val staged = obs.get("n").asInstanceOf[Long]
-    if (staged == 0L) {
-      files.foreach(f => fs.delete(new Path(s"$root/claims/$f"), false))
-      return slice.limit(0)
-    }
-    val v = commit(files.map(f => s"add\tclaims\t$f"))
-    val asOf = readTableAt("claims", v)
-    // claimants whose newest activity (claim or beacon) is inside the
-    // lease window are ALIVE; every claim of a live foreign claimant
-    // excludes its attempt, a dead claimant's claims expire together
     val liveForeign = asOf
       .groupBy(col("claimantId")).agg(max(col("claimedAt")).as("lastSeen"))
       .filter(col("claimantId") =!= claimantId && col("lastSeen") > now - leaseMs)
       .select(col("claimantId").as("live_cid"))
     val foreign = asOf
       .filter(col("claimantId") =!= claimantId &&
-        col("attempt") >= 0) // beacons carry attempt = -1
+        col("attempt") >= 0) // beacons and shard claims carry attempt < 0
       .join(liveForeign, col("claimantId") === col("live_cid"), "left_semi")
       .select(col("jobId").as("c_jid"), col("attempt").as("c_att"))
     slice.join(foreign,
         slice("id") === col("c_jid") &&
           coalesce(slice("state.retryCount") + 1, lit(0)) === col("c_att"),
         "left_anti")
-      .as[Job]
+      .as[Job](graft.model.ModelEncoders.jobEncoder)
   }
 
   /** Claimant liveness beacon — a sentinel claims-table row (attempt
@@ -737,6 +867,15 @@ final class CommitLogBackend(
     appendSmallRows("claims",
       Seq(ClaimEvent(CommitLogBackend.BeaconJobId,
         CommitLogBackend.BeaconAttempt, claimantId, at)))(
+      graft.model.ModelEncoders.claimEventEncoder)
+
+  /** Supersede this claimant's shard coverage with a release row (see
+    * [[CommitLogBackend.shardClaimReleaseJobId]]). One ~ms direct
+    * append + manifest commit. */
+  override def releaseShardClaim(claimantId: String, at: Long): Unit =
+    appendSmallRows("claims",
+      Seq(ClaimEvent(CommitLogBackend.shardClaimReleaseJobId(),
+        CommitLogBackend.ShardClaimAttempt, claimantId, at)))(
       graft.model.ModelEncoders.claimEventEncoder)
 
   /** Claimants with a liveness beacon younger than `ttlMs`, sorted —
@@ -1067,6 +1206,65 @@ object CommitLogBackend {
     * them with `attempt = BeaconAttempt`. */
   val BeaconJobId: String = ""
   val BeaconAttempt: Int = -1
+
+  /** Thrown by [[CommitLogBackend.claimSlice]] when the caller's shard
+    * is contested by an earlier-committed live foreign claim. The
+    * claimant's own claim has already been RELEASED; the caller must
+    * retry the whole claim (refreshing its membership view first) —
+    * returning an empty result instead would ACK the streaming
+    * micro-batch and the file source would never re-deliver those rows
+    * (the r15 shared-lane stall: four workers with skewed views all
+    * deferred once and the stream went silent forever). */
+  /** `liveClaimants` = every claimant with lease-live activity in the
+    * as-of view (self excluded) — the contested claimSlice already
+    * aggregated it driver-side, so the retrying caller can rebuild its
+    * membership view from here instead of paying a separate Spark job
+    * per retry round. */
+  final case class ShardContended(claimantId: String,
+      contestedBy: Seq[(Int, Int)], liveClaimants: Seq[String])
+    extends RuntimeException(
+      s"shard contested for $claimantId by ${contestedBy.mkString(",")}")
+
+  /** Sentinel attempt of a SHARD claim row (r15): one row per claimed
+    * pass asserting "claimant C is consuming shard idx of n". Replaces
+    * the per-ATTEMPT claim batch in the sharded steady state — the
+    * claims table becomes O(fleet × passes) instead of O(jobs), the
+    * as-of read and the arbitration collapse to a driver-side fold
+    * over a handful of rows, and the claim commit is one direct-append
+    * file instead of a Spark write job per micro-batch. jobId carries
+    * `idx/n/seq` with seq zero-padded so (claimedAt, jobId) orders
+    * supersession even under a PINNED test clock (equal claimedAt):
+    * a claimant's newest shard claim supersedes its older ones, which
+    * is what lets a resharded fleet release coverage it no longer
+    * owns. */
+  val ShardClaimAttempt: Int = -2
+
+  /** seq FIRST and zero-padded: jobId is the claimedAt tiebreak in
+    * every supersession comparison, and lexicographic order must equal
+    * commit order — a trailing seq broke down across multi-digit shard
+    * indexes ("10/16/…" < "2/16/…"). */
+  def shardClaimJobId(idx: Int, n: Int): String =
+    f"${graft.model.Job.nextSeq()}%019d/$idx%d/$n%d"
+
+  /** A RELEASE is a shard claim asserting NO coverage (n = 0): a
+    * claimant that finds its shard contested by an earlier-committed
+    * live foreign claim supersedes its own claim with this and defers
+    * the pass. Without it, two claimants whose membership views agree
+    * on the same (idx, n) — the startup window, or any view skew —
+    * would each see the other's live claim and defer FOREVER (the r15
+    * shared-lane hang under a pinned test clock, where membership
+    * never refreshes by wall time). With it, log order arbitrates each
+    * round: the earliest committer's view cannot contain the later
+    * claims, so it proceeds while the others release. */
+  def shardClaimReleaseJobId(): String =
+    f"${graft.model.Job.nextSeq()}%019d/-1/0"
+
+  def parseShardClaim(jobId: String): Option[(Int, Int)] =
+    jobId.split("/") match {
+      case Array(_, i, n) =>
+        try Some((i.toInt, n.toInt)) catch { case _: NumberFormatException => None }
+      case _ => None
+    }
 
   /** The basic.return payload (reference return_listener.clj:14-20
     * wrapper fields, minus AMQP wire details that have no analog). */

@@ -374,11 +374,16 @@ abstract class LogStructuredBackend(val spark: SparkSession) extends QueueBacken
         // keeping it is only bytes, never wrongness. One micro-batch per
         // worker appends one claim batch, so this table grows at the
         // completions rate and folds with the same light lane.
-        // Liveness BEACONS (attempt = BeaconAttempt, r15) fold to the
-        // newest row per claimant — older beacons are superseded by
-        // definition, and one row per live claimant is all the lease /
-        // membership reads consult. Keeping the newest even when stale
-        // is bytes-bounded by the fleet's total claimant count.
+        // Liveness BEACONS (attempt = BeaconAttempt) and SHARD claims
+        // (attempt = ShardClaimAttempt, r15) fold to the newest row per
+        // (claimant, kind) — older rows of each kind are superseded by
+        // definition (a beacon renews liveness; a newer shard claim
+        // releases the older one's coverage), and one row per kind per
+        // live claimant is all the lease / membership / coverage reads
+        // consult. Order ties on claimedAt (pinned test clocks) break
+        // by jobId — shard-claim ids embed a zero-padded monotonic seq.
+        // Keeping the newest even when stale is bytes-bounded by the
+        // fleet's total claimant count.
         val snap = foldSnapshot[ClaimEvent]("claims")
         val comps = readLog[CompletionEvent]("completions")
           .select($"jobId".as("d_jid"), $"attempt".as("d_att"))
@@ -387,7 +392,8 @@ abstract class LogStructuredBackend(val spark: SparkSession) extends QueueBacken
         val beacons = snap.toDF().filter($"attempt" < 0)
           .withColumn("brank", row_number().over(
             org.apache.spark.sql.expressions.Window
-              .partitionBy($"claimantId").orderBy($"claimedAt".desc)))
+              .partitionBy($"claimantId", $"attempt")
+              .orderBy($"claimedAt".desc, $"jobId".desc)))
           .filter($"brank" === 1).drop("brank")
         replaceLog("claims", live.unionByName(beacons).as[ClaimEvent])
         return

@@ -135,19 +135,38 @@ trait QueueBackend {
     * [[recordClaimantBeacon]] beacon) expires after `leaseMs` and the
     * attempt becomes claimable again.
     *
-    * CONTRACT (r15): the caller passes a PINNED slice (localCheckpoint
-    * — WorkerEngine.withClaims does) and keeps it pinned until it has
-    * materialized the result; the returned Dataset may be a lazy plan
-    * over it (the claim and the execution must cover the same rows, and
-    * a pinned input is what makes the lazy plan deterministic). */
-  def claimSlice(slice: Dataset[Job], claimantId: String, now: Long,
-      leaseMs: Long): Dataset[Job] = slice
+    * `shard` = (my index, shard count) when the caller consumes a
+    * deterministic hash shard (WorkerEngine's
+    * `pmod(xxhash64(id), n) = idx`): the backend then commits ONE
+    * shard-claim row instead of a row per attempt, and arbitration is
+    * a driver-side fold plus (usually) no plan change at all.
+    *
+    * ORDERING CONTRACT (r15): `slice` is BY-NAME and must not be
+    * constructed before this call — the sharded implementation commits
+    * its claim FIRST and only then evaluates `slice`, so the slice's
+    * visibility read (file listing) observes every completion that
+    * committed before the claim. Without that order a stale slice
+    * could resurrect an attempt a foreign claimant completed after the
+    * slice was built but before this claim — the double-execution
+    * window per-attempt claims closed by persisting row-level claims.
+    * Unsharded (None) callers pass an already-built (ideally pinned)
+    * slice; the per-attempt protocol covers them row by row. */
+  def claimSlice(slice: => Dataset[Job], claimantId: String, now: Long,
+      leaseMs: Long, shard: Option[(Int, Int)] = None): Dataset[Job] = slice
 
   /** Advertise that `claimantId` is alive at `at` — renews every claim
     * it holds ([[claimSlice]]'s per-claimant lease) and feeds the shard
     * membership view ([[liveClaimants]]). No-op on backends without a
     * claim protocol. */
   def recordClaimantBeacon(claimantId: String, at: Long): Unit = ()
+
+  /** Release `claimantId`'s shard coverage — called when a claimed
+    * pass COMPLETES (a shard claim protects the in-flight pass, not
+    * the claimant's tenure; a finished pass that kept its coverage
+    * would exclude other claimants until the next micro-batch, and
+    * with no new files arriving, forever). No-op on backends without
+    * the shard-claim protocol. */
+  def releaseShardClaim(claimantId: String, at: Long): Unit = ()
 
   /** Claimant ids with a liveness beacon younger than `ttlMs`, sorted —
     * the shared-queue fleet's shard membership (WorkerEngine hashes

@@ -155,12 +155,21 @@ final class WorkerEngine(
   }
 
   /** (my shard index, live shard count) under the current membership
-    * view; self is always a member even before its first beacon lands. */
-  private def shardOf(now: Long): (Int, Int) = {
-    if (now - members._2 > WorkerEngine.MembershipRefreshMs ||
-        members._2 == 0L)
+    * view; self is always a member even before its first beacon lands.
+    * Refreshes on wall-clock cadence AND every few passes — a pinned
+    * test clock never advances `now`, and a frozen membership view
+    * left two claimants contesting one shard indefinitely (the r15
+    * shared-lane hang; the release protocol keeps that LIVE but only a
+    * refresh makes it converge to disjoint shards). */
+  @volatile private var passesSinceRefresh = 0
+  private def shardOf(now: Long, force: Boolean = false): (Int, Int) = {
+    passesSinceRefresh += 1
+    if (force || now - members._2 > WorkerEngine.MembershipRefreshMs ||
+        members._2 == 0L || passesSinceRefresh >= 4) {
       members = (backend.liveClaimants(
         now, WorkerEngine.MembershipTtlMs).toVector, now)
+      passesSinceRefresh = 0
+    }
     val me = claimantId
     val m = members._1
     val all = if (m.contains(me)) m else (m :+ me).sorted
@@ -177,25 +186,25 @@ final class WorkerEngine(
     *     without a per-pop round trip. Membership changes reshard
     *     automatically; a dead worker's shard is re-covered once its
     *     beacons age out of [[liveClaimants]], and its claimed-but-
-    *     uncompleted attempts lapse with its lease.
+    *     uncompleted attempts lapse with its lease. The shard filter
+    *     applies to the RAW slice, BEFORE the visibility computation
+    *     (r15 stage profile: per-pass cost at 4 workers was dominated
+    *     by every worker running the full-backlog visibility
+    *     anti-joins + version-dedup window per pass and only then
+    *     keeping its quarter). Both are per-id row-local — all
+    *     versions of one id hash to one shard — so filtering first is
+    *     semantics-preserving and shrinks every visibility shuffle by
+    *     the fleet factor.
     *  2. PIN the shard slice once (the claim and the execution must
     *     cover the same rows; claimSlice returns a lazy plan over it).
     *  3. RENEW liveness while the body runs (every ClaimRenewMs): a
     *     pass longer than the lease keeps its claims (ADVICE r14).
     */
-  private def withClaims(jobs: Dataset[Job])(body: Dataset[Job] => PassStats): PassStats =
-    if (!claimedConsumption) body(jobs)
+  private def withClaims(raw: => Dataset[Job],
+      visible: Dataset[Job] => Dataset[Job])(
+      body: Dataset[Job] => PassStats): PassStats =
+    if (!claimedConsumption) body(visible(raw))
     else {
-      val now0 = nowFn()
-      if (now0 - lastBeaconAt > WorkerEngine.BeaconIntervalMs) beacon(now0)
-      val (idx, n) = shardOf(now0)
-      val mine =
-        if (n <= 1) jobs
-        else {
-          import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
-          jobs.filter(pmod(xxhash64(col("id")), lit(n.toLong)) === lit(idx.toLong))
-        }
-      val pinned = mine.localCheckpoint(true)
       // renewal cadence rides WELL inside the lease (a custom short
       // lease gets a proportionally faster renewal, never a lapsed one)
       val renewMs = math.max(50L,
@@ -205,15 +214,83 @@ final class WorkerEngine(
           System.err.println(s"[graft-worker] claim renewal failed: ${e.getMessage}") },
         renewMs, renewMs, java.util.concurrent.TimeUnit.MILLISECONDS)
       try {
-        val won = backend.claimSlice(pinned, claimantId, now0, claimLeaseMs)
-        body(won)
+        // CONTENTION RETRY LOOP: a ShardContended claim (an earlier
+        // live foreign claim overlaps my coverage — membership views
+        // still converging) must NOT complete the pass, or the
+        // streaming micro-batch would be acked unexecuted and the file
+        // source would never re-deliver it. Each retry re-reads
+        // membership (shardOf counts passes, so a pinned test clock
+        // still converges) and backs off briefly; log order guarantees
+        // at least one contender proceeds per round, so the loop is
+        // bounded by view convergence, not luck.
+        var result: PassStats = null
+        var attempts = 0
+        while (result == null) {
+          val now0 = nowFn()
+          if (now0 - lastBeaconAt > WorkerEngine.BeaconIntervalMs)
+            WorkerEngine.claimStage("beacon")(beacon(now0))
+          val (idx, n) = WorkerEngine.claimStage("membership")(shardOf(now0))
+          // LAZY slice: claimSlice's shard protocol commits the claim
+          // FIRST and only then evaluates this (the QueueBackend
+          // ordering contract), so the visibility listing sees every
+          // completion that committed before the claim — no pin, no
+          // extra materialization; the pass's one execution checkpoint
+          // materializes everything.
+          def mine: Dataset[Job] =
+            if (n <= 1) visible(raw)
+            else {
+              import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
+              visible(raw.filter(
+                pmod(xxhash64(col("id")), lit(n.toLong)) === lit(idx.toLong)))
+            }
+          try {
+            // always pass the shard coordinates — at n = 1 the predicate
+            // is vacuously true and the probe degenerates to "any live
+            // foreign claimant with any claim", the single-worker
+            // steady-state proof
+            val won = WorkerEngine.claimStage("claim_slice")(
+              backend.claimSlice(mine, claimantId, now0, claimLeaseMs,
+                shard = Some((idx, n))))
+            val stats = WorkerEngine.claimStage("body")(body(won))
+            // a shard claim protects the IN-FLIGHT pass: release it once
+            // the pass's commits (completions last) are durable, so
+            // other claimants stop deferring to a finished pass. The
+            // ordering is the stale-read protection: completions
+            // committed BEFORE this release, so a foreign claimant that
+            // sees the release (and claims after it) reads a visibility
+            // snapshot excluding everything this pass executed. NOT
+            // released on failure — the identity rotation below orphans
+            // the failed pass's claims and the lease expires them
+            // (goose's dead-consumer window).
+            WorkerEngine.claimStage("claim_release")(
+              backend.releaseShardClaim(claimantId, nowFn()))
+            result = stats
+          } catch {
+            case c: graft.backend.CommitLogBackend.ShardContended =>
+              attempts += 1
+              if (attempts >= WorkerEngine.MaxContentionRetries)
+                throw new IllegalStateException(
+                  s"shard contention did not converge after $attempts rounds", c)
+              // adopt the membership the contested claim just OBSERVED
+              // (every lease-live claimant in the as-of view) — a
+              // view-refresh without another Spark job per retry round
+              members = (((c.liveClaimants :+ claimantId).distinct.sorted).toVector, now0)
+              passesSinceRefresh = 0
+              // exponential-ish backoff capped at 1 s: early rounds are
+              // view-skew (converge fast), long waits are a foreign
+              // claimant's in-flight pass — poll it like goose's BLMOVE
+              // timeout, don't hammer the log with claim/release churn
+              val cap = math.min(1000L, 50L * (1L << math.min(attempts, 4)))
+              Thread.sleep(cap / 2 + scala.util.Random.nextInt(cap.toInt / 2).toLong)
+          }
+        }
+        result
       } catch {
         case t: Throwable =>
           claimantId = java.util.UUID.randomUUID().toString
           throw t
       } finally {
         renewal.cancel(false)
-        pinned.unpersist()
         ()
       }
     }
@@ -229,7 +306,10 @@ final class WorkerEngine(
     * worker's scope (the batch-mode twin of the streaming query; also
     * the foreachBatch body). */
   def runPass(): PassStats =
-    gated(withClaims(scoped(backend.readyJobs))(executeBatchInner))
+    // batch mode reads the ALREADY-visible set (readyJobs is the only
+    // public surface); the shard-before-visibility optimization applies
+    // to the streaming path, which sees raw micro-batch rows
+    gated(withClaims(scoped(backend.readyJobs), identity)(executeBatchInner))
 
   /** Plan CONSTRUCTION must happen inside the gate as well: building
     * `readyJobs`/`filterReadyVisible` lists the live log files, and a
@@ -251,12 +331,13 @@ final class WorkerEngine(
     // otherwise auto-refresh the cache and recompute an EMPTY result
     // (every executed row is consumed by its own completion record). It
     // also pins each job to exactly one execution within the pass.
-    val results = jobs
+    val results = WorkerEngine.claimStage("body_execute")(jobs
       .map(j => WorkerCore.runJob(j, mws, now))
-      .localCheckpoint(true)
+      .localCheckpoint(true))
     try {
       // One grouped aggregation for all counters (not one action each).
-      val counts = results.groupByKey(_.action).count().collect().toMap
+      val counts = WorkerEngine.claimStage("body_counts")(
+        results.groupByKey(_.action).count().collect().toMap)
       val executed = counts.values.sum
       if (executed == 0) return PassStats(0, 0, 0, 0)
 
@@ -284,8 +365,10 @@ final class WorkerEngine(
               .filter(r => r.action == "dead" && !r.job.retryOpts.skipDeadQueue)
               .map(_.job))))
           else Nil)
-      outcomes.foreach(Await.result(_, Duration.Inf))
-      backend.recordCompletions(results.map(r => WorkerCore.toCompletion(r)))
+      WorkerEngine.claimStage("body_retry_death")(
+        outcomes.foreach(Await.result(_, Duration.Inf)))
+      WorkerEngine.claimStage("body_completions")(
+        backend.recordCompletions(results.map(r => WorkerCore.toCompletion(r))))
 
       PassStats(executed, counts.getOrElse("success", 0L), retried, died)
     } finally results.unpersist()
@@ -335,9 +418,14 @@ final class WorkerEngine(
       .trigger(trigger)
       .option("checkpointLocation", s"$root/checkpoints/$qn")
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
-        // gate covers the visibility-plan construction too (file listing)
+        // gate covers the visibility-plan construction too (file listing).
+        // Raw micro-batch rows go in; queue scope + (claimed) shard
+        // filter apply BEFORE the visibility anti-joins/window — all
+        // three are per-id row-local, so order commutes and the
+        // expensive shuffles run over the scoped shard only.
         gated {
-          withClaims(scoped(backend.filterReadyVisible(batch.as[Job])))(executeBatchInner)
+          withClaims(scoped(batch.as[Job]),
+            (s: Dataset[Job]) => backend.filterReadyVisible(s))(executeBatchInner)
           ()
         }
       }
@@ -374,6 +462,20 @@ object WorkerEngine {
     * the renewal schedule (busy workers' claim commits carry no
     * membership signal — beacons do). */
   val BeaconIntervalMs: Long = 5000L
+
+  /** Bound on shard-contention retry rounds inside one claimed pass.
+    * Contention resolves by membership convergence (a refresh per few
+    * retries) plus log-order arbitration (one contender proceeds per
+    * round); 100 rounds at 50-200 ms backoff is tens of seconds —
+    * far past any convergence, so exhaustion means something is
+    * genuinely wrong (e.g. claimants with incomparable clocks). */
+  val MaxContentionRetries: Int = 100
+
+  /** Claimed-path stage labels ride [[graft.Prof]] (probe diagnostics —
+    * the shared-queue lane prints and resets it, so a throughput move
+    * is ATTRIBUTED to a stage instead of guessed). */
+  @inline def claimStage[A](name: String)(body: => A): A =
+    graft.Prof.stage(name)(body)
 
   /** Shared daemon scheduler for claim-renewal beacons (one thread
     * serves every engine in the process; beacons are ~ms appends). */

@@ -144,11 +144,19 @@ class ClaimedConsumptionSpec extends SparkSpec {
     assert(da > 0 && da < n, s"ea must execute exactly its shard, got $da of $n")
     assert(da + db == n, s"shards must partition the queue: $da + $db != $n")
     assert(executions.get() == n)
-    // disjointness in the log itself: one real claim row per attempt —
-    // colliding claims would land two
-    val realClaims = a.readClaims().collect().filter(_.attempt >= 0)
-    assert(realClaims.length == n,
-      s"steady-state claims must be disjoint: ${realClaims.length} rows for $n attempts")
+    // disjointness in the log itself (r15 shard claims): NO per-attempt
+    // claim rows at all — each pass commits ONE shard-claim row, so the
+    // claims table is O(fleet x passes), never O(jobs)
+    val all = a.readClaims().collect()
+    val perAttempt = all.filter(_.attempt >= 0)
+    assert(perAttempt.isEmpty,
+      s"sharded steady state must not write per-attempt claims: ${perAttempt.length} rows")
+    val shardClaims = all.filter(_.attempt == CommitLogBackend.ShardClaimAttempt)
+    assert(shardClaims.map(_.claimantId).distinct.length == 2,
+      s"both claimants must have committed shard claims: ${shardClaims.mkString(",")}")
+    // and the maps they executed under partition the id space
+    assert(shardClaims.flatMap(c => CommitLogBackend.parseShardClaim(c.jobId))
+      .forall(_._2 <= 2), s"shard maps bounded by fleet size: ${shardClaims.mkString(",")}")
   }
 
   test("a beacon renews a claimant's OLD claims past the lease (ADVICE r14)") {
@@ -219,12 +227,24 @@ class ClaimedConsumptionSpec extends SparkSpec {
       .filter(_.attempt == CommitLogBackend.BeaconAttempt)
       .maxBy(_.claimedAt)
     b.recordClaims(Seq(newestBeacon.copy(claimedAt = newestBeacon.claimedAt - 9999)))
+    // the engine's pass also committed a SHARD claim (r15); an older
+    // superseded one from the same claimant must fold away too
+    val newestShard = b.readClaims().collect()
+      .filter(_.attempt == CommitLogBackend.ShardClaimAttempt)
+      .maxBy(c => (c.claimedAt, c.jobId))
+    b.recordClaims(Seq(newestShard.copy(
+      jobId = CommitLogBackend.shardClaimJobId(0, 1),
+      claimedAt = newestShard.claimedAt - 9999)))
     b.compact("claims")
     val left = b.readClaims().collect()
-    val (beacons, claims) = left.partition(_.attempt == CommitLogBackend.BeaconAttempt)
+    val beacons = left.filter(_.attempt == CommitLogBackend.BeaconAttempt)
+    val shards = left.filter(_.attempt == CommitLogBackend.ShardClaimAttempt)
+    val claims = left.filter(_.attempt >= 0)
     assert(claims.map(_.jobId).toSeq == Seq("c9"),
       s"completed claim folded away, unconsumed kept: ${left.mkString(",")}")
     assert(beacons.toSeq == Seq(newestBeacon),
       s"exactly the newest beacon per claimant survives: ${beacons.mkString(",")}")
+    assert(shards.toSeq == Seq(newestShard),
+      s"exactly the newest shard claim per claimant survives: ${shards.mkString(",")}")
   }
 }
