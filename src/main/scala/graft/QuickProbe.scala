@@ -551,6 +551,65 @@ object QuickProbe {
           val tForce = (System.nanoTime() - t1) / 1e9
           println(f"PROBE __audit $name pass$pass count=$tCount%.2f s force=$tForce%.2f s")
         }
+      // pseudo-query: r15 idle-path cost anatomy — what one maintenance
+      // tick / drain poll costs on an EMPTY backend, and whether an
+      // Observation can ride a localCheckpoint job (the counts-for-free
+      // candidate for executeBatchInner / promoteDue).
+      case "__idle_profile" =>
+        graft.Scratch.withDir("probe-idle") { root =>
+          import spark.implicits._
+          import graft.model._
+          JobRegistry.register("probe_noop", _ => "ok")
+          val backend = new graft.backend.ParquetBackend(spark, root)
+          val sched = new graft.worker.SchedulerEngine(backend, spark)
+          def t(label: String, reps: Int)(f: => Unit): Unit = {
+            f // warm
+            val t0 = System.nanoTime()
+            (1 to reps).foreach(_ => f)
+            println(f"PROBE idle $label: ${(System.nanoTime() - t0) / 1e6 / reps}%.1f ms/op over $reps")
+          }
+          t("promoteDue(empty)", 10)(sched.promoteDue())
+          t("fireCron(empty)", 10)(sched.fireCron())
+          t("readyJobs.isEmpty(empty)", 10)(backend.readyJobs.isEmpty)
+          t("scheduled_due.isEmpty(empty)", 10)(
+            backend.scheduledJobs.filter(
+              org.apache.spark.sql.functions.coalesce(
+                org.apache.spark.sql.functions.col("state.retryAt"),
+                org.apache.spark.sql.functions.col("scheduleRunAt")) <= 0L).isEmpty)
+          t("batches.distinct.count(empty)", 10)(
+            backend.batches.select("id").distinct().count())
+          // observe riding localCheckpoint: does the metric materialize?
+          val ds = spark.range(0, 1000, 1, 8)
+            .map(i => if (i % 100 == 0) "retry" else "success")
+          val obs = new org.apache.spark.sql.Observation("probe-obs")
+          import org.apache.spark.sql.functions._
+          val cp = ds.observe(obs,
+            sum(when(col("value") === "retry", 1L).otherwise(0L)).as("retried"),
+            count(lit(1)).as("executed")).localCheckpoint(true)
+          val got = try obs.getAsJava.toString catch { case e: Throwable => s"FAILED ${e.getMessage}" }
+          println(s"PROBE idle observe_on_localCheckpoint: $got (expect retried=10, executed=1000)")
+          cp.unpersist()
+          // executeBatchInner anatomy on a 100-job pass
+          val retry = RetryOpts(maxRetries = 1, retryDelaySecFn = "probe_instant")
+          JobRegistry.registerBackoff("probe_instant", _ => 0)
+          def seed(n: Int): org.apache.spark.sql.Dataset[Job] =
+            spark.range(0, n, 1, 8).map(i => Job(id = i.toString,
+              executeFnSym = "probe_noop", argsJson = "[]", queue = "q",
+              readyQueue = "q", priority = 0, enqueuedAt = 1700000000000L,
+              scheduleRunAt = None, cronRunAt = None, batchId = None,
+              retryOpts = retry, state = None, seq = Job.nextSeq()))
+          val worker = new graft.worker.WorkerEngine(backend, spark)
+          graft.Prof.snapshot(reset = true)
+          (1 to 3).foreach { pass =>
+            backend.enqueue(seed(100))
+            val t0 = System.nanoTime()
+            worker.runPass()
+            println(f"PROBE idle runPass(100 jobs) pass$pass: ${(System.nanoTime() - t0) / 1e6}%.0f ms")
+          }
+          graft.Prof.snapshot(reset = true).toSeq.sortBy(-_._2._1).foreach {
+            case (k, (sec, n)) => println(f"PROBE idle prof $k%-18s ${sec * 1000 / n}%.0f ms/op x$n")
+          }
+        }
       case name =>
         (1 to 2).foreach { pass =>
           val t0 = System.nanoTime()

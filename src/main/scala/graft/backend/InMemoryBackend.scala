@@ -57,11 +57,27 @@ final class InMemoryBackend(spark: SparkSession) extends QueueBackend {
     val rows = jobs.collect()
     lock.synchronized { dead ++= rows }
   }
-  override def recordCompletions(events: Dataset[CompletionEvent]): Unit = {
-    val rows = events.collect()
+  override def buryRows(jobs: Seq[Job]): Unit =
+    lock.synchronized { dead ++= jobs }
+  override def recordCompletions(events: Dataset[CompletionEvent]): Unit =
+    recordCompletionRows(events.collect().toSeq)
+  override def recordCompletionRows(events: Seq[CompletionEvent]): Unit =
     lock.synchronized {
-      comps ++= rows
-      consumedKeys ++= rows.map(e => (e.jobId, e.attempt))
+      comps ++= events
+      consumedKeys ++= events.map(e => (e.jobId, e.attempt))
+    }
+
+  /** Driver-local state: the probe is an exact buffer check. */
+  override def maybeNonEmpty(tbl: String): Boolean = lock.synchronized {
+    tbl match {
+      case "ready" => ready.nonEmpty
+      case "scheduled" => scheduled.nonEmpty
+      case "dead" => dead.nonEmpty
+      case "completions" => comps.nonEmpty
+      case "cron" => crons.nonEmpty
+      case "batches" => batchMetas.nonEmpty
+      case "batch_status" => statusEvents.nonEmpty
+      case _ => true
     }
   }
 

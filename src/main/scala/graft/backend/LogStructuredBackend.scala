@@ -90,8 +90,26 @@ abstract class LogStructuredBackend(val spark: SparkSession) extends QueueBacken
   override def enqueueRows(jobs: Seq[Job]): Unit = appendSmallRows("ready", jobs)
   override def scheduleRows(jobs: Seq[Job]): Unit = appendSmallRows("scheduled", jobs)
   override def bury(jobs: Dataset[Job]): Unit = appendLog("dead", jobs)
+  override def buryRows(jobs: Seq[Job]): Unit = appendSmallRows("dead", jobs)
   override def recordCompletions(events: Dataset[CompletionEvent]): Unit =
     appendLog("completions", events)
+  override def recordCompletionRows(events: Seq[CompletionEvent]): Unit =
+    appendSmallRows("completions", events)
+
+  /** Table provably empty ⇔ no data files and no latency-path tail.
+    * Data files via the binding's own metadata (directory listing /
+    * manifest snapshot — driver-side, no Spark job); the WAL tail via
+    * [[latencyPathNonEmpty]]. Conservative by construction: a fold
+    * mid-swap can momentarily report zero files, which only delays the
+    * caller's poll one tick — it can never hide durable rows from the
+    * read that a `true` would have triggered. */
+  override def maybeNonEmpty(tbl: String): Boolean =
+    dataFileCount(tbl) > 0 || latencyPathNonEmpty(tbl)
+
+  /** Whether the binding's per-call latency path holds undrained rows
+    * for `tbl` (ParquetBackend's WAL); bindings without one return
+    * false. */
+  protected def latencyPathNonEmpty(tbl: String): Boolean = false
 
   override def tombstone(tbl: String, victims: Seq[(String, Long)], reason: String): Unit = {
     val now = System.currentTimeMillis()

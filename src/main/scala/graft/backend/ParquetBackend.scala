@@ -59,6 +59,10 @@ class ParquetBackend(spark0: SparkSession, val root: String)
     else 0
   }
 
+  /** [[readLog]] is WAL-inclusive, so the emptiness probe must be too. */
+  override protected def latencyPathNonEmpty(tbl: String): Boolean =
+    WalStore.hasRecords(root, tbl)
+
   override def sweepStaging(olderThanMs: Long): Int = {
     val direct = DirectParquetAppend.sweepStaging(fs, new Path(root), olderThanMs)
     // crashed appendLog/replaceLog leave hidden staging dirs behind
@@ -223,12 +227,15 @@ class ParquetBackend(spark0: SparkSession, val root: String)
 
   /** Tables a STRUCTURED STREAMING consumer reads as a parquet FILE
     * source ([[graft.worker.WorkerEngine.startStream]] on `ready`,
-    * [[graft.worker.BatchTracker.metaStream]] on `batches`). A WAL row
-    * is invisible to a running stream until some fold happens, so their
-    * MULTI-row appends materialize a parquet file; `ready`'s single-row
-    * per-call appends ride the WAL with fold-tick visibility (see the
-    * hybrid note below). */
-  private val StreamedTables = Set("ready", "batches")
+    * [[graft.worker.BatchTracker.startStream]] on `batches` AND
+    * `completions` — the worker's small-commit lane lands bounded
+    * completion batches through this path, and a WAL-resident
+    * completion row would be invisible to the streaming tracker until
+    * an unrelated fold). A WAL row is invisible to a running stream
+    * until some fold happens, so their MULTI-row appends materialize a
+    * parquet file; `ready`'s single-row per-call appends ride the WAL
+    * with fold-tick visibility (see the hybrid note below). */
+  private val StreamedTables = Set("ready", "batches", "completions")
 
   /** Driver-held small appends. Two lanes:
     *

@@ -105,7 +105,30 @@ trait QueueBackend {
   /** [[schedule]]'s per-call latency analog (client `performAt`). */
   def scheduleRows(jobs: Seq[Job]): Unit
   def bury(jobs: Dataset[Job]): Unit
+
+  /** [[bury]]'s small-commit analog: dead rows the driver already holds
+    * (a worker pass whose death count is bounded — see
+    * [[graft.worker.WorkerEngine]]'s small-commit branch). Same
+    * visibility-and-durability contract as [[bury]]. */
+  def buryRows(jobs: Seq[Job]): Unit
   def recordCompletions(events: Dataset[CompletionEvent]): Unit
+
+  /** [[recordCompletions]]'s small-commit analog — a bounded pass's
+    * completion batch commits through the binding's cheap atomic append
+    * (WAL / direct file) instead of a distributed write job. The commit
+    * POINT semantics are identical: rows are visible and durable on
+    * return. */
+  def recordCompletionRows(events: Seq[CompletionEvent]): Unit
+
+  /** Cheap, CONSERVATIVE emptiness probe for one logical table: `false`
+    * only when the table provably holds no rows (no data files, no
+    * latency-path tail) — the broker-native O(1) "is there anything
+    * here" check goose gets for free from Redis (an empty-ZSET
+    * ZRANGEBYSCORE costs nothing; an empty log table must not cost a
+    * distributed read either — maintenance ticks poll these tables
+    * every second forever). `true` means "must run the real read";
+    * bindings without cheap metadata keep the default. */
+  def maybeNonEmpty(tbl: String): Boolean = true
   def tombstone(tbl: String, victims: Seq[(String, Long)], reason: String): Unit
 
   /** Distributed tombstone: victims stay a Dataset end-to-end, so a

@@ -236,10 +236,27 @@ object DedupOps {
 
   /** Sorted shingle-hash set per doc — the pairwise-verify operand.
     * xxhash64 reduction keeps set sizes (and Jaccard) exact short of a
-    * ~n²/2⁶⁴ collision while making intersection a long-array merge. */
+    * ~n²/2⁶⁴ collision while making intersection a long-array merge.
+    *
+    * Built MAP-SIDE (r15, guide §2.4): one higher-order array expression
+    * per document — transform over the shingle positions, distinct,
+    * sort — instead of the explode → exchange → collect_set pass the
+    * r14 form paid (one shuffled row PER TOKEN POSITION of every
+    * candidate doc). Value-identical to
+    * `array_sort(collect_set(xxhash64(sh)))` over [[shingled]]: same
+    * positions, same substring, same hash; collect_set's dedup is
+    * array_distinct, its unordered set is canonicalized by the same
+    * array_sort. Spec-pinned by DedupClusterSpec's kernel-equivalence
+    * check. */
   private[operators] def shingleSets(docs: DataFrame): DataFrame =
-    shingled(docs).groupBy(col("doc_id"))
-      .agg(array_sort(collect_set(xxhash64(col("sh")))).as("shs"))
+    docs.select(col("doc_id"), shingleHashSetCol.as("shs"))
+
+  /** The map-side sorted-distinct shingle-hash array for one `text`
+    * column — shared by [[shingleSets]] and the grouped d06 form. */
+  private[operators] def shingleHashSetCol: Column =
+    array_sort(array_distinct(expr(
+      s"transform(sequence(1, greatest(length(text) - ${ShingleLen - 1}, 1))," +
+        s" g -> xxhash64(substring(text, g, $ShingleLen)))")))
 
   /** Exact shingle-set intersections for a candidate-pair frame:
     * (d1, d2, inter, n1, n2). Shingles ONLY docs that appear in a pair —
@@ -392,10 +409,10 @@ object DedupOps {
     // (~n²/2⁶⁴), and long-array intersection is ~10× cheaper than
     // string-array intersection. Checkpointed once, joined twice.
     "d06_ngram_jaccard" -> ((s, d) => {
-      val sets = shingled(
-        Tables.documents(s, d).filter(col("doc_id") < DiagnosticDocCap))
-        .groupBy(col("doc_id"), col("source"))
-        .agg(array_sort(collect_set(xxhash64(col("sh")))).as("shs"))
+      // map-side set build (see shingleSets): no explode/shuffle, one
+      // array expression per doc — source rides the same row
+      val sets = Tables.documents(s, d).filter(col("doc_id") < DiagnosticDocCap)
+        .select(col("doc_id"), col("source"), shingleHashSetCol.as("shs"))
         .localCheckpoint(true)
       val l = sets.select(col("source"), col("doc_id").as("d1"), col("shs").as("s1"))
       val r = sets.select(col("source"), col("doc_id").as("d2"), col("shs").as("s2"))
@@ -812,9 +829,7 @@ object DedupOps {
           graft.functions.MinHashFunctions
             .minhash_md5(col("text"), s"b$i", ShingleLen).as(s"h$i")): _*)
         .localCheckpoint(true)
-      val sets = shingled(docs)
-        .groupBy("doc_id")
-        .agg(array_sort(collect_set(xxhash64(col("sh")))).as("shs"))
+      val sets = shingleSets(docs) // map-side array build, no explode/shuffle
         .localCheckpoint(true)
       val truth = sets.select(col("doc_id").as("d1"), col("shs").as("s1"))
         .crossJoin(sets.select(col("doc_id").as("d2"), col("shs").as("s2")))

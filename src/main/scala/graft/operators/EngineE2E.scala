@@ -435,10 +435,16 @@ object EngineE2E {
       // worker A's view of the same log: throws at the completion commit
       // while armed — the CrashRecoverySpec fault injection, fixture-side
       val dying = new ParquetBackend(s, root) {
-        override def recordCompletions(events: Dataset[CompletionEvent]): Unit = {
+        private def maybeDie(): Unit =
           if (armed.getAndDecrement() > 0)
             throw new RuntimeException("injected worker death at completion commit")
-          super.recordCompletions(events)
+        override def recordCompletions(events: Dataset[CompletionEvent]): Unit = {
+          maybeDie(); super.recordCompletions(events)
+        }
+        // the worker's small-commit lane lands bounded passes here — the
+        // injected death must cover both commit paths
+        override def recordCompletionRows(events: Seq[CompletionEvent]): Unit = {
+          maybeDie(); super.recordCompletionRows(events)
         }
       }
       val execCounts = new java.util.concurrent.ConcurrentHashMap[String, Integer]()

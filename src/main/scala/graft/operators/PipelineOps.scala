@@ -44,6 +44,17 @@ object PipelineOps {
         greatest(length(col("text")) - (ContamShingleLen - 1), lit(1)))))
       .withColumn("sh", col("text").substr(col("g"), lit(ContamShingleLen)))
 
+  /** Per-doc DISTINCT contamination-shingle hashes as one map-side array
+    * expression (r15, guide §2.3/§2.4): transform over the positions,
+    * xxhash64 at the scan, array_distinct — so the per-doc overlap agg
+    * downstream needs no countDistinct (no Expand doubling the exchange)
+    * and partial-aggregates to one row per doc before any shuffle.
+    * Element-set-identical to `xxhash64(sh)` over [[contamShingled]]. */
+  private def contamHashSet: Column =
+    array_distinct(expr(
+      s"transform(sequence(1, greatest(length(text) - ${ContamShingleLen - 1}, 1))," +
+        s" g -> xxhash64(substring(text, g, $ContamShingleLen)))"))
+
   // ---- stage kernels (the t01/t02/t04 formulas, inlined on a column) ----
 
   private val langPatterns: Seq[(String, String)] = Seq(
@@ -136,20 +147,26 @@ object PipelineOps {
       // distinct+join: 5× less shuffle than raw strings; per-doc distinct
       // counts (and thus ratios) are unchanged short of an in-doc
       // collision (~n²/2⁶⁴ — the d06 argument)
-      val evalShingles = contamShingled(docs.filter(col("source").isin(EvalSources: _*)))
-        .select(xxhash64(col("sh")).as("esh")).distinct()
+      val evalShingles = docs.filter(col("source").isin(EvalSources: _*))
+        .select(explode(contamHashSet).as("esh")).distinct()
       val trainDocs = s4.filter(!col("source").isin(EvalSources: _*))
       // the held-out shingle set is bounded by construction (eval corpora
       // are small), so BROADCAST it: the training side then needs exactly
-      // one shuffle (the per-doc agg) instead of distinct + shuffle-join +
-      // agg; distinct-shingle ratios via countDistinct are value-identical
-      // to the old distinct-then-count form
-      val contaminated = contamShingled(trainDocs)
-        .select(col("doc_id"), xxhash64(col("sh")).as("sh"))
+      // one shuffle (the per-doc agg). r15: both sides explode the
+      // PER-DOC-DISTINCT hash array (contamHashSet), so the overlap agg
+      // is a plain count + conditional sum over already-distinct rows —
+      // no countDistinct, no Expand, and the agg partial-aggregates to
+      // one row per doc map-side before the exchange. Ratios are
+      // value-identical: over distinct (doc, sh) rows,
+      // countDistinct(sh) = count(*) and countDistinct(matched sh) =
+      // sum(matched), and the eval set is distinct so the left join
+      // never fans a row out.
+      val contaminated = trainDocs
+        .select(col("doc_id"), explode(contamHashSet).as("sh"))
         .join(broadcast(evalShingles), col("sh") === col("esh"), "left")
         .groupBy("doc_id")
-        .agg(round(countDistinct(when(col("esh").isNotNull, col("sh"))).cast("double")
-          / countDistinct(col("sh")), 4).as("overlap"))
+        .agg(round(sum(when(col("esh").isNotNull, 1L).otherwise(0L)).cast("double")
+          / count(lit(1)), 4).as("overlap"))
         .filter(col("overlap") >= ContaminationMax)
         .select(col("doc_id").as("c_id"))
       val s5 = trainDocs.join(contaminated, trainDocs("doc_id") === contaminated("c_id"), "left_anti")

@@ -365,16 +365,21 @@ final class GraftWorker(
         case Some(q) => backend.readyJobs.filter(col("queue") === q)
         case None => backend.readyJobs
       }
+      // Each conjunct is guarded by the backend's O(1) emptiness probe
+      // (r15): a provably-empty log satisfies its condition without a
+      // Spark job — this poll loop otherwise cost ~4 empty actions per
+      // 50 ms round on fixtures with no batches and no scheduler load.
       val settled = withReadLock {
-        scopedReady.isEmpty &&
-          backend.scheduledJobs.filter(
-            coalesce(col("state.retryAt"), col("scheduleRunAt")) <= nowFn()).isEmpty && {
+        (!backend.maybeNonEmpty("ready") || scopedReady.isEmpty) &&
+          (!backend.maybeNonEmpty("scheduled") || backend.scheduledJobs.filter(
+            coalesce(col("state.retryAt"), col("scheduleRunAt")) <= nowFn()).isEmpty) &&
+          ((!backend.maybeNonEmpty("batches") && !backend.maybeNonEmpty("batch_status")) || {
             val nBatches = backend.batches.select("id").distinct().count()
             val nTerminal = backend.batchStatusEvents
               .filter(e => graft.model.BatchStatus.terminal(e.status))
               .select("batchId").distinct().count()
             nTerminal == nBatches
-          }
+          })
       }
       if (settled) return true
       Thread.sleep(50)

@@ -35,12 +35,22 @@ final class SchedulerEngine(
   /** Promote all due scheduled/retry jobs to their ready queues.
     * Returns the number promoted. */
   def promoteDue(): Long = synchronized {
+    // Provably-empty scheduled log ⇒ nothing can be due: answer from
+    // table metadata (r15). This tick runs every maintenanceIntervalMs
+    // forever — goose's scheduler poll is an O(1) empty-ZSET read, and
+    // the empty case here cost ~0.2 s of Spark jobs per tick.
+    if (!backend.maybeNonEmpty("scheduled")) return 0
     val now = nowFn()
+    val obs = new org.apache.spark.sql.Observation(
+      s"graft-promote-${java.util.UUID.randomUUID().toString.take(8)}")
     // localCheckpoint: the appends below touch dirs this plan reads (see
-    // WorkerEngine.executeBatch for the invalidation mechanics).
-    val due = backend.scheduledJobs.filter(runAtCol <= now).localCheckpoint(true)
+    // WorkerEngine.executeBatch for the invalidation mechanics). The due
+    // count rides the checkpoint job as an Observation — not a second
+    // action (the executeBatchInner discipline).
+    val due = backend.scheduledJobs.filter(runAtCol <= now)
+      .observe(obs, count(lit(1)).as("n")).localCheckpoint(true)
     try {
-      val n = due.count()
+      val n = obs.getAsJava.get("n").asInstanceOf[Long]
       if (n == 0) return 0
       // Declared-queue envelopes gate the front bump here too: the direct
       // past-due path clamps via the client (GraftClient.applyDecl), and
@@ -82,6 +92,8 @@ final class SchedulerEngine(
     * rather than silently ballooning the driver heap. Job *volume* from
     * cron fires is unbounded; only the schedule registry is capped. */
   def fireCron(): Int = synchronized {
+    // Empty registry ⇒ nothing due, no Spark job (see promoteDue note).
+    if (!backend.maybeNonEmpty("cron")) return 0
     val now = nowFn()
     // limit(max+1) enforces the bound in the SAME job as the collect: at
     // most max+1 rows ever reach the driver, with no second scan and no

@@ -25,9 +25,14 @@ final class CrashingBackend(inner: QueueBackend, failMethod: String)
   def enqueueRows(jobs: Seq[Job]): Unit = { maybeFail("enqueue"); inner.enqueueRows(jobs) }
   def scheduleRows(jobs: Seq[Job]): Unit = { maybeFail("schedule"); inner.scheduleRows(jobs) }
   def bury(jobs: Dataset[Job]): Unit = { maybeFail("bury"); inner.bury(jobs) }
+  def buryRows(jobs: Seq[Job]): Unit = { maybeFail("bury"); inner.buryRows(jobs) }
   def recordCompletions(events: Dataset[CompletionEvent]): Unit = {
     maybeFail("recordCompletions"); inner.recordCompletions(events)
   }
+  def recordCompletionRows(events: Seq[CompletionEvent]): Unit = {
+    maybeFail("recordCompletions"); inner.recordCompletionRows(events)
+  }
+  override def maybeNonEmpty(tbl: String): Boolean = inner.maybeNonEmpty(tbl)
   def tombstone(tbl: String, victims: Seq[(String, Long)], reason: String): Unit = {
     maybeFail("tombstone"); inner.tombstone(tbl, victims, reason)
   }

@@ -59,10 +59,14 @@ class ListenerSpec extends SparkSpec {
     val root = tmpDir("graft-shutdown")
     val armed = new java.util.concurrent.atomic.AtomicInteger(0)
     val backend = new ParquetBackend(spark, root) {
-      override def recordCompletions(events: Dataset[CompletionEvent]): Unit = {
+      private def maybeDie(): Unit =
         if (armed.getAndDecrement() > 0)
           throw new RuntimeException("injected broker death at completion commit")
-        super.recordCompletions(events)
+      override def recordCompletions(events: Dataset[CompletionEvent]): Unit = {
+        maybeDie(); super.recordCompletions(events)
+      }
+      override def recordCompletionRows(events: Seq[CompletionEvent]): Unit = {
+        maybeDie(); super.recordCompletionRows(events)
       }
     }
     val causes = new ConcurrentLinkedQueue[String]()
