@@ -300,13 +300,23 @@ final class ManagementApi(backend: QueueBackend, spark: SparkSession) {
     * Returns per-collection row counts read BACK from the files, so the
     * count certifies the artifact, not the intent. */
   def exportSnapshot(dir: String): Map[String, Long] = {
-    backend.readyJobs.write.mode("overwrite").parquet(s"$dir/ready")
-    backend.scheduledJobs.write.mode("overwrite").parquet(s"$dir/scheduled")
-    backend.deadJobs.write.mode("overwrite").parquet(s"$dir/dead")
-    backend.cronEntries.write.mode("overwrite").parquet(s"$dir/cron")
-    backend.batches.write.mode("overwrite").parquet(s"$dir/batches")
-    Seq("ready", "scheduled", "dead", "cron", "batches")
-      .map(t => t -> spark.read.parquet(s"$dir/$t").count()).toMap
+    // each collection's exported-row count rides its own write job as an
+    // Observation (r15, the CommitLogBackend fold discipline) — the old
+    // read-back counts cost five more Spark actions per export and
+    // re-listed the files just written
+    def writeCounted[T](name: String, ds: org.apache.spark.sql.Dataset[T]): (String, Long) = {
+      val obs = new org.apache.spark.sql.Observation(
+        s"graft-export-$name-${java.util.UUID.randomUUID().toString.take(8)}")
+      ds.observe(obs, count(lit(1)).as("n"))
+        .write.mode("overwrite").parquet(s"$dir/$name")
+      name -> obs.getAsJava.get("n").asInstanceOf[Long]
+    }
+    Seq(
+      writeCounted("ready", backend.readyJobs),
+      writeCounted("scheduled", backend.scheduledJobs),
+      writeCounted("dead", backend.deadJobs),
+      writeCounted("cron", backend.cronEntries),
+      writeCounted("batches", backend.batches)).toMap
   }
 
   /** Restore a snapshot into `into`. Re-importing the SAME snapshot is a
@@ -325,14 +335,21 @@ final class ManagementApi(backend: QueueBackend, spark: SparkSession) {
       spark.read.parquet(s"$dir/cron").as[CronEntry].collect().toSeq)
     // batches is an append log, not a keyed registry — guard re-imports
     // by presence so the registry stays idempotent like cron's upsert
-    val existingBatches = into.batches.select($"id").as[String].collect().toSet
+    val existingBatches =
+      if (!into.maybeNonEmpty("batches")) Set.empty[String]
+      else into.batches.select($"id").as[String].collect().toSet
     spark.read.parquet(s"$dir/batches").as[BatchMeta]
       .collect().filterNot(b => existingBatches(b.id)).foreach(into.putBatch)
+    // provably-empty collections report 0 from table metadata (r15) —
+    // a restore into a fresh backend otherwise pays an empty visibility
+    // read per untouched collection
+    def visCount(tbl: String)(ds: => Dataset[_]): Long =
+      if (!into.maybeNonEmpty(tbl)) 0L else ds.count()
     Map(
-      "ready" -> into.readyJobs.count(),
-      "scheduled" -> into.scheduledJobs.count(),
-      "dead" -> into.deadJobs.count(),
-      "cron" -> into.cronEntries.count(),
-      "batches" -> into.batches.count())
+      "ready" -> visCount("ready")(into.readyJobs),
+      "scheduled" -> visCount("scheduled")(into.scheduledJobs),
+      "dead" -> visCount("dead")(into.deadJobs),
+      "cron" -> visCount("cron")(into.cronEntries),
+      "batches" -> visCount("batches")(into.batches))
   }
 }

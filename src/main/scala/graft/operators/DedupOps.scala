@@ -214,15 +214,25 @@ object DedupOps {
       // keeps min-correctness (no parent row ⇒ label already a root).
       val parents = propagated
         .select(col("node").as("p_node"), col("lbl").as("p_lbl"))
+      // The convergence probe (any label ≠ its previous round's) rides
+      // the round's OWN checkpoint job as an Observation (r15): the
+      // labels join it needs was already computed for the probe — now
+      // it sits inside the checkpointed plan, so each round is ONE
+      // Spark action instead of checkpoint + isEmpty. `prev` is
+      // projected away lazily below; labels only ever exposes
+      // (node, lbl).
+      val obs = new org.apache.spark.sql.Observation(
+        s"graft-cc-${java.util.UUID.randomUUID().toString.take(8)}")
       val next = propagated
         .join(parents, col("lbl") === col("p_node"), "left")
         .select(col("node"), coalesce(col("p_lbl"), col("lbl")).as("lbl"))
-        .localCheckpoint(true)
-      done = next
         .join(labels.withColumnRenamed("lbl", "prev"), "node")
-        .filter(col("lbl") =!= col("prev"))
-        .isEmpty
-      labels = next
+        .observe(obs,
+          sum(when(col("lbl") =!= col("prev"), 1L).otherwise(0L)).as("changed"))
+        .localCheckpoint(true)
+      done = Option(obs.getAsJava.get("changed"))
+        .forall(_.asInstanceOf[Long] == 0L)
+      labels = next.select("node", "lbl")
       round += 1
     }
     // Truncated convergence would silently disagree with the oracle's full
@@ -767,35 +777,48 @@ object DedupOps {
     // whose content recurs corpus-wide, dup share, mean chunk length —
     // all integer. Cost shape: the shingle scan is d11's, the cut list
     // is ~len/64 rows per doc, the occurrence rollup is content-keyed.
+    // r15 shape (guide §2.3/§2.4): the cut list, the tail cut and the
+    // chunk slicing are all SCAN-LOCAL higher-order expressions — the
+    // old form exploded every position, shuffled the surviving cuts
+    // through a per-doc window (lag) and re-joined the corpus TWICE to
+    // slice and to attach occ, moving full text/chunk strings through
+    // three exchanges. Now no chunk string ever leaves its scan task:
+    // the occurrence books aggregate (md5, source, length) rows that
+    // partial-aggregate map-side. Cut positions, tail rule and span
+    // pairing are value-identical (cuts are strictly increasing, so
+    // lag() pairing == zip with the shifted array; the tail appends
+    // len(text) only when a nonempty remainder exists, exactly the old
+    // `cut > prev` filter).
     "d22_cdc_chunks" -> ((s, d) => {
       val docs = Tables.documents(s, d).select("doc_id", "source", "text")
-      val cuts = docs
-        .withColumn("g", explode(sequence(lit(1),
-          greatest(length(col("text")) - 7, lit(1)))))
-        .filter(substring(md5(col("text").substr(col("g"), lit(8))), 1, 2) < "04")
-        .select(col("doc_id"), (col("g") + 7).as("cut"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("doc_id").orderBy("cut")
-      val spans = cuts.withColumn("prev", lag(col("cut"), 1, 0).over(w))
-        .select("doc_id", "prev", "cut")
-      val tails = docs.join(
-          cuts.groupBy("doc_id").agg(max("cut").as("last_cut")),
-          Seq("doc_id"), "left_outer")
-        .select(col("doc_id"),
-          coalesce(col("last_cut"), lit(0)).as("prev"),
-          length(col("text")).as("cut"))
-        .filter(col("cut") > col("prev"))
-      val chunks = spans.unionByName(tails)
-        .join(docs, Seq("doc_id"))
-        .select(col("source"),
-          col("text").substr(col("prev") + 1, col("cut") - col("prev")).as("chunk"))
-        .withColumn("h", md5(col("chunk")))
-      val occ = chunks.groupBy("h").agg(count(lit(1)).as("occ"))
-      chunks.join(occ, Seq("h"))
+      val chunkRows = docs
+        .withColumn("cuts", expr(
+          "transform(filter(sequence(1, greatest(length(text) - 7, 1))," +
+            " g -> substring(md5(substring(text, g, 8)), 1, 2) < '04')," +
+            " g -> g + 7)"))
+        .withColumn("allcuts",
+          when(length(col("text")) >
+              coalesce(expr("try_element_at(cuts, -1)"), lit(0)),
+            concat(col("cuts"), array(length(col("text")))))
+            .otherwise(col("cuts")))
+        .select(col("source"), explode(expr(
+          "zip_with(concat(array(0), slice(allcuts, 1, greatest(size(allcuts) - 1, 0)))," +
+            " allcuts, (p, c) -> struct(md5(substring(text, p + 1, c - p)) AS h," +
+            " (c - p) AS len))")).as("ck"))
+        // a zero-length text has NO cuts and no tail (the old `cut > prev`
+        // filter dropped it); its zip_with pads prevs=[0] against [] with
+        // a null cut — drop that null pair instead of emitting a null h
+        .filter(col("ck.h").isNotNull)
+        .select(col("source"), col("ck.h").as("h"), col("ck.len").as("len"))
+      val perHS = chunkRows.groupBy("h", "source")
+        .agg(count(lit(1)).as("cnt"), sum(col("len").cast("long")).as("chars_hs"))
+        .localCheckpoint(true) // consumed twice: corpus-wide occ + source books
+      val perH = perHS.groupBy("h").agg(sum("cnt").as("occ"))
+      perHS.join(perH, Seq("h"))
         .groupBy("source")
-        .agg(count(lit(1)).as("n_chunks"),
-          sum(when(col("occ") > 1, 1L).otherwise(0L)).as("dup_instances"),
-          sum(length(col("chunk")).cast("long")).as("chars"))
+        .agg(sum("cnt").as("n_chunks"),
+          sum(when(col("occ") > 1, col("cnt")).otherwise(0L)).as("dup_instances"),
+          sum("chars_hs").as("chars"))
         .withColumn("dup_bp",
           floor(col("dup_instances") * 10000.0 / col("n_chunks")).cast("long"))
         .withColumn("avg_chunk_len", expr("chars div n_chunks"))

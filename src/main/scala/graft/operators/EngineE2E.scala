@@ -618,6 +618,14 @@ object EngineE2E {
     "e2e_corpus_write" -> ((s, d) => withScratch("graft-corpus-write") { dir =>
       Tables.documents(s, d)
         .withColumn("shard", concat(lit("s"), substring(md5(col("text")), 1, 1)))
+        // cluster by the partition column before the partitioned write
+        // (guide §6: REBALANCE before write): without it every scan task
+        // opens a writer per shard value it sees — tasks × 16 small
+        // files (512 here) instead of one per shard; at 100 TB that is
+        // the many-small-files pathology, locally it is 32× the file
+        // churn and commit-listing work. Same rows, same layout, same
+        // books — only the file count changes.
+        .repartition(col("shard"))
         .write.partitionBy("shard").parquet(s"$dir/corpus")
       s.read.parquet(s"$dir/corpus")
         .groupBy("shard")
@@ -641,7 +649,9 @@ object EngineE2E {
     "e2e_manifest_commit" -> ((s, d) => withScratch("graft-manifest") { dir =>
       val docs = Tables.documents(s, d).withColumn("shard",
         concat(lit("s"), substring(md5(col("doc_id").cast("string")), 32, 1)))
-      docs.write.partitionBy("shard").parquet(s"$dir/corpus")
+      // cluster-by-shard before the partitioned write — see
+      // e2e_corpus_write: one file per shard instead of tasks × shards
+      docs.repartition(col("shard")).write.partitionBy("shard").parquet(s"$dir/corpus")
       val shards = s.read.parquet(s"$dir/corpus").select("shard").distinct()
         .collect().map(_.getString(0)).sorted // bounded: ≤16 partition values
       java.nio.file.Files.writeString(

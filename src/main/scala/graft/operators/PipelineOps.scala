@@ -397,6 +397,11 @@ object PipelineOps {
           "zip_with(slice(arr, 1, size(arr)-1), slice(arr, 2, size(arr)-1)," +
             " (a, b) -> concat(a, ' ', b))")).as("bg"))
         .withColumn("bucket", substring(md5(col("bg")), 1, 2))
+        // project the bigram STRING away before the checkpoint: only the
+        // 2-hex bucket is consumed downstream, and the checkpointed rows
+        // feed two exchanges (r15, guide §2.3 — project before the
+        // exchange)
+        .select("doc_id", "source", "bucket")
         .localCheckpoint(true) // one extraction feeds weights AND scoring
       val bcnt = big.groupBy("bucket").agg(
         sum(when(isTarget, 1L).otherwise(0L)).as("tc"),

@@ -68,16 +68,28 @@ final class SchedulerEngine(
       // Route retried jobs to their retry queue (job.clj:21-25), bump to
       // front, and stamp the promotion time as the new enqueue time; the
       // ready row is a fresh version (new seq).
-      val promoted = due.map { j =>
+      def promote(j: Job): Job =
         j.copy(queue = j.readyOrRetryQueue, readyQueue = j.readyOrRetryQueue,
           priority = clampedPriority(j.readyOrRetryQueue), enqueuedAt = now,
           seq = Job.nextSeq())
+      if (n <= graft.worker.WorkerEngine.smallCommitRows(spark)) {
+        // SMALL-COMMIT LANE (r15, the executeBatchInner discipline): the
+        // observed due count bounds the promotion, so both commits ride
+        // the backend's atomic driver append instead of two distributed
+        // write jobs — the usual steady-state promote is a handful of
+        // retries, not the post-outage backlog. Same commit order
+        // (enqueue, then tombstone) as the distributed lane.
+        val rows = due.collect()
+        backend.enqueueRows(rows.iterator.map(promote).toIndexedSeq)
+        backend.tombstone("scheduled",
+          rows.iterator.map(j => (j.id, j.seq)).toIndexedSeq, "promote")
+      } else {
+        backend.enqueue(due.map(promote(_)))
+        // Distributed tombstone: the due backlog after an outage can be
+        // 100M rows; ids never touch the driver (due is checkpointed, so
+        // this re-reads the snapshot, not the mutated dirs).
+        backend.tombstone("scheduled", due.select($"id", $"seq").as[(String, Long)], "promote")
       }
-      backend.enqueue(promoted)
-      // Distributed tombstone: the due backlog after an outage can be
-      // 100M rows; ids never touch the driver (due is checkpointed, so
-      // this re-reads the snapshot, not the mutated dirs).
-      backend.tombstone("scheduled", due.select($"id", $"seq").as[(String, Long)], "promote")
       n
     } finally due.unpersist()
   }
