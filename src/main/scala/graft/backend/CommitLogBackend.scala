@@ -553,6 +553,16 @@ final class CommitLogBackend(
 
   override def dataFileCount(tbl: String): Int = snapshot()(tbl).size
 
+  /** Manifest file-name set: data files are immutable and every commit
+    * (append, fold, vacuum-visible change) alters the set, so an equal
+    * fingerprint implies unchanged visible content. Driver-side: one
+    * commit-log listing, no Spark job. */
+  override def tableFingerprint(tbl: String): Option[Long] = {
+    var h = 1125899906842597L
+    snapshot()(tbl).sorted.foreach(n => h = h * 31 + n.hashCode)
+    Some(h)
+  }
+
   override protected def readLog[T: Encoder](tbl: String): Dataset[T] = {
     val files = snapshot()(tbl).map(f => s"$root/$tbl/$f")
     if (files.isEmpty) spark.emptyDataset[T]

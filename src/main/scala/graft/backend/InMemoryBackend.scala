@@ -161,13 +161,20 @@ final class InMemoryBackend(spark: SparkSession) extends QueueBackend {
   override def completions: Dataset[CompletionEvent] =
     lock.synchronized(spark.createDataset(comps.toSeq))
 
+  private val cronVersion = new java.util.concurrent.atomic.AtomicLong(0)
   override def upsertCron(entries: Seq[CronEntry]): Unit =
-    lock.synchronized(entries.foreach(e => crons(e.cronName) = e))
+    lock.synchronized { entries.foreach(e => crons(e.cronName) = e); cronVersion.incrementAndGet(); () }
   override def cronEntries: Dataset[CronEntry] =
     lock.synchronized(spark.createDataset(crons.values.toSeq))
   override def deleteCron(names: Seq[String]): Unit =
-    lock.synchronized(names.foreach(crons.remove))
-  override def purgeCron(): Unit = lock.synchronized(crons.clear())
+    lock.synchronized { names.foreach(crons.remove); cronVersion.incrementAndGet(); () }
+  override def purgeCron(): Unit =
+    lock.synchronized { crons.clear(); cronVersion.incrementAndGet(); () }
+
+  /** Mutation counter per table where a read-skipping cache pays (only
+    * cron today — the scheduler polls it every tick). */
+  override def tableFingerprint(tbl: String): Option[Long] =
+    if (tbl == "cron") Some(cronVersion.get()) else None
 
   override def putBatch(meta: BatchMeta): Unit =
     lock.synchronized(batchMetas += meta)

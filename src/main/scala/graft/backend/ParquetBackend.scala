@@ -63,6 +63,16 @@ class ParquetBackend(spark0: SparkSession, val root: String)
   override protected def latencyPathNonEmpty(tbl: String): Boolean =
     WalStore.hasRecords(root, tbl)
 
+  /** File-name set + WAL content stamp. Appends land new UUID-named
+    * files or advance the WAL stamp; folds swap in new file names (and
+    * bump the WAL truncation generation) — so an unchanged fingerprint
+    * implies unchanged visible content. */
+  override def tableFingerprint(tbl: String): Option[Long] = {
+    var h = 1125899906842597L // prime seed
+    partFileNames(tbl).toSeq.sorted.foreach(n => h = h * 31 + n.hashCode)
+    Some(h * 31 + WalStore.contentStamp(root, tbl))
+  }
+
   override def sweepStaging(olderThanMs: Long): Int = {
     val direct = DirectParquetAppend.sweepStaging(fs, new Path(root), olderThanMs)
     // crashed appendLog/replaceLog leave hidden staging dirs behind

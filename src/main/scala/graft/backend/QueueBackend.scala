@@ -129,6 +129,16 @@ trait QueueBackend {
     * every second forever). `true` means "must run the real read";
     * bindings without cheap metadata keep the default. */
   def maybeNonEmpty(tbl: String): Boolean = true
+
+  /** Content-identity fingerprint of one logical table, from METADATA
+    * only (file-name set + latency-path record count — never a Spark
+    * job): equal fingerprints guarantee the table's visible rows are
+    * unchanged (data files are immutable and appends/folds always
+    * change the file set or the WAL count). Drives read-skipping caches
+    * (SchedulerEngine's cron gate): a cached derivation may be reused
+    * while the fingerprint matches. None = no cheap identity; callers
+    * must re-read. */
+  def tableFingerprint(tbl: String): Option[Long] = None
   def tombstone(tbl: String, victims: Seq[(String, Long)], reason: String): Unit
 
   /** Distributed tombstone: victims stay a Dataset end-to-end, so a

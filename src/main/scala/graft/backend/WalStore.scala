@@ -439,6 +439,23 @@ object WalStore {
   def recordCount(root: String, tbl: String, enc: Encoder[_]): Int =
     if (!hasRecords(root, tbl)) 0 else forTable(root, tbl, enc).size
 
+  /** Metadata-only content stamp of one table's WAL (no encoder, never
+    * creates the file): truncation generation + record count when this
+    * process holds the writer; else the on-disk byte size — a WAL no
+    * local writer touches is static, so the size is a stable identity.
+    * 0 when absent. Feeds [[graft.backend.QueueBackend.tableFingerprint]]. */
+  def contentStamp(root: String, tbl: String): Long = {
+    val key = walPath(root, tbl).toAbsolutePath.toString
+    val w = writers.get(key)
+    if (w != null) {
+      val (g, c) = w.mark
+      (g << 20) ^ c.toLong
+    } else {
+      val p = Paths.get(key)
+      if (Files.exists(p)) Files.size(p) else 0L
+    }
+  }
+
   /** Snapshot mark (truncation generation, record count) without
     * creating the WAL file; (0, 0) when none exists — consistent with
     * the state a first append would observe. */

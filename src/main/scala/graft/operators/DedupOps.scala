@@ -135,7 +135,7 @@ object DedupOps {
   private[graft] val DiagnosticDocCap = 1000L
 
   /** Character shingles of length 8: one row per (doc, offset). */
-  private[operators] def shingled(docs: DataFrame): DataFrame =
+  private[graft] def shingled(docs: DataFrame): DataFrame =
     docs
       .withColumn("g", explode(sequence(lit(1), greatest(length(col("text")) - (ShingleLen - 1), lit(1)))))
       .withColumn("sh", col("text").substr(col("g"), lit(ShingleLen)))
@@ -258,7 +258,7 @@ object DedupOps {
     * array_distinct, its unordered set is canonicalized by the same
     * array_sort. Spec-pinned by DedupClusterSpec's kernel-equivalence
     * check. */
-  private[operators] def shingleSets(docs: DataFrame): DataFrame =
+  private[graft] def shingleSets(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), shingleHashSetCol.as("shs"))
 
   /** The map-side sorted-distinct shingle-hash array for one `text`

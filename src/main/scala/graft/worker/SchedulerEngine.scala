@@ -103,21 +103,46 @@ final class SchedulerEngine(
     * [[graft.operators.DedupOps]]'s connected-components round cap)
     * rather than silently ballooning the driver heap. Job *volume* from
     * cron fires is unbounded; only the schedule registry is capped. */
+  /** Cron read-skipping gate: (registry fingerprint, earliest
+    * nextRunAt). While the backend reports the SAME table fingerprint
+    * (metadata-only identity — any upsert/delete/fold/cross-process
+    * commit changes it) and `now` has not reached the cached earliest
+    * fire time, a tick provably has nothing due and skips the
+    * registry read entirely. The scheduler polls every
+    * maintenanceIntervalMs forever; without the gate each idle tick
+    * re-ran the latest-wins window + collect. */
+  private var cronGate: Option[(Long, Long)] = None
+
   def fireCron(): Int = synchronized {
     // Empty registry ⇒ nothing due, no Spark job (see promoteDue note).
     if (!backend.maybeNonEmpty("cron")) return 0
     val now = nowFn()
+    val fp = backend.tableFingerprint("cron")
+    cronGate match {
+      case Some((f, minAt)) if fp.contains(f) && now < minAt => return 0
+      case _ => cronGate = None
+    }
     // limit(max+1) enforces the bound in the SAME job as the collect: at
     // most max+1 rows ever reach the driver, with no second scan and no
     // count-then-collect window where the registry changes underneath
     val due = backend.cronEntries.filter($"nextRunAt" <= now)
       .limit(maxCronEntries + 1).collect()
+    if (due.isEmpty) {
+      // arm the gate: one more bounded read (earliest fire time over the
+      // whole registry) buys every subsequent idle tick for free until
+      // that time arrives or the registry's fingerprint moves
+      fp.foreach { f =>
+        val minNext = backend.cronEntries.agg(min($"nextRunAt")).collect()
+          .headOption.flatMap(r => Option(r.get(0)).map(_.asInstanceOf[Long]))
+        minNext.foreach(m => cronGate = Some((f, m)))
+      }
+      return 0
+    }
     if (due.length > maxCronEntries)
       throw new IllegalStateException(
         s"fireCron: more than $maxCronEntries due cron entries exceed the driver-side " +
           "registry bound; a registry this size needs the distributed promoteDue " +
           "shape, not a driver collect — raise maxCronEntries deliberately if so")
-    if (due.isEmpty) return 0
     val jobs = due.map { e =>
       // cron-run-at = the fire time being honored (redis/cron.clj:83-87)
       e.description.instantiate(cronRunAt = Some(e.nextRunAt))
