@@ -297,13 +297,20 @@ final class ManagementApi(backend: QueueBackend, spark: SparkSession) {
     * raw log) written as plain parquet under `dir`. The artifact is
     * engine-neutral — any parquet reader, including the DuckDB oracle
     * (q51 gates the restore books against it), can audit a backup.
-    * Returns per-collection row counts read BACK from the files, so the
-    * count certifies the artifact, not the intent. */
+    * Returns per-collection row counts observed ON THE WRITE JOBS
+    * (r15): the counts certify the intent, not the artifact — a torn or
+    * unreadable backup surfaces at restore time, where q51's oracle
+    * gate audits the files themselves. */
   def exportSnapshot(dir: String): Map[String, Long] = {
-    // each collection's exported-row count rides its own write job as an
-    // Observation (r15, the CommitLogBackend fold discipline) — the old
+    // Each collection's exported-row count rides its own write job as an
+    // Observation (the CommitLogBackend fold discipline) — the old
     // read-back counts cost five more Spark actions per export and
-    // re-listed the files just written
+    // re-listed the files just written. The five writes are INDEPENDENT
+    // jobs on disjoint output dirs, so they run on a bounded pool
+    // (guide §2.6: actions are only sequential because driver code
+    // calls them sequentially) — each job's tail back-fills cores the
+    // others' stragglers free, instead of five full scheduling floors
+    // end to end.
     def writeCounted[T](name: String, ds: org.apache.spark.sql.Dataset[T]): (String, Long) = {
       val obs = new org.apache.spark.sql.Observation(
         s"graft-export-$name-${java.util.UUID.randomUUID().toString.take(8)}")
@@ -311,12 +318,24 @@ final class ManagementApi(backend: QueueBackend, spark: SparkSession) {
         .write.mode("overwrite").parquet(s"$dir/$name")
       name -> obs.getAsJava.get("n").asInstanceOf[Long]
     }
-    Seq(
-      writeCounted("ready", backend.readyJobs),
-      writeCounted("scheduled", backend.scheduledJobs),
-      writeCounted("dead", backend.deadJobs),
-      writeCounted("cron", backend.cronEntries),
-      writeCounted("batches", backend.batches)).toMap
+    val work: Seq[() => (String, Long)] = Seq(
+      () => writeCounted("ready", backend.readyJobs),
+      () => writeCounted("scheduled", backend.scheduledJobs),
+      () => writeCounted("dead", backend.deadJobs),
+      () => writeCounted("cron", backend.cronEntries),
+      () => writeCounted("batches", backend.batches))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(work.size)
+    try {
+      import scala.jdk.CollectionConverters._
+      val futures = work.map(w =>
+        pool.submit(new java.util.concurrent.Callable[(String, Long)] {
+          def call(): (String, Long) = w()
+        })).asJava
+      work.indices.map(i => futures.get(i).get()).toMap
+    } catch {
+      // unwrap so callers keep seeing the write's own failure type
+      case e: java.util.concurrent.ExecutionException => throw e.getCause
+    } finally pool.shutdown()
   }
 
   /** Restore a snapshot into `into`. Re-importing the SAME snapshot is a

@@ -75,10 +75,21 @@ object WalStore {
       * write desyncs them, and [[needSeek]] forces one reseek. */
     private var endPos: Long = HeaderLen.toLong
     private var needSeek = false
+    /** Set by [[close]] (scratch teardown) under the lock: channel ops
+      * after a deliberate close degrade (reads empty, folds no-op,
+      * appends fail) instead of resurrecting the file inside a directory
+      * being deleted. Distinct from an ASYNCHRONOUS close — FileChannel
+      * is an InterruptibleChannel, so a thread interrupted mid-I/O
+      * (GraftWorker.stop interrupting its maintenance tick) closes the
+      * whole channel for every holder — which [[ensureOpenLocked]]
+      * heals by reopening + re-running the torn-tail recovery scan. */
+    private var closedForever = false
 
-    // open + recover: validate header (or write one), scan to the last
-    // valid record, truncate any torn tail
-    {
+    /** Open (or reopen) + recover: validate header (or write one), scan
+      * to the last valid record, truncate any torn tail, seed count and
+      * endPos from the scan. Caller holds the lock (or is the
+      * constructor). */
+    private def openAndRecover(): Unit = {
       Files.createDirectories(path.getParent)
       val raf = new RandomAccessFile(path.toFile, "rw")
       channel = raf.getChannel
@@ -87,6 +98,8 @@ object WalStore {
         val h = ByteBuffer.allocate(HeaderLen)
         h.put(Magic).putInt(numFields).putInt(schemaHash).flip()
         while (h.hasRemaining) channel.write(h)
+        count = 0
+        endPos = HeaderLen.toLong
       } else {
         val h = ByteBuffer.allocate(HeaderLen)
         channel.read(h, 0)
@@ -101,6 +114,7 @@ object WalStore {
             s"encoder (fields=$numFields hash=$schemaHash) — compact or remove the WAL")
         var pos = HeaderLen.toLong
         val end = channel.size()
+        var n = 0
         var valid = true
         while (valid && pos + 8 <= end) {
           val rh = ByteBuffer.allocate(8)
@@ -114,13 +128,41 @@ object WalStore {
             channel.read(payload, pos + 8)
             crc.reset(); crc.update(payload.array(), 0, len)
             if (crc.getValue.toInt != expect) valid = false
-            else { pos += 8 + len; count += 1 }
+            else { pos += 8 + len; n += 1 }
           }
         }
         channel.truncate(pos)
         channel.position(pos)
+        count = n
         endPos = pos
       }
+      needSeek = false
+    }
+
+    openAndRecover()
+
+    /** Heal an asynchronously-closed channel (interrupt mid-I/O closes a
+      * FileChannel for EVERY holder): reopen + recovery scan. The gen
+      * bump keeps content stamps honest — a reopen may have truncated a
+      * torn tail. Caller holds the lock; no-op after a deliberate
+      * [[close]]. */
+    private def ensureOpenLocked(): Unit =
+      if (!closedForever && !channel.isOpen) {
+        openAndRecover()
+        gen += 1
+      }
+
+    /** Run `body` with this thread's interrupt status parked: a pending
+      * interrupt makes the FIRST blocking FileChannel op close the
+      * channel and throw (InterruptibleChannel semantics) — the bricked
+      * channel the r15 driver verify caught as a ClosedChannelException
+      * flake. The status is re-asserted on exit so the signal (e.g.
+      * GraftWorker.stop interrupting its maintenance loop) is never
+      * swallowed, only deferred past the channel op. */
+    private def uninterruptibly[A](body: => A): A = {
+      val was = Thread.interrupted()
+      try body
+      finally if (was || Thread.interrupted()) Thread.currentThread().interrupt()
     }
 
     def size: Int = count
@@ -248,37 +290,99 @@ object WalStore {
 
     /** Drain every queued waiter in one gathering write; caller holds
       * [[lock]] and owes the returned batch its wakes (outside the
-      * lock). On an I/O failure the whole batch is failed — a torn tail
-      * fails the next open's CRC scan, the established crash contract —
-      * and endPos is NOT advanced (needSeek forces a reseek), so the
-      * next drain overwrites the torn region instead of leaving a
-      * gap. */
+      * lock). An interrupt-induced channel close (the leader is a
+      * producer thread a stop() may interrupt mid-write) is HEALED:
+      * reopen, truncate back to the exact pre-batch end (discarding any
+      * frames the torn write landed — no reader saw them: count never
+      * advanced and the lock is held), rewind the buffers and retry
+      * once. On a real I/O failure the whole batch is failed with the
+      * file restored to its pre-batch state — a cleaner cut than the
+      * old torn-tail-until-next-open contract, same caller semantics. */
     private def drainPendingLocked(): Vector[Waiter] = {
       var batch = Vector.empty[Waiter]
       var x = pendingAppends.poll()
       while (x != null) { batch :+= x; x = pendingAppends.poll() }
       if (batch.isEmpty) return batch
-      try {
-        val bufs = batch.iterator.map(_.buf).toArray
-        var total = 0L
-        bufs.foreach(b => total += b.remaining().toLong)
-        if (needSeek) { channel.position(endPos); needSeek = false }
-        var remaining = total
-        while (remaining > 0) remaining -= channel.write(bufs)
-        endPos += total
-        if (batch.exists(_.force)) channel.force(false)
-        batch.foreach { b => count += b.n; b.state = 1 }
-      } catch {
-        case t: Throwable =>
-          needSeek = true
-          batch.foreach { b => b.failure = t; b.state = 2 }
+      if (closedForever) {
+        val t = new java.nio.channels.ClosedChannelException()
+        batch.foreach { b => b.failure = t; b.state = 2 }
+        return batch
+      }
+      uninterruptibly {
+        val starts = batch.map(_.buf.position())
+        val preEnd = endPos
+        val preCount = count
+        // restore the exact pre-batch file state (caller holds the lock,
+        // so nothing observed the partial frames)
+        def rollback(): Unit = {
+          channel.truncate(preEnd)
+          channel.position(preEnd)
+          endPos = preEnd
+          count = preCount
+          needSeek = false
+          var i = 0
+          while (i < batch.length) { batch(i).buf.position(starts(i)); i += 1 }
+        }
+        var attempts = 0
+        var committed = false
+        var lastFailure: Throwable = null
+        while (!committed && attempts < 2) {
+          try {
+            ensureOpenLocked()
+            if (attempts > 0) rollback()
+            val bufs = batch.iterator.map(_.buf).toArray
+            var total = 0L
+            bufs.foreach(b => total += b.remaining().toLong)
+            if (needSeek) { channel.position(endPos); needSeek = false }
+            var remaining = total
+            while (remaining > 0) remaining -= channel.write(bufs)
+            endPos += total
+            if (batch.exists(_.force)) channel.force(false)
+            batch.foreach { b => count += b.n; b.state = 1 }
+            committed = true
+          } catch {
+            case t: Throwable =>
+              lastFailure = t
+              attempts += 1
+              Thread.interrupted() // clear: the close was interrupt-induced; status re-asserted by uninterruptibly
+          }
+        }
+        if (!committed) {
+          try { ensureOpenLocked(); rollback() }
+          catch { case _: Throwable => needSeek = true }
+          batch.foreach { b => b.failure = lastFailure; b.state = 2 }
+        }
       }
       batch
     }
 
+    /** Run a channel op under the lock with the interrupt status parked
+      * and an asynchronously-closed channel healed (one reopen+retry);
+      * `whenClosed` answers after a DELIBERATE [[close]] — teardown
+      * races resolve to the post-teardown view instead of throwing. */
+    private def channelOp[A](whenClosed: => A)(body: => A): A = locked(uninterruptibly {
+      if (closedForever) whenClosed
+      else {
+        var attempts = 0
+        var done = false
+        var out: A = null.asInstanceOf[A]
+        while (!done) {
+          ensureOpenLocked()
+          try { out = body; done = true }
+          catch {
+            case e: java.nio.channels.ClosedChannelException =>
+              if (closedForever || attempts >= 2) throw e
+              attempts += 1
+              Thread.interrupted() // interrupt-induced close; re-asserted by uninterruptibly
+          }
+        }
+        out
+      }
+    })
+
     /** Decode every live record (driver-side; bounded by [[MaxRecords]]
       * plus the compaction cadence). */
-    def readAll(): Seq[Array[Byte]] = locked {
+    def readAll(): Seq[Array[Byte]] = channelOp(Seq.empty[Array[Byte]]) {
       val out = Vector.newBuilder[Array[Byte]]
       var pos = HeaderLen.toLong
       val end = channel.size()
@@ -297,7 +401,7 @@ object WalStore {
     }
 
     /** Drop every record (post-compaction fold). */
-    def truncate(): Unit = locked {
+    def truncate(): Unit = channelOp(()) {
       channel.truncate(HeaderLen.toLong)
       channel.position(HeaderLen.toLong)
       endPos = HeaderLen.toLong
@@ -307,9 +411,19 @@ object WalStore {
     }
 
     /** fsync (once per batch, not per record). */
-    def sync(): Unit = locked(channel.force(false))
+    def sync(): Unit = channelOp(())(channel.force(false))
 
     def close(): Unit = locked {
+      closedForever = true
+      count = 0 // post-teardown view: size/hasRecords agree with readAll
+      try channel.close() catch { case _: java.io.IOException => () }
+    }
+
+    /** Test hook: close the channel WITHOUT marking the WAL closed —
+      * exactly the state an interrupt mid-I/O leaves behind
+      * (InterruptibleChannel closes the channel for every holder). Lets
+      * specs drive the [[ensureOpenLocked]] heal deterministically. */
+    private[graft] def simulateAsyncClose(): Unit = locked {
       try channel.close() catch { case _: java.io.IOException => () }
     }
   }
@@ -359,7 +473,8 @@ object WalStore {
     val key = walPath(root, tbl).toAbsolutePath.toString
     val w = writers.get(key)
     if (w != null) w.size > 0
-    else Files.exists(Paths.get(key)) && Files.size(Paths.get(key)) > HeaderLen
+    else try Files.exists(Paths.get(key)) && Files.size(Paths.get(key)) > HeaderLen
+    catch { case _: java.io.IOException => false } // deleted between probes
   }
 
   /** Per-thread serializers: an ExpressionEncoder serializer reuses an
@@ -441,9 +556,11 @@ object WalStore {
 
   /** Metadata-only content stamp of one table's WAL (no encoder, never
     * creates the file): truncation generation + record count when this
-    * process holds the writer; else the on-disk byte size — a WAL no
-    * local writer touches is static, so the size is a stable identity.
-    * 0 when absent. Feeds [[graft.backend.QueueBackend.tableFingerprint]]. */
+    * process holds the writer; else the on-disk (size, mtime) pair — a
+    * cross-process truncate-and-rewrite landing at the identical byte
+    * size still moves the mtime, so the cron gate's fingerprint can't
+    * miss it (VERDICT r15 #7). 0 when absent. Feeds
+    * [[graft.backend.QueueBackend.tableFingerprint]]. */
   def contentStamp(root: String, tbl: String): Long = {
     val key = walPath(root, tbl).toAbsolutePath.toString
     val w = writers.get(key)
@@ -452,7 +569,11 @@ object WalStore {
       (g << 20) ^ c.toLong
     } else {
       val p = Paths.get(key)
-      if (Files.exists(p)) Files.size(p) else 0L
+      try {
+        if (Files.exists(p))
+          Files.size(p) * 1000003L ^ Files.getLastModifiedTime(p).toMillis
+        else 0L
+      } catch { case _: java.io.IOException => 0L } // deleted between probes
     }
   }
 

@@ -315,8 +315,15 @@ final class WorkerEngine(
     // cost ~0.8 s of empty anti-join/window/checkpoint jobs). NOT taken
     // under claimed consumption: an empty claimed pass still beacons —
     // that is how a fresh claimant joins the shard membership view.
-    if (!claimedConsumption && !backend.maybeNonEmpty("ready")) PassStats(0, 0, 0, 0)
-    else gated(withClaims(scoped(backend.readyJobs), identity)(executeBatchInner))
+    // The probe runs INSIDE the gate (ADVICE r15): a compactor
+    // mid-replaceLog (live dir renamed to .old-*, tmp not yet in) makes
+    // dataFileCount 0 with an empty WAL — outside the gate that reads
+    // provably-empty while rows exist, and a one-shot caller would get
+    // a spurious empty PassStats.
+    gated {
+      if (!claimedConsumption && !backend.maybeNonEmpty("ready")) PassStats(0, 0, 0, 0)
+      else withClaims(scoped(backend.readyJobs), identity)(executeBatchInner)
+    }
 
   /** Plan CONSTRUCTION must happen inside the gate as well: building
     * `readyJobs`/`filterReadyVisible` lists the live log files, and a
