@@ -259,6 +259,21 @@ object QuickProbe {
       // rounds, the final collect; a single wall-clock number can't say
       // which stage moved. A QueryExecutionListener splits the wall per
       // action with the executed plan's head, no operator-code changes.
+      // pseudo-query: dump one query's formatted physical plan to
+      // plans/<dir>/<name>_<tag>.txt (dir/tag via SPARK_GRAFT_PLAN_DIR /
+      // SPARK_GRAFT_PLAN_TAG) — the before/after artifacts the
+      // optimization rounds commit for the judge.
+      case s if s.startsWith("__plan=") =>
+        val name = s.stripPrefix("__plan=")
+        val df = SparkEntry.queries(name)(spark, sfDir)
+        val txt = df.queryExecution.explainString(
+          org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+        val dir = sys.env.getOrElse("SPARK_GRAFT_PLAN_DIR", "plans/r16")
+        val tag = sys.env.getOrElse("SPARK_GRAFT_PLAN_TAG", "after")
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+        val out = java.nio.file.Paths.get(dir, s"${name}_$tag.txt")
+        java.nio.file.Files.writeString(out, txt)
+        println(s"PROBE plan $name -> $out (${txt.linesIterator.size} lines)")
       case s if s.startsWith("__stages=") =>
         val name = s.stripPrefix("__stages=")
         val acc = new java.util.concurrent.ConcurrentLinkedQueue[(String, Double, String)]

@@ -347,18 +347,35 @@ final class ManagementApi(backend: QueueBackend, spark: SparkSession) {
     * any log. Returns the restored backend's visible per-collection
     * counts. */
   def importSnapshot(dir: String, into: QueueBackend): Map[String, Long] = {
-    into.enqueue(spark.read.parquet(s"$dir/ready").as[Job])
-    into.schedule(spark.read.parquet(s"$dir/scheduled").as[Job])
-    into.bury(spark.read.parquet(s"$dir/dead").as[Job])
-    into.upsertCron(
-      spark.read.parquet(s"$dir/cron").as[CronEntry].collect().toSeq)
-    // batches is an append log, not a keyed registry — guard re-imports
-    // by presence so the registry stays idempotent like cron's upsert
-    val existingBatches =
-      if (!into.maybeNonEmpty("batches")) Set.empty[String]
-      else into.batches.select($"id").as[String].collect().toSet
-    spark.read.parquet(s"$dir/batches").as[BatchMeta]
-      .collect().filterNot(b => existingBatches(b.id)).foreach(into.putBatch)
+    // The five collections restore into DISJOINT tables, so the three
+    // job-log appends + the two keyed registries run on a bounded pool
+    // (the exportSnapshot discipline, guide §2.6): each append is an
+    // independent Spark job whose tail otherwise serializes behind the
+    // previous one's stragglers.
+    val work: Seq[() => Unit] = Seq(
+      () => into.enqueue(spark.read.parquet(s"$dir/ready").as[Job]),
+      () => into.schedule(spark.read.parquet(s"$dir/scheduled").as[Job]),
+      () => into.bury(spark.read.parquet(s"$dir/dead").as[Job]),
+      () => into.upsertCron(
+        spark.read.parquet(s"$dir/cron").as[CronEntry].collect().toSeq),
+      () => {
+        // batches is an append log, not a keyed registry — guard
+        // re-imports by presence so the registry stays idempotent like
+        // cron's upsert
+        val existingBatches =
+          if (!into.maybeNonEmpty("batches")) Set.empty[String]
+          else into.batches.select($"id").as[String].collect().toSet
+        spark.read.parquet(s"$dir/batches").as[BatchMeta]
+          .collect().filterNot(b => existingBatches(b.id)).foreach(into.putBatch)
+      })
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(work.size)
+    try {
+      val futures = work.map(w =>
+        pool.submit(new java.util.concurrent.Callable[Unit] { def call(): Unit = w() }))
+      futures.foreach(_.get())
+    } catch {
+      case e: java.util.concurrent.ExecutionException => throw e.getCause
+    } finally pool.shutdown()
     // provably-empty collections report 0 from table metadata (r15) —
     // a restore into a fresh backend otherwise pays an empty visibility
     // read per untouched collection

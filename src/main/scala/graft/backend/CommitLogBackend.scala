@@ -888,6 +888,35 @@ final class CommitLogBackend(
         CommitLogBackend.ShardClaimAttempt, claimantId, at)))(
       graft.model.ModelEncoders.claimEventEncoder)
 
+  /** The release rides the completions commit's MANIFEST RECORD
+    * (VERDICT r15 #3): one atomic commit carries both the completions
+    * add and the claims release add — a claimed micro-batch pays one
+    * manifest version instead of two, the claims table grows one file
+    * per pass instead of two, and the ordering contract (completions
+    * durable before the release is observable) upgrades from
+    * "sequenced" to "atomic": a foreign claimant that sees the release
+    * sees the completions in the same snapshot. */
+  override def recordCompletionRowsReleasing(events: Seq[graft.model.CompletionEvent],
+      release: Option[(String, Long)]): Unit = release match {
+    case None => recordCompletionRows(events)
+    case Some((cid, at)) =>
+      val recs = Seq.newBuilder[String]
+      if (events.nonEmpty) {
+        val name = s"data-${UUID.randomUUID()}-0.parquet"
+        DirectParquetAppend.appendAs(spark,
+          graft.model.ModelEncoders.completionEventEncoder,
+          s"$root/completions", name, events)
+        recs += s"add\tcompletions\t$name"
+      }
+      val cname = s"data-${UUID.randomUUID()}-0.parquet"
+      DirectParquetAppend.appendAs(spark,
+        graft.model.ModelEncoders.claimEventEncoder, s"$root/claims", cname,
+        Seq(ClaimEvent(CommitLogBackend.shardClaimReleaseJobId(),
+          CommitLogBackend.ShardClaimAttempt, cid, at)))
+      recs += s"add\tclaims\t$cname"
+      confirmOrBuffer(recs.result())
+  }
+
   /** Claimants with a liveness beacon younger than `ttlMs`, sorted —
     * the shared-queue shard membership view (VERDICT r14 #1: claims
     * should be DISJOINT by construction in steady state; WorkerEngine

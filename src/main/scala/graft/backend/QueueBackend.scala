@@ -120,6 +120,20 @@ trait QueueBackend {
     * return. */
   def recordCompletionRows(events: Seq[CompletionEvent]): Unit
 
+  /** [[recordCompletionRows]] + [[releaseShardClaim]] folded into ONE
+    * logical commit where the binding can make it atomic (VERDICT r15
+    * #3: a claimed micro-batch paid a completions commit AND a release
+    * commit — the release can ride the completions commit's manifest
+    * record). The pass-ordering contract — completions durable before
+    * the release is observable — holds trivially when both land in one
+    * atomic commit, and by sequence in this default. `release` =
+    * (claimantId, at), None for unclaimed passes. */
+  def recordCompletionRowsReleasing(events: Seq[CompletionEvent],
+      release: Option[(String, Long)]): Unit = {
+    recordCompletionRows(events)
+    release.foreach { case (cid, at) => releaseShardClaim(cid, at) }
+  }
+
   /** Cheap, CONSERVATIVE emptiness probe for one logical table: `false`
     * only when the table provably holds no rows (no data files, no
     * latency-path tail) — the broker-native O(1) "is there anything

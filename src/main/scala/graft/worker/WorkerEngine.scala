@@ -149,6 +149,15 @@ final class WorkerEngine(
   // the first pass under any test clock
   @volatile private var lastBeaconAt = Long.MinValue / 4
 
+  /** Claimed-pass release token (VERDICT r15 #3): withClaims arms it
+    * after the claim commit; executeBatchInner's completion commit
+    * CONSUMES it so the shard release rides the same atomic commit.
+    * A pass that commits no completions (empty, or the distributed
+    * lane) leaves it armed and withClaims releases standalone.
+    * Thread-local: a pass runs claim → body → release on one thread
+    * (the streaming foreachBatch thread or the runPass caller). */
+  private val pendingRelease = new ThreadLocal[String]
+
   private def beacon(at: Long): Unit = {
     backend.recordClaimantBeacon(claimantId, at)
     lastBeaconAt = at
@@ -251,19 +260,31 @@ final class WorkerEngine(
             val won = WorkerEngine.claimStage("claim_slice")(
               backend.claimSlice(mine, claimantId, now0, claimLeaseMs,
                 shard = Some((idx, n))))
-            val stats = WorkerEngine.claimStage("body")(body(won))
             // a shard claim protects the IN-FLIGHT pass: release it once
             // the pass's commits (completions last) are durable, so
             // other claimants stop deferring to a finished pass. The
             // ordering is the stale-read protection: completions
-            // committed BEFORE this release, so a foreign claimant that
-            // sees the release (and claims after it) reads a visibility
-            // snapshot excluding everything this pass executed. NOT
-            // released on failure — the identity rotation below orphans
-            // the failed pass's claims and the lease expires them
-            // (goose's dead-consumer window).
-            WorkerEngine.claimStage("claim_release")(
-              backend.releaseShardClaim(claimantId, nowFn()))
+            // committed BEFORE (r16: atomically WITH) this release, so a
+            // foreign claimant that sees the release (and claims after
+            // it) reads a visibility snapshot excluding everything this
+            // pass executed. The release normally RIDES the pass's
+            // completion commit (pendingRelease, consumed by
+            // executeBatchInner's small-commit lane — one manifest
+            // commit instead of two per micro-batch, VERDICT r15 #3);
+            // a pass that commits no completions (empty, or the
+            // distributed lane) releases standalone below. NOT released
+            // on failure — the identity rotation orphans the failed
+            // pass's claims and the lease expires them (goose's
+            // dead-consumer window).
+            pendingRelease.set(claimantId)
+            val stats =
+              try WorkerEngine.claimStage("body")(body(won))
+              catch { case t: Throwable => pendingRelease.set(null); throw t }
+            if (pendingRelease.get() != null) {
+              pendingRelease.set(null)
+              WorkerEngine.claimStage("claim_release")(
+                backend.releaseShardClaim(claimantId, nowFn()))
+            }
             result = stats
           } catch {
             case c: graft.backend.CommitLogBackend.ShardContended =>
@@ -397,9 +418,15 @@ final class WorkerEngine(
               .filter(r => r.action == "dead" && !r.job.retryOpts.skipDeadQueue)
               .map(_.job).toIndexedSeq)
         }
-        WorkerEngine.claimStage("body_completions")(
-          backend.recordCompletionRows(
-            rows.iterator.map(WorkerCore.toCompletion).toIndexedSeq))
+        WorkerEngine.claimStage("body_completions") {
+          // a claimed pass's shard release rides THIS commit (one
+          // atomic manifest commit instead of two — see withClaims)
+          val rel = Option(pendingRelease.get())
+          pendingRelease.set(null)
+          backend.recordCompletionRowsReleasing(
+            rows.iterator.map(WorkerCore.toCompletion).toIndexedSeq,
+            rel.map(cid => (cid, nowFn())))
+        }
       } else {
         import scala.concurrent.{Await, Future}
         import scala.concurrent.duration.Duration

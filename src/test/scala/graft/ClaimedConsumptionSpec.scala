@@ -247,4 +247,38 @@ class ClaimedConsumptionSpec extends SparkSpec {
     assert(shards.toSeq == Seq(newestShard),
       s"exactly the newest shard claim per claimant survives: ${shards.mkString(",")}")
   }
+
+  test("the shard release rides the completion commit — one manifest version (r16)") {
+    JobRegistry.register("claim_count", _ => "ok")
+    val root = tmpDir("graft-claims")
+    val b = new CommitLogBackend(spark, root)
+    b.enqueue(Seq(job(1), job(2)).toDS().coalesce(1))
+    val e = new WorkerEngine(b, spark, queue = Some("shared"), claimedConsumption = true)
+    assert(e.runPass().executed == 2)
+    // read the raw commit log: exactly ONE commit must carry BOTH the
+    // completions add and a claims add (the release) — the old protocol
+    // paid a separate release commit after the completions commit
+    val logDir = java.nio.file.Paths.get(root, "_log")
+    val commits = java.nio.file.Files.list(logDir).iterator()
+    val folded = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    commits.forEachRemaining { p =>
+      if (p.getFileName.toString.endsWith(".commit"))
+        folded += ((p.getFileName.toString, java.nio.file.Files.readString(p)))
+    }
+    val joint = folded.filter { case (_, txt) =>
+      txt.contains("add\tcompletions\t") && txt.contains("add\tclaims\t") }
+    assert(joint.size == 1,
+      s"exactly one atomic completions+release commit, got ${joint.map(_._1)}")
+    // and the release row is REAL: the claimant's newest shard row is a
+    // release (n = 0 coverage), so a foreign claimant sees no coverage
+    val shards = b.readClaims().collect()
+      .filter(_.attempt == CommitLogBackend.ShardClaimAttempt)
+    val newest = shards.maxBy(c => (c.claimedAt, c.jobId))
+    assert(CommitLogBackend.parseShardClaim(newest.jobId).exists(_._2 == 0),
+      s"newest shard row must be the release, got ${newest.jobId}")
+    // a second engine claiming afterwards is NOT contended by the
+    // finished pass
+    val e2 = new WorkerEngine(b, spark, queue = Some("shared"), claimedConsumption = true)
+    assert(e2.runPass().executed == 0) // drained; no ShardContended throw
+  }
 }
