@@ -111,8 +111,26 @@ object PipelineOps {
     "p01_clean_corpus" -> ((s, d) => {
       val docs = Tables.documents(s, d)
 
-      val s1 = docs.filter(isEnglish)
-      val s2 = s1.filter(qualityBp >= QualityMinBp)
+      // Funnel head counts RIDE the s3 checkpoint job as an Observation
+      // (r16, the executeBatchInner discipline): the observe node sits
+      // below the filters, so the checkpoint's one corpus scan counts
+      // all docs / lang survivors / quality survivors as a side effect.
+      // The old shape re-scanned the whole corpus (7 regexp counters per
+      // doc — the scan's dominant cost) inside the final funnel-union
+      // job just to produce c1-c3; the flags are also now computed ONCE
+      // per doc (projected columns feed both the counters and the
+      // filters) instead of once in the filter and again in the count
+      // scan.
+      val headObs = new org.apache.spark.sql.Observation(
+        s"graft-p01-head-${java.util.UUID.randomUUID().toString.take(8)}")
+      val flagged = docs
+        .withColumn("f_lang", isEnglish)
+        .withColumn("f_q", qualityBp >= QualityMinBp)
+        .observe(headObs,
+          count(lit(1)).as("c1"),
+          sum(when(col("f_lang"), 1L).otherwise(0L)).as("c2"),
+          sum(when(col("f_lang") && col("f_q"), 1L).otherwise(0L)).as("c3"))
+      val s2 = flagged.filter(col("f_lang") && col("f_q")).drop("f_lang", "f_q")
 
       // exact dedup keep-first on whitespace-normalized fingerprint (t04/d02)
       val w = org.apache.spark.sql.expressions.Window
@@ -171,19 +189,25 @@ object PipelineOps {
         .select(col("doc_id").as("c_id"))
       val s5 = trainDocs.join(contaminated, trainDocs("doc_id") === contaminated("c_id"), "left_anti")
 
-      // funnel counts: stages 1-3 are flag-sums over ONE corpus scan (the
-      // lang/quality regexes are the scan's cost — three separate counts
-      // paid it three times); stages 4-6 count their checkpointed frames.
-      val first3 = docs
-        .select(isEnglish.as("f_lang"), (isEnglish && qualityBp >= QualityMinBp).as("f_q"))
-        .agg(count(lit(1)).as("c1"),
-          sum(when(col("f_lang"), 1L).otherwise(0L)).as("c2"),
-          sum(when(col("f_q"), 1L).otherwise(0L)).as("c3"))
-      // stack() pivots the one aggregate row into the three stage rows, so
-      // first3 is consumed ONCE — no checkpoint barrier, the scan just
-      // becomes one branch of the final union job
-      val head3 = Seq(first3.select(expr(
-        "stack(3, '1_all', c1, '2_lang', c2, '3_quality', c3) AS (stage, n_docs)")))
+      // funnel counts: stages 1-3 resolved from the s3 checkpoint's
+      // Observation (one corpus scan, already paid above — r16); stages
+      // 4-6 count their checkpointed frames. The head rows become a
+      // LocalRelation, so the final union job runs only the three tail
+      // counts.
+      val headRow = headObs.getAsJava
+      // sum() over zero rows observes NULL — an empty corpus must still
+      // produce the three zero-count stage rows
+      def n(k: String): Long =
+        Option(headRow.get(k)).map(_.asInstanceOf[Long]).getOrElse(0L)
+      val head3 = Seq(s.createDataFrame(java.util.Arrays.asList(
+        org.apache.spark.sql.Row("1_all", n("c1")),
+        org.apache.spark.sql.Row("2_lang", n("c2")),
+        org.apache.spark.sql.Row("3_quality", n("c3"))),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("stage",
+            org.apache.spark.sql.types.StringType, nullable = false),
+          org.apache.spark.sql.types.StructField("n_docs",
+            org.apache.spark.sql.types.LongType, nullable = false)))))
       val tail3 = Seq("4_exact_dedup" -> s3, "5_near_dedup" -> s4, "6_decontaminated" -> s5)
         .map { case (n, df) =>
           df.agg(count(lit(1)).as("n_docs")).select(lit(n).as("stage"), col("n_docs"))
