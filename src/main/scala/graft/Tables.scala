@@ -61,7 +61,23 @@ object Tables {
   def documents(spark: SparkSession, sfDir: String): DataFrame = {
     val raw = table(spark, sfDir, "documents")
     val target = spark.sessionState.conf.numShufflePartitions
-    if (raw.rdd.getNumPartitions * 2 < target) raw.repartition(target) else raw
+    // Estimate the scan's split count from the file bytes (a driver-side
+    // listing, ~ms) instead of `raw.rdd.getNumPartitions`: the .rdd
+    // conversion planned + codegen'd a row deserializer on EVERY call
+    // (~40 ms warm, ~1 s cold — visible as the `rdd` action in the
+    // __stages probes of every documents query; ~130 of the declared
+    // queries pay it, three bench passes each). Split math mirrors
+    // FilePartition packing: bytes / maxPartitionBytes, each file
+    // additionally charged openCostInBytes.
+    val conf = spark.sessionState.conf
+    val maxSplit = math.max(1L, conf.filesMaxPartitionBytes)
+    val openCost = conf.filesOpenCostInBytes
+    val p = new org.apache.hadoop.fs.Path(s"$sfDir/documents.parquet")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val statuses = fs.listStatus(p) // a plain file lists as itself
+    val packed = statuses.iterator.map(s => s.getLen + openCost).sum
+    val splits = math.max(1L, (packed + maxSplit - 1) / maxSplit)
+    if (splits * 2 < target) raw.repartition(target) else raw
   }
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "embeddings")
 }

@@ -115,14 +115,23 @@ object Metrics {
   def publishGauges(backend: QueueBackend, spark: SparkSession, sink: MetricsSink): Unit = {
     if (!sink.enabled) return
     import spark.implicits._
-    val perQueue = backend.readyJobs.groupBy($"queue").agg(count(lit(1)).as("n"))
-      .as[(String, Long)].collect()
+    // Provably-empty tables gauge 0 from metadata (r16, the r15
+    // emptiness-probe discipline): this runs every maintenance tick
+    // forever, and an IDLE worker with an enabled sink otherwise pays
+    // five empty Spark jobs per second — goose's gauge pass is five
+    // O(1) Redis size reads (reference redis/metrics.clj).
+    val perQueue =
+      if (!backend.maybeNonEmpty("ready")) Array.empty[(String, Long)]
+      else backend.readyJobs.groupBy($"queue").agg(count(lit(1)).as("n"))
+        .as[(String, Long)].collect()
     perQueue.foreach { case (q, n) => sink.gauge("enqueued.size", n.toDouble, Map("queue" -> q)) }
     sink.gauge("total_enqueued.size", perQueue.map(_._2).sum.toDouble)
-    sink.gauge("scheduled.size", backend.scheduledJobs.count().toDouble)
-    sink.gauge("dead.size", backend.deadJobs.count().toDouble)
-    sink.gauge("cron_entries.size", backend.cronEntries.count().toDouble)
-    sink.gauge("batches.size", backend.batches.count().toDouble)
+    def sized(tbl: String)(ds: => org.apache.spark.sql.Dataset[_]): Double =
+      if (!backend.maybeNonEmpty(tbl)) 0.0 else ds.count().toDouble
+    sink.gauge("scheduled.size", sized("scheduled")(backend.scheduledJobs))
+    sink.gauge("dead.size", sized("dead")(backend.deadJobs))
+    sink.gauge("cron_entries.size", sized("cron")(backend.cronEntries))
+    sink.gauge("batches.size", sized("batches")(backend.batches))
   }
 }
 

@@ -195,17 +195,29 @@ object DedupOps {
     val edges = pairs.select(col("d1").as("src"), col("d2").as("dst"))
       .union(pairs.select(col("d2").as("src"), col("d1").as("dst")))
       .localCheckpoint(true)
-    var labels = edges.select(col("src").as("node")).distinct()
-      .withColumn("lbl", col("node"))
-      .localCheckpoint(true)
+    // Round 1 needs NO materialized init frame (r16): the edges are
+    // symmetrized, so (src, src) enumerates every node's self-label and
+    // (dst, src) every neighbour label — the min-agg dedupes both. The
+    // old shape paid a distinct + localCheckpoint + per-round join just
+    // to seed labels = self; folding the seed into round 1's own job
+    // saves one Spark action and one distinct shuffle per CC invocation
+    // (d12/d18/d18a/d18b/d23a ride this kernel).
+    var labels: DataFrame = null
     var round = 0
     var done = false
     while (!done && round < maxRounds) {
-      val viaNeighbour = edges
-        .join(labels.withColumnRenamed("node", "src"), "src")
-        .select(col("dst").as("node"), col("lbl"))
-      val propagated = labels.union(viaNeighbour)
-        .groupBy("node").agg(min("lbl").as("lbl"))
+      val propagated =
+        if (labels == null)
+          edges.select(col("src").as("node"), col("src").as("lbl"))
+            .union(edges.select(col("dst").as("node"), col("src").as("lbl")))
+            .groupBy("node").agg(min("lbl").as("lbl"))
+        else {
+          val viaNeighbour = edges
+            .join(labels.withColumnRenamed("node", "src"), "src")
+            .select(col("dst").as("node"), col("lbl"))
+          labels.union(viaNeighbour)
+            .groupBy("node").agg(min("lbl").as("lbl"))
+        }
       // pointer-jumping shortcut (Kiveris et al.'s star-contraction idea
       // in its simplest DataFrame form): replace every label by ITS
       // label, squaring the propagation distance per round — a chain of
@@ -223,10 +235,14 @@ object DedupOps {
       // (node, lbl).
       val obs = new org.apache.spark.sql.Observation(
         s"graft-cc-${java.util.UUID.randomUUID().toString.take(8)}")
-      val next = propagated
+      val jumped = propagated
         .join(parents, col("lbl") === col("p_node"), "left")
         .select(col("node"), coalesce(col("p_lbl"), col("lbl")).as("lbl"))
-        .join(labels.withColumnRenamed("lbl", "prev"), "node")
+      // round 1's previous label IS the node itself — no join needed
+      val withPrev =
+        if (labels == null) jumped.withColumn("prev", col("node"))
+        else jumped.join(labels.withColumnRenamed("lbl", "prev"), "node")
+      val next = withPrev
         .observe(obs,
           sum(when(col("lbl") =!= col("prev"), 1L).otherwise(0L)).as("changed"))
         .localCheckpoint(true)
